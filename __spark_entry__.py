@@ -1,38 +1,367 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` smoke-runs the flagship query; ``queries()`` exposes one
+callable per implemented operator from SURVEY.md §2 (+ the training-data
+pipeline extensions); ``oracle_sql()`` gives the DuckDB-equivalent SQL for
+every SQL-expressible query. Column names/aliases match pairwise so the
+driver's order-insensitive value-hash compares cleanly; float outputs are
+exact-by-construction (integer-unit sums, deterministic division — see
+flink_streaming_2_10_spark/functions/money.py).
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from flink_streaming_2_10_spark.catalog import load_table
+from flink_streaming_2_10_spark.functions.money import from_units, to_units
+from flink_streaming_2_10_spark.operators.argmax import max_by_record
+from flink_streaming_2_10_spark.operators.async_io import (
+    identity_enrich,
+    ordered_async_map,
+)
+from flink_streaming_2_10_spark.operators.join import join_grades_salaries
+from flink_streaming_2_10_spark.operators.relational import (
+    pricing_summary,
+    revenue_by_region,
+    shipping_priority,
+)
+from flink_streaming_2_10_spark.operators.topspeed import top_speed_windowing
+from flink_streaming_2_10_spark.operators.twitter import fork_find_word_pipeline
+from flink_streaming_2_10_spark.operators.windows import (
+    session_window_agg,
+    tumbling_window_agg,
+)
+from flink_streaming_2_10_spark.operators.wordcount import (
+    word_count,
+    word_count_pojo,
+)
+from flink_streaming_2_10_spark.sources.generators import (
+    car_events_from_events,
+    grades_from_events,
+    salaries_from_events,
+)
+
+_NAMES_SQL = "['tom','jerry','alice','bob','john','grace']"
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query (SURVEY.md §7.1): WordCount — the reference's own
+    first example — over sf0.001 documents."""
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    return word_count(docs, "text")
+
+
+# ---------------------------------------------------------------------------
+# Reference-surface queries (SURVEY.md §2)
+# ---------------------------------------------------------------------------
+
+
+def q_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T2+A1+A3: tokenizer → keyBy(position 0) → rolling sum (final state)."""
+    return word_count(load_table(spark, sf_dir, "documents"), "text")
+
+
+def q_pojo_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T2+A2+A3: same pipeline keyed/summed by field name (PojoExample)."""
+    return word_count_pojo(load_table(spark, sf_dir, "documents"), "text")
+
+
+def q_fork_find_word(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T3+T4: the fork's conditional multi-emit + equality filter
+    (TwitterExample.java:84-102), target word 'spark'."""
+    return fork_find_word_pipeline(
+        load_table(spark, sf_dir, "documents"), "text", target="spark"
+    )
+
+
+def q_json_field_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5/F14: JSON path access over events.props."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.select(F.get_json_object("props", "$.k").cast("int").alias("k"))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def q_english_docs_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5 predicate + T6 whitespace tokenize (the upstream tweet pipeline
+    shape: lang filter → tokenize → count) over documents."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("lang") == "en")
+    words = docs.select(
+        F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("word")
+    ).filter(F.length("word") > 0)
+    return words.groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def q_tumbling_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4/A8: tumbling event-time window + keyed aggregation over events."""
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "value_c", to_units("value")
+    )
+    out = tumbling_window_agg(
+        ev,
+        keys=["event_type"],
+        aggs=[
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum("value_c").alias("value_c_sum"),
+        ],
+        window_size="1 hour",
+    )
+    return out.select(
+        "window_start",
+        "window_end",
+        "event_type",
+        "cnt",
+        from_units("value_c_sum").alias("total_value"),
+    )
+
+
+def q_session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9 (pom-implied stretch): 5-minute-gap session windows per user."""
+    ev = load_table(spark, sf_dir, "events")
+    return session_window_agg(
+        ev,
+        keys=["user_id"],
+        aggs=[F.count(F.lit(1)).alias("cnt")],
+        gap="5 minutes",
+    )
+
+
+def q_window_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5: tumbling-window stream–stream equi join (WindowJoin), grades and
+    salaries derived deterministically from events (FIXTURES.md F-2/F-3)."""
+    ev = load_table(spark, sf_dir, "events")
+    return join_grades_salaries(
+        grades_from_events(ev), salaries_from_events(ev), window_size="1 hour"
+    )
+
+
+def q_maxby_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7: maxBy — whole record with max value per key, deterministic
+    first-seen tie-break (ts, event_id ascending)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "value", "ts"
+    )
+    return max_by_record(
+        ev, keys=["user_id"], order_col="value", tie_break=["ts", "event_id"]
+    ).select("user_id", "event_id", "value")
+
+
+def q_async_ordered_identity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1: ordered async I/O with the reference's identity-style function —
+    output must equal input (FIXTURES.md F-7 contract)."""
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    return ordered_async_map(
+        ev,
+        identity_enrich,
+        schema="event_id long, user_id long, value double",
+        timeout=10.0,
+        capacity=10,
+    )
+
+
+def q_topspeed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6: global window + DeltaTrigger(50 m) + TimeEvictor(10 s) + maxBy —
+    custom stateful replay; not SQL-expressible (rows-only check)."""
+    ev = load_table(spark, sf_dir, "events")
+    cars = car_events_from_events(ev, num_cars=4)
+    return top_speed_windowing(cars, trigger_meters=50.0, eviction_sec=10)
+
+
+def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scan → filter → keyed agg at table scale (TPC-H Q1 shape)."""
+    return pricing_summary(load_table(spark, sf_dir, "lineitem"))
+
+
+def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast + shuffle joins, agg, deterministic top-k (TPC-H Q3 shape)."""
+    return shipping_priority(
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "lineitem"),
+    )
+
+
+def q_revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast star join over the full dimension chain (Q5 shape)."""
+    return revenue_by_region(
+        load_table(spark, sf_dir, "region"),
+        load_table(spark, sf_dir, "nation"),
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "orders"),
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "wordcount_rolling_sum": q_wordcount,
+        "pojo_wordcount_sum": q_pojo_wordcount,
+        "fork_find_word": q_fork_find_word,
+        "json_field_extract": q_json_field_extract,
+        "english_docs_wordcount": q_english_docs_wordcount,
+        "tumbling_window_agg": q_tumbling_window_agg,
+        "session_window_agg": q_session_window_agg,
+        "window_join_grades_salaries": q_window_join,
+        "maxby_argmax": q_maxby_argmax,
+        "async_ordered_identity": q_async_ordered_identity,
+        "topspeed_delta_trigger": q_topspeed,
+        "tpch_q1_pricing_summary": q_tpch_q1,
+        "tpch_q3_shipping_priority": q_tpch_q3,
+        "revenue_by_region": q_revenue_by_region,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    money_sum = "CAST(sum(CAST(round({col}*100) AS BIGINT)) AS BIGINT)"
+    ev_value_sum = money_sum.format(col="value")
+    return {
+        "wordcount_rolling_sum": """
+            SELECT word, CAST(count(*) AS BIGINT) AS cnt
+            FROM (SELECT unnest(regexp_split_to_array(lower(text), '\\W+')) AS word
+                  FROM documents)
+            WHERE length(word) > 0
+            GROUP BY word
+        """,
+        "pojo_wordcount_sum": """
+            SELECT word, CAST(count(*) AS BIGINT) AS total_frequency
+            FROM (SELECT unnest(regexp_split_to_array(lower(text), '\\W+')) AS word
+                  FROM documents)
+            WHERE length(word) > 0
+            GROUP BY word
+        """,
+        "fork_find_word": """
+            SELECT upper(w) AS word
+            FROM (SELECT unnest(string_split(text, ' ')) AS w
+                  FROM documents
+                  WHERE list_contains(string_split(lower(text), ' '), 'spark'))
+            WHERE lower(w) = 'spark'
+        """,
+        "json_field_extract": """
+            SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
+                   CAST(count(*) AS BIGINT) AS cnt
+            FROM events
+            GROUP BY 1
+        """,
+        "english_docs_wordcount": """
+            SELECT word, CAST(count(*) AS BIGINT) AS cnt
+            FROM (SELECT unnest(regexp_split_to_array(lower(text), '\\s+')) AS word
+                  FROM documents WHERE lang = 'en')
+            WHERE length(word) > 0
+            GROUP BY word
+        """,
+        "tumbling_window_agg": f"""
+            SELECT epoch_ms(time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP))) AS window_start,
+                   epoch_ms(time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP))) + 3600000 AS window_end,
+                   event_type,
+                   CAST(count(*) AS BIGINT) AS cnt,
+                   CAST({ev_value_sum} AS DOUBLE)/100.0 AS total_value
+            FROM events
+            GROUP BY 1, 2, 3
+        """,
+        "session_window_agg": """
+            WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+            m AS (SELECT user_id, ts,
+                         CASE WHEN lag(ts) OVER w IS NULL
+                                   OR ts - lag(ts) OVER w >= INTERVAL 5 MINUTE
+                              THEN 1 ELSE 0 END AS ns
+                  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+            s AS (SELECT user_id, ts,
+                         sum(ns) OVER (PARTITION BY user_id ORDER BY ts
+                                       ROWS UNBOUNDED PRECEDING) AS sid
+                  FROM m)
+            SELECT epoch_ms(min(ts)) AS session_start,
+                   epoch_ms(max(ts) + INTERVAL 5 MINUTE) AS session_end,
+                   user_id,
+                   CAST(count(*) AS BIGINT) AS cnt
+            FROM s
+            GROUP BY user_id, sid
+        """,
+        "window_join_grades_salaries": f"""
+            WITH g AS (
+              SELECT epoch_ms(time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP))) AS ws,
+                     list_extract({_NAMES_SQL}, CAST(user_id % 6 AS INT) + 1) AS name,
+                     CAST(CAST(floor(value) AS BIGINT) % 5 + 1 AS INT) AS grade
+              FROM events WHERE event_type IN ('click', 'view')),
+            s AS (
+              SELECT epoch_ms(time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP))) AS ws,
+                     list_extract({_NAMES_SQL}, CAST(user_id % 6 AS INT) + 1) AS name,
+                     CAST(CAST(floor(value * 100) AS BIGINT) % 10000 + 1 AS INT) AS salary
+              FROM events WHERE event_type IN ('purchase', 'error'))
+            SELECT g.ws AS window_start, g.name, g.grade, s.salary
+            FROM g JOIN s ON g.name = s.name AND g.ws = s.ws
+        """,
+        "maxby_argmax": """
+            SELECT user_id, event_id, value
+            FROM events
+            QUALIFY row_number() OVER (
+                PARTITION BY user_id
+                ORDER BY value DESC, ts ASC, event_id ASC) = 1
+        """,
+        "async_ordered_identity": """
+            SELECT event_id, user_id, value FROM events
+        """,
+        # topspeed_delta_trigger: stateful trigger/evictor replay — not
+        # SQL-expressible; driver records the rows-only check.
+        "tpch_q1_pricing_summary": """
+            WITH pre AS (
+              SELECT l_returnflag, l_linestatus, l_quantity,
+                     CAST(round(l_extendedprice*100) AS BIGINT) AS price_c,
+                     CAST(round(l_discount*100) AS BIGINT) AS disc_pc,
+                     CAST(round(l_tax*100) AS BIGINT) AS tax_pc
+              FROM lineitem
+              WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'),
+            agg AS (
+              SELECT l_returnflag, l_linestatus,
+                     sum(l_quantity) AS sum_qty,
+                     CAST(sum(price_c) AS BIGINT) AS price_c_sum,
+                     CAST(sum(price_c*(100-disc_pc)) AS BIGINT) AS disc_u_sum,
+                     CAST(sum(price_c*(100-disc_pc)*(100+tax_pc)) AS BIGINT) AS charge_u_sum,
+                     CAST(sum(disc_pc) AS BIGINT) AS disc_pc_sum,
+                     CAST(count(*) AS BIGINT) AS count_order
+              FROM pre GROUP BY l_returnflag, l_linestatus)
+            SELECT l_returnflag, l_linestatus, sum_qty,
+                   CAST(price_c_sum AS DOUBLE)/100.0 AS sum_base_price,
+                   CAST(disc_u_sum AS DOUBLE)/10000.0 AS sum_disc_price,
+                   CAST(charge_u_sum AS DOUBLE)/1000000.0 AS sum_charge,
+                   sum_qty/CAST(count_order AS DOUBLE) AS avg_qty,
+                   (CAST(price_c_sum AS DOUBLE)/100.0)/CAST(count_order AS DOUBLE) AS avg_price,
+                   (CAST(disc_pc_sum AS DOUBLE)/100.0)/CAST(count_order AS DOUBLE) AS avg_disc,
+                   count_order
+            FROM agg
+        """,
+        "tpch_q3_shipping_priority": """
+            WITH l AS (
+              SELECT l_orderkey,
+                     CAST(round(l_extendedprice*100) AS BIGINT)
+                       * (100 - CAST(round(l_discount*100) AS BIGINT)) AS rev_u
+              FROM lineitem
+              WHERE l_shipdate > TIMESTAMP '1998-03-15 00:00:00')
+            SELECT o.o_orderkey AS l_orderkey,
+                   CAST(CAST(sum(l.rev_u) AS BIGINT) AS DOUBLE)/10000.0 AS revenue,
+                   epoch_ms(o.o_orderdate) AS o_orderdate_ms,
+                   o.o_orderpriority
+            FROM orders o
+            JOIN customer c ON o.o_custkey = c.c_custkey
+                           AND c.c_mktsegment = 'BUILDING'
+            JOIN l ON o.o_orderkey = l.l_orderkey
+            WHERE o.o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+            GROUP BY o.o_orderkey, o.o_orderdate, o.o_orderpriority
+            ORDER BY CAST(sum(l.rev_u) AS BIGINT) DESC, o.o_orderkey
+            LIMIT 10
+        """,
+        "revenue_by_region": """
+            SELECT r.r_name,
+                   CAST(count(*) AS BIGINT) AS order_count,
+                   CAST(CAST(sum(CAST(round(o.o_totalprice*100) AS BIGINT)) AS BIGINT) AS DOUBLE)/100.0
+                     AS total_revenue
+            FROM orders o
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            JOIN region r ON n.n_regionkey = r.r_regionkey
+            GROUP BY r.r_name
+        """,
+    }

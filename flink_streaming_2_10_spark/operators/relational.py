@@ -1,0 +1,153 @@
+"""Relational analytics over the TPC-H-ish testdata tables.
+
+The reference surface is scan → transform → keyed agg → join (SURVEY.md §2);
+these queries exercise exactly those operators at table scale, and serve as
+the bench headliners. Everything is declarative DataFrame code: filters and
+projections reach the parquet scan (PushedFilters/ReadSchema), aggregations
+get map-side partials, and small dimension sides are broadcast explicitly.
+
+Money columns are summed in exact integer units (functions/money.py) so the
+results hash-match the DuckDB oracle bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from flink_streaming_2_10_spark.functions.money import from_units, to_units
+
+
+def pricing_summary(lineitem: DataFrame, cutoff: str = "1998-09-02") -> DataFrame:
+    """TPC-H Q1-style pricing summary: per (returnflag, linestatus) sums and
+    averages over lineitem up to a ship-date cutoff.
+
+    Single scan → partial agg → one exchange on a 2-column low-cardinality
+    key; the shipdate filter is pushed to parquet.
+    """
+    li = lineitem.filter(F.col("l_shipdate") <= F.lit(cutoff).cast("timestamp"))
+    # Exact integer units: price in cents; discount/tax in basis-% units.
+    pre = li.select(
+        "l_returnflag",
+        "l_linestatus",
+        F.col("l_quantity"),  # integer-valued double: exact under double sum
+        to_units("l_extendedprice").alias("price_c"),
+        to_units("l_discount").alias("disc_pc"),
+        to_units("l_tax").alias("tax_pc"),
+    ).withColumns(
+        {
+            # disc_price scaled 1e4, charge scaled 1e6 — still exact longs.
+            "disc_price_u": F.col("price_c") * (F.lit(100) - F.col("disc_pc")),
+            "charge_u": F.col("price_c")
+            * (F.lit(100) - F.col("disc_pc"))
+            * (F.lit(100) + F.col("tax_pc")),
+        }
+    )
+    agg = pre.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum("l_quantity").alias("sum_qty"),
+        F.sum("price_c").alias("price_c_sum"),
+        F.sum("disc_price_u").alias("disc_u_sum"),
+        F.sum("charge_u").alias("charge_u_sum"),
+        F.sum("disc_pc").alias("disc_pc_sum"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+    cnt = F.col("count_order").cast("double")
+    return agg.select(
+        "l_returnflag",
+        "l_linestatus",
+        F.col("sum_qty"),
+        from_units("price_c_sum").alias("sum_base_price"),
+        from_units("disc_u_sum", 4).alias("sum_disc_price"),
+        from_units("charge_u_sum", 6).alias("sum_charge"),
+        (F.col("sum_qty") / cnt).alias("avg_qty"),
+        (from_units("price_c_sum") / cnt).alias("avg_price"),
+        (from_units("disc_pc_sum") / cnt).alias("avg_disc"),
+        "count_order",
+    )
+
+
+def shipping_priority(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    segment: str = "BUILDING",
+    date: str = "1998-03-15",
+    limit: int = 10,
+) -> DataFrame:
+    """TPC-H Q3-style shipping priority: top orders by revenue for one
+    market segment, orders before / shipments after a date.
+
+    Join strategy: customer (15k rows at sf0.1, one filtered column) is
+    broadcast; orders⋈lineitem co-shuffles on orderkey. Filters push to all
+    three scans. The top-k is a deterministic sort (tie-break orderkey) +
+    limit — Spark plans TakeOrderedAndProject, no global sort materialized.
+    """
+    cut = F.lit(date).cast("timestamp")
+    c = customer.filter(F.col("c_mktsegment") == segment).select("c_custkey")
+    o = orders.filter(F.col("o_orderdate") < cut).select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"
+    )
+    l = lineitem.filter(F.col("l_shipdate") > cut).select(
+        "l_orderkey",
+        (to_units("l_extendedprice") * (F.lit(100) - to_units("l_discount"))).alias(
+            "rev_u"
+        ),
+    )
+    joined = (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(l, o["o_orderkey"] == l["l_orderkey"])
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum("rev_u").alias("rev_u_sum"))
+    )
+    return joined.select(
+        "l_orderkey",
+        from_units("rev_u_sum", 4).alias("revenue"),
+        # o_orderdate scans as TIMESTAMP_NTZ; cast before unix_millis (the
+        # session is pinned to UTC so NTZ wall time == epoch semantics).
+        F.unix_millis(F.col("o_orderdate").cast("timestamp")).alias(
+            "o_orderdate_ms"
+        ),
+        "o_orderpriority",
+        F.col("rev_u_sum"),
+    ).orderBy(F.col("rev_u_sum").desc(), F.col("l_orderkey")).drop("rev_u_sum").limit(
+        limit
+    )
+
+
+def revenue_by_region(
+    region: DataFrame,
+    nation: DataFrame,
+    customer: DataFrame,
+    orders: DataFrame,
+) -> DataFrame:
+    """TPC-H Q5-flavored star join: order revenue rolled up to region.
+
+    The dimension chain region→nation→customer is broadcast (region 5 rows,
+    nation 25, customer ≤150k) so the fact table never shuffles for the
+    join — the only exchange is the final tiny groupBy(region).
+    """
+    dims = (
+        customer.select("c_custkey", "c_nationkey")
+        .join(
+            F.broadcast(nation.select("n_nationkey", "n_regionkey")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(region.select("r_regionkey", "r_name")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("c_custkey", "r_name")
+    )
+    o = orders.select("o_custkey", to_units("o_totalprice").alias("total_c"))
+    return (
+        o.join(F.broadcast(dims), o["o_custkey"] == dims["c_custkey"])
+        .groupBy("r_name")
+        .agg(
+            F.count(F.lit(1)).alias("order_count"),
+            F.sum("total_c").alias("total_c_sum"),
+        )
+        .select(
+            "r_name",
+            "order_count",
+            from_units("total_c_sum").alias("total_revenue"),
+        )
+    )

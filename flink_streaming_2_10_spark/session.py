@@ -1,0 +1,79 @@
+"""SparkSession construction and engine-level tuning.
+
+The reference's only execution knobs are job/sink parallelism
+(TopSpeedWindowing.scala:66, TwitterExample.java:68, WindowJoin.scala:78);
+everything else here is Spark-native tuning for the 100 TB design point:
+AQE (runtime re-plan, skew-join splitting, partition coalescing), Arrow for
+every pandas exchange, and parquet filter pushdown.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+#: Configs that are safe to set on a live session (all are SQLConf /
+#: runtime-settable). ``configure()`` applies them to sessions we did not
+#: build ourselves (e.g. the driver's).
+RUNTIME_CONF: dict[str, str] = {
+    # The driver's testdata writes events.ts as parquet TIMESTAMP(NANOS),
+    # which Spark's reader rejects by default; read it as a long and convert
+    # explicitly in catalog.load_table.
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Deterministic wall-clock semantics for window()/time_bucket parity
+    # with the DuckDB oracle.
+    "spark.sql.session.timeZone": "UTC",
+    # Adaptive execution: runtime partition coalescing, skew-join splitting,
+    # and plan re-optimization from real shuffle statistics.
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Every Python exchange is Arrow-vectorized (SNIPPETS.md patterns [2],[3]).
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Scan efficiency: pushdown + pruning must reach the parquet reader.
+    "spark.sql.parquet.filterPushdown": "true",
+    "spark.sql.parquet.aggregatePushdown": "true",
+}
+
+
+def configure(spark: SparkSession) -> SparkSession:
+    """Apply runtime-settable engine conf to an existing session."""
+    for key, value in RUNTIME_CONF.items():
+        try:
+            spark.conf.set(key, value)
+        except Exception:
+            # Non-settable on this build — keep going; individual loaders
+            # degrade gracefully.
+            pass
+    return spark
+
+
+def get_spark(
+    app_name: str = "flink-streaming-2-10-spark",
+    cpus: int | str | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    """Build a local SparkSession sized for this machine.
+
+    On a real cluster the same engine code runs unchanged; only
+    master/parallelism change (SURVEY.md §3.1 step 2: the environment is the
+    single submission-context switch, as in the reference's
+    ``StreamExecutionEnvironment.getExecutionEnvironment``).
+    """
+    cpus = int(cpus or os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    if shuffle_partitions is None:
+        # local mode: shuffle width ≈ core count; AQE coalesces down when
+        # partitions are small. On a cluster this would scale with executors.
+        shuffle_partitions = max(cpus, 8)
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.extraJavaOptions", "-Djava.net.preferIPv4Stack=true")
+    )
+    for key, value in RUNTIME_CONF.items():
+        builder = builder.config(key, value)
+    return configure(builder.getOrCreate())

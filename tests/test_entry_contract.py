@@ -1,0 +1,38 @@
+"""The driver contract itself: every queries() entry runs at sf0.001 and
+matches its oracle_sql() — a fast local replica of the driver's sf0.01 gate."""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entrymod
+from tests.conftest import SF_SMALL, assert_df_matches_oracle
+
+QUERIES = entrymod.queries()
+ORACLES = entrymod.oracle_sql()
+
+
+def test_entry_smoke(spark):
+    df = entrymod.entry(spark)
+    assert df.count() > 0
+    assert df.columns == ["word", "cnt"]
+
+
+def test_every_query_has_callable():
+    assert QUERIES
+    for name, fn in QUERIES.items():
+        assert callable(fn), name
+
+
+def test_oracle_keys_subset_of_queries():
+    assert set(ORACLES) <= set(QUERIES)
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_query_matches_oracle(spark, duck, name):
+    df = QUERIES[name](spark, SF_SMALL)
+    if name in ORACLES:
+        assert_df_matches_oracle(df, duck, ORACLES[name])
+    else:
+        # rows-only contract for non-SQL-expressible ops
+        assert df.count() >= 0
