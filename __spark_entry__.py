@@ -38,6 +38,13 @@ from flink_streaming_2_10_spark.operators.wordcount import (
     word_count,
     word_count_pojo,
 )
+from flink_streaming_2_10_spark.pipeline.dedup import (
+    exact_dedup,
+    minhash_dedup_pairs,
+    ngram_jaccard_pairs,
+    simhash_fingerprints,
+    simhash_neardup_pairs,
+)
 from flink_streaming_2_10_spark.sources.generators import (
     car_events_from_events,
     grades_from_events,
@@ -172,6 +179,51 @@ def q_topspeed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top_speed_windowing(cars, trigger_meters=50.0, eviction_sec=10)
 
 
+# ---------------------------------------------------------------------------
+# Training-data pipeline: deduplication (north-star extensions)
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup over documents: md5-fingerprint groupBy, min-id survivor."""
+    return exact_dedup(load_table(spark, sf_dir, "documents"))
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard near-dup pairs (inverted-index join), j ≥ 0.5."""
+    return ngram_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"), n=3, threshold=0.5
+    )
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(32)+LSH(8×4) candidates verified to exact jaccard ≥ 0.7.
+
+    md5-derived hashes so the DuckDB oracle reproduces the signature/band
+    pipeline bit-for-bit (production default is xxhash64 — same plan)."""
+    return minhash_dedup_pairs(
+        load_table(spark, sf_dir, "documents"),
+        num_hashes=32,
+        bands=8,
+        rows=4,
+        shingle_n=3,
+        threshold=0.7,
+        hasher="md5",
+    )
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash(60-bit, 3-gram features) near-dup pairs, hamming ≤ 3 via
+    4-chunk pigeonhole join — md5 hashes for oracle parity."""
+    fps = simhash_fingerprints(
+        load_table(spark, sf_dir, "documents"),
+        bits=60,
+        hasher="md5",
+        shingle_n=3,
+    )
+    return simhash_neardup_pairs(fps, max_hamming=3, chunks=4, bits=60)
+
+
 def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scan → filter → keyed agg at table scale (TPC-H Q1 shape)."""
     return pricing_summary(load_table(spark, sf_dir, "lineitem"))
@@ -209,10 +261,140 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "maxby_argmax": q_maxby_argmax,
         "async_ordered_identity": q_async_ordered_identity,
         "topspeed_delta_trigger": q_topspeed,
+        "dedup_exact": q_dedup_exact,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_simhash": q_dedup_simhash,
         "tpch_q1_pricing_summary": q_tpch_q1,
         "tpch_q3_shipping_priority": q_tpch_q3,
         "revenue_by_region": q_revenue_by_region,
     }
+
+
+# ---------------------------------------------------------------------------
+# Oracle-SQL generators for the dedup pipeline. The md5-derived 60-bit hash
+# (('0x'||substr(md5(x),1,15))::BIGINT) is bit-identical to the engine's
+# hasher='md5' path (conv(substr(md5(x),1,15),16,10) in Spark), so even the
+# MinHash/LSH and SimHash pipelines are exactly reproducible in DuckDB.
+# ---------------------------------------------------------------------------
+
+
+def _shingle_ctes(n: int = 3) -> str:
+    """CTEs ``w`` (word arrays) and ``sh`` (distinct n-gram postings) —
+    mirror of pipeline.dedup._shingles."""
+    gram = " || ' ' || ".join(f"words[i+{j}]" if j else "words[i]" for j in range(n))
+    return f"""
+        w AS (SELECT doc_id,
+                     list_filter(regexp_split_to_array(lower(text), '\\W+'),
+                                 x -> length(x) > 0) AS words
+              FROM documents),
+        sh AS (SELECT doc_id,
+                      unnest(list_distinct(
+                          CASE WHEN len(words) >= {n}
+                               THEN list_transform(range(1, len(words) - {n} + 2),
+                                                   i -> {gram})
+                               ELSE []::VARCHAR[] END)) AS shingle
+               FROM w)"""
+
+
+def _md5_hash64_sql(expr: str, seed: int) -> str:
+    return f"('0x' || substr(md5('{seed}:' || {expr}), 1, 15))::BIGINT"
+
+
+def _ngram_jaccard_oracle(n: int, threshold: float) -> str:
+    return f"""
+        WITH {_shingle_ctes(n)},
+        sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+        inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                         CAST(count(*) AS BIGINT) AS inter
+                  FROM sh a JOIN sh b
+                    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                  GROUP BY 1, 2)
+        SELECT i.doc_a, i.doc_b, i.inter,
+               CAST(sa.sz AS BIGINT) AS size_a,
+               CAST(sb.sz AS BIGINT) AS size_b,
+               CAST(i.inter AS DOUBLE) / CAST(sa.sz + sb.sz - i.inter AS DOUBLE)
+                 AS jaccard
+        FROM inter i
+        JOIN sizes sa ON i.doc_a = sa.doc_id
+        JOIN sizes sb ON i.doc_b = sb.doc_id
+        WHERE CAST(i.inter AS DOUBLE) / CAST(sa.sz + sb.sz - i.inter AS DOUBLE)
+              >= CAST({threshold} AS DOUBLE)"""
+
+
+def _minhash_lsh_oracle(
+    num_hashes: int, bands: int, rows: int, shingle_n: int, threshold: float
+) -> str:
+    mins = ",\n               ".join(
+        f"min({_md5_hash64_sql('shingle', i)}) AS h{i}" for i in range(num_hashes)
+    )
+    band_selects = "\n              UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, concat_ws(',', {cols}) AS bucket FROM sig".format(
+            b=b, cols=", ".join(f"h{b * rows + r}" for r in range(rows))
+        )
+        for b in range(bands)
+    )
+    return f"""
+        WITH {_shingle_ctes(shingle_n)},
+        sig AS (SELECT doc_id,
+               {mins}
+                FROM sh GROUP BY doc_id),
+        band AS ({band_selects}),
+        cands AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                  FROM band a JOIN band b
+                    ON a.band = b.band AND a.bucket = b.bucket
+                       AND a.doc_id < b.doc_id),
+        sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+        inter AS (SELECT c.doc_a, c.doc_b, CAST(count(*) AS BIGINT) AS inter
+                  FROM cands c
+                  JOIN sh a ON a.doc_id = c.doc_a
+                  JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+                  GROUP BY 1, 2)
+        SELECT i.doc_a, i.doc_b,
+               CAST(i.inter AS DOUBLE) / CAST(sa.sz + sb.sz - i.inter AS DOUBLE)
+                 AS jaccard
+        FROM inter i
+        JOIN sizes sa ON i.doc_a = sa.doc_id
+        JOIN sizes sb ON i.doc_b = sb.doc_id
+        WHERE CAST(i.inter AS DOUBLE) / CAST(sa.sz + sb.sz - i.inter AS DOUBLE)
+              >= CAST({threshold} AS DOUBLE)"""
+
+
+def _simhash_oracle(
+    bits: int, max_hamming: int, chunks: int, shingle_n: int
+) -> str:
+    votes = ",\n             ".join(
+        f"sum(CASE WHEN h & {1 << b} != 0 THEN 1 ELSE -1 END) AS v{b}"
+        for b in range(bits)
+    )
+    fp = "\n               + ".join(
+        f"CASE WHEN v{b} > 0 THEN {1 << b} ELSE 0 END" for b in range(bits)
+    )
+    width = bits // chunks
+    mask = (1 << width) - 1
+    chunk_selects = "\n            UNION ALL ".join(
+        f"SELECT doc_id, simhash, {c} AS c, (simhash >> {c * width}) & {mask} AS v "
+        "FROM fp"
+        for c in range(chunks)
+    )
+    return f"""
+        WITH {_shingle_ctes(shingle_n)},
+        hh AS (SELECT doc_id, {_md5_hash64_sql("shingle", 0)} AS h FROM sh),
+        v AS (SELECT doc_id,
+             {votes}
+              FROM hh GROUP BY doc_id),
+        fp AS (SELECT doc_id,
+                      CAST({fp} AS BIGINT) AS simhash
+               FROM v),
+        ch AS ({chunk_selects}),
+        pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                         a.simhash AS sh_a, b.simhash AS sh_b
+                  FROM ch a JOIN ch b
+                    ON a.c = b.c AND a.v = b.v AND a.doc_id < b.doc_id)
+        SELECT doc_a, doc_b,
+               CAST(bit_count(xor(sh_a, sh_b)) AS INTEGER) AS hamming
+        FROM pairs
+        WHERE bit_count(xor(sh_a, sh_b)) <= {max_hamming}"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -306,6 +488,20 @@ def oracle_sql() -> dict[str, str]:
         """,
         # topspeed_delta_trigger: stateful trigger/evictor replay — not
         # SQL-expressible; driver records the rows-only check.
+        "dedup_exact": """
+            SELECT min(doc_id) AS doc_id, CAST(count(*) AS BIGINT) AS n_dups
+            FROM (SELECT doc_id,
+                         md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fp
+                  FROM documents)
+            GROUP BY fp
+        """,
+        "dedup_ngram_jaccard": _ngram_jaccard_oracle(n=3, threshold=0.5),
+        "dedup_minhash_lsh": _minhash_lsh_oracle(
+            num_hashes=32, bands=8, rows=4, shingle_n=3, threshold=0.7
+        ),
+        "dedup_simhash": _simhash_oracle(
+            bits=60, max_hamming=3, chunks=4, shingle_n=3
+        ),
         "tpch_q1_pricing_summary": """
             WITH pre AS (
               SELECT l_returnflag, l_linestatus, l_quantity,

@@ -1,0 +1,414 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Beyond the reference surface (BASELINE.json north-star): exact dedup,
+exact n-gram Jaccard via inverted-index join, MinHash+LSH, and SimHash.
+All are pure DataFrame compositions — no driver-side collection — designed
+so every stage is a hash exchange Catalyst can plan at 100 TB:
+
+* exact: one groupBy on a fingerprint column (32-byte key, not the body).
+* n-gram Jaccard: explode → inverted-index self-join on token → per-pair
+  intersection counts → filter. The join key is the token, so shuffle
+  volume is Σ posting-list² per token — bound it with ``max_df`` (drop
+  tokens appearing in more than N docs; standard stop-token pruning) at
+  scale.
+* MinHash+LSH: per-doc K minhashes (one aggregation), banded bucket join
+  (b bands × r rows), candidate pairs from same-bucket collisions, exact
+  Jaccard verification of candidates only.
+* SimHash: 64-bit fingerprint from token-hash bit votes; near-dup pairs by
+  pigeonholed chunk join (hamming ≤ k pairs must share one of k+1 chunks)
+  verified with bit_count(xor).
+
+Hashing: ``hasher="xxhash64"`` (default) keeps everything JVM-side and
+fast — the right choice on a cluster. ``hasher="md5"`` derives a 60-bit
+integer from the md5 hex digest, which DuckDB reproduces bit-for-bit
+(``('0x'||substr(md5(x),1,15))::BIGINT``), making the whole MinHash/SimHash
+pipeline oracle-checkable. Same plan shape either way — only the hash
+expression differs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from flink_streaming_2_10_spark.functions.text import NON_WORD_PATTERN
+
+# ---------------------------------------------------------------------------
+# hashing + tokenization
+# ---------------------------------------------------------------------------
+
+
+def _hash64(col: Column, seed: int, hasher: str) -> Column:
+    """Seeded 64-bit-ish integer hash of a string column.
+
+    ``xxhash64``: native seeded hash (fast path). ``md5``: first 15 hex
+    chars (60 bits) of md5(seed || ':' || value) as a BIGINT — chosen
+    because DuckDB computes the identical value, so oracle SQL can verify
+    signature pipelines end-to-end.
+    """
+    if hasher == "xxhash64":
+        return F.xxhash64(col, F.lit(seed))
+    if hasher == "md5":
+        seeded = F.concat(F.lit(f"{seed}:"), col)
+        return F.conv(F.substring(F.md5(seeded), 1, 15), 16, 10).cast("long")
+    raise ValueError(f"unknown hasher: {hasher}")
+
+
+def duckdb_hash64_sql(expr: str, seed: int) -> str:
+    """DuckDB SQL reproducing ``_hash64(..., hasher='md5')`` exactly."""
+    return f"('0x' || substr(md5('{seed}:' || {expr}), 1, 15))::BIGINT"
+
+
+def _tokens(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(doc_id, token) pairs: lowercase \\W+ tokens, empties dropped,
+    de-duplicated per document (set semantics for Jaccard)."""
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.array_distinct(
+                F.filter(
+                    F.split(F.lower(F.col(text_col)), NON_WORD_PATTERN),
+                    lambda w: F.length(w) > 0,
+                )
+            )
+        ).alias("token"),
+    )
+
+
+def _shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """(doc_id, shingle) pairs — distinct n-word shingles as strings."""
+    if n == 1:
+        return _tokens(df, id_col, text_col).withColumnRenamed("token", "shingle")
+    words = F.filter(
+        F.split(F.lower(F.col(text_col)), NON_WORD_PATTERN),
+        lambda w: F.length(w) > 0,
+    )
+    # sequence(0, k) with k < 0 yields a DESCENDING sequence in Spark, so
+    # short documents (< n words) must short-circuit to an empty array.
+    idx = F.when(
+        F.size(words) >= n, F.sequence(F.lit(0), F.size(words) - F.lit(n))
+    ).otherwise(F.array().cast("array<int>"))
+    sh = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ",
+            *[F.element_at(words, (i + F.lit(j + 1)).cast("int")) for j in range(n)],
+        ),
+    )
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array_distinct(sh)).alias("shingle"),
+    ).filter(F.length("shingle") > 0)
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    normalize: bool = True,
+) -> DataFrame:
+    """Exact dedup: keep the smallest id per distinct (normalized) text.
+
+    Returns ``(doc_id, n_dups)``. Grouping key is an md5 fingerprint of the
+    (optionally whitespace/case-normalized) text, so the shuffle carries a
+    32-byte key instead of the document body — the difference between
+    shuffling 100 TB and shuffling ~3 GB of keys at scale.
+    """
+    text = F.col(text_col)
+    if normalize:
+        text = F.regexp_replace(F.lower(text), r"\s+", " ")
+    fp = F.md5(text.cast("string")).alias("fp")
+    return (
+        df.select(F.col(id_col), fp)
+        .groupBy("fp")
+        .agg(
+            F.min(id_col).alias(id_col),
+            F.count(F.lit(1)).alias("n_dups"),
+        )
+        .select(id_col, "n_dups")
+    )
+
+
+# ---------------------------------------------------------------------------
+# exact n-gram Jaccard via inverted-index join
+# ---------------------------------------------------------------------------
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 1,
+    threshold: float = 0.5,
+    max_df: int | None = None,
+) -> DataFrame:
+    """All document pairs with n-gram-set Jaccard ≥ threshold — exact.
+
+    Inverted-index algorithm: explode distinct n-grams, self-join postings
+    on the n-gram, count common grams per pair, compute
+    ``|∩| / (|A| + |B| − |∩|)``. ``max_df`` prunes grams whose posting list
+    exceeds the cap via a broadcast anti-join (the frequent-gram list is
+    tiny by definition) — pairs sharing ONLY ultra-common grams can be
+    missed, the standard scale/precision trade.
+
+    Jaccard is emitted as exact integer fields (inter, size_a, size_b) plus
+    a derived double — division of exact longs, deterministic for oracles.
+    """
+    grams = _shingles(df, id_col, text_col, n)
+    if max_df is not None:
+        frequent = (
+            grams.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > max_df)
+            .select("shingle")
+        )
+        grams = grams.join(F.broadcast(frequent), ["shingle"], "left_anti")
+
+    sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("set_size"))
+
+    a = grams.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = grams.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        a.join(b, ["shingle"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("set_size").alias("size_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("set_size").alias("size_b"))
+    union = F.col("size_a") + F.col("size_b") - F.col("inter")
+    return (
+        inter.join(sa, ["doc_a"])
+        .join(sb, ["doc_b"])
+        .withColumn("jaccard", F.col("inter").cast("double") / union.cast("double"))
+        .filter(F.col("jaccard") >= F.lit(threshold))
+        .select("doc_a", "doc_b", "inter", "size_a", "size_b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 64,
+    shingle_n: int = 3,
+    hasher: str = "xxhash64",
+) -> DataFrame:
+    """Per-doc MinHash signature: for each of K seeded hash functions, the
+    min over the doc's shingles of ``hash(shingle, seed_i)``.
+
+    One explode + one grouped aggregation with K min() partials — a single
+    exchange regardless of K; signature size is K longs per doc.
+    """
+    sh = _shingles(df, id_col, text_col, shingle_n)
+    mins = [
+        F.min(_hash64(F.col("shingle"), i, hasher)).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    agg = sh.groupBy("doc_id").agg(*mins)
+    return agg.select(
+        "doc_id",
+        F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig"),
+    )
+
+
+def minhash_lsh_candidates(
+    signatures: DataFrame,
+    bands: int = 16,
+    rows: int = 4,
+    hash_buckets: bool = True,
+) -> DataFrame:
+    """LSH banding: docs whose signature agrees on ALL rows of at least one
+    band become a candidate pair. bands×rows must equal signature length.
+
+    Per band: join on (band, bucket) where the bucket is the band slice —
+    xxhash64-compressed to 8 bytes when ``hash_buckets`` (the cluster fast
+    path), or the raw concat string when oracle-exact candidate sets are
+    required (DuckDB has no xxhash64). Collisions (real candidates) are
+    rare by construction, so the self-join output stays near-linear.
+    """
+
+    def band_bucket(b: int) -> Column:
+        key = F.concat_ws(
+            ",",
+            *[
+                F.element_at("sig", b * rows + r + 1).cast("string")
+                for r in range(rows)
+            ],
+        )
+        return F.xxhash64(key).cast("string") if hash_buckets else key
+
+    banded = (
+        signatures.select(
+            "doc_id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band"),
+                            band_bucket(b).alias("bucket"),
+                        )
+                        for b in range(bands)
+                    ]
+                )
+            ).alias("bb"),
+        )
+        .select("doc_id", "bb.band", "bb.bucket")
+    )
+    left = banded.select("band", "bucket", F.col("doc_id").alias("doc_a"))
+    right = banded.select("band", "bucket", F.col("doc_id").alias("doc_b"))
+    return (
+        left.join(right, ["band", "bucket"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 64,
+    bands: int = 16,
+    rows: int = 4,
+    shingle_n: int = 3,
+    threshold: float = 0.7,
+    hasher: str = "xxhash64",
+) -> DataFrame:
+    """End-to-end MinHash-LSH near-dup detection: signatures → banded
+    candidates → verify candidates with the exact n-gram Jaccard (computed
+    only for the candidate set — the LSH is the scale filter, the verify
+    step restores precision). Returns pairs with exact jaccard ≥ threshold
+    that the LSH surfaced (recall < 1 by design; measured in tests)."""
+    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n, hasher)
+    cands = minhash_lsh_candidates(sigs, bands, rows, hash_buckets=hasher == "xxhash64")
+    sh = _shingles(df, id_col, text_col, shingle_n)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("set_size"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    # Intersection restricted to candidate pairs: attach A-side shingles,
+    # then inner-join the B side on (doc_b, shingle) — the join key carries
+    # both the pair identity and the shingle, one exchange, no cross blowup.
+    inter = (
+        cands.join(a, ["doc_a"])
+        .join(b, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("set_size").alias("size_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("set_size").alias("size_b"))
+    union = F.col("size_a") + F.col("size_b") - F.col("inter")
+    return (
+        inter.join(sa, ["doc_a"])
+        .join(sb, ["doc_b"])
+        .withColumn("jaccard", F.col("inter").cast("double") / union.cast("double"))
+        .filter(F.col("jaccard") >= F.lit(threshold))
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 64,
+    hasher: str = "xxhash64",
+    shingle_n: int = 1,
+) -> DataFrame:
+    """SimHash per doc: bit b of the fingerprint is the sign of the vote
+    Σ±1 over feature hashes' bit b. Features are tokens (``shingle_n=1``)
+    or word n-grams — use n-grams when the corpus vocabulary is small,
+    otherwise token-set fingerprints saturate and everything looks similar.
+
+    Expressed as one grouped aggregation of ``bits`` conditional sums — all
+    JVM-side, one exchange. With ``hasher='md5'`` only 60 bits are
+    available (bits ≤ 60), and the result is DuckDB-reproducible."""
+    if hasher == "md5" and bits > 60:
+        raise ValueError("md5 hasher yields 60 usable bits")
+    toks = _shingles(df, id_col, text_col, shingle_n).withColumn(
+        "h", _hash64(F.col("shingle"), 0, hasher)
+    )
+
+    def bit_mask(b: int) -> int:
+        # bit 63 is the sign bit: representable only as its two's-complement
+        # negative value in a Java long.
+        m = 1 << b
+        return m - (1 << 64) if m >= (1 << 63) else m
+
+    votes = [
+        F.sum(
+            F.when(F.col("h").bitwiseAND(F.lit(bit_mask(b))) != 0, 1).otherwise(-1)
+        ).alias(f"v{b}")
+        for b in range(bits)
+    ]
+    agg = toks.groupBy("doc_id").agg(*votes)
+    fp = None
+    for b in range(bits):
+        bit = F.when(F.col(f"v{b}") > 0, F.lit(bit_mask(b))).otherwise(F.lit(0))
+        fp = bit if fp is None else fp.bitwiseOR(bit)
+    return agg.select("doc_id", fp.cast("long").alias("simhash"))
+
+
+def simhash_neardup_pairs(
+    fingerprints: DataFrame,
+    max_hamming: int = 3,
+    chunks: int = 4,
+    bits: int = 64,
+) -> DataFrame:
+    """Pairs with hamming(simhash_a, simhash_b) ≤ max_hamming.
+
+    Pigeonhole join: with ``chunks`` equal-width chunks and max_hamming <
+    chunks, any qualifying pair agrees exactly on ≥1 chunk — join on
+    (chunk_index, chunk_value), verify with bit_count(xor). The chunk join
+    keeps the self-join near-linear instead of O(n²)."""
+    if max_hamming >= chunks:
+        raise ValueError("pigeonhole requires max_hamming < chunks")
+    width = bits // chunks
+    mask = (1 << width) - 1
+    chunked = fingerprints.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("c"),
+                        F.shiftright("simhash", c * width)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("v"),
+                    )
+                    for c in range(chunks)
+                ]
+            )
+        ).alias("ch"),
+    ).select("doc_id", "simhash", "ch.c", "ch.v")
+    left = chunked.select(
+        "c", "v", F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a")
+    )
+    right = chunked.select(
+        "c", "v", F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sh_b")
+    )
+    return (
+        left.join(right, ["c", "v"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sh_a", "sh_b")
+        .distinct()
+        .withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
