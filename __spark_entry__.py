@@ -45,6 +45,12 @@ from flink_streaming_2_10_spark.pipeline.dedup import (
     simhash_fingerprints,
     simhash_neardup_pairs,
 )
+from flink_streaming_2_10_spark.pipeline.similarity import (
+    ann_hyperplane_topk,
+    cosine_neardup_pairs,
+    cosine_topk,
+    hyperplane_weights,
+)
 from flink_streaming_2_10_spark.sources.generators import (
     car_events_from_events,
     grades_from_events,
@@ -224,6 +230,41 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_neardup_pairs(fps, max_hamming=3, chunks=4, bits=60)
 
 
+# ---------------------------------------------------------------------------
+# Training-data pipeline: similarity search (north-star extensions)
+# ---------------------------------------------------------------------------
+
+
+def q_similarity_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force exact cosine top-100 against vec_id=0 — the ANN baseline
+    (TakeOrderedAndProject: per-partition heap, no global sort)."""
+    return cosine_topk(load_table(spark, sf_dir, "embeddings"), query_id=0, k=100)
+
+
+def q_similarity_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH ANN top-50: 8 tables × 6 sign bits, candidates from
+    bucket collisions, exact-cosine re-rank. Deterministic ±1 literals →
+    the oracle replays the identical approximate algorithm."""
+    return ann_hyperplane_topk(
+        load_table(spark, sf_dir, "embeddings"),
+        query_id=0,
+        k=50,
+        num_tables=8,
+        num_planes=6,
+    )
+
+
+def q_similarity_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-pairs embedding near-dups: LSH bucket self-join → exact cosine
+    ≥ 0.4 verify (the embedding-cosine member of the dedup family)."""
+    return cosine_neardup_pairs(
+        load_table(spark, sf_dir, "embeddings"),
+        threshold=0.4,
+        num_tables=8,
+        num_planes=6,
+    )
+
+
 def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scan → filter → keyed agg at table scale (TPC-H Q1 shape)."""
     return pricing_summary(load_table(spark, sf_dir, "lineitem"))
@@ -265,6 +306,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
+        "similarity_cosine_topk": q_similarity_cosine_topk,
+        "similarity_ann_topk": q_similarity_ann_topk,
+        "similarity_cosine_neardup": q_similarity_cosine_neardup,
         "tpch_q1_pricing_summary": q_tpch_q1,
         "tpch_q3_shipping_priority": q_tpch_q3,
         "revenue_by_region": q_revenue_by_region,
@@ -397,6 +441,107 @@ def _simhash_oracle(
         WHERE bit_count(xor(sh_a, sh_b)) <= {max_hamming}"""
 
 
+# ---------------------------------------------------------------------------
+# Oracle-SQL generators for similarity search. Cosines are left-fold double
+# reductions (DuckDB list_reduce == Spark aggregate, same order, same IEEE
+# bits), and hyperplane weights are ±1.0 literals shared with the engine.
+# ---------------------------------------------------------------------------
+
+_DIM = 64
+
+
+def _fold_dot_sql(a: str, b: str, dim: int = _DIM) -> str:
+    return (
+        f"list_reduce(list_transform(range(1, {dim + 1}), "
+        f"i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)), "
+        f"(acc, x) -> acc + x)"
+    )
+
+
+def _cosine_sql(a: str, b: str, dim: int = _DIM) -> str:
+    return (
+        f"({_fold_dot_sql(a, b, dim)} / "
+        f"(sqrt({_fold_dot_sql(a, a, dim)}) * sqrt({_fold_dot_sql(b, b, dim)})))"
+    )
+
+
+def _weights_literal_sql(weights: list[list[list[int]]]) -> str:
+    plane = lambda p: "[" + ", ".join(f"{float(x):.1f}" for x in p) + "]"
+    table = lambda t: "[" + ", ".join(plane(p) for p in t) + "]"
+    return "[" + ", ".join(table(t) for t in weights) + "]"
+
+
+def _bucket_sql(t: int, num_planes: int, vec: str = "embedding") -> str:
+    cases = " + ".join(
+        f"(CASE WHEN list_reduce(list_transform(range(1, {_DIM + 1}), "
+        f"i -> CAST({vec}[i] AS DOUBLE) * w[{t + 1}][{p + 1}][i]), "
+        f"(acc, x) -> acc + x) > 0 THEN {1 << p} ELSE 0 END)"
+        for p in range(num_planes)
+    )
+    return f"({cases})"
+
+
+def _cosine_topk_oracle(query_id: int, k: int) -> str:
+    return f"""
+        WITH q AS (SELECT embedding AS qvec FROM embeddings
+                   WHERE vec_id = {query_id})
+        SELECT e.vec_id, e.label,
+               {_cosine_sql("e.embedding", "q.qvec")} AS cosine
+        FROM embeddings e CROSS JOIN q
+        ORDER BY cosine DESC, e.vec_id ASC
+        LIMIT {k}"""
+
+
+def _ann_topk_oracle(
+    query_id: int, k: int, num_tables: int, num_planes: int, seed: int = 42
+) -> str:
+    w = _weights_literal_sql(hyperplane_weights(num_tables, num_planes, _DIM, seed))
+    buckets = ",\n               ".join(
+        f"{_bucket_sql(t, num_planes)} AS b{t}" for t in range(num_tables)
+    )
+    match_any = " OR ".join(f"bk.b{t} = q.b{t}" for t in range(num_tables))
+    return f"""
+        WITH wt AS (SELECT CAST({w} AS DOUBLE[][][]) AS w),
+        bk AS (SELECT vec_id, label, embedding,
+               {buckets}
+               FROM embeddings, wt),
+        q AS (SELECT embedding AS qvec, * FROM bk WHERE vec_id = {query_id})
+        SELECT bk.vec_id, bk.label,
+               {_cosine_sql("bk.embedding", "q.qvec")} AS cosine
+        FROM bk, q
+        WHERE {match_any}
+        ORDER BY cosine DESC, bk.vec_id ASC
+        LIMIT {k}"""
+
+
+def _cosine_neardup_oracle(
+    threshold: float, num_tables: int, num_planes: int, seed: int = 42
+) -> str:
+    w = _weights_literal_sql(hyperplane_weights(num_tables, num_planes, _DIM, seed))
+    buckets = ",\n               ".join(
+        f"{_bucket_sql(t, num_planes)} AS b{t}" for t in range(num_tables)
+    )
+    per_table = "\n            UNION ALL ".join(
+        f"SELECT vec_id, {t} AS t, b{t} AS bkt FROM bk" for t in range(num_tables)
+    )
+    return f"""
+        WITH wt AS (SELECT CAST({w} AS DOUBLE[][][]) AS w),
+        bk AS (SELECT vec_id, embedding,
+               {buckets}
+               FROM embeddings, wt),
+        banded AS ({per_table}),
+        cands AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+                  FROM banded a JOIN banded b
+                    ON a.t = b.t AND a.bkt = b.bkt AND a.vec_id < b.vec_id),
+        scored AS (SELECT c.id_a, c.id_b,
+                          {_cosine_sql("ea.embedding", "eb.embedding")} AS cosine
+                   FROM cands c
+                   JOIN embeddings ea ON ea.vec_id = c.id_a
+                   JOIN embeddings eb ON eb.vec_id = c.id_b)
+        SELECT id_a, id_b, cosine FROM scored
+        WHERE cosine >= CAST({threshold} AS DOUBLE)"""
+
+
 def oracle_sql() -> dict[str, str]:
     money_sum = "CAST(sum(CAST(round({col}*100) AS BIGINT)) AS BIGINT)"
     ev_value_sum = money_sum.format(col="value")
@@ -501,6 +646,13 @@ def oracle_sql() -> dict[str, str]:
         ),
         "dedup_simhash": _simhash_oracle(
             bits=60, max_hamming=3, chunks=4, shingle_n=3
+        ),
+        "similarity_cosine_topk": _cosine_topk_oracle(query_id=0, k=100),
+        "similarity_ann_topk": _ann_topk_oracle(
+            query_id=0, k=50, num_tables=8, num_planes=6
+        ),
+        "similarity_cosine_neardup": _cosine_neardup_oracle(
+            threshold=0.4, num_tables=8, num_planes=6
         ),
         "tpch_q1_pricing_summary": """
             WITH pre AS (
