@@ -51,6 +51,17 @@ from flink_streaming_2_10_spark.pipeline.similarity import (
     cosine_topk,
     hyperplane_weights,
 )
+from flink_streaming_2_10_spark.pipeline.textstats import (
+    BPE_PATTERN,
+    CJK_PATTERN_DUCKDB,
+    FINGERPRINT_MOD,
+    LANG_ORDER,
+    STOPWORDS,
+    doc_fingerprints,
+    language_id,
+    quality_scores,
+    token_counts,
+)
 from flink_streaming_2_10_spark.sources.generators import (
     car_events_from_events,
     grades_from_events,
@@ -265,6 +276,31 @@ def q_similarity_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Training-data pipeline: text analysis (north-star extensions)
+# ---------------------------------------------------------------------------
+
+
+def q_text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace + BPE-ish token counting per document (scan-local)."""
+    return token_counts(load_table(spark, sf_dir, "documents"))
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality scoring: stopword/punct/digit ratios + length."""
+    return quality_scores(load_table(spark, sf_dir, "documents"))
+
+
+def q_text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword/CJK-heuristic language identification per document."""
+    return language_id(load_table(spark, sf_dir, "documents"))
+
+
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling polynomial content fingerprint (Karp-Rabin family)."""
+    return doc_fingerprints(load_table(spark, sf_dir, "documents"))
+
+
 def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scan → filter → keyed agg at table scale (TPC-H Q1 shape)."""
     return pricing_summary(load_table(spark, sf_dir, "lineitem"))
@@ -309,6 +345,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_cosine_topk": q_similarity_cosine_topk,
         "similarity_ann_topk": q_similarity_ann_topk,
         "similarity_cosine_neardup": q_similarity_cosine_neardup,
+        "text_token_stats": q_text_token_stats,
+        "text_quality": q_text_quality,
+        "text_language_id": q_text_language_id,
+        "text_fingerprint": q_text_fingerprint,
         "tpch_q1_pricing_summary": q_tpch_q1,
         "tpch_q3_shipping_priority": q_tpch_q3,
         "revenue_by_region": q_revenue_by_region,
@@ -542,6 +582,83 @@ def _cosine_neardup_oracle(
         WHERE cosine >= CAST({threshold} AS DOUBLE)"""
 
 
+# ---------------------------------------------------------------------------
+# Oracle SQL for text analysis — expression-for-expression mirrors of
+# pipeline/textstats.py (same fixed evaluation order for the doubles).
+# ---------------------------------------------------------------------------
+
+_WORDS_SQL = (
+    "list_filter(regexp_split_to_array(lower(text), '\\W+'), "
+    "w -> length(w) > 0)"
+)
+
+
+def _stop_hits_sql(stops: list[str]) -> str:
+    lits = ", ".join(f"'{s}'" for s in stops)
+    return f"len(list_filter(words, w -> list_contains([{lits}], w)))"
+
+
+def _text_quality_oracle() -> str:
+    return f"""
+        WITH t AS (SELECT doc_id, text, {_WORDS_SQL} AS words FROM documents),
+        f AS (SELECT doc_id,
+                     CAST(len(words) AS INT) AS n_words,
+                     CAST({_stop_hits_sql(STOPWORDS["en"])} AS INT) AS stop_hits,
+                     CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]')) AS INT)
+                        AS punct,
+                     CAST(len(regexp_extract_all(text, '[0-9]')) AS INT) AS digits,
+                     CAST(length(text) AS INT) AS n_chars,
+                     CAST(coalesce(list_sum(list_transform(words,
+                          w -> CAST(length(w) AS BIGINT))), 0) AS BIGINT) AS wlen
+              FROM t)
+        SELECT doc_id, n_words,
+               CAST(stop_hits AS DOUBLE) / CAST(greatest(n_words, 1) AS DOUBLE)
+                 AS stop_ratio,
+               CAST(punct AS DOUBLE) / CAST(greatest(n_chars, 1) AS DOUBLE)
+                 AS punct_ratio,
+               CAST(digits AS DOUBLE) / CAST(greatest(n_chars, 1) AS DOUBLE)
+                 AS digit_ratio,
+               CAST(wlen AS DOUBLE) / CAST(greatest(n_words, 1) AS DOUBLE)
+                 AS mean_word_len,
+               (CAST(stop_hits AS DOUBLE) / CAST(greatest(n_words, 1) AS DOUBLE))
+                   * CAST(0.3 AS DOUBLE)
+               + (CAST(1.0 AS DOUBLE)
+                  - CAST(punct AS DOUBLE) / CAST(greatest(n_chars, 1) AS DOUBLE))
+                   * CAST(0.3 AS DOUBLE)
+               + (CAST(1.0 AS DOUBLE)
+                  - CAST(digits AS DOUBLE) / CAST(greatest(n_chars, 1) AS DOUBLE))
+                   * CAST(0.1 AS DOUBLE)
+               + least(CAST(n_words AS DOUBLE) / CAST(50.0 AS DOUBLE),
+                       CAST(1.0 AS DOUBLE)) * CAST(0.3 AS DOUBLE)
+                 AS quality
+        FROM f"""
+
+
+def _text_language_id_oracle() -> str:
+    score_cols = ",\n                     ".join(
+        f"CAST({_stop_hits_sql(STOPWORDS[lang])} AS INT) AS s_{lang}"
+        for lang in LANG_ORDER
+    )
+    best = "greatest(" + ", ".join(f"s_{lang}" for lang in LANG_ORDER) + ")"
+    whens = "\n                    ".join(
+        f"WHEN s_{lang} = best THEN '{lang}'" for lang in LANG_ORDER
+    )
+    return f"""
+        WITH t AS (SELECT doc_id, text, {_WORDS_SQL} AS words FROM documents),
+        s AS (SELECT doc_id,
+                     CAST(len(regexp_extract_all(text,
+                          '{CJK_PATTERN_DUCKDB}')) AS INT) AS cjk,
+                     {score_cols}
+              FROM t),
+        b AS (SELECT *, {best} AS best FROM s)
+        SELECT doc_id,
+               CASE WHEN cjk > 0 THEN 'zh'
+                    WHEN best = 0 THEN 'unknown'
+                    {whens}
+               END AS lang_pred
+        FROM b"""
+
+
 def oracle_sql() -> dict[str, str]:
     money_sum = "CAST(sum(CAST(round({col}*100) AS BIGINT)) AS BIGINT)"
     ev_value_sum = money_sum.format(col="value")
@@ -654,6 +771,27 @@ def oracle_sql() -> dict[str, str]:
         "similarity_cosine_neardup": _cosine_neardup_oracle(
             threshold=0.4, num_tables=8, num_planes=6
         ),
+        "text_token_stats": f"""
+            SELECT doc_id,
+                   CAST(len(list_filter(regexp_split_to_array(text, '\\s+'),
+                        t -> length(t) > 0)) AS INT) AS ws_tokens,
+                   CAST(len(regexp_extract_all(text, '{BPE_PATTERN}')) AS INT)
+                     AS bpe_tokens,
+                   CAST(length(text) AS INT) AS n_chars
+            FROM documents
+        """,
+        "text_quality": _text_quality_oracle(),
+        "text_language_id": _text_language_id_oracle(),
+        "text_fingerprint": f"""
+            SELECT doc_id,
+                   CASE WHEN length(text) = 0 THEN 0
+                        ELSE list_reduce(
+                               list_transform(string_split(text, ''),
+                                              c -> CAST(ascii(c) AS BIGINT)),
+                               (acc, x) -> (acc * 31 + x) % {FINGERPRINT_MOD})
+                   END AS fingerprint
+            FROM documents
+        """,
         "tpch_q1_pricing_summary": """
             WITH pre AS (
               SELECT l_returnflag, l_linestatus, l_quantity,

@@ -1,0 +1,156 @@
+"""Text analysis for training-data pipelines (north-star extensions):
+language-ID, quality scoring, token counting, document fingerprinting.
+
+Everything here is pure built-in column expressions — no Python in the hot
+path, full whole-stage codegen, trivially scan-parallel at 100 TB (no
+shuffle at all: these are narrow per-row transforms; any aggregation is
+the caller's choice). Every function is exactly reproducible in DuckDB
+SQL, and the arithmetic is ordered so float results are bit-identical.
+
+Heuristics are deliberately simple and deterministic (stopword hit counts,
+CJK codepoint counts, ratio features): the contract is a fast first-pass
+filter/labeler of the kind used ahead of model-based classifiers.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from flink_streaming_2_10_spark.functions.text import NON_WORD_PATTERN
+
+#: Tiny per-language stopword lists (top function words). Order of the
+#: language arbitration is fixed: zh (CJK chars), then en/de/es/fr by
+#: score with that priority on ties.
+STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "a", "and", "of", "to", "in", "is", "that", "it", "you"],
+    "de": ["der", "die", "und", "das", "nicht", "ist", "ich", "ein", "zu", "mit"],
+    "es": ["el", "que", "de", "los", "se", "un", "una", "es", "por", "con"],
+    "fr": ["le", "la", "et", "les", "des", "est", "une", "que", "je", "pas"],
+}
+LANG_ORDER = ["en", "de", "es", "fr"]
+
+#: BPE-ish pre-tokenizer: letter runs | single digits | punctuation runs.
+#: Same leftmost-first semantics in Java regex and RE2, so counts agree.
+BPE_PATTERN = r"[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\s]+"
+PUNCT_PATTERN = r"[^a-zA-Z0-9\s]"
+DIGIT_PATTERN = r"[0-9]"
+CJK_PATTERN_SPARK = "[一-鿿]"
+CJK_PATTERN_DUCKDB = r"[\x{4e00}-\x{9fff}]"
+
+FINGERPRINT_MOD = 1 << 53  # fits (mod * 31 + char) in a signed 64-bit long
+
+
+def _words(text: Column) -> Column:
+    return F.filter(
+        F.split(F.lower(text), NON_WORD_PATTERN), lambda w: F.length(w) > 0
+    )
+
+
+def token_counts(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-doc token accounting: whitespace tokens, BPE-ish pre-tokens,
+    characters. All regexp_count/length expressions — scan-local."""
+    text = F.col(text_col)
+    ws = F.size(F.filter(F.split(text, r"\s+"), lambda t: F.length(t) > 0))
+    return df.select(
+        F.col(id_col),
+        ws.alias("ws_tokens"),
+        F.regexp_count(text, F.lit(BPE_PATTERN)).alias("bpe_tokens"),
+        F.length(text).alias("n_chars"),
+    )
+
+
+def quality_scores(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Heuristic document quality: stopword ratio, punctuation ratio,
+    length factor — composited into ``quality`` ∈ [0, 1].
+
+    Ratios are exact-integer divisions evaluated in a fixed order, so the
+    double is deterministic and oracle-matchable.
+    """
+    text = F.col(text_col)
+    words = _words(text)
+    n_words = F.size(words)
+    n_chars = F.length(text)
+    stop_hits = F.size(
+        F.filter(words, lambda w: w.isin(*STOPWORDS["en"]))
+    )
+    punct = F.regexp_count(text, F.lit(PUNCT_PATTERN))
+    digits = F.regexp_count(text, F.lit(DIGIT_PATTERN))
+    safe_words = F.greatest(n_words, F.lit(1))
+    safe_chars = F.greatest(n_chars, F.lit(1))
+    stop_ratio = stop_hits.cast("double") / safe_words.cast("double")
+    punct_ratio = punct.cast("double") / safe_chars.cast("double")
+    digit_ratio = digits.cast("double") / safe_chars.cast("double")
+    mean_word_len = (
+        F.aggregate(words, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w))
+        .cast("double")
+        / safe_words.cast("double")
+    )
+    len_factor = F.least(n_words.cast("double") / F.lit(50.0), F.lit(1.0))
+    quality = (
+        stop_ratio * F.lit(0.3)
+        + (F.lit(1.0) - punct_ratio) * F.lit(0.3)
+        + (F.lit(1.0) - digit_ratio) * F.lit(0.1)
+        + len_factor * F.lit(0.3)
+    )
+    return df.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        stop_ratio.alias("stop_ratio"),
+        punct_ratio.alias("punct_ratio"),
+        digit_ratio.alias("digit_ratio"),
+        mean_word_len.alias("mean_word_len"),
+        quality.alias("quality"),
+    )
+
+
+def language_id(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """N-gram-free heuristic language ID: CJK codepoint count decides zh;
+    otherwise argmax of per-language stopword hit counts (token-level,
+    repeats counted), ties broken in LANG_ORDER; all-zero → 'unknown'."""
+    text = F.col(text_col)
+    words = _words(text)
+
+    def stop_hits(stops: list[str]) -> Column:
+        # NB: bind via closure, not a lambda default arg — PySpark passes
+        # one lambda-variable per declared parameter of the function.
+        return F.size(F.filter(words, lambda w: w.isin(*stops)))
+
+    scores = {lang: stop_hits(stops) for lang, stops in STOPWORDS.items()}
+    cjk = F.regexp_count(text, F.lit(CJK_PATTERN_SPARK))
+    best = F.greatest(*[scores[lang] for lang in LANG_ORDER])
+    pred = F.when(cjk > 0, F.lit("zh")).otherwise(
+        F.when(best == 0, F.lit("unknown")).otherwise(
+            F.coalesce(
+                *[
+                    F.when(scores[lang] == best, F.lit(lang))
+                    for lang in LANG_ORDER
+                ]
+            )
+        )
+    )
+    return df.select(F.col(id_col), pred.alias("lang_pred"))
+
+
+def doc_fingerprints(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Rolling polynomial hash over the document's characters:
+    ``h ← (h·31 + codepoint) mod 2^53`` — a deterministic content
+    fingerprint (Karp-Rabin family) computed as one array fold, exactly
+    reproducible in DuckDB (list_reduce folds left like Spark aggregate
+    once the zero-init step collapses to the first element)."""
+    text = F.col(text_col)
+    codes = F.transform(F.split(text, ""), lambda c: F.ascii(c))
+    fold = F.aggregate(
+        codes,
+        F.lit(0).cast("long"),
+        lambda acc, x: (acc * F.lit(31) + x.cast("long")) % F.lit(FINGERPRINT_MOD),
+    )
+    fp = F.when(F.length(text) == 0, F.lit(0).cast("long")).otherwise(fold)
+    return df.select(F.col(id_col), fp.alias("fingerprint"))

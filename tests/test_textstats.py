@@ -1,0 +1,98 @@
+"""Text-analysis tests: token counting, quality scoring, language ID,
+rolling-hash fingerprints — fixtures with known answers + a Python
+reference implementation for the fingerprint."""
+
+from __future__ import annotations
+
+import pytest
+
+from flink_streaming_2_10_spark.catalog import load_table
+from flink_streaming_2_10_spark.pipeline.textstats import (
+    FINGERPRINT_MOD,
+    doc_fingerprints,
+    language_id,
+    quality_scores,
+    token_counts,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def fixture_docs(spark):
+    rows = [
+        (1, "The cat sat on the mat, and it was happy."),
+        (2, "Der Hund ist nicht in der Schule und ich bin zu Hause."),
+        (3, "El perro es un animal que vive en la casa con los gatos."),
+        (4, "Le chat est une créature que je ne comprends pas des fois."),
+        (5, "这是一个中文句子 with some latin."),
+        (6, "xyzzy plugh 42 7!!"),
+        (7, ""),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_token_counts_fixture(fixture_docs):
+    out = {r["doc_id"]: r for r in token_counts(fixture_docs).collect()}
+    assert out[1]["ws_tokens"] == 10
+    assert out[7]["ws_tokens"] == 0 and out[7]["bpe_tokens"] == 0
+    # "xyzzy plugh 42 7!!" → xyzzy, plugh, 4, 2, 7, !! = 6 BPE-ish tokens
+    assert out[6]["bpe_tokens"] == 6
+    assert out[1]["n_chars"] == len("The cat sat on the mat, and it was happy.")
+
+
+def test_quality_scores_ordering(fixture_docs):
+    out = {r["doc_id"]: r for r in quality_scores(fixture_docs).collect()}
+    # English prose with stopwords beats digit/punct gibberish
+    assert out[1]["quality"] > out[6]["quality"]
+    assert out[1]["stop_ratio"] > 0.3
+    assert out[6]["digit_ratio"] > 0
+    assert 0.0 <= out[7]["quality"] <= 1.0
+    for r in out.values():
+        assert 0.0 <= r["quality"] <= 1.0
+
+
+def test_language_id_fixture(fixture_docs):
+    out = {r["doc_id"]: r["lang_pred"] for r in language_id(fixture_docs).collect()}
+    assert out[1] == "en"
+    assert out[2] == "de"
+    assert out[3] == "es"
+    assert out[4] == "fr"
+    assert out[5] == "zh"  # CJK chars dominate regardless of latin tail
+    assert out[6] == "unknown"
+    assert out[7] == "unknown"
+
+
+def test_fingerprint_matches_python_reference(fixture_docs):
+    out = {r["doc_id"]: r["fingerprint"] for r in doc_fingerprints(fixture_docs).collect()}
+
+    def ref(text: str) -> int:
+        h = 0
+        for ch in text:
+            h = (h * 31 + ord(ch)) % FINGERPRINT_MOD
+        return h
+
+    rows = {
+        1: "The cat sat on the mat, and it was happy.",
+        5: "这是一个中文句子 with some latin.",
+        7: "",
+    }
+    for doc_id, text in rows.items():
+        assert out[doc_id] == ref(text), doc_id
+
+
+def test_fingerprint_distinguishes_docs(spark):
+    docs = load_table(spark, SF_DIR, "documents")
+    fps = doc_fingerprints(docs)
+    n = docs.count()
+    distinct = fps.select("fingerprint").distinct().count()
+    # rolling hash over 2^53: collisions on ~50 docs essentially impossible
+    assert distinct == fps.count() == n
+
+
+def test_language_id_runs_on_testdata(spark):
+    docs = load_table(spark, SF_DIR, "documents")
+    out = language_id(docs)
+    assert out.count() == docs.count()
+    langs = {r["lang_pred"] for r in out.collect()}
+    assert langs <= {"en", "de", "es", "fr", "zh", "unknown"}
