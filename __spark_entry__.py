@@ -51,6 +51,12 @@ from flink_streaming_2_10_spark.pipeline.similarity import (
     cosine_topk,
     hyperplane_weights,
 )
+from flink_streaming_2_10_spark.pipeline.multimodal import (
+    attach_media,
+    audio_stats,
+    media_features,
+    video_frame_samples,
+)
 from flink_streaming_2_10_spark.pipeline.textstats import (
     BPE_PATTERN,
     CJK_PATTERN_DUCKDB,
@@ -301,6 +307,31 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return doc_fingerprints(load_table(spark, sf_dir, "documents"))
 
 
+# ---------------------------------------------------------------------------
+# Training-data pipeline: multimodal columns (north-star extensions)
+# ---------------------------------------------------------------------------
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary payload → Arrow-batched mapInPandas feature extraction
+    (byte stats + stub-decoded dimensions). The payload bytes are a
+    deterministic derivation of documents.text, which is what makes this
+    genuine-Python-UDF path still DuckDB-checkable."""
+    return media_features(attach_media(load_table(spark, sf_dir, "documents")))
+
+
+def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plan: explode sampled timestamps per item,
+    payload pruned from the scan."""
+    media = attach_media(load_table(spark, sf_dir, "documents"))
+    return video_frame_samples(media, interval_ms=250)
+
+
+def q_multimodal_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio accounting from typed metadata only (narrow scan)."""
+    return audio_stats(attach_media(load_table(spark, sf_dir, "documents")))
+
+
 def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scan → filter → keyed agg at table scale (TPC-H Q1 shape)."""
     return pricing_summary(load_table(spark, sf_dir, "lineitem"))
@@ -349,6 +380,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "text_language_id": q_text_language_id,
         "text_fingerprint": q_text_fingerprint,
+        "multimodal_features": q_multimodal_features,
+        "multimodal_frame_sample": q_multimodal_frame_sample,
+        "multimodal_audio_stats": q_multimodal_audio_stats,
         "tpch_q1_pricing_summary": q_tpch_q1,
         "tpch_q3_shipping_priority": q_tpch_q3,
         "revenue_by_region": q_revenue_by_region,
@@ -791,6 +825,43 @@ def oracle_sql() -> dict[str, str]:
                                (acc, x) -> (acc * 31 + x) % {FINGERPRINT_MOD})
                    END AS fingerprint
             FROM documents
+        """,
+        # multimodal: payload bytes == utf-8(text) (ASCII corpus), so byte
+        # stats are codepoint stats and the mapInPandas path is checkable.
+        "multimodal_features": """
+            SELECT doc_id AS media_id,
+                   CASE WHEN doc_id % 3 = 0 THEN 'image'
+                        WHEN doc_id % 3 = 1 THEN 'audio'
+                        ELSE 'video' END AS kind,
+                   CAST(length(text) AS INT) AS n_bytes,
+                   CAST(coalesce(list_sum(list_transform(string_split(text, ''),
+                            c -> CAST(ascii(c) AS BIGINT))), 0) % 65536 AS INT)
+                     AS checksum,
+                   CAST(128 + (ascii(substr(text, 1, 1)) % 8) * 64 AS INT) AS width,
+                   CAST(128 + (ascii(substr(text, 2, 1)) % 8) * 48 AS INT) AS height
+            FROM documents
+        """,
+        "multimodal_frame_sample": """
+            WITH v AS (SELECT doc_id AS media_id,
+                              1000 + (length(text) * 13) % 9000 AS duration_ms
+                       FROM documents WHERE doc_id % 3 = 2)
+            SELECT media_id,
+                   CAST(unnest(range(0, duration_ms, 250)) AS INT) AS frame_ts_ms,
+                   CAST(CAST(unnest(range(0, duration_ms, 250)) AS INT) / 250
+                        AS INT) AS frame_idx
+            FROM v
+        """,
+        "multimodal_audio_stats": """
+            SELECT doc_id AS media_id,
+                   CAST(8000 + (doc_id % 4) * 4000 AS INT) AS sample_rate,
+                   CAST(1000 + (length(text) * 13) % 9000 AS INT) AS duration_ms,
+                   CAST(CAST(1000 + (length(text) * 13) % 9000 AS BIGINT)
+                        * CAST(8000 + (doc_id % 4) * 4000 AS BIGINT) / 1000
+                        AS BIGINT) AS n_samples,
+                   CAST(CAST(1000 + (length(text) * 13) % 9000 AS BIGINT)
+                        * CAST(8000 + (doc_id % 4) * 4000 AS BIGINT) / 1000
+                        AS BIGINT) * 2 AS pcm16_bytes
+            FROM documents WHERE doc_id % 3 = 1
         """,
         "tpch_q1_pricing_summary": """
             WITH pre AS (

@@ -1,0 +1,176 @@
+"""Multimodal (image/audio/video) column handling for training-data
+pipelines — north-star extension (BASELINE.json).
+
+Model: media are opaque ``binary`` payload columns plus a typed metadata
+struct; heavy per-item work (decode, feature extraction, resize, frame
+sampling) runs as Arrow-batched ``mapInPandas`` so each executor processes
+columnar batches of payloads without ever collecting to the driver. At
+100 TB the payload column dominates: every operator here either prunes it
+(metadata-only plans never read payload bytes thanks to parquet column
+pruning) or streams it batch-wise through Python exactly once.
+
+STUBS: this container has no image/audio codec libraries, so the *real*
+decoders raise ``NotImplementedError`` (clearly marked below) and the
+feature extractor falls back to a deterministic fake "decode" derived
+from the payload bytes. The Spark-side plumbing — binary schema, struct
+metadata, Arrow batch shapes, UDF signatures, partition behavior — is
+real and tested; swapping the fake for PIL/libav is a one-function change.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+MEDIA_KINDS = ("image", "audio", "video")
+
+#: Output schema of media_features — the contract the driver checks.
+FEATURES_SCHEMA = (
+    "media_id long, kind string, n_bytes int, checksum int, width int, height int"
+)
+
+
+def attach_media(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Derive a deterministic media table from ``documents``: payload =
+    utf-8 bytes of the text (a stand-in for real image/audio bytes), kind
+    by id mod 3, and a typed metadata struct. Pure column expressions —
+    this is the shape a real ingest (S3 scan + sidecar metadata) lands in.
+    """
+    doc_id = F.col(id_col)
+    text = F.col(text_col)
+    kind = (
+        F.when(doc_id % 3 == 0, F.lit("image"))
+        .when(doc_id % 3 == 1, F.lit("audio"))
+        .otherwise(F.lit("video"))
+    )
+    meta = F.struct(
+        (F.lit(8000) + (doc_id % 4).cast("int") * F.lit(4000)).cast("int").alias(
+            "sample_rate"
+        ),
+        (F.lit(1000) + (F.length(text) * F.lit(13)) % F.lit(9000))
+        .cast("int")
+        .alias("duration_ms"),
+        F.when(kind == "image", F.lit("png"))
+        .when(kind == "audio", F.lit("pcm16"))
+        .otherwise(F.lit("h264"))
+        .alias("codec"),
+    )
+    return docs.select(
+        doc_id.alias("media_id"),
+        kind.alias("kind"),
+        F.encode(text, "utf-8").alias("payload"),
+        meta.alias("meta"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# decoders — REAL ones are stubs (no codec libs in this container)
+# ---------------------------------------------------------------------------
+
+
+def decode_image_real(payload: bytes):
+    """STUB: real image decode needs PIL/opencv (absent here). The
+    feature extractor catches this and uses the deterministic fake."""
+    raise NotImplementedError(
+        "image decoding requires PIL/opencv, not available in this container"
+    )
+
+
+def fake_decode_dims(payload: bytes) -> tuple[int, int]:
+    """Deterministic fake decode: dimensions derived from the first two
+    payload bytes — stands in for reading the real image header."""
+    b0 = payload[0] if len(payload) > 0 else 0
+    b1 = payload[1] if len(payload) > 1 else 0
+    return 128 + (b0 % 8) * 64, 128 + (b1 % 8) * 48
+
+
+def media_features(media: DataFrame, batch_hint: int = 1024) -> DataFrame:
+    """Per-item features via Arrow-batched ``mapInPandas``: byte length,
+    byte checksum, decoded dimensions. This is the genuine Python hot
+    path a real decoder would occupy — batches stay columnar end-to-end,
+    no shuffle, payload bytes read exactly once per item."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = pdf["payload"]
+            dims = [fake_decode_for(p) for p in payloads]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "n_bytes": [len(p) for p in payloads],
+                    "checksum": [sum(p) % 65536 for p in payloads],
+                    "width": [d[0] for d in dims],
+                    "height": [d[1] for d in dims],
+                }
+            )
+
+    def fake_decode_for(payload: bytes) -> tuple[int, int]:
+        try:
+            decode_image_real(payload)
+        except NotImplementedError:
+            return fake_decode_dims(payload)
+        raise AssertionError("real decoder unexpectedly available")
+
+    return media.select("media_id", "kind", "payload").mapInPandas(
+        extract, schema=FEATURES_SCHEMA
+    )
+
+
+def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
+    """Resize plan: metadata rewrite is a column expression; the pixel
+    transform itself would run in the same mapInPandas slot as
+    media_features (STUBBED: payload passes through unchanged)."""
+    return media.withColumn(
+        "meta",
+        F.struct(
+            F.col("meta.sample_rate"),
+            F.col("meta.duration_ms"),
+            F.col("meta.codec"),
+            F.lit(width).alias("target_width"),
+            F.lit(height).alias("target_height"),
+        ),
+    )
+
+
+def video_frame_samples(
+    media: DataFrame, interval_ms: int = 250
+) -> DataFrame:
+    """Frame-sampling plan for video rows: one output row per sampled
+    timestamp — pure explode of a sequence, fully JVM-side; the actual
+    frame decode would be a downstream mapInPandas on (payload, ts).
+    Payload is pruned from the scan (metadata-only plan)."""
+    vids = media.filter(F.col("kind") == "video")
+    ts = F.explode(
+        F.sequence(
+            F.lit(0),
+            F.col("meta.duration_ms") - F.lit(1),
+            F.lit(interval_ms),
+        )
+    ).alias("frame_ts_ms")
+    out = vids.select(F.col("media_id"), ts)
+    return out.withColumn(
+        "frame_idx", (F.col("frame_ts_ms") / F.lit(interval_ms)).cast("int")
+    )
+
+
+def audio_stats(media: DataFrame) -> DataFrame:
+    """Audio accounting from typed metadata only (payload never read —
+    parquet column pruning keeps this scan narrow): sample count and
+    PCM16 byte size."""
+    aud = media.filter(F.col("kind") == "audio")
+    n_samples = (
+        F.col("meta.duration_ms").cast("long")
+        * F.col("meta.sample_rate").cast("long")
+    ) / F.lit(1000)
+    return aud.select(
+        "media_id",
+        F.col("meta.sample_rate").alias("sample_rate"),
+        F.col("meta.duration_ms").alias("duration_ms"),
+        n_samples.cast("long").alias("n_samples"),
+        (n_samples.cast("long") * F.lit(2)).alias("pcm16_bytes"),
+    )
