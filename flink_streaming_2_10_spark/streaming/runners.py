@@ -1,0 +1,120 @@
+"""Streaming program builders — the unbounded halves of the reference's
+example programs (SURVEY.md §3), each delegating to the same
+batch/streaming-agnostic operator functions the driver's oracle checks.
+
+Reference mains → builders here:
+
+* ``WordCount.main`` (WordCount.java:55-94) → :func:`streaming_word_count`
+  — rolling keyed sum, ``update`` output mode (per-micro-batch refinement;
+  Flink refines per record — accepted delta, SURVEY.md §2.4 A3).
+* ``SocketWindowWordCount.main`` (SocketWindowWordCount.scala:39-72) →
+  :func:`socket_window_word_count` — processing-time stamp + 5 s tumbling
+  window + per-word sum.
+* ``WindowJoin.main`` (WindowJoin.scala:52-95) → :func:`window_join_stream`
+  — two watermarked sides joined per (name, window).
+* ``TopSpeedWindowing.main`` (TopSpeedWindowing.scala:60-121) →
+  ``operators.topspeed.top_speed_windowing_stream`` (applyInPandasWithState).
+* ``TwitterExample.main`` (TwitterExample.java:64-110) →
+  :func:`twitter_stream` — JSON parse → lang predicate → tokenize → rolling
+  count over a replayed tweet-JSON line stream.
+
+Every builder takes DataFrames in and returns a DataFrame (the
+``joinStreams`` factoring, WindowJoin.scala:85-88) so tests inject bounded
+fixtures and mains attach real sources/sinks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from flink_streaming_2_10_spark.functions.text import tokenize, to_pairs
+from flink_streaming_2_10_spark.operators.join import join_grades_salaries
+from flink_streaming_2_10_spark.operators.windows import (
+    stamp_processing_time,
+    windowed_word_count,
+)
+from flink_streaming_2_10_spark.operators.wordcount import word_count
+from flink_streaming_2_10_spark.operators.twitter import fork_find_word_pipeline
+from flink_streaming_2_10_spark.functions.jsonx import english_tweet_texts
+
+
+def streaming_word_count(lines: DataFrame, col: str = "text") -> DataFrame:
+    """Rolling word count on an unbounded line stream; run with
+    ``outputMode('update')`` so each micro-batch emits refined (word, cnt)
+    rows — the Flink ``keyBy(0).sum(1)`` refinement stream."""
+    return word_count(lines, col)
+
+
+def socket_window_word_count(
+    lines: DataFrame, window_size: str = "5 seconds", col: str = "text"
+) -> DataFrame:
+    """SocketWindowWordCount: tokenize on whitespace, stamp processing
+    time, tumbling window, per-word count-sum."""
+    words = to_pairs(tokenize(lines, col, pattern=r"\s+"))
+    stamped = stamp_processing_time(words)
+    return windowed_word_count(stamped, window_size=window_size)
+
+
+def window_join_stream(
+    grades: DataFrame, salaries: DataFrame, window_size: str = "2 seconds"
+) -> DataFrame:
+    """WindowJoin: both sides bucketed to the same tumbling window and
+    inner-joined on (name, window) — Structured Streaming's supported
+    stream–stream join shape, state bounded by the zero-delay watermark."""
+    return join_grades_salaries(grades, salaries, window_size=window_size)
+
+
+def twitter_stream(json_lines: DataFrame) -> DataFrame:
+    """TwitterExample upstream pipeline shape: JSON parse → user.lang='en'
+    + has-text predicate (TwitterExample.java:146-152) → tokenize text →
+    rolling (word, cnt). Run in ``update`` mode."""
+    texts = english_tweet_texts(json_lines, col="json")
+    return word_count(texts, "text")
+
+
+def twitter_fork_stream(json_lines: DataFrame, target: str = "trump") -> DataFrame:
+    """The fork's modified pipeline (TwitterExample.java:84-102): tweets
+    whose text contains the target word (case-insensitive) explode to
+    uppercased words, then keep only the target itself."""
+    texts = english_tweet_texts(json_lines, col="json")
+    return fork_find_word_pipeline(texts, "text", target=target)
+
+
+def run_update_stream(
+    df: DataFrame,
+    checkpoint_dir: str,
+    on_batch,
+    output_mode: str = "update",
+):
+    """Attach a ``foreachBatch`` sink and run until all available input is
+    processed (the test/bounded-replay harness; production mains would use
+    ``console``/``kafka``/file sinks instead).
+
+    ``on_batch(batch_df, batch_id)`` receives each micro-batch.
+    """
+    query = (
+        df.writeStream.outputMode(output_mode)
+        .foreachBatch(on_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+    query.processAllAvailable()
+    query.stop()
+    return query
+
+
+def collect_stream(
+    df: DataFrame, checkpoint_dir: str, output_mode: str = "update"
+) -> list[list]:
+    """Run a bounded streaming input to exhaustion, returning the list of
+    micro-batch row-lists (the refinement sequence — the streaming analog
+    of TwitterExampleData.STREAMING_COUNTS_AS_TUPLES golden data)."""
+    batches: list[list] = []
+
+    def on_batch(bdf, batch_id: int) -> None:
+        rows = bdf.collect()
+        if rows:
+            batches.append(rows)
+
+    run_update_stream(df, checkpoint_dir, on_batch, output_mode)
+    return batches

@@ -1,0 +1,236 @@
+"""Streaming parity tests (SURVEY.md §5.2 items 4-5): every operator runs
+both as a batch DataFrame and as a Structured Streaming query over a file
+source, and the final streaming state must equal the batch answer. The
+rolling word count additionally checks the per-batch refinement sequence —
+the streaming analog of TwitterExampleData.STREAMING_COUNTS_AS_TUPLES
+(TwitterExampleData.java:28)."""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from flink_streaming_2_10_spark.operators.topspeed import (
+    top_speed_windowing,
+    top_speed_windowing_stream,
+)
+from flink_streaming_2_10_spark.operators.windows import windowed_word_count
+from flink_streaming_2_10_spark.operators.wordcount import word_count
+from flink_streaming_2_10_spark.sources.generators import car_event_simulator
+from flink_streaming_2_10_spark.streaming.runners import (
+    collect_stream,
+    streaming_word_count,
+    twitter_stream,
+    window_join_stream,
+)
+
+
+def _write_text_files(dirpath: str, contents: list[str], ext: str = "txt") -> None:
+    """One file per element, mtime-ordered so maxFilesPerTrigger=1 replays
+    them as separate micro-batches in order."""
+    os.makedirs(dirpath, exist_ok=True)
+    for i, content in enumerate(contents):
+        path = os.path.join(dirpath, f"part-{i:04d}.{ext}")
+        with open(path, "w") as fh:
+            fh.write(content)
+        mtime = time.time() - (len(contents) - i) * 10
+        os.utime(path, (mtime, mtime))
+
+
+def _stream_lines(spark, dirpath: str, per_file: bool = True):
+    reader = spark.readStream
+    if per_file:
+        reader = reader.option("maxFilesPerTrigger", 1)
+    return reader.text(dirpath).withColumnRenamed("value", "text")
+
+
+def test_rolling_wordcount_refinement_sequence(spark, tmp_path):
+    """Three micro-batches of 'apache flink' lines must refine cumulative
+    counts 1→2→3 per word — the STREAMING_COUNTS_AS_TUPLES contract at
+    micro-batch granularity."""
+    src = str(tmp_path / "in")
+    _write_text_files(src, ["apache flink", "apache flink", "apache flink"])
+    lines = _stream_lines(spark, src)
+    batches = collect_stream(
+        streaming_word_count(lines), str(tmp_path / "ck"), output_mode="update"
+    )
+    seq = [
+        sorted((r["word"], r["cnt"]) for r in batch) for batch in batches
+    ]
+    assert seq == [
+        [("apache", 1), ("flink", 1)],
+        [("apache", 2), ("flink", 2)],
+        [("apache", 3), ("flink", 3)],
+    ]
+
+
+def test_streaming_wordcount_final_equals_batch(spark, tmp_path):
+    texts = ["the quick brown fox", "the lazy dog", "the fox again"]
+    src = str(tmp_path / "in")
+    _write_text_files(src, texts)
+    batch_df = spark.createDataFrame([(t,) for t in texts], ["text"])
+    expected = {(r["word"], r["cnt"]) for r in word_count(batch_df).collect()}
+
+    lines = _stream_lines(spark, src)
+    batches = collect_stream(
+        streaming_word_count(lines), str(tmp_path / "ck"), output_mode="update"
+    )
+    final: dict[str, int] = {}
+    for batch in batches:
+        for r in batch:
+            final[r["word"]] = r["cnt"]
+    assert set(final.items()) == expected
+
+
+def test_streaming_windowed_wordcount_event_time(spark, tmp_path):
+    """Tumbling event-time window agg: streaming result (append mode after
+    watermark passes) equals the batch window agg on the same rows."""
+    rows = [
+        ("2024-01-01 00:00:01", "a"),
+        ("2024-01-01 00:00:02", "a"),
+        ("2024-01-01 00:00:07", "a"),
+        ("2024-01-01 00:00:08", "b"),
+        ("2024-01-01 00:10:00", "flush"),  # advances the watermark
+    ]
+    csv = "\n".join(f"{ts},{w}" for ts, w in rows)
+    src = str(tmp_path / "in")
+    _write_text_files(src, [csv])
+
+    def parse(df):
+        parts = F.split(F.col("text"), ",")
+        return df.select(
+            F.element_at(parts, 1).cast("timestamp").alias("ts"),
+            F.element_at(parts, 2).alias("word"),
+            F.lit(1).alias("frequency"),
+        )
+
+    batch_df = parse(spark.createDataFrame([(line,) for line in csv.split("\n")], ["text"]))
+    expected = {
+        (r["window_start"], r["word"], r["cnt"])
+        for r in windowed_word_count(batch_df, "5 seconds").collect()
+    }
+
+    stream = windowed_word_count(parse(_stream_lines(spark, src, per_file=False)), "5 seconds")
+    batches = collect_stream(stream, str(tmp_path / "ck"), output_mode="append")
+    got = {
+        (r["window_start"], r["word"], r["cnt"]) for batch in batches for r in batch
+    }
+    # append mode only emits windows the watermark has closed; every emitted
+    # window must match batch, and the closed subset must cover all but the
+    # final flush window.
+    assert got <= expected
+    assert len(got) >= len(expected) - 1
+
+
+def test_streaming_window_join_equals_batch(spark, tmp_path):
+    grades_rows = [
+        ("2024-01-01 00:00:00", "alice", 3),
+        ("2024-01-01 00:00:01", "bob", 4),
+        ("2024-01-01 00:00:05", "alice", 5),
+        ("2024-01-01 00:59:00", "zz", 1),
+    ]
+    salaries_rows = [
+        ("2024-01-01 00:00:01", "alice", 100),
+        ("2024-01-01 00:00:01", "bob", 200),
+        ("2024-01-01 00:00:06", "alice", 300),
+        ("2024-01-01 00:59:00", "zz", 1),
+    ]
+    gsrc, ssrc = str(tmp_path / "g"), str(tmp_path / "s")
+    _write_text_files(gsrc, ["\n".join(f"{t},{n},{v}" for t, n, v in grades_rows)])
+    _write_text_files(ssrc, ["\n".join(f"{t},{n},{v}" for t, n, v in salaries_rows)])
+
+    def parse(df, val):
+        parts = F.split(F.col("text"), ",")
+        return df.select(
+            F.element_at(parts, 1).cast("timestamp").alias("ts"),
+            F.element_at(parts, 2).alias("name"),
+            F.element_at(parts, 3).cast("int").alias(val),
+        )
+
+    bg = parse(spark.createDataFrame([(f"{t},{n},{v}",) for t, n, v in grades_rows], ["text"]), "grade")
+    bs = parse(spark.createDataFrame([(f"{t},{n},{v}",) for t, n, v in salaries_rows], ["text"]), "salary")
+    expected = {
+        tuple(r) for r in window_join_stream(bg, bs, "2 seconds").collect()
+    }
+
+    sg = parse(_stream_lines(spark, gsrc, per_file=False), "grade")
+    ss = parse(_stream_lines(spark, ssrc, per_file=False), "salary")
+    batches = collect_stream(
+        window_join_stream(sg, ss, "2 seconds"),
+        str(tmp_path / "ck"),
+        output_mode="append",
+    )
+    got = {tuple(r) for batch in batches for r in batch}
+    assert got == expected
+    assert ("alice",) not in {r[1:2] for r in got} or got  # sanity: non-empty
+    assert any(r[1] == "alice" for r in got)
+
+
+def test_twitter_stream_golden_counts(spark, tmp_path):
+    """The reference's golden rolling-count fixture: three 'Apache Flink'
+    tweets must produce cumulative counts (apache,1..3)/(flink,1..3)
+    (TwitterExampleData.java:22-28), one refinement per micro-batch."""
+
+    def tweet(text: str, lang: str = "en") -> str:
+        return json.dumps({"text": text, "user": {"lang": lang}})
+
+    files = [tweet("Apache Flink"), tweet("Apache Flink"), tweet("Apache Flink")]
+    src = str(tmp_path / "in")
+    _write_text_files(src, files, ext="json")
+    lines = (
+        spark.readStream.option("maxFilesPerTrigger", 1)
+        .text(src)
+        .withColumnRenamed("value", "json")
+    )
+    batches = collect_stream(
+        twitter_stream(lines), str(tmp_path / "ck"), output_mode="update"
+    )
+    seq = [sorted((r["word"], r["cnt"]) for r in b) for b in batches]
+    assert seq == [
+        [("apache", 1), ("flink", 1)],
+        [("apache", 2), ("flink", 2)],
+        [("apache", 3), ("flink", 3)],
+    ]
+
+
+def test_topspeed_stream_equals_batch(spark, tmp_path):
+    """A6 streaming parity: applyInPandasWithState over micro-batches must
+    emit exactly the batch replay's rows (ascending per-key input order
+    holds within and across batches by construction)."""
+    cars = car_event_simulator(spark, num_cars=2, ticks=60)
+    expected = {tuple(r) for r in top_speed_windowing(cars).collect()}
+
+    rows = cars.orderBy("time").collect()
+    third = len(rows) // 3
+    chunks = [rows[:third], rows[third : 2 * third], rows[2 * third :]]
+    src = str(tmp_path / "in")
+    _write_text_files(
+        src,
+        [
+            "\n".join(f"{r['carId']},{r['speed']},{r['distance']},{r['time']}" for r in chunk)
+            for chunk in chunks
+        ],
+        ext="csv",
+    )
+    parts = F.split(F.col("value"), ",")
+    stream = (
+        spark.readStream.option("maxFilesPerTrigger", 1)
+        .text(src)
+        .select(
+            F.element_at(parts, 1).cast("int").alias("carId"),
+            F.element_at(parts, 2).cast("int").alias("speed"),
+            F.element_at(parts, 3).cast("double").alias("distance"),
+            F.element_at(parts, 4).cast("long").alias("time"),
+        )
+    )
+    batches = collect_stream(
+        top_speed_windowing_stream(stream),
+        str(tmp_path / "ck"),
+        output_mode="append",
+    )
+    got = {tuple(r) for batch in batches for r in batch}
+    assert got == expected
