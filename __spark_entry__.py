@@ -39,8 +39,10 @@ from flink_streaming_2_10_spark.operators.wordcount import (
     word_count_pojo,
 )
 from flink_streaming_2_10_spark.pipeline.dedup import (
+    duckdb_base_hash_sql,
     exact_dedup,
     minhash_dedup_pairs,
+    minhash_perm_params,
     ngram_jaccard_pairs,
     simhash_fingerprints,
     simhash_neardup_pairs,
@@ -443,20 +445,23 @@ def _ngram_jaccard_oracle(n: int, threshold: float) -> str:
 def _minhash_lsh_oracle(
     num_hashes: int, bands: int, rows: int, shingle_n: int, threshold: float
 ) -> str:
+    p = 2**31 - 1
     mins = ",\n               ".join(
-        f"min({_md5_hash64_sql('shingle', i)}) AS h{i}" for i in range(num_hashes)
+        f"min(({a} * h + {b}) % {p}) AS g{i}"
+        for i, (a, b) in enumerate(minhash_perm_params(num_hashes))
     )
     band_selects = "\n              UNION ALL ".join(
         "SELECT doc_id, {b} AS band, concat_ws(',', {cols}) AS bucket FROM sig".format(
-            b=b, cols=", ".join(f"h{b * rows + r}" for r in range(rows))
+            b=b, cols=", ".join(f"g{b * rows + r}" for r in range(rows))
         )
         for b in range(bands)
     )
     return f"""
         WITH {_shingle_ctes(shingle_n)},
+        hh AS (SELECT doc_id, {duckdb_base_hash_sql("shingle")} AS h FROM sh),
         sig AS (SELECT doc_id,
                {mins}
-                FROM sh GROUP BY doc_id),
+                FROM hh GROUP BY doc_id),
         band AS ({band_selects}),
         cands AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
                   FROM band a JOIN band b

@@ -28,13 +28,40 @@ expression differs.
 
 from __future__ import annotations
 
+import hashlib
+
 from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql.window import Window
+from pyspark.storagelevel import StorageLevel
 
 from flink_streaming_2_10_spark.functions.text import NON_WORD_PATTERN
 
 # ---------------------------------------------------------------------------
 # hashing + tokenization
 # ---------------------------------------------------------------------------
+
+
+#: MinHash permutation arithmetic: the K hash functions are affine
+#: permutations g_i(x) = (a_i·h(x) + b_i) mod p of ONE base hash per
+#: shingle (the standard one-hash-K-permutations MinHash). p = 2^31−1
+#: keeps a_i·h < 2^62 — safe under Spark's ANSI arithmetic — and the
+#: per-function random multipliers a_i give the per-function independence
+#: that naive double-hashing (h1 + i·h2) lacks: there the argmin lies on a
+#: lower envelope of lines controlled by a couple of extreme elements, so
+#: one differing element can decorrelate EVERY function at once.
+_MERSENNE_31 = (1 << 31) - 1
+
+
+def minhash_perm_params(num_hashes: int, seed: int = 7) -> list[tuple[int, int]]:
+    """Deterministic (a_i, b_i) affine-permutation constants — plain
+    Python md5 so the DuckDB oracle embeds identical literals."""
+    params: list[tuple[int, int]] = []
+    for i in range(num_hashes):
+        d = hashlib.md5(f"minhash:{seed}:{i}".encode()).digest()
+        a = int.from_bytes(d[:4], "big") % (_MERSENNE_31 - 1) + 1
+        b = int.from_bytes(d[4:8], "big") % _MERSENNE_31
+        params.append((a, b))
+    return params
 
 
 def _hash64(col: Column, seed: int, hasher: str) -> Column:
@@ -58,46 +85,72 @@ def duckdb_hash64_sql(expr: str, seed: int) -> str:
     return f"('0x' || substr(md5('{seed}:' || {expr}), 1, 15))::BIGINT"
 
 
+def _base_hash(col: Column, hasher: str) -> Column:
+    """Single base hash per shingle, reduced mod 2^31−1 — each shingle is
+    digested ONCE regardless of K (the difference between 1 and K digest
+    computations per posting)."""
+    if hasher == "xxhash64":
+        return F.pmod(F.xxhash64(col, F.lit(0)), F.lit(_MERSENNE_31))
+    if hasher == "md5":
+        h = F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+        return F.pmod(h, F.lit(_MERSENNE_31))
+    raise ValueError(f"unknown hasher: {hasher}")
+
+
+def duckdb_base_hash_sql(expr: str) -> str:
+    """DuckDB SQL reproducing ``_base_hash(..., hasher='md5')`` exactly."""
+    return f"(('0x' || substr(md5({expr}), 1, 15))::BIGINT % {_MERSENNE_31})"
+
+
 def _tokens(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """(doc_id, token) pairs: lowercase \\W+ tokens, empties dropped,
-    de-duplicated per document (set semantics for Jaccard)."""
-    return df.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(
-            F.array_distinct(
-                F.filter(
-                    F.split(F.lower(F.col(text_col)), NON_WORD_PATTERN),
-                    lambda w: F.length(w) > 0,
-                )
-            )
-        ).alias("token"),
+    de-duplicated per document (set semantics for Jaccard).
+
+    Explode-then-filter-then-distinct keeps every expression inside
+    whole-stage codegen — higher-order array lambdas (transform/filter)
+    are CodegenFallback in Spark and run ~20× slower per element.
+    """
+    return (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(F.split(F.lower(F.col(text_col)), NON_WORD_PATTERN)).alias(
+                "token"
+            ),
+        )
+        .filter(F.length("token") > 0)
+        .distinct()
     )
 
 
 def _shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
-    """(doc_id, shingle) pairs — distinct n-word shingles as strings."""
+    """(doc_id, shingle) pairs — distinct n-word shingles as strings.
+
+    Implementation: posexplode tokens, then window ``lead`` to pull the
+    next n−1 tokens per document — every expression codegen-friendly (the
+    HOF transform/element_at formulation evaluates interpreted and is an
+    order of magnitude slower). Costs one exchange on doc_id, which the
+    downstream per-doc aggregation or shingle-keyed join needs anyway.
+    """
     if n == 1:
         return _tokens(df, id_col, text_col).withColumnRenamed("token", "shingle")
-    words = F.filter(
-        F.split(F.lower(F.col(text_col)), NON_WORD_PATTERN),
-        lambda w: F.length(w) > 0,
-    )
-    # sequence(0, k) with k < 0 yields a DESCENDING sequence in Spark, so
-    # short documents (< n words) must short-circuit to an empty array.
-    idx = F.when(
-        F.size(words) >= n, F.sequence(F.lit(0), F.size(words) - F.lit(n))
-    ).otherwise(F.array().cast("array<int>"))
-    sh = F.transform(
-        idx,
-        lambda i: F.concat_ws(
-            " ",
-            *[F.element_at(words, (i + F.lit(j + 1)).cast("int")) for j in range(n)],
-        ),
-    )
-    return df.select(
+    toks = df.select(
         F.col(id_col).alias("doc_id"),
-        F.explode(F.array_distinct(sh)).alias("shingle"),
-    ).filter(F.length("shingle") > 0)
+        F.posexplode(F.split(F.lower(F.col(text_col)), NON_WORD_PATTERN)).alias(
+            "pos", "token"
+        ),
+    ).filter(F.length("token") > 0)
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    parts = [F.col("token")] + [F.lead("token", j).over(w) for j in range(1, n)]
+    return (
+        toks.select(
+            "doc_id",
+            F.when(
+                parts[-1].isNotNull(), F.concat_ws(" ", *parts)
+            ).alias("shingle"),
+        )
+        .filter(F.col("shingle").isNotNull())
+        .distinct()
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -167,6 +220,10 @@ def ngram_jaccard_pairs(
             .select("shingle")
         )
         grams = grams.join(F.broadcast(frequent), ["shingle"], "left_anti")
+    # The postings feed three consumers (sizes + both join sides); persist
+    # so tokenization runs once. MEMORY_AND_DISK: postings are input-scale,
+    # spilling beats a 3× recompute of the explode pipeline.
+    grams = grams.persist(StorageLevel.MEMORY_AND_DISK)
 
     sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("set_size"))
 
@@ -203,21 +260,28 @@ def minhash_signatures(
     shingle_n: int = 3,
     hasher: str = "xxhash64",
 ) -> DataFrame:
-    """Per-doc MinHash signature: for each of K seeded hash functions, the
-    min over the doc's shingles of ``hash(shingle, seed_i)``.
+    """Per-doc MinHash signature: for each of K affine permutations
+    ``g_i = (a_i·h + b_i) mod p`` of ONE base hash per shingle, the min
+    over the doc's shingles.
 
     One explode + one grouped aggregation with K min() partials — a single
-    exchange regardless of K; signature size is K longs per doc.
+    exchange and a single digest per posting regardless of K; signature
+    size is K longs per doc.
     """
     sh = _shingles(df, id_col, text_col, shingle_n)
+    hashed = sh.select(
+        "doc_id", _base_hash(F.col("shingle"), hasher).alias("h")
+    )
     mins = [
-        F.min(_hash64(F.col("shingle"), i, hasher)).alias(f"h{i}")
-        for i in range(num_hashes)
+        F.min(
+            F.pmod(F.lit(a) * F.col("h") + F.lit(b), F.lit(_MERSENNE_31))
+        ).alias(f"g{i}")
+        for i, (a, b) in enumerate(minhash_perm_params(num_hashes))
     ]
-    agg = sh.groupBy("doc_id").agg(*mins)
+    agg = hashed.groupBy("doc_id").agg(*mins)
     return agg.select(
         "doc_id",
-        F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig"),
+        F.array(*[F.col(f"g{i}") for i in range(num_hashes)]).alias("sig"),
     )
 
 
@@ -247,6 +311,9 @@ def minhash_lsh_candidates(
         )
         return F.xxhash64(key).cast("string") if hash_buckets else key
 
+    # One row per doc — cache so the bucket self-join doesn't recompute the
+    # signature aggregation for each side.
+    signatures = signatures.persist(StorageLevel.MEMORY_AND_DISK)
     banded = (
         signatures.select(
             "doc_id",
@@ -290,9 +357,27 @@ def minhash_dedup_pairs(
     only for the candidate set — the LSH is the scale filter, the verify
     step restores precision). Returns pairs with exact jaccard ≥ threshold
     that the LSH surfaced (recall < 1 by design; measured in tests)."""
-    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n, hasher)
+    sh = _shingles(df, id_col, text_col, shingle_n).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    hashed = sh.select(
+        "doc_id", _base_hash(F.col("shingle"), hasher).alias("h")
+    )
+    mins = [
+        F.min(
+            F.pmod(F.lit(a) * F.col("h") + F.lit(b), F.lit(_MERSENNE_31))
+        ).alias(f"g{i}")
+        for i, (a, b) in enumerate(minhash_perm_params(num_hashes))
+    ]
+    sigs = (
+        hashed.groupBy("doc_id")
+        .agg(*mins)
+        .select(
+            "doc_id",
+            F.array(*[F.col(f"g{i}") for i in range(num_hashes)]).alias("sig"),
+        )
+    )
     cands = minhash_lsh_candidates(sigs, bands, rows, hash_buckets=hasher == "xxhash64")
-    sh = _shingles(df, id_col, text_col, shingle_n)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("set_size"))
     a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
@@ -350,16 +435,20 @@ def simhash_fingerprints(
         m = 1 << b
         return m - (1 << 64) if m >= (1 << 63) else m
 
-    votes = [
-        F.sum(
-            F.when(F.col("h").bitwiseAND(F.lit(bit_mask(b))) != 0, 1).otherwise(-1)
-        ).alias(f"v{b}")
+    # Votes as plain shift/mask sums (cheaper codegen than CASE chains):
+    # Σ±1 > 0 over bit b  ⇔  2·(count of ones at bit b) > n.
+    counts = [
+        F.sum(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1))).alias(f"c{b}")
         for b in range(bits)
     ]
-    agg = toks.groupBy("doc_id").agg(*votes)
+    agg = toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n"), *counts
+    )
     fp = None
     for b in range(bits):
-        bit = F.when(F.col(f"v{b}") > 0, F.lit(bit_mask(b))).otherwise(F.lit(0))
+        bit = F.when(
+            F.col(f"c{b}") * 2 > F.col("n"), F.lit(bit_mask(b))
+        ).otherwise(F.lit(0))
         fp = bit if fp is None else fp.bitwiseOR(bit)
     return agg.select("doc_id", fp.cast("long").alias("simhash"))
 
@@ -380,6 +469,9 @@ def simhash_neardup_pairs(
         raise ValueError("pigeonhole requires max_hamming < chunks")
     width = bits // chunks
     mask = (1 << width) - 1
+    # One row per doc — cache so the self-join doesn't recompute the whole
+    # vote aggregation for each side.
+    fingerprints = fingerprints.persist(StorageLevel.MEMORY_AND_DISK)
     chunked = fingerprints.select(
         "doc_id",
         "simhash",
