@@ -1,0 +1,72 @@
+"""Kafka source (SURVEY.md §2.1 S10 — pom-declared stretch item).
+
+The reference module declares a Kafka 0.8 consumer example jar whose
+source is absent from the fork (``pom.xml:53-57,496``). The capability it
+advertises — consume a topic as a record stream — maps directly to
+Spark's first-party connector: ``readStream.format("kafka")``.
+
+This container ships no Kafka broker and no
+``spark-sql-kafka-0-10`` connector jar, so construction is gated:
+``kafka_available()`` probes for the data source and
+``kafka_json_stream`` raises a clear, actionable error instead of the
+connector's opaque ClassNotFound. The wiring itself — options, key/value
+projection, JSON decode into a typed struct — is the production shape and
+is what the contract test pins down.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.types import StructType
+
+
+def kafka_available(spark: SparkSession) -> bool:
+    """True if the spark-sql-kafka connector is on the classpath."""
+    try:
+        # Class.forName rather than attribute access: py4j resolves missing
+        # classes to a lazy JavaPackage without raising.
+        spark._jvm.java.lang.Class.forName(  # noqa: SLF001
+            "org.apache.spark.sql.kafka010.KafkaSourceProvider"
+        )
+        return True
+    except Exception:
+        return False
+
+
+def kafka_json_stream(
+    spark: SparkSession,
+    bootstrap_servers: str,
+    topic: str,
+    schema: StructType | str,
+    starting_offsets: str = "latest",
+) -> DataFrame:
+    """Unbounded stream of JSON records from a Kafka topic.
+
+    Output columns: the fields of ``schema`` (parsed from the message
+    value) plus ``_key`` (string), ``_topic``, ``_partition``, ``_offset``,
+    ``_kafka_ts`` — the metadata the reference's consumer exposes.
+
+    Raises RuntimeError with install guidance when the connector is not
+    on the classpath (this container), so callers can gate cleanly.
+    """
+    if not kafka_available(spark):
+        raise RuntimeError(
+            "Kafka connector not on classpath: start Spark with "
+            "--packages org.apache.spark:spark-sql-kafka-0-10_2.13:<spark-version> "
+            "to use kafka_json_stream"
+        )
+    raw = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("subscribe", topic)
+        .option("startingOffsets", starting_offsets)
+        .load()
+    )
+    return raw.select(
+        F.from_json(F.col("value").cast("string"), schema).alias("_rec"),
+        F.col("key").cast("string").alias("_key"),
+        F.col("topic").alias("_topic"),
+        F.col("partition").alias("_partition"),
+        F.col("offset").alias("_offset"),
+        F.col("timestamp").alias("_kafka_ts"),
+    ).select("_rec.*", "_key", "_topic", "_partition", "_offset", "_kafka_ts")

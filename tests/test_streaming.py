@@ -234,3 +234,25 @@ def test_topspeed_stream_equals_batch(spark, tmp_path):
     )
     got = {tuple(r) for batch in batches for r in batch}
     assert got == expected
+
+
+def test_kafka_source_contract(spark):
+    """S10: the Kafka wiring is gated on connector availability — in this
+    container (no connector jar) it must fail with the actionable message,
+    never an opaque ClassNotFound."""
+    from flink_streaming_2_10_spark.sources.kafka import (
+        kafka_available,
+        kafka_json_stream,
+    )
+
+    if kafka_available(spark):
+        df = kafka_json_stream(
+            spark, "localhost:9092", "events", "event_id long, value double"
+        )
+        assert df.isStreaming
+        assert df.columns[:2] == ["event_id", "value"]
+    else:
+        with pytest.raises(RuntimeError, match="spark-sql-kafka"):
+            kafka_json_stream(
+                spark, "localhost:9092", "events", "event_id long, value double"
+            )
