@@ -39,7 +39,7 @@ from flink_streaming_2_10_spark.operators.wordcount import (
     word_count_pojo,
 )
 from flink_streaming_2_10_spark.pipeline.dedup import (
-    duckdb_base_hash_sql,
+    duckdb_hash60_sql,
     exact_dedup,
     minhash_dedup_pairs,
     minhash_perm_params,
@@ -424,11 +424,12 @@ def _md5_hash64_sql(expr: str, seed: int) -> str:
 def _ngram_jaccard_oracle(n: int, threshold: float) -> str:
     return f"""
         WITH {_shingle_ctes(n)},
-        sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+        hh AS (SELECT doc_id, {duckdb_hash60_sql("shingle")} AS h FROM sh),
+        sizes AS (SELECT doc_id, count(*) AS sz FROM hh GROUP BY doc_id),
         inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                          CAST(count(*) AS BIGINT) AS inter
-                  FROM sh a JOIN sh b
-                    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                  FROM hh a JOIN hh b
+                    ON a.h = b.h AND a.doc_id < b.doc_id
                   GROUP BY 1, 2)
         SELECT i.doc_a, i.doc_b, i.inter,
                CAST(sa.sz AS BIGINT) AS size_a,
@@ -458,7 +459,9 @@ def _minhash_lsh_oracle(
     )
     return f"""
         WITH {_shingle_ctes(shingle_n)},
-        hh AS (SELECT doc_id, {duckdb_base_hash_sql("shingle")} AS h FROM sh),
+        hh AS (SELECT doc_id, h60, h60 % {p} AS h
+               FROM (SELECT doc_id, {duckdb_hash60_sql("shingle")} AS h60
+                     FROM sh)),
         sig AS (SELECT doc_id,
                {mins}
                 FROM hh GROUP BY doc_id),
@@ -467,11 +470,11 @@ def _minhash_lsh_oracle(
                   FROM band a JOIN band b
                     ON a.band = b.band AND a.bucket = b.bucket
                        AND a.doc_id < b.doc_id),
-        sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+        sizes AS (SELECT doc_id, count(*) AS sz FROM hh GROUP BY doc_id),
         inter AS (SELECT c.doc_a, c.doc_b, CAST(count(*) AS BIGINT) AS inter
                   FROM cands c
-                  JOIN sh a ON a.doc_id = c.doc_a
-                  JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+                  JOIN hh a ON a.doc_id = c.doc_a
+                  JOIN hh b ON b.doc_id = c.doc_b AND b.h60 = a.h60
                   GROUP BY 1, 2)
         SELECT i.doc_a, i.doc_b,
                CAST(i.inter AS DOUBLE) / CAST(sa.sz + sb.sz - i.inter AS DOUBLE)

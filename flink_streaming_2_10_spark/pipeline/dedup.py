@@ -84,16 +84,31 @@ def duckdb_hash64_sql(expr: str, seed: int) -> str:
     return f"('0x' || substr(md5('{seed}:' || {expr}), 1, 15))::BIGINT"
 
 
+def _hash60(col: Column, hasher: str) -> Column:
+    """Seedless 60-bit (md5) / 64-bit (xxhash64) integer hash of a string
+    column. This is the POSTING key: dedup joins carry this 8-byte long
+    through every shuffle instead of the shingle string (~25 bytes) —
+    narrower exchanges and long-vs-string join comparisons. Collisions
+    (~n²/2^61) alter intersection counts identically in both engines (the
+    DuckDB oracle hashes with the same function), so oracle parity holds
+    exactly."""
+    if hasher == "xxhash64":
+        return F.xxhash64(col, F.lit(0))
+    if hasher == "md5":
+        return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+    raise ValueError(f"unknown hasher: {hasher}")
+
+
+def duckdb_hash60_sql(expr: str) -> str:
+    """DuckDB SQL reproducing ``_hash60(..., hasher='md5')`` exactly."""
+    return f"(('0x' || substr(md5({expr}), 1, 15))::BIGINT)"
+
+
 def _base_hash(col: Column, hasher: str) -> Column:
     """Single base hash per shingle, reduced mod 2^31−1 — each shingle is
     digested ONCE regardless of K (the difference between 1 and K digest
     computations per posting)."""
-    if hasher == "xxhash64":
-        return F.pmod(F.xxhash64(col, F.lit(0)), F.lit(_MERSENNE_31))
-    if hasher == "md5":
-        h = F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
-        return F.pmod(h, F.lit(_MERSENNE_31))
-    raise ValueError(f"unknown hasher: {hasher}")
+    return F.pmod(_hash60(col, hasher), F.lit(_MERSENNE_31))
 
 
 def duckdb_base_hash_sql(expr: str) -> str:
@@ -206,6 +221,7 @@ def ngram_jaccard_pairs(
     n: int = 1,
     threshold: float = 0.5,
     max_df: int | None = None,
+    hasher: str = "md5",
 ) -> DataFrame:
     """All document pairs with n-gram-set Jaccard ≥ threshold — exact.
 
@@ -220,25 +236,28 @@ def ngram_jaccard_pairs(
     a derived double — division of exact longs, deterministic for oracles.
     """
     grams = _shingles(df, id_col, text_col, n)
+    # Postings carry the 60-bit hash, not the string (see _hash60): the
+    # self-join and pair-count shuffles move 8-byte longs.
+    posts = grams.select("doc_id", _hash60(F.col("shingle"), hasher).alias("h"))
     if max_df is not None:
         frequent = (
-            grams.groupBy("shingle")
+            posts.groupBy("h")
             .agg(F.count(F.lit(1)).alias("df"))
             .filter(F.col("df") > max_df)
-            .select("shingle")
+            .select("h")
         )
-        grams = grams.join(F.broadcast(frequent), ["shingle"], "left_anti")
+        posts = posts.join(F.broadcast(frequent), ["h"], "left_anti")
     # The postings feed three consumers (sizes + both join sides); persist
     # so tokenization runs once. MEMORY_AND_DISK: postings are input-scale,
     # spilling beats a 3× recompute of the explode pipeline.
-    grams = grams.persist(StorageLevel.MEMORY_AND_DISK)
+    posts = posts.persist(StorageLevel.MEMORY_AND_DISK)
 
-    sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("set_size"))
+    sizes = posts.groupBy("doc_id").agg(F.count(F.lit(1)).alias("set_size"))
 
-    a = grams.select(F.col("doc_id").alias("doc_a"), "shingle")
-    b = grams.select(F.col("doc_id").alias("doc_b"), "shingle")
+    a = posts.select(F.col("doc_id").alias("doc_a"), "h")
+    b = posts.select(F.col("doc_id").alias("doc_b"), "h")
     inter = (
-        a.join(b, ["shingle"])
+        a.join(b, ["h"])
         .filter(F.col("doc_a") < F.col("doc_b"))
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("inter"))
@@ -365,20 +384,23 @@ def minhash_dedup_pairs(
     only for the candidate set — the LSH is the scale filter, the verify
     step restores precision). Returns pairs with exact jaccard ≥ threshold
     that the LSH surfaced (recall < 1 by design; measured in tests)."""
-    sh = _shingles(df, id_col, text_col, shingle_n).persist(
-        StorageLevel.MEMORY_AND_DISK
+    # One digest per posting: the 60-bit hash is BOTH the verify-join key
+    # (8-byte shuffles instead of shingle strings) and, reduced mod p, the
+    # MinHash base value the K affine permutations act on.
+    posts = (
+        _shingles(df, id_col, text_col, shingle_n)
+        .select("doc_id", _hash60(F.col("shingle"), hasher).alias("h"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    hashed = sh.select(
-        "doc_id", _base_hash(F.col("shingle"), hasher).alias("h")
-    )
+    base = F.pmod(F.col("h"), F.lit(_MERSENNE_31))
     mins = [
         F.min(
-            F.pmod(F.lit(a) * F.col("h") + F.lit(b), F.lit(_MERSENNE_31))
+            F.pmod(F.lit(a) * base + F.lit(b), F.lit(_MERSENNE_31))
         ).alias(f"g{i}")
         for i, (a, b) in enumerate(minhash_perm_params(num_hashes))
     ]
     sigs = (
-        hashed.groupBy("doc_id")
+        posts.groupBy("doc_id")
         .agg(*mins)
         .select(
             "doc_id",
@@ -386,15 +408,15 @@ def minhash_dedup_pairs(
         )
     )
     cands = minhash_lsh_candidates(sigs, bands, rows, hash_buckets=hasher == "xxhash64")
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("set_size"))
-    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
-    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
-    # Intersection restricted to candidate pairs: attach A-side shingles,
-    # then inner-join the B side on (doc_b, shingle) — the join key carries
-    # both the pair identity and the shingle, one exchange, no cross blowup.
+    sizes = posts.groupBy("doc_id").agg(F.count(F.lit(1)).alias("set_size"))
+    a = posts.select(F.col("doc_id").alias("doc_a"), "h")
+    b = posts.select(F.col("doc_id").alias("doc_b"), "h")
+    # Intersection restricted to candidate pairs: attach A-side postings,
+    # then inner-join the B side on (doc_b, h) — the join key carries both
+    # the pair identity and the posting, one exchange, no cross blowup.
     inter = (
         cands.join(a, ["doc_a"])
-        .join(b, ["doc_b", "shingle"])
+        .join(b, ["doc_b", "h"])
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("inter"))
     )
