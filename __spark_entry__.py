@@ -52,6 +52,7 @@ from flink_streaming_2_10_spark.pipeline.similarity import (
     cosine_neardup_pairs,
     cosine_topk,
     hyperplane_weights,
+    ivf_topk,
 )
 from flink_streaming_2_10_spark.pipeline.multimodal import (
     attach_media,
@@ -273,6 +274,18 @@ def q_similarity_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN top-50: 16 deterministic coarse centroids, cosine
+    assignment, probe the query's 4 nearest lists, exact re-rank."""
+    return ivf_topk(
+        load_table(spark, sf_dir, "embeddings"),
+        query_id=0,
+        k=50,
+        num_centroids=16,
+        nprobe=4,
+    )
+
+
 def q_similarity_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All-pairs embedding near-dups: LSH bucket self-join → exact cosine
     ≥ 0.4 verify (the embedding-cosine member of the dedup family)."""
@@ -377,6 +390,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "similarity_cosine_topk": q_similarity_cosine_topk,
         "similarity_ann_topk": q_similarity_ann_topk,
+        "similarity_ivf_topk": q_similarity_ivf_topk,
         "similarity_cosine_neardup": q_similarity_cosine_neardup,
         "text_token_stats": q_text_token_stats,
         "text_quality": q_text_quality,
@@ -596,6 +610,49 @@ def _ann_topk_oracle(
         LIMIT {k}"""
 
 
+def _ivf_topk_oracle(
+    query_id: int, k: int, num_centroids: int, nprobe: int
+) -> str:
+    """Mirrors pipeline/similarity.py::ivf_topk exactly: centroids are the
+    num_centroids vectors first in md5(vec_id) order; assignment/probe rank
+    by (cosine DESC, cid ASC) via row_number; final exact re-rank."""
+    sim = (
+        f"({_fold_dot_sql('e.embedding', 'c.cvec')} / "
+        f"(sqrt({_fold_dot_sql('e.embedding', 'e.embedding')}) * "
+        f"sqrt({_fold_dot_sql('c.cvec', 'c.cvec')})))"
+    )
+    return f"""
+        WITH cents AS (
+            SELECT row_number() OVER (
+                       ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+                   ) AS cid,
+                   embedding AS cvec
+            FROM embeddings
+            ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+            LIMIT {num_centroids}),
+        scored AS (
+            SELECT e.vec_id, e.label, c.cid, {sim} AS sim
+            FROM embeddings e CROSS JOIN cents c),
+        ranked AS (
+            SELECT *, row_number() OVER (
+                       PARTITION BY vec_id ORDER BY sim DESC, cid ASC
+                   ) AS rn
+            FROM scored),
+        assign AS (SELECT vec_id, label, cid FROM ranked WHERE rn = 1),
+        probe AS (SELECT cid FROM ranked
+                  WHERE vec_id = {query_id} AND rn <= {nprobe}),
+        q AS (SELECT embedding AS qvec FROM embeddings
+              WHERE vec_id = {query_id})
+        SELECT a.vec_id, a.label,
+               {_cosine_sql("e.embedding", "q.qvec")} AS cosine
+        FROM assign a
+        JOIN probe p ON a.cid = p.cid
+        JOIN embeddings e ON e.vec_id = a.vec_id
+        CROSS JOIN q
+        ORDER BY cosine DESC, a.vec_id ASC
+        LIMIT {k}"""
+
+
 def _cosine_neardup_oracle(
     threshold: float, num_tables: int, num_planes: int, seed: int = 42
 ) -> str:
@@ -809,6 +866,9 @@ def oracle_sql() -> dict[str, str]:
         "similarity_cosine_topk": _cosine_topk_oracle(query_id=0, k=100),
         "similarity_ann_topk": _ann_topk_oracle(
             query_id=0, k=50, num_tables=8, num_planes=6
+        ),
+        "similarity_ivf_topk": _ivf_topk_oracle(
+            query_id=0, k=50, num_centroids=16, nprobe=4
         ),
         "similarity_cosine_neardup": _cosine_neardup_oracle(
             threshold=0.4, num_tables=8, num_planes=6

@@ -235,6 +235,95 @@ def ann_hyperplane_topk(
     )
 
 
+def ivf_centroids(
+    df: DataFrame,
+    num_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic IVF coarse quantizer: ``num_centroids`` member
+    vectors selected by md5(vec_id) order — a seeded sample both engines
+    (and any rerun) reproduce exactly, standing in for k-means training
+    (which has no place in a value-hashed oracle pipeline). Returns
+    (cid, cvec, cnorm); tiny by construction, always broadcastable.
+    """
+    from pyspark.sql.window import Window
+
+    picked = (
+        df.select(
+            F.col(id_col),
+            F.col(vec_col).cast("array<double>").alias("cvec"),
+            F.md5(F.col(id_col).cast("string")).alias("__m"),
+        )
+        .orderBy("__m", id_col)
+        .limit(num_centroids)
+    )
+    w = Window.orderBy("__m", id_col)
+    return picked.select(
+        F.row_number().over(w).alias("cid"),
+        "cvec",
+        F.expr(_norm_sql("cvec")).alias("cnorm"),
+    )
+
+
+def ivf_topk(
+    df: DataFrame,
+    query_id: int,
+    k: int = 100,
+    num_centroids: int = 16,
+    nprobe: int = 4,
+    dim: int = DEFAULT_DIM,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    extra_cols: tuple[str, ...] = ("label",),
+) -> DataFrame:
+    """IVF-style ANN top-k: coarse-quantize every vector to its nearest
+    centroid (cosine), probe the query's ``nprobe`` nearest lists, exact
+    re-rank only those lists.
+
+    Scale shape: the centroid table is broadcast (16 rows), so assignment
+    is a broadcast-join + per-key argmax — one exchange on ``id_col``; the
+    probe set is another broadcast; the re-rank touches ~nprobe/num_centroids
+    of the data. Ties (equal cosine) break toward the lower centroid id and
+    lower vec_id, mirrored exactly in the DuckDB oracle via the same
+    row_number ordering.
+    """
+    from pyspark.sql.window import Window
+
+    cents = ivf_centroids(df, num_centroids, id_col, vec_col)
+    data = _with_vecd(df, vec_col).select(
+        "*", F.expr(_norm_sql(_VD, dim)).alias("__n")
+    )
+    sim = F.expr(f"({_dot_sql(_VD, 'cvec', dim)})") / (F.col("__n") * F.col("cnorm"))
+    scored = data.crossJoin(F.broadcast(cents)).select(
+        F.col(id_col), *extra_cols, F.col(_VD), F.col("__n"),
+        F.col("cid"), sim.alias("__sim"),
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("__sim").desc(), F.col("cid").asc()
+    )
+    ranked = scored.select(
+        "*", F.row_number().over(w).alias("__rn")
+    )
+    assign = ranked.filter(F.col("__rn") == 1)
+    probe = (
+        ranked.filter((F.col(id_col) == query_id) & (F.col("__rn") <= nprobe))
+        .select("cid")
+    )
+    qrow = data.filter(F.col(id_col) == query_id).select(
+        F.col(_VD).alias("__qd"), F.col("__n").alias("__qn")
+    )
+    cos = F.expr(f"({_dot_sql(_VD, '__qd', dim)})") / (F.col("__n") * F.col("__qn"))
+    return (
+        assign.join(F.broadcast(probe), ["cid"])
+        .crossJoin(F.broadcast(qrow))
+        .withColumn("cosine", cos)
+        .select(id_col, *extra_cols, "cosine")
+        .orderBy(F.col("cosine").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
 def cosine_neardup_pairs(
     df: DataFrame,
     threshold: float = 0.4,
