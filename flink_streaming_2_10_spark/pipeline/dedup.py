@@ -79,11 +79,6 @@ def _hash64(col: Column, seed: int, hasher: str) -> Column:
     raise ValueError(f"unknown hasher: {hasher}")
 
 
-def duckdb_hash64_sql(expr: str, seed: int) -> str:
-    """DuckDB SQL reproducing ``_hash64(..., hasher='md5')`` exactly."""
-    return f"('0x' || substr(md5('{seed}:' || {expr}), 1, 15))::BIGINT"
-
-
 def _hash60(col: Column, hasher: str) -> Column:
     """Seedless 60-bit (md5) / 64-bit (xxhash64) integer hash of a string
     column. This is the POSTING key: dedup joins carry this 8-byte long
@@ -109,11 +104,6 @@ def _base_hash(col: Column, hasher: str) -> Column:
     digested ONCE regardless of K (the difference between 1 and K digest
     computations per posting)."""
     return F.pmod(_hash60(col, hasher), F.lit(_MERSENNE_31))
-
-
-def duckdb_base_hash_sql(expr: str) -> str:
-    """DuckDB SQL reproducing ``_base_hash(..., hasher='md5')`` exactly."""
-    return f"(('0x' || substr(md5({expr}), 1, 15))::BIGINT % {_MERSENNE_31})"
 
 
 #: ``NON_WORD_PATTERN`` with backslashes doubled for embedding in a Spark
