@@ -199,7 +199,8 @@ def q_async_ordered_identity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_topspeed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A6: global window + DeltaTrigger(50 m) + TimeEvictor(10 s) + maxBy —
-    custom stateful replay; not SQL-expressible (rows-only check)."""
+    custom stateful replay, oracle-checked via a recursive-CTE fire chain
+    (see _topspeed_oracle)."""
     ev = load_table(spark, sf_dir, "events")
     cars = car_events_from_events(ev, num_cars=4)
     return top_speed_windowing(cars, trigger_meters=50.0, eviction_sec=10)
@@ -758,6 +759,79 @@ def _text_language_id_oracle() -> str:
         FROM b"""
 
 
+def _topspeed_oracle(
+    num_cars: int, trigger_meters: float, eviction_sec: int
+) -> str:
+    """DuckDB replica of the A6 trigger/evictor replay (TopSpeedWindowing
+    .scala:104-115, operators/topspeed.py:43-70).
+
+    Key reduction making this SQL-expressible: with time-ascending replay
+    the eviction cutoffs are monotone, so the surviving buffer at a fire at
+    row ``p`` (time ``T``) is exactly ``{i <= p : time_i > T - horizon}`` —
+    eviction history is irrelevant. The only sequential state left is the
+    DeltaTrigger chain (last_trigger_distance updates only on fire), which a
+    recursive CTE walks: each iteration finds, per car, the first later row
+    whose distance exceeds last_d + trigger via a LATERAL top-1 probe.
+    Recursion depth = fires per car, not rows per car.
+
+    Rows are numbered by (time, distance, speed) — the same deterministic
+    total order the Spark replay sorts by; distance itself comes from the
+    (time, event_id)-ordered running sum, mirroring car_events_from_events.
+    """
+    eviction_ms = eviction_sec * 1000
+    return f"""
+        WITH RECURSIVE base AS (
+          SELECT CAST(user_id % {num_cars} AS INT) AS carId,
+                 CAST(floor(value) AS INT) AS speed,
+                 epoch_ms(ts) AS time,
+                 event_id
+          FROM events
+        ),
+        cars AS (
+          SELECT carId, speed,
+                 round(SUM(speed / 3.6) OVER (
+                     PARTITION BY carId ORDER BY time, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                     6) AS distance,
+                 time
+          FROM base
+        ),
+        numbered AS (
+          SELECT carId, speed, distance, time,
+                 row_number() OVER (
+                     PARTITION BY carId
+                     ORDER BY time, distance, speed) AS pos
+          FROM cars
+        ),
+        fires AS (
+          -- seed: first row per car primes DeltaTrigger state, no fire
+          SELECT carId, pos, time, distance AS last_d, FALSE AS is_fire
+          FROM numbered
+          WHERE pos = 1
+          UNION ALL
+          SELECT nxt.carId, nxt.pos, nxt.time, nxt.distance, TRUE
+          FROM fires f
+          CROSS JOIN LATERAL (
+            SELECT n.carId, n.pos, n.time, n.distance
+            FROM numbered n
+            WHERE n.carId = f.carId AND n.pos > f.pos
+              AND n.distance - f.last_d > {trigger_meters}
+            ORDER BY n.pos
+            LIMIT 1
+          ) nxt
+        )
+        SELECT f.carId AS carId, n.speed AS speed, n.distance AS distance,
+               n.time AS time
+        FROM fires f
+        JOIN numbered n
+          ON n.carId = f.carId AND n.pos <= f.pos
+         AND n.time > f.time - {eviction_ms}
+        WHERE f.is_fire
+        QUALIFY row_number() OVER (
+            PARTITION BY f.carId, f.pos
+            ORDER BY n.speed DESC, n.pos ASC) = 1"""
+
+
 def oracle_sql() -> dict[str, str]:
     money_sum = "CAST(sum(CAST(round({col}*100) AS BIGINT)) AS BIGINT)"
     ev_value_sum = money_sum.format(col="value")
@@ -847,8 +921,9 @@ def oracle_sql() -> dict[str, str]:
         "async_ordered_identity": """
             SELECT event_id, user_id, value FROM events
         """,
-        # topspeed_delta_trigger: stateful trigger/evictor replay — not
-        # SQL-expressible; driver records the rows-only check.
+        "topspeed_delta_trigger": _topspeed_oracle(
+            num_cars=4, trigger_meters=50.0, eviction_sec=10
+        ),
         "dedup_exact": """
             SELECT min(doc_id) AS doc_id, CAST(count(*) AS BIGINT) AS n_dups
             FROM (SELECT doc_id,

@@ -83,7 +83,11 @@ def top_speed_windowing(
     eviction_ms = eviction_sec * 1000
 
     def replay_group(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(["time"], kind="mergesort")
+        # (time, distance, speed) — a total order on the replay-relevant
+        # fields, so the fold is deterministic even when timestamps tie
+        # (rows tying on all three are identical tuples and commute). The
+        # DuckDB oracle numbers rows with the same key.
+        pdf = pdf.sort_values(["time", "distance", "speed"], kind="mergesort")
         rows = list(zip(pdf["speed"], pdf["distance"], pdf["time"]))
         out, _, _ = _replay(rows, [], None, trigger_meters, eviction_ms)
         car = pdf["carId"].iloc[0]
@@ -121,7 +125,7 @@ def top_speed_windowing_stream(
             last_distance, buffer = None, []
         emitted: list[tuple[int, float, int]] = []
         for pdf in pdfs:
-            pdf = pdf.sort_values(["time"], kind="mergesort")
+            pdf = pdf.sort_values(["time", "distance", "speed"], kind="mergesort")
             rows = list(zip(pdf["speed"], pdf["distance"], pdf["time"]))
             out, buffer, last_distance = _replay(
                 rows, buffer, last_distance, trigger_meters, eviction_ms
