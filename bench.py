@@ -4,21 +4,30 @@
 
 Timing excludes session startup; each query is fully executed via a noop
 write (no driver-side collection cost, full pipeline executed).
+
+Each query runs ``$SPARK_GRAFT_BENCH_N`` times (default 3) and reports the
+per-query MEDIAN: this container's run-to-run jitter reaches ~1.7× on
+identical code (see README), so single samples routinely mis-rank changes.
+``value`` is the sum of medians. Per-iteration totals are included under
+``iterations`` for variance inspection.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    n_iter = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_N", "3")))
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
     import __spark_entry__ as entrymod
+    from flink_streaming_2_10_spark.pipeline.caching import release_cached
     from flink_streaming_2_10_spark.session import get_spark
 
     spark = get_spark("bench")
@@ -30,16 +39,26 @@ def main() -> None:
     except Exception:
         pass
 
-    timings: dict[str, float] = {}
-    for name, fn in queries.items():
-        t0 = time.time()
-        try:
-            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            timings[name] = round(time.time() - t0, 3)
-        except Exception as exc:  # noqa: BLE001
-            timings[name] = -1.0
-            print(f"bench error in {name}: {exc}", file=sys.stderr)
+    samples: dict[str, list[float]] = {name: [] for name in queries}
+    for _ in range(n_iter):
+        for name, fn in queries.items():
+            t0 = time.time()
+            try:
+                fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+                samples[name].append(time.time() - t0)
+            except Exception as exc:  # noqa: BLE001
+                print(f"bench error in {name}: {exc}", file=sys.stderr)
+            finally:
+                # Operators register internal persists (postings,
+                # signatures, bucketed vectors); release between queries
+                # so iterations don't reuse — or accumulate — cached
+                # blocks across runs.
+                release_cached()
 
+    timings = {
+        name: (round(statistics.median(ts), 3) if ts else -1.0)
+        for name, ts in samples.items()
+    }
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
@@ -50,6 +69,11 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "n": n_iter,
+                "iterations": [
+                    round(sum(ts[i] for ts in samples.values() if len(ts) > i), 3)
+                    for i in range(n_iter)
+                ],
             }
         )
     )

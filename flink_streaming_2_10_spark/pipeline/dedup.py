@@ -29,11 +29,12 @@ expression differs.
 from __future__ import annotations
 
 import hashlib
+import math
 
 from pyspark.sql import Column, DataFrame, functions as F
-from pyspark.storagelevel import StorageLevel
 
 from flink_streaming_2_10_spark.functions.text import NON_WORD_PATTERN
+from flink_streaming_2_10_spark.pipeline.caching import tracked_persist
 
 # ---------------------------------------------------------------------------
 # hashing + tokenization
@@ -204,23 +205,37 @@ def exact_dedup(
 # ---------------------------------------------------------------------------
 
 
+#: Default document-frequency cap for ``ngram_jaccard_pairs``: grams
+#: appearing in more than this FRACTION of the corpus are pruned. The
+#: inverted-index self-join shuffles Σ(posting-list²) rows per gram, so an
+#: unbounded stop-gram ("the quick brown" boilerplate) is quadratic at
+#: scale; a fractional cap is scale-free and both engines can derive the
+#: same absolute cap from the corpus count.
+DEFAULT_MAX_DF_FRAC = 0.2
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     n: int = 1,
     threshold: float = 0.5,
-    max_df: int | None = None,
+    max_df: int | float | None = DEFAULT_MAX_DF_FRAC,
     hasher: str = "md5",
 ) -> DataFrame:
-    """All document pairs with n-gram-set Jaccard ≥ threshold — exact.
+    """All document pairs with n-gram-set Jaccard ≥ threshold — exact
+    over the (optionally stop-gram-pruned) gram sets.
 
     Inverted-index algorithm: explode distinct n-grams, self-join postings
     on the n-gram, count common grams per pair, compute
     ``|∩| / (|A| + |B| − |∩|)``. ``max_df`` prunes grams whose posting list
     exceeds the cap via a broadcast anti-join (the frequent-gram list is
     tiny by definition) — pairs sharing ONLY ultra-common grams can be
-    missed, the standard scale/precision trade.
+    missed, the standard scale/precision trade. A float ``max_df`` in
+    (0, 1) is a corpus FRACTION (resolved via one cheap count job —
+    ``ceil(frac · n_docs)`` — the scale-safe default); an int is an
+    absolute cap; ``None`` disables pruning (exact over ALL grams, with
+    Σdf² shuffle risk — small corpora / oracle replay only).
 
     Jaccard is emitted as exact integer fields (inter, size_a, size_b) plus
     a derived double — division of exact longs, deterministic for oracles.
@@ -229,6 +244,10 @@ def ngram_jaccard_pairs(
     # Postings carry the 60-bit hash, not the string (see _hash60): the
     # self-join and pair-count shuffles move 8-byte longs.
     posts = grams.select("doc_id", _hash60(F.col("shingle"), hasher).alias("h"))
+    if isinstance(max_df, float):
+        if not 0.0 < max_df < 1.0:
+            raise ValueError("fractional max_df must be in (0, 1)")
+        max_df = int(math.ceil(max_df * df.count()))
     if max_df is not None:
         frequent = (
             posts.groupBy("h")
@@ -240,7 +259,7 @@ def ngram_jaccard_pairs(
     # The postings feed three consumers (sizes + both join sides); persist
     # so tokenization runs once. MEMORY_AND_DISK: postings are input-scale,
     # spilling beats a 3× recompute of the explode pipeline.
-    posts = posts.persist(StorageLevel.MEMORY_AND_DISK)
+    posts = tracked_persist(posts)
 
     sizes = posts.groupBy("doc_id").agg(F.count(F.lit(1)).alias("set_size"))
 
@@ -309,7 +328,10 @@ def minhash_lsh_candidates(
     hash_buckets: bool = True,
 ) -> DataFrame:
     """LSH banding: docs whose signature agrees on ALL rows of at least one
-    band become a candidate pair. bands×rows must equal signature length.
+    band become a candidate pair. bands×rows must equal signature length —
+    validated against the ``sig`` array's element count (a mismatch would
+    otherwise read past the array: NULL slots that ``concat_ws`` silently
+    skips, corrupting band buckets).
 
     Per band: join on (band, bucket) where the bucket is the band slice —
     xxhash64-compressed to 8 bytes when ``hash_buckets`` (the cluster fast
@@ -317,6 +339,18 @@ def minhash_lsh_candidates(
     required (DuckDB has no xxhash64). Collisions (real candidates) are
     rare by construction, so the self-join output stays near-linear.
     """
+    # Fail fast on a banding mismatch. Array length isn't in the schema,
+    # so guard inside the bucket expression: assert_true evaluates per row
+    # before any band slice is read, turning silent corruption into an
+    # immediate, explainable job failure.
+    sig_guard = F.assert_true(
+        F.size("sig") == bands * rows,
+        F.concat(
+            F.lit(f"minhash_lsh_candidates: bands*rows = {bands * rows} "
+                  f"!= signature length "),
+            F.size("sig").cast("string"),
+        ),
+    )
 
     def band_bucket(b: int) -> Column:
         key = F.concat_ws(
@@ -328,9 +362,13 @@ def minhash_lsh_candidates(
         )
         return F.xxhash64(key).cast("string") if hash_buckets else key
 
+    # The guard must live inside an expression the plan keeps, or column
+    # pruning would drop it — fold it into band 0's index (+0 when valid).
+    guard_zero = sig_guard.isNull().cast("int") * F.lit(0)
+
     # One row per doc — cache so the bucket self-join doesn't recompute the
     # signature aggregation for each side.
-    signatures = signatures.persist(StorageLevel.MEMORY_AND_DISK)
+    signatures = tracked_persist(signatures)
     banded = (
         signatures.select(
             "doc_id",
@@ -338,7 +376,9 @@ def minhash_lsh_candidates(
                 F.array(
                     *[
                         F.struct(
-                            F.lit(b).alias("band"),
+                            (F.lit(b) + (guard_zero if b == 0 else F.lit(0))).alias(
+                                "band"
+                            ),
                             band_bucket(b).alias("bucket"),
                         )
                         for b in range(bands)
@@ -374,13 +414,17 @@ def minhash_dedup_pairs(
     only for the candidate set — the LSH is the scale filter, the verify
     step restores precision). Returns pairs with exact jaccard ≥ threshold
     that the LSH surfaced (recall < 1 by design; measured in tests)."""
+    if bands * rows != num_hashes:
+        raise ValueError(
+            f"bands*rows ({bands}*{rows}={bands * rows}) must equal "
+            f"num_hashes ({num_hashes})"
+        )
     # One digest per posting: the 60-bit hash is BOTH the verify-join key
     # (8-byte shuffles instead of shingle strings) and, reduced mod p, the
     # MinHash base value the K affine permutations act on.
-    posts = (
+    posts = tracked_persist(
         _shingles(df, id_col, text_col, shingle_n)
         .select("doc_id", _hash60(F.col("shingle"), hasher).alias("h"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     base = F.pmod(F.col("h"), F.lit(_MERSENNE_31))
     mins = [
@@ -511,7 +555,7 @@ def simhash_neardup_pairs(
     mask = (1 << width) - 1
     # One row per doc — cache so the self-join doesn't recompute the whole
     # vote aggregation for each side.
-    fingerprints = fingerprints.persist(StorageLevel.MEMORY_AND_DISK)
+    fingerprints = tracked_persist(fingerprints)
     chunked = fingerprints.select(
         "doc_id",
         "simhash",

@@ -47,9 +47,14 @@ Two measured plan-level choices (local[32], L=8, P=6, d=64, sf0.1):
 from __future__ import annotations
 
 import hashlib
+import logging
+import math
 
 from pyspark.sql import Column, DataFrame, functions as F
-from pyspark.storagelevel import StorageLevel
+
+from flink_streaming_2_10_spark.pipeline.caching import tracked_persist
+
+_LOG = logging.getLogger(__name__)
 
 
 def hyperplane_weights(
@@ -258,7 +263,11 @@ def ivf_centroids(
         .orderBy("__m", id_col)
         .limit(num_centroids)
     )
-    w = Window.orderBy("__m", id_col)
+    # Rank the (≤ num_centroids) survivors with a constant-partitioned
+    # window: same single-partition execution a global window would get,
+    # but with a defined partition spec so WindowExec doesn't warn on
+    # every plan evaluation.
+    w = Window.partitionBy(F.lit(0)).orderBy("__m", id_col)
     return picked.select(
         F.row_number().over(w).alias("cid"),
         "cvec",
@@ -282,14 +291,15 @@ def ivf_topk(
     re-rank only those lists.
 
     Scale shape: the centroid table is broadcast (16 rows), so assignment
-    is a broadcast-join + per-key argmax — one exchange on ``id_col``; the
-    probe set is another broadcast; the re-rank touches ~nprobe/num_centroids
-    of the data. Ties (equal cosine) break toward the lower centroid id and
-    lower vec_id, mirrored exactly in the DuckDB oracle via the same
-    row_number ordering.
+    is a broadcast-join + per-key argmax. The argmax is a ``max_by`` hash
+    aggregate over an orderable struct key — map-side partials collapse
+    each vector's ``num_centroids`` scored rows before the exchange, so
+    the shuffle carries n rows (not 16n) and needs no per-partition sort
+    (vs the row_number-window formulation: exchange + sort of 16n rows).
+    Ties (equal cosine) break toward the lower centroid id via the
+    ``(sim, -cid)`` struct ordering, and toward lower vec_id downstream —
+    mirrored exactly in the DuckDB oracle's row_number ordering.
     """
-    from pyspark.sql.window import Window
-
     cents = ivf_centroids(df, num_centroids, id_col, vec_col)
     data = _with_vecd(df, vec_col).select(
         "*", F.expr(_norm_sql(_VD, dim)).alias("__n")
@@ -299,15 +309,19 @@ def ivf_topk(
         F.col(id_col), *extra_cols, F.col(_VD), F.col("__n"),
         F.col("cid"), sim.alias("__sim"),
     )
-    w = Window.partitionBy(id_col).orderBy(
-        F.col("__sim").desc(), F.col("cid").asc()
+    payload = F.struct(
+        *[F.col(c) for c in extra_cols], F.col(_VD), F.col("__n"), F.col("cid")
     )
-    ranked = scored.select(
-        "*", F.row_number().over(w).alias("__rn")
+    order_key = F.struct(F.col("__sim"), (-F.col("cid")).alias("negcid"))
+    assign = (
+        scored.groupBy(id_col)
+        .agg(F.max_by(payload, order_key).alias("__best"))
+        .select(id_col, "__best.*")
     )
-    assign = ranked.filter(F.col("__rn") == 1)
     probe = (
-        ranked.filter((F.col(id_col) == query_id) & (F.col("__rn") <= nprobe))
+        scored.filter(F.col(id_col) == query_id)
+        .orderBy(F.col("__sim").desc(), F.col("cid").asc())
+        .limit(nprobe)
         .select("cid")
     )
     qrow = data.filter(F.col(id_col) == query_id).select(
@@ -324,26 +338,65 @@ def ivf_topk(
     )
 
 
+def auto_num_planes(
+    n_rows: int,
+    target_occupancy: int = 8,
+    lo: int = 6,
+    hi: int = 20,
+) -> int:
+    """Plane count sizing the LSH bucket grid to the corpus: P such that
+    expected per-table occupancy n/2^P ≈ ``target_occupancy`` (clamped to
+    [lo, hi]). Expected candidate pairs per table are then
+    ~ n·occupancy/2 — NEAR-LINEAR in n — where a fixed P gives n²/2^P,
+    quadratic growth that silently becomes the whole job at scale.
+
+    The trade: each extra plane lowers per-table recall for borderline
+    pairs (P(bucket match) = (1 − θ/π)^P); compensate with more tables
+    when operating near the threshold angle.
+    """
+    if n_rows <= 0:
+        return lo
+    return min(hi, max(lo, math.ceil(math.log2(max(n_rows / target_occupancy, 2.0)))))
+
+
 def cosine_neardup_pairs(
     df: DataFrame,
     threshold: float = 0.4,
     num_tables: int = 8,
-    num_planes: int = 6,
+    num_planes: int | None = None,
     dim: int = 64,
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    observation=None,
 ) -> DataFrame:
     """All-pairs embedding near-dups: LSH bucket self-join per table →
     distinct candidate pairs → exact-cosine verify ≥ threshold.
 
     Shuffle key is (table, bucket); with P planes the expected bucket
     occupancy is n/2^P per table, keeping the self-join near-linear.
+    ``num_planes=None`` (the default) sizes P from the corpus row count
+    via :func:`auto_num_planes` — one cheap count job — so candidate
+    growth stays ~O(n) as the corpus scales instead of n²/2^P; pass an
+    explicit P to pin the bucket grid (e.g. for oracle replay).
     Candidate pairs carry only the two ids through the dedup shuffle
     (16 bytes/row, not two embeddings); vectors and precomputed norms
     re-attach by joining the cached bucketed table afterwards.
+
+    Pass a ``pyspark.sql.Observation`` as ``observation`` to measure the
+    surviving candidate-pair count of the run (the blowup signal): after
+    the caller's action completes, ``observation.get["candidate_pairs"]``
+    holds it — tests assert candidate:output stays bounded.
     Returns (id_a, id_b, cosine) with id_a < id_b.
     """
+    if num_planes is None:
+        n_rows = df.count()
+        num_planes = auto_num_planes(n_rows)
+        _LOG.info(
+            "cosine_neardup_pairs: n=%d -> num_planes=%d (%d tables, "
+            "expected occupancy ~%.1f/table)",
+            n_rows, num_planes, num_tables, n_rows / (1 << num_planes),
+        )
     weights = hyperplane_weights(num_tables, num_planes, dim, seed)
     data = (
         _with_vecd(df, vec_col)
@@ -356,8 +409,8 @@ def cosine_neardup_pairs(
             ],
             F.expr(_norm_sql(_VD, dim)).alias("__n"),
         )
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    data = tracked_persist(data)
     banded = data.select(
         F.col(id_col),
         F.explode(
@@ -377,6 +430,10 @@ def cosine_neardup_pairs(
         .select("id_a", "id_b")
         .distinct()
     )
+    if observation is not None:
+        cands = cands.observe(
+            observation, F.count(F.lit(1)).alias("candidate_pairs")
+        )
     va = data.select(
         F.col(id_col).alias("id_a"), F.col(_VD).alias("va"), F.col("__n").alias("na")
     )

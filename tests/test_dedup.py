@@ -46,7 +46,9 @@ def test_exact_dedup_keeps_min_id(corpus):
 
 
 def test_ngram_jaccard_exact_vs_duckdb(corpus):
-    got = ngram_jaccard_pairs(corpus, n=1, threshold=0.5)
+    # max_df=None: exact over ALL grams (the production default prunes
+    # grams above the 20%-of-corpus document-frequency cap)
+    got = ngram_jaccard_pairs(corpus, n=1, threshold=0.5, max_df=None)
     rows = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in got.collect()}
     pdf = corpus.toPandas()
     con = duckdb.connect()
@@ -75,7 +77,7 @@ def test_ngram_jaccard_shingles_short_doc_ok(corpus):
 
 def test_ngram_jaccard_max_df_prunes(corpus):
     # "the" appears in docs 1,2,3 — with max_df=2 it can't contribute
-    full = ngram_jaccard_pairs(corpus, n=1, threshold=0.0)
+    full = ngram_jaccard_pairs(corpus, n=1, threshold=0.0, max_df=None)
     pruned = ngram_jaccard_pairs(corpus, n=1, threshold=0.0, max_df=2)
     f = {(r["doc_a"], r["doc_b"]): r["inter"] for r in full.collect()}
     p = {(r["doc_a"], r["doc_b"]): r["inter"] for r in pruned.collect()}
@@ -159,3 +161,33 @@ def test_simhash_neardup_pairs_pigeonhole(corpus):
         for b in ids[i + 1 :]:
             h = bin((vals[a] ^ vals[b]) & ((1 << 64) - 1)).count("1")
             assert ((a, b) in pairs) == (h <= 3), (a, b, h)
+
+
+def test_ngram_jaccard_fractional_max_df_engages(spark):
+    # Stop-token-heavy fixture: three tokens appear in EVERY doc. The
+    # fractional default (20% of corpus -> cap 2 here) must prune them via
+    # the broadcast anti-join, leaving no shared grams at all.
+    rows = [
+        (i, f"the common filler word{i} unique{i} thing{i}") for i in range(10)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    pruned = ngram_jaccard_pairs(df, n=1, threshold=0.0, max_df=0.2)
+    assert pruned.count() == 0  # every shared token was a stop token
+    full = ngram_jaccard_pairs(df, n=1, threshold=0.0, max_df=None)
+    assert full.count() == 45  # all 10·9/2 pairs share the stop tokens
+
+
+def test_minhash_banding_mismatch_fails_fast(corpus):
+    # Composition-level check: bands*rows must equal num_hashes.
+    with pytest.raises(ValueError, match="bands\\*rows"):
+        minhash_dedup_pairs(corpus, num_hashes=32, bands=16, rows=4)
+    # Expression-level guard: candidates over a mismatched signature raise
+    # at execution instead of silently corrupting band buckets. Under ANSI
+    # the out-of-range element_at itself throws first; under non-ANSI the
+    # assert_true guard catches what would otherwise be silent NULLs —
+    # either way the job fails loudly.
+    sigs = minhash_signatures(corpus, num_hashes=32, shingle_n=1)
+    with pytest.raises(
+        Exception, match="signature length|ArrayIndexOutOfBounds|INVALID_ARRAY_INDEX"
+    ):
+        minhash_lsh_candidates(sigs, bands=16, rows=4).collect()

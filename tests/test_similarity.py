@@ -145,3 +145,44 @@ def test_ivf_topk_deterministic(emb):
     b = [(r["vec_id"], r["cosine"]) for r in
          ivf_topk(emb, query_id=5, k=10, num_centroids=8, nprobe=2).collect()]
     assert a == b
+
+
+def test_auto_num_planes_scales_with_corpus():
+    from flink_streaming_2_10_spark.pipeline.similarity import auto_num_planes
+
+    assert auto_num_planes(500) == 6  # the oracle-gate scales (sf<=0.01)
+    assert auto_num_planes(2000) == 8  # bench sf0.1
+    assert auto_num_planes(10**9) == 20  # clamped at hi
+    assert auto_num_planes(0) == 6  # degenerate input -> lo
+    # monotone nondecreasing in n
+    planes = [auto_num_planes(n) for n in (10, 100, 1000, 10**4, 10**6)]
+    assert planes == sorted(planes)
+
+
+def test_neardup_candidates_bounded_on_skewed_fixture(spark):
+    # 600 random unit vectors + 8 planted near-dup pairs. Auto plane
+    # scaling must keep the LSH candidate set near-linear in n (not the
+    # 180k all-pairs), while still surfacing the planted high-cosine pairs.
+    import numpy as np
+    from pyspark.sql import Observation
+
+    rng = np.random.default_rng(11)
+    vecs = rng.normal(size=(600, 32))
+    vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+    for i in range(8):  # planted: 1000+i is a tiny perturbation of i
+        vecs = np.vstack([vecs, vecs[i] + rng.normal(scale=1e-3, size=32)])
+    rows = [(int(i if i < 600 else 1000 + i - 600), [float(x) for x in v])
+            for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"]).withColumn(
+        "embedding", F.col("embedding").cast("array<float>")
+    )
+    obs = Observation("neardup_cands")
+    out = cosine_neardup_pairs(
+        df, threshold=0.99, dim=32, observation=obs
+    ).collect()
+    got_pairs = {(r["id_a"], r["id_b"]) for r in out}
+    assert {(i, 1000 + i) for i in range(8)} <= got_pairs
+    n = 608
+    cands = obs.get["candidate_pairs"]
+    assert cands <= 60 * n  # near-linear, not n²/2 = 184k
+    assert cands >= len(out)  # sanity: candidates superset of survivors
