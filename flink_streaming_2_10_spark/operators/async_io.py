@@ -15,10 +15,14 @@ Why a hand-rolled worker pool instead of ``ThreadPoolExecutor.submit`` per
 record: a Future per record costs ~27 µs of executor machinery (measured:
 2.7 s per 100 k rows before any user code runs); a ``SimpleQueue`` handoff
 to ``capacity`` long-lived workers costs ~5 µs per record with the same
-guarantees — at most ``capacity`` concurrent ``fn`` invocations, and
-per-request timeout (detected on each call's own execution time; like the
-Future version, a synchronous ``fn`` that never returns cannot be
-preempted — both versions block until it does).
+guarantees — at most ``capacity`` concurrent ``fn`` invocations, and a
+per-request timeout enforced by a MAIN-THREAD WATCHDOG: each worker
+registers its request's start time before calling ``fn``, and the main
+thread polls the in-flight table, raising ``TimeoutError`` as soon as any
+request exceeds the deadline — while ``fn`` is still running, matching
+the reference's future-timeout contract (AsyncIOExample.scala:34). The
+hung worker itself cannot be preempted (Python threads aren't
+interruptible); it is abandoned as a daemon thread and the task fails.
 
 At-least-once caveat (SURVEY.md §7.3): Spark may re-execute a partition on
 task retry; side-effecting ``fn`` must be idempotent.
@@ -61,43 +65,87 @@ def ordered_async_map(
             out: list = [None] * len(rows)
             errors: list[BaseException] = []
             stop = threading.Event()
+            # slot -> (row index, start time) of the request in flight —
+            # the watchdog's view into every running fn() call.
+            inflight: dict[int, tuple[int, float]] = {}
+            lock = threading.Lock()
             work: queue.SimpleQueue = queue.SimpleQueue()
             for item in enumerate(rows):
                 work.put(item)
             for _ in range(capacity):
                 work.put(None)
 
-            def worker() -> None:
-                while not stop.is_set():
-                    item = work.get()
-                    if item is None:
-                        return
-                    i, row = item
-                    started = time.monotonic()
-                    try:
-                        out[i] = fn(row)
-                    except BaseException as exc:  # noqa: BLE001 — re-raised on driver path
-                        errors.append(exc)
-                        stop.set()
-                        return
-                    if time.monotonic() - started > timeout:
-                        errors.append(
-                            TimeoutError(
-                                f"async request {i} exceeded {timeout}s"
+            done = threading.Event()
+            live = [capacity]
+
+            def worker(slot: int) -> None:
+                try:
+                    while not stop.is_set():
+                        item = work.get()
+                        if item is None:
+                            return
+                        i, row = item
+                        started = time.monotonic()
+                        with lock:
+                            inflight[slot] = (i, started)
+                        try:
+                            res = fn(row)
+                        except BaseException as exc:  # noqa: BLE001 — re-raised on task
+                            errors.append(exc)
+                            stop.set()
+                            return
+                        finally:
+                            with lock:
+                                inflight.pop(slot, None)
+                        if time.monotonic() - started > timeout:
+                            # Finished, but past deadline (between watchdog
+                            # polls): still a contract violation.
+                            errors.append(
+                                TimeoutError(
+                                    f"async request {i} exceeded {timeout}s"
+                                )
                             )
-                        )
-                        stop.set()
-                        return
+                            stop.set()
+                            return
+                        out[i] = res
+                finally:
+                    with lock:
+                        live[0] -= 1
+                        if live[0] == 0:
+                            done.set()
 
             threads = [
-                threading.Thread(target=worker, daemon=True)
-                for _ in range(capacity)
+                threading.Thread(target=worker, args=(slot,), daemon=True)
+                for slot in range(capacity)
             ]
             for t in threads:
                 t.start()
-            for t in threads:
-                t.join()
+            # Watchdog loop: wake every ``poll`` seconds (or instantly when
+            # the last worker exits) and expire any request still in flight
+            # past its deadline — the timeout fires WHILE fn runs. Poll
+            # granularity bounds detection latency only; workers never
+            # wait on the watchdog.
+            poll = max(0.01, min(0.1, timeout / 20.0))
+            while not done.wait(poll):
+                if errors:
+                    break
+                now = time.monotonic()
+                with lock:
+                    expired = [
+                        i
+                        for i, started in inflight.values()
+                        if now - started > timeout
+                    ]
+                if expired:
+                    stop.set()
+                    # Abandon the hung daemon worker(s); fail the task now,
+                    # like the reference job fails on a timed-out future.
+                    raise TimeoutError(
+                        f"async request {expired[0]} exceeded {timeout}s "
+                        f"(still in flight)"
+                    )
             if errors:
+                stop.set()
                 raise errors[0]
             if out:
                 yield pd.DataFrame(out)

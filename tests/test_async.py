@@ -3,6 +3,7 @@ identity fn must emit exactly the input, preserving per-partition order."""
 
 from __future__ import annotations
 
+import pytest
 import time
 
 from flink_streaming_2_10_spark.operators.async_io import (
@@ -46,3 +47,35 @@ def test_slow_fn_within_timeout_and_capacity(spark):
     assert ids == list(range(40))  # single partition ⇒ total order preserved
     # capacity-10 pool should overlap the sleeps (~0.08 s ideal, not 0.8 s)
     assert time.time() - t0 < 30
+
+
+def test_hung_fn_times_out_while_in_flight(spark):
+    # The watchdog contract (AsyncIOExample.scala:34): a request that never
+    # returns must fail the job ~timeout seconds in, not block forever.
+    df = spark.range(0, 4).coalesce(1)
+
+    def hang(row: dict) -> dict:
+        if row["id"] == 2:
+            time.sleep(3600)
+        return row
+
+    out = ordered_async_map(df, hang, schema="id long", timeout=1.0, capacity=4)
+    t0 = time.time()
+    with pytest.raises(Exception, match="exceeded 1.0s"):
+        out.collect()
+    assert time.time() - t0 < 30  # detection ~1s + task-failure overhead
+
+
+def test_finished_but_late_fn_still_times_out(spark):
+    # A request that returns just past the deadline (between watchdog
+    # polls) is still a contract violation.
+    df = spark.range(0, 3).coalesce(1)
+
+    def late(row: dict) -> dict:
+        if row["id"] == 1:
+            time.sleep(0.3)
+        return row
+
+    out = ordered_async_map(df, late, schema="id long", timeout=0.05, capacity=3)
+    with pytest.raises(Exception, match="exceeded 0.05s"):
+        out.collect()

@@ -256,3 +256,63 @@ def test_kafka_source_contract(spark):
             kafka_json_stream(
                 spark, "localhost:9092", "events", "event_id long, value double"
             )
+
+
+def test_socket_source_live_wordcount(spark):
+    """S4 live: a real localhost TCP server feeds the socket source
+    (SocketWindowWordCount.scala:58 semantics — Spark connects as the
+    client), and the rolling word count over the stream must converge to
+    the batch counts of the sent lines. Loopback only — no external
+    network."""
+    import socket
+    import threading
+
+    from flink_streaming_2_10_spark.sources.generators import socket_text_stream
+
+    lines = ["apache flink", "apache spark", "flink streaming"]
+    release = threading.Event()
+
+    server = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+    server.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+    server.bind(("127.0.0.1", 0))
+    port = server.getsockname()[1]
+    server.listen(1)
+
+    def serve() -> None:
+        conn, _ = server.accept()
+        try:
+            for line in lines:
+                conn.sendall((line + "\n").encode())
+            # Keep the connection open until the query is done — the
+            # socket source treats a dropped connection as stream end.
+            release.wait(60)
+        finally:
+            conn.close()
+            server.close()
+
+    threading.Thread(target=serve, daemon=True).start()
+
+    stream = socket_text_stream(spark, "127.0.0.1", port)
+    q = (
+        streaming_word_count(stream)
+        .writeStream.format("memory")
+        .queryName("socket_wc")
+        .outputMode("complete")
+        .start()
+    )
+    try:
+        expected = {("apache", 2), ("flink", 2), ("spark", 1), ("streaming", 1)}
+        deadline = time.time() + 60
+        got: set = set()
+        while time.time() < deadline:
+            got = {
+                (r["word"], r["cnt"])
+                for r in spark.sql("SELECT * FROM socket_wc").collect()
+            }
+            if got == expected:
+                break
+            time.sleep(0.5)
+        assert got == expected
+    finally:
+        release.set()
+        q.stop()
