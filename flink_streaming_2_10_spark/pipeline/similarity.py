@@ -266,8 +266,10 @@ def ivf_centroids(
     # Rank the (≤ num_centroids) survivors with a constant-partitioned
     # window: same single-partition execution a global window would get,
     # but with a defined partition spec so WindowExec doesn't warn on
-    # every plan evaluation.
-    w = Window.partitionBy(F.lit(0)).orderBy("__m", id_col)
+    # every plan evaluation. The key must be NON-FOLDABLE or Catalyst
+    # folds it away and the warning returns — substring(__m, 1, 0) is ''
+    # for every row yet depends on a column, so it survives optimization.
+    w = Window.partitionBy(F.substring(F.col("__m"), 1, 0)).orderBy("__m", id_col)
     return picked.select(
         F.row_number().over(w).alias("cid"),
         "cvec",
@@ -291,14 +293,18 @@ def ivf_topk(
     re-rank only those lists.
 
     Scale shape: the centroid table is broadcast (16 rows), so assignment
-    is a broadcast-join + per-key argmax. The argmax is a ``max_by`` hash
-    aggregate over an orderable struct key — map-side partials collapse
-    each vector's ``num_centroids`` scored rows before the exchange, so
-    the shuffle carries n rows (not 16n) and needs no per-partition sort
-    (vs the row_number-window formulation: exchange + sort of 16n rows).
-    Ties (equal cosine) break toward the lower centroid id via the
-    ``(sim, -cid)`` struct ordering, and toward lower vec_id downstream —
-    mirrored exactly in the DuckDB oracle's row_number ordering.
+    is a broadcast-join + per-key argmax. The argmax is a ``max_by``
+    aggregate over an orderable struct key: partial aggregation collapses
+    each vector's ``num_centroids`` scored rows map-side, so the exchange
+    carries n rows instead of 16n wide (vector-bearing) rows — the
+    16× shuffle reduction the row_number-window formulation (exchange +
+    sort of ALL scored rows) cannot get. Spark plans struct-keyed
+    ``max_by`` as SortAggregate (struct buffers aren't
+    hash-aggregatable); the sorts run on the already-collapsed streams,
+    which is the right trade at scale. Ties (equal cosine) break toward
+    the lower centroid id via the ``(sim, -cid)`` struct ordering, and
+    toward lower vec_id downstream — mirrored exactly in the DuckDB
+    oracle's row_number ordering.
     """
     cents = ivf_centroids(df, num_centroids, id_col, vec_col)
     data = _with_vecd(df, vec_col).select(
