@@ -62,6 +62,15 @@ def kafka_json_stream(
         .option("startingOffsets", starting_offsets)
         .load()
     )
+    return decode_kafka_records(raw, schema)
+
+
+def decode_kafka_records(raw: DataFrame, schema: StructType | str) -> DataFrame:
+    """Decode the connector's wire schema (binary key/value + topic/
+    partition/offset/timestamp) into typed records. Split out from
+    :func:`kafka_json_stream` so the projection is testable against a
+    Kafka-SHAPED DataFrame without a broker — the only untested remainder
+    is the connector's own ``load()``."""
     return raw.select(
         F.from_json(F.col("value").cast("string"), schema).alias("_rec"),
         F.col("key").cast("string").alias("_key"),

@@ -316,3 +316,30 @@ def test_socket_source_live_wordcount(spark):
     finally:
         release.set()
         q.stop()
+
+
+def test_kafka_decode_projection_on_wire_shaped_frame(spark):
+    """The Kafka decode path, driven without a broker: a DataFrame with
+    the connector's exact wire schema (binary key/value, topic, partition,
+    offset, timestamp) goes through the same projection
+    kafka_json_stream applies after load()."""
+    import datetime
+
+    from flink_streaming_2_10_spark.sources.kafka import decode_kafka_records
+
+    ts = datetime.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        (b"k1", b'{"user_id": 7, "value": 1.5}', "events", 0, 42, ts),
+        (None, b'{"user_id": 8, "value": 2.5}', "events", 1, 43, ts),
+        (b"k3", b"not json", "events", 0, 44, ts),  # bad payload -> NULLs
+    ]
+    raw = spark.createDataFrame(
+        rows,
+        "key binary, value binary, topic string, partition int, "
+        "offset long, timestamp timestamp",
+    )
+    out = decode_kafka_records(raw, "user_id long, value double").collect()
+    assert [r["user_id"] for r in out] == [7, 8, None]
+    assert [r["_key"] for r in out] == ["k1", None, "k3"]
+    assert [r["_offset"] for r in out] == [42, 43, 44]
+    assert all(r["_topic"] == "events" for r in out)
