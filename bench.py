@@ -9,7 +9,13 @@ Each query runs ``$SPARK_GRAFT_BENCH_N`` times (default 3) and reports the
 per-query MEDIAN: this container's run-to-run jitter reaches ~1.7× on
 identical code (see README), so single samples routinely mis-rank changes.
 ``value`` is the sum of medians. Per-iteration totals are included under
-``iterations`` for variance inspection.
+``iterations`` for variance inspection. ``$SPARK_GRAFT_BENCH_WARMUP``
+(default 1) untimed full passes run first to absorb JVM JIT / python
+worker spin-up, which otherwise inflates the first sample systematically.
+
+Queries are isolated: operator-internal caches are released between
+queries (release_cached), so a query's time never depends on an earlier
+query having materialized an identical sub-plan.
 """
 
 from __future__ import annotations
@@ -39,13 +45,16 @@ def main() -> None:
     except Exception:
         pass
 
+    warmup = max(0, int(os.environ.get("SPARK_GRAFT_BENCH_WARMUP", "1")))
     samples: dict[str, list[float]] = {name: [] for name in queries}
-    for _ in range(n_iter):
+    for it in range(warmup + n_iter):
+        timed = it >= warmup
         for name, fn in queries.items():
             t0 = time.time()
             try:
                 fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-                samples[name].append(time.time() - t0)
+                if timed:
+                    samples[name].append(time.time() - t0)
             except Exception as exc:  # noqa: BLE001
                 print(f"bench error in {name}: {exc}", file=sys.stderr)
             finally:

@@ -125,6 +125,13 @@ def car_events_from_events(events: DataFrame, num_cars: int = 4) -> DataFrame:
 
     The running sum is a window function over (car, time) — at scale this is
     one exchange + per-partition sort, the standard cumulative-sum plan.
+
+    TEST-FIXTURE ADAPTER, not a pattern for production cumulative ops:
+    ``num_cars`` (default 4, mirroring the reference's tiny car domain)
+    is the window's partition count, so the whole input funnels through
+    ``num_cars`` partitions regardless of cluster size. Real cumulative
+    pipelines must partition on a key whose cardinality scales with the
+    data (session id, device id, …) — never a single-digit domain.
     """
     base = events.select(
         F.pmod(F.col("user_id"), F.lit(num_cars)).cast("int").alias("carId"),
