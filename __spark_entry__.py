@@ -55,6 +55,7 @@ from flink_streaming_2_10_spark.pipeline.similarity import (
     hyperplane_weights,
     ivf_topk,
 )
+from flink_streaming_2_10_spark.pipeline.shard import prepare_training_shard
 from flink_streaming_2_10_spark.pipeline.multimodal import (
     attach_media,
     audio_stats,
@@ -371,6 +372,15 @@ def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_training_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed shard-prep pipeline: English + quality ≥ 0.5 gate (scan-
+    side), exact dedup (min-id survivor), per-survivor token budget — one
+    narrow projection + one fingerprint-keyed shuffle (pipeline/shard.py)."""
+    return prepare_training_shard(
+        load_table(spark, sf_dir, "documents"), lang="en", min_quality=0.5
+    )
+
+
 def q_revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Broadcast star join over the full dimension chain (Q5 shape)."""
     return revenue_by_region(
@@ -406,6 +416,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "text_language_id": q_text_language_id,
         "text_fingerprint": q_text_fingerprint,
+        "training_shard": q_training_shard,
         "multimodal_features": q_multimodal_features,
         "multimodal_frame_sample": q_multimodal_frame_sample,
         "multimodal_audio_stats": q_multimodal_audio_stats,
@@ -787,6 +798,70 @@ def _text_language_id_oracle() -> str:
         FROM b"""
 
 
+def _training_shard_oracle(lang: str = "en", min_quality: float = 0.5) -> str:
+    """Mirror of pipeline/shard.py::prepare_training_shard — same word
+    array, stopword scores, quality composite (identical evaluation
+    order, so the double and hence the >= filter agree bit-for-bit), md5
+    fingerprint, and min-id survivor semantics (arg_min per stat is
+    coherent because doc_id is unique)."""
+    score_cols = ",\n                     ".join(
+        f"CAST({_stop_hits_sql(STOPWORDS[lg])} AS INT) AS s_{lg}"
+        for lg in LANG_ORDER
+    )
+    best = "greatest(" + ", ".join(f"s_{lg}" for lg in LANG_ORDER) + ")"
+    whens = "\n                    ".join(
+        f"WHEN s_{lg} = best THEN '{lg}'" for lg in LANG_ORDER
+    )
+    return f"""
+        WITH t AS (SELECT doc_id, text, {_WORDS_SQL} AS words FROM documents),
+        g AS (SELECT doc_id, text, words,
+                     CAST(len(words) AS INT) AS n_words,
+                     CAST({_stop_hits_sql(STOPWORDS["en"])} AS INT) AS stop_hits,
+                     CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]')) AS INT)
+                        AS punct,
+                     CAST(len(regexp_extract_all(text, '[0-9]')) AS INT) AS digits,
+                     CAST(length(text) AS INT) AS n_chars,
+                     CAST(len(regexp_extract_all(text,
+                          '{CJK_PATTERN_DUCKDB}')) AS INT) AS cjk,
+                     {score_cols},
+                     CAST(len(list_filter(regexp_split_to_array(text, '\\s+'),
+                          x -> length(x) > 0)) AS INT) AS ws_tokens,
+                     CAST(len(regexp_extract_all(text, '{BPE_PATTERN}')) AS INT)
+                        AS bpe_tokens,
+                     md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fp
+              FROM t),
+        b AS (SELECT *, {best} AS best FROM g),
+        f AS (SELECT doc_id, ws_tokens, bpe_tokens, fp,
+                     CASE WHEN cjk > 0 THEN 'zh'
+                          WHEN best = 0 THEN 'unknown'
+                          {whens}
+                     END AS lang_pred,
+                     (CAST(stop_hits AS DOUBLE)
+                        / CAST(greatest(n_words, 1) AS DOUBLE))
+                         * CAST(0.3 AS DOUBLE)
+                     + (CAST(1.0 AS DOUBLE)
+                        - CAST(punct AS DOUBLE)
+                          / CAST(greatest(n_chars, 1) AS DOUBLE))
+                         * CAST(0.3 AS DOUBLE)
+                     + (CAST(1.0 AS DOUBLE)
+                        - CAST(digits AS DOUBLE)
+                          / CAST(greatest(n_chars, 1) AS DOUBLE))
+                         * CAST(0.1 AS DOUBLE)
+                     + least(CAST(n_words AS DOUBLE) / CAST(50.0 AS DOUBLE),
+                             CAST(1.0 AS DOUBLE)) * CAST(0.3 AS DOUBLE)
+                       AS quality
+              FROM b),
+        k AS (SELECT * FROM f
+              WHERE lang_pred = '{lang}'
+                AND quality >= CAST({min_quality!r} AS DOUBLE))
+        SELECT min(doc_id) AS doc_id,
+               CAST(count(*) AS BIGINT) AS n_dups,
+               arg_min(ws_tokens, doc_id) AS ws_tokens,
+               arg_min(bpe_tokens, doc_id) AS bpe_tokens,
+               arg_min(quality, doc_id) AS quality
+        FROM k GROUP BY fp"""
+
+
 def _topspeed_oracle(
     num_cars: int, trigger_meters: float, eviction_sec: int
 ) -> str:
@@ -989,6 +1064,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "text_quality": _text_quality_oracle(),
         "text_language_id": _text_language_id_oracle(),
+        "training_shard": _training_shard_oracle(lang="en", min_quality=0.5),
         "text_fingerprint": f"""
             SELECT doc_id,
                    CASE WHEN length(text) = 0 THEN 0

@@ -61,16 +61,10 @@ def token_counts(
     )
 
 
-def quality_scores(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
-) -> DataFrame:
-    """Heuristic document quality: stopword ratio, punctuation ratio,
-    length factor — composited into ``quality`` ∈ [0, 1].
-
-    Ratios are exact-integer divisions evaluated in a fixed order, so the
-    double is deterministic and oracle-matchable.
-    """
-    text = F.col(text_col)
+def quality_exprs(text: Column) -> dict[str, Column]:
+    """The quality feature columns as reusable expressions (single source
+    of truth for quality_scores and composed pipelines — the fixed
+    evaluation order is what keeps the doubles oracle-matchable)."""
     words = _words(text)
     n_words = F.size(words)
     n_chars = F.length(text)
@@ -96,24 +90,36 @@ def quality_scores(
         + (F.lit(1.0) - digit_ratio) * F.lit(0.1)
         + len_factor * F.lit(0.3)
     )
+    return {
+        "n_words": n_words,
+        "stop_ratio": stop_ratio,
+        "punct_ratio": punct_ratio,
+        "digit_ratio": digit_ratio,
+        "mean_word_len": mean_word_len,
+        "quality": quality,
+    }
+
+
+def quality_scores(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Heuristic document quality: stopword ratio, punctuation ratio,
+    length factor — composited into ``quality`` ∈ [0, 1].
+
+    Ratios are exact-integer divisions evaluated in a fixed order, so the
+    double is deterministic and oracle-matchable.
+    """
+    q = quality_exprs(F.col(text_col))
     return df.select(
-        F.col(id_col),
-        n_words.alias("n_words"),
-        stop_ratio.alias("stop_ratio"),
-        punct_ratio.alias("punct_ratio"),
-        digit_ratio.alias("digit_ratio"),
-        mean_word_len.alias("mean_word_len"),
-        quality.alias("quality"),
+        F.col(id_col), *[expr.alias(name) for name, expr in q.items()]
     )
 
 
-def language_id(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
-) -> DataFrame:
-    """N-gram-free heuristic language ID: CJK codepoint count decides zh;
-    otherwise argmax of per-language stopword hit counts (token-level,
-    repeats counted), ties broken in LANG_ORDER; all-zero → 'unknown'."""
-    text = F.col(text_col)
+def language_pred_expr(text: Column) -> Column:
+    """The language-ID prediction as a reusable expression: CJK codepoint
+    count decides zh; otherwise argmax of per-language stopword hit counts
+    (token-level, repeats counted), ties broken in LANG_ORDER; all-zero →
+    'unknown'."""
     words = _words(text)
 
     def stop_hits(stops: list[str]) -> Column:
@@ -124,7 +130,7 @@ def language_id(
     scores = {lang: stop_hits(stops) for lang, stops in STOPWORDS.items()}
     cjk = F.regexp_count(text, F.lit(CJK_PATTERN_SPARK))
     best = F.greatest(*[scores[lang] for lang in LANG_ORDER])
-    pred = F.when(cjk > 0, F.lit("zh")).otherwise(
+    return F.when(cjk > 0, F.lit("zh")).otherwise(
         F.when(best == 0, F.lit("unknown")).otherwise(
             F.coalesce(
                 *[
@@ -134,7 +140,16 @@ def language_id(
             )
         )
     )
-    return df.select(F.col(id_col), pred.alias("lang_pred"))
+
+
+def language_id(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """N-gram-free heuristic language ID over a documents table — see
+    :func:`language_pred_expr` for the arbitration rules."""
+    return df.select(
+        F.col(id_col), language_pred_expr(F.col(text_col)).alias("lang_pred")
+    )
 
 
 def doc_fingerprints(

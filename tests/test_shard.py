@@ -1,0 +1,49 @@
+"""Composed shard-prep pipeline: language gate + quality floor + exact
+dedup + token budget in one job (pipeline/shard.py)."""
+
+from __future__ import annotations
+
+import pytest
+
+from flink_streaming_2_10_spark.pipeline.shard import prepare_training_shard
+from flink_streaming_2_10_spark.pipeline.textstats import (
+    language_id,
+    quality_scores,
+)
+
+
+@pytest.fixture(scope="module")
+def shard_corpus(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog in the field"),
+        (2, "The  quick brown fox jumps OVER the lazy dog in the field"),
+        (3, "it is a truth that you know and that it is good to see here"),
+        (4, "der die und das ist ein gutes beispiel mit nicht zu wenig"),
+        (5, "$$$ ### 12345 @@@ !!!"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_shard_filters_dedups_and_budgets(shard_corpus):
+    out = {r["doc_id"]: r for r in prepare_training_shard(shard_corpus).collect()}
+    # doc 2 is a case/whitespace dup of doc 1 -> min-id survivor with n_dups 2
+    assert set(out) == {1, 3}
+    assert out[1]["n_dups"] == 2 and out[3]["n_dups"] == 1
+    # survivor stats are the survivor's own (doc 1, not doc 2)
+    assert out[1]["ws_tokens"] == 12
+    assert out[1]["bpe_tokens"] >= 12
+    assert all(r["quality"] >= 0.5 for r in out.values())
+
+
+def test_shard_gates_match_component_operators(shard_corpus):
+    # The composed filter must agree with the standalone operators it fuses.
+    langs = {r["doc_id"]: r["lang_pred"] for r in language_id(shard_corpus).collect()}
+    quals = {r["doc_id"]: r["quality"] for r in quality_scores(shard_corpus).collect()}
+    eligible = {
+        d for d in langs if langs[d] == "en" and quals[d] >= 0.5
+    }
+    assert eligible == {1, 2, 3}  # de doc and junk doc gated out
+    survivors = {
+        r["doc_id"] for r in prepare_training_shard(shard_corpus).collect()
+    }
+    assert survivors == {1, 3}  # eligible minus the dup of doc 1
