@@ -243,7 +243,16 @@ def ngram_jaccard_pairs(
     grams = _shingles(df, id_col, text_col, n)
     # Postings carry the 60-bit hash, not the string (see _hash60): the
     # self-join and pair-count shuffles move 8-byte longs.
-    posts = grams.select("doc_id", _hash60(F.col("shingle"), hasher).alias("h"))
+    # Persist the RAW postings before anything consumes them: the prune's
+    # document-frequency aggregation plus the three downstream consumers
+    # (sizes + both join sides) all read the cache, so the tokenize/explode
+    # pipeline runs exactly once. MEMORY_AND_DISK: postings are
+    # input-scale; spilling beats recomputing the explode. The per-consumer
+    # broadcast anti-join re-applies from cache — a narrow hash probe,
+    # far cheaper than caching a second (pruned) copy.
+    posts = tracked_persist(
+        grams.select("doc_id", _hash60(F.col("shingle"), hasher).alias("h"))
+    )
     if isinstance(max_df, float):
         if not 0.0 < max_df < 1.0:
             raise ValueError("fractional max_df must be in (0, 1)")
@@ -256,10 +265,6 @@ def ngram_jaccard_pairs(
             .select("h")
         )
         posts = posts.join(F.broadcast(frequent), ["h"], "left_anti")
-    # The postings feed three consumers (sizes + both join sides); persist
-    # so tokenization runs once. MEMORY_AND_DISK: postings are input-scale,
-    # spilling beats a 3× recompute of the explode pipeline.
-    posts = tracked_persist(posts)
 
     sizes = posts.groupBy("doc_id").agg(F.count(F.lit(1)).alias("set_size"))
 
