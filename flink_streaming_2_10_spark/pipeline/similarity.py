@@ -50,7 +50,7 @@ import hashlib
 import logging
 import math
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import DataFrame, functions as F
 
 from flink_streaming_2_10_spark.pipeline.caching import tracked_persist
 
