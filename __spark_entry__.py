@@ -55,6 +55,22 @@ from flink_streaming_2_10_spark.pipeline.similarity import (
     hyperplane_weights,
     ivf_topk,
 )
+from flink_streaming_2_10_spark.pipeline.packing import (
+    pack_chunks_oracle,
+    pack_concat_chunks,
+)
+from flink_streaming_2_10_spark.pipeline.redaction import (
+    inject_synthetic_pii,
+    inject_synthetic_pii_sql,
+    redact_pii,
+    redact_pii_oracle,
+)
+from flink_streaming_2_10_spark.pipeline.sampling import (
+    domain_mixture,
+    domain_mixture_oracle,
+    stratified_sample,
+    stratified_sample_oracle,
+)
 from flink_streaming_2_10_spark.pipeline.shard import prepare_training_shard
 from flink_streaming_2_10_spark.pipeline.multimodal import (
     attach_media,
@@ -381,6 +397,44 @@ def q_training_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Per-language draw rates for the stratified-sample query (default 0.05
+#: for strata not listed). Shared by the Spark query and the oracle.
+SAMPLE_RATES = {"en": 0.5, "de": 0.25, "es": 0.1}
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-language hash-threshold sampling — a pure
+    scan-side filter, no shuffle (pipeline/sampling.py)."""
+    return stratified_sample(
+        load_table(spark, sf_dir, "documents"), SAMPLE_RATES, default_rate=0.05
+    )
+
+
+def q_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language token composition + uniform-target resampling weights
+    (one tiny hash agg + broadcast total; pipeline/sampling.py)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return domain_mixture(docs, F.regexp_count(F.col("text"), F.lit(BPE_PATTERN)))
+
+
+def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII audit + scrub over documents with deterministic synthetic PII
+    injected (so positive matches are verified, not just clean text) —
+    scan-side regexp chain, no shuffle (pipeline/redaction.py)."""
+    return redact_pii(
+        inject_synthetic_pii(load_table(spark, sf_dir, "documents"))
+    )
+
+
+def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style concat-and-chunk sequence packing into 512-token
+    sequences across 8 hash shards — shard-local window sums only, no
+    global order (pipeline/packing.py)."""
+    return pack_concat_chunks(
+        load_table(spark, sf_dir, "documents"), budget=512, num_shards=8
+    )
+
+
 def q_revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Broadcast star join over the full dimension chain (Q5 shape)."""
     return revenue_by_region(
@@ -417,6 +471,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_language_id": q_text_language_id,
         "text_fingerprint": q_text_fingerprint,
         "training_shard": q_training_shard,
+        "stratified_sample": q_stratified_sample,
+        "domain_mixture": q_domain_mixture,
+        "pii_redaction": q_pii_redaction,
+        "sequence_packing": q_sequence_packing,
         "multimodal_features": q_multimodal_features,
         "multimodal_frame_sample": q_multimodal_frame_sample,
         "multimodal_audio_stats": q_multimodal_audio_stats,
@@ -1065,6 +1123,16 @@ def oracle_sql() -> dict[str, str]:
         "text_quality": _text_quality_oracle(),
         "text_language_id": _text_language_id_oracle(),
         "training_shard": _training_shard_oracle(lang="en", min_quality=0.5),
+        "stratified_sample": stratified_sample_oracle(
+            SAMPLE_RATES, default_rate=0.05
+        ),
+        "domain_mixture": domain_mixture_oracle(
+            f"len(regexp_extract_all(text, '{BPE_PATTERN}'))"
+        ),
+        "pii_redaction": redact_pii_oracle(
+            table=f"({inject_synthetic_pii_sql()})"
+        ),
+        "sequence_packing": pack_chunks_oracle(budget=512, num_shards=8),
         "text_fingerprint": f"""
             SELECT doc_id,
                    CASE WHEN length(text) = 0 THEN 0

@@ -1,0 +1,163 @@
+"""Corpus sampling for training-data pipelines (north-star extensions):
+deterministic stratified sampling and domain-mixture reweighting.
+
+Both operators are built for the 100 TB shape:
+
+* ``stratified_sample`` is a pure narrow FILTER — the keep/drop decision
+  is a per-row hash threshold, so it runs scan-side (no shuffle, no
+  state, no RNG service), prunes at the parquet reader when stacked
+  under other predicates, and is reproducible run-to-run and
+  engine-to-engine (the DuckDB oracle computes the identical md5-derived
+  key). Seeded by a string salt so re-draws are independent.
+* ``domain_mixture`` reduces the corpus to one tiny per-stratum
+  aggregate (hash agg with map-side partials; the shuffle carries one
+  row per language), then derives sampling weights against a uniform
+  target share with a fixed-order double expression both engines
+  evaluate bit-identically.
+
+Deterministic hash sampling (vs ``df.sample``) is the standard trick for
+reproducible corpus draws: membership depends only on (salt, doc_id), so
+a 1 % draw is a subset of the 10 % draw and rejection studies can replay
+exact cohorts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from flink_streaming_2_10_spark.pipeline.dedup import duckdb_hash60_sql
+
+#: 2^60 as an exactly-representable double: the hash key below is 60 bits,
+#: so ``key / 2^60`` is uniform on [0, 1).
+_TWO_POW_60 = float(1 << 60)
+
+
+def _sample_key(id_col: Column, salt: str) -> Column:
+    """60-bit md5-derived key of ``salt || ':' || id`` as a double in
+    [0, 2^60) — bit-identical to the DuckDB oracle's expression (same
+    construction as dedup._hash60; see duckdb_hash60_sql)."""
+    seeded = F.concat(F.lit(f"{salt}:"), id_col.cast("string"))
+    return F.conv(F.substring(F.md5(seeded), 1, 15), 16, 10).cast("long")
+
+
+def sample_key_sql(id_expr: str, salt: str) -> str:
+    """DuckDB SQL reproducing :func:`_sample_key` exactly."""
+    return duckdb_hash60_sql(f"'{salt}:' || CAST({id_expr} AS VARCHAR)")
+
+
+def stratified_sample(
+    df: DataFrame,
+    rates: dict[str, float],
+    default_rate: float = 0.0,
+    id_col: str = "doc_id",
+    strata_col: str = "lang",
+    salt: str = "sample",
+) -> DataFrame:
+    """Keep each row iff ``hash(salt, id) / 2^60 < rate(stratum)`` —
+    deterministic per-stratum Bernoulli sampling with no shuffle.
+
+    The comparison is done in doubles (``cast(key as double) < rate *
+    2^60``): the long→double cast and the product round identically
+    under IEEE-754 in Spark and DuckDB, so the oracle keeps the exact
+    same rows. Monotone in the rate: raising a stratum's rate only adds
+    rows (hash thresholding), which tests assert.
+    """
+    key = _sample_key(F.col(id_col), salt).cast("double")
+    rate: Column = F.lit(float(default_rate))
+    for stratum, r in sorted(rates.items()):
+        rate = F.when(F.col(strata_col) == stratum, F.lit(float(r))).otherwise(rate)
+    return df.filter(key < rate * F.lit(_TWO_POW_60)).select(
+        id_col, strata_col
+    )
+
+
+def stratified_sample_oracle(
+    rates: dict[str, float],
+    default_rate: float = 0.0,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    strata_col: str = "lang",
+    salt: str = "sample",
+) -> str:
+    """DuckDB mirror of :func:`stratified_sample` (same CASE order, same
+    double arithmetic)."""
+    case = " ".join(
+        f"WHEN {strata_col} = '{stratum}' THEN {float(r)!r}"
+        for stratum, r in sorted(rates.items(), reverse=True)
+    )
+    key = sample_key_sql(id_col, salt)
+    return f"""
+        SELECT {id_col}, {strata_col}
+        FROM {table}
+        WHERE CAST({key} AS DOUBLE) <
+              (CASE {case} ELSE {float(default_rate)!r} END) * {_TWO_POW_60!r}
+    """
+
+
+def domain_mixture(
+    df: DataFrame,
+    token_col_expr: Column,
+    id_col: str = "doc_id",
+    strata_col: str = "lang",
+    max_weight: float = 8.0,
+) -> DataFrame:
+    """Per-stratum corpus composition and uniform-target resampling
+    weights: ``weight = min(target_share / actual_share, max_weight)``
+    where ``target_share = 1 / n_strata`` and ``actual_share`` is the
+    stratum's token fraction.
+
+    One hash aggregation over the corpus (map-side partials; the
+    exchange carries one row per stratum), then a broadcast cross join
+    against the 1-row total — nothing re-scans or re-shuffles the
+    corpus. Upsampling weights are capped at ``max_weight`` (the Pareto
+    guard every mixture schedule applies so rare strata don't explode).
+    """
+    per = df.select(F.col(strata_col), token_col_expr.alias("_tok")).groupBy(
+        strata_col
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("_tok").alias("n_tokens"),
+    )
+    totals = F.broadcast(
+        per.agg(
+            F.sum("n_tokens").alias("_total_tokens"),
+            F.count(F.lit(1)).alias("_n_strata"),
+        )
+    )
+    share = F.col("n_tokens").cast("double") / F.col("_total_tokens").cast("double")
+    target = F.lit(1.0) / F.col("_n_strata").cast("double")
+    return (
+        per.crossJoin(totals)
+        .select(
+            strata_col,
+            "n_docs",
+            "n_tokens",
+            share.alias("share"),
+            F.least(target / share, F.lit(float(max_weight))).alias("weight"),
+        )
+    )
+
+
+def domain_mixture_oracle(
+    token_expr_sql: str,
+    table: str = "documents",
+    strata_col: str = "lang",
+    max_weight: float = 8.0,
+) -> str:
+    """DuckDB mirror of :func:`domain_mixture`: identical aggregation and
+    the same fixed-order double expression for share/weight."""
+    return f"""
+        WITH per AS (
+            SELECT {strata_col}, count(*) AS n_docs,
+                   CAST(sum({token_expr_sql}) AS BIGINT) AS n_tokens
+            FROM {table} GROUP BY {strata_col}
+        ),
+        tot AS (SELECT sum(n_tokens) AS total_tokens,
+                       count(*) AS n_strata FROM per)
+        SELECT {strata_col}, n_docs, n_tokens,
+               CAST(n_tokens AS DOUBLE) / CAST(total_tokens AS DOUBLE) AS share,
+               least((1.0 / CAST(n_strata AS DOUBLE)) /
+                     (CAST(n_tokens AS DOUBLE) / CAST(total_tokens AS DOUBLE)),
+                     {float(max_weight)!r}) AS weight
+        FROM per, tot
+    """

@@ -1,0 +1,82 @@
+"""Stratified sampling + domain mixture (pipeline/sampling.py)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from flink_streaming_2_10_spark.catalog import load_table
+from flink_streaming_2_10_spark.pipeline.sampling import (
+    domain_mixture,
+    stratified_sample,
+)
+from tests.conftest import SF_SMALL
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return load_table(spark, SF_SMALL, "documents")
+
+
+def test_sample_deterministic(docs):
+    rates = {"en": 0.3, "de": 0.3, "es": 0.3}
+    a = {r["doc_id"] for r in stratified_sample(docs, rates).collect()}
+    b = {r["doc_id"] for r in stratified_sample(docs, rates).collect()}
+    assert a == b and a
+
+
+def test_sample_monotone_in_rate(docs):
+    """Hash thresholding: the 10% draw is a subset of the 50% draw."""
+    small = {
+        r["doc_id"]
+        for r in stratified_sample(docs, {"en": 0.1}, default_rate=0.0).collect()
+    }
+    big = {
+        r["doc_id"]
+        for r in stratified_sample(docs, {"en": 0.5}, default_rate=0.0).collect()
+    }
+    assert small < big
+
+
+def test_sample_respects_strata(docs):
+    out = stratified_sample(docs, {"en": 1.0}, default_rate=0.0).collect()
+    assert out and all(r["lang"] == "en" for r in out)
+    n_en = docs.filter(F.col("lang") == "en").count()
+    assert len(out) == n_en  # rate 1.0 keeps every English doc
+
+
+def test_sample_rate_roughly_honored(docs):
+    n = docs.count()
+    kept = stratified_sample(
+        docs, rates={}, default_rate=0.5, strata_col="lang"
+    ).count()
+    assert 0.35 * n < kept < 0.65 * n
+
+
+def test_sample_salt_changes_draw(docs):
+    rates = {"en": 0.4}
+    a = {r["doc_id"] for r in stratified_sample(docs, rates, salt="a").collect()}
+    b = {r["doc_id"] for r in stratified_sample(docs, rates, salt="b").collect()}
+    assert a != b
+
+
+def test_mixture_shares_and_weights(spark):
+    rows = [(1, "en", 30), (2, "en", 30), (3, "de", 30), (4, "fr", 10)]
+    df = spark.createDataFrame(rows, ["doc_id", "lang", "tok"])
+    out = {r["lang"]: r for r in domain_mixture(df, F.col("tok")).collect()}
+    assert out["en"]["n_docs"] == 2 and out["en"]["n_tokens"] == 60
+    assert abs(sum(r["share"] for r in out.values()) - 1.0) < 1e-12
+    # uniform target is 1/3; en is over-represented (share .6) -> weight < 1
+    assert out["en"]["weight"] == pytest.approx((1 / 3) / 0.6)
+    # fr is rare (share .1) -> upweighted toward 1/3 / .1 = 3.33
+    assert out["fr"]["weight"] == pytest.approx((1 / 3) / 0.1)
+
+
+def test_mixture_weight_cap(spark):
+    rows = [(1, "en", 1000), (2, "xx", 1)]
+    df = spark.createDataFrame(rows, ["doc_id", "lang", "tok"])
+    out = {
+        r["lang"]: r
+        for r in domain_mixture(df, F.col("tok"), max_weight=8.0).collect()
+    }
+    assert out["xx"]["weight"] == 8.0  # uncapped would be ~500
