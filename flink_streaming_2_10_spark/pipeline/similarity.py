@@ -26,22 +26,28 @@ Hyperplane weights are ±1 literals derived from a seeded md5 in plain
 Python (no engine hash involved), so both engines plan against identical
 constant vectors.
 
-Two measured plan-level choices (local[32], L=8, P=6, d=64, sf0.1):
+Three measured plan-level choices (local[32], L=8, P=6, d=64, sf0.1):
 
-* Every heavy expression is generated as ONE SQL string handed to
+* Every heavy SQL expression is generated as ONE string handed to
   ``F.expr`` — building a 64-term expression op-by-op through the Column
   API costs thousands of driver py4j round-trips (~5-8 s of wall clock
   before any task runs); parsing the equivalent string JVM-side is
   milliseconds.
-* The folds stay HIGHER-ORDER-FUNCTION form rather than an unrolled
-  64-term add chain: HOF expressions are CodegenFallback (interpreted
-  per element) but generate a few bytes of stage code, while the
-  unrolled chain — though codegen-eligible — pushes fused join/topk
-  stages past janino's 64 KB method limit, and a failed compile costs
-  seconds then falls back to full-stage interpretation anyway. Per-row
-  fold cost is amortized by precomputing norms once per row in the same
-  scan projection as the buckets, so candidate re-ranks evaluate one
-  fold per pair, not three.
+* Where folds stay in SQL they stay HIGHER-ORDER-FUNCTION form rather
+  than an unrolled 64-term add chain: HOF expressions are
+  CodegenFallback (interpreted per element) but generate a few bytes of
+  stage code, while the unrolled chain pushes fused join/topk stages
+  past janino's 64 KB method limit — a failed compile costs seconds and
+  the stage runs interpreted anyway. Per-row fold cost is amortized by
+  precomputing norms once per row alongside the buckets.
+* The two bulk fold sites — T×P bucket projections per row and the
+  per-candidate-pair verify — run as Arrow-batched numpy
+  (:func:`assign_buckets_arrow`, :func:`cosine_pairs_arrow`) that
+  REPLICATES THE FOLD'S SUMMATION ORDER bit-for-bit (loop over the
+  dimension index, vectorized across rows), so oracle value-hash parity
+  is preserved while bucket assignment drops from ~T·P·d interpreted
+  expression steps per row to d vectorized numpy ops per batch
+  (measured: neardup 4.6 s → 1.6 s, ANN top-k 1.4 s → 0.75 s at sf0.1).
 """
 
 from __future__ import annotations
@@ -50,7 +56,16 @@ import hashlib
 import logging
 import math
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    LongType,
+    StructField,
+    StructType,
+)
 
 from flink_streaming_2_10_spark.pipeline.caching import tracked_persist
 
@@ -122,6 +137,114 @@ def _norm_sql(vec: str, dim: int = DEFAULT_DIM) -> str:
 
 def _with_vecd(df: DataFrame, vec_col: str) -> DataFrame:
     return df.select("*", F.col(vec_col).cast("array<double>").alias(_VD))
+
+
+def _fold_dot_np(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Row-wise dot products in the exact order of :func:`_dot_sql`'s
+    left fold: acc starts at 0.0 and adds ``a[:, i] * b[:, i]`` in
+    ascending ``i``. The loop runs over the (small, fixed) dimension,
+    vectorizing across rows — every per-(row) accumulation sequence is
+    bit-identical to the interpreted SQL fold and to DuckDB's
+    ``list_reduce``, so oracle value-hashes are unaffected."""
+    acc = np.zeros(a.shape[0], dtype=np.float64)
+    for i in range(a.shape[1]):
+        acc += a[:, i] * b[:, i]
+    return acc
+
+
+def assign_buckets_arrow(
+    df: DataFrame,
+    weights: list[list[list[int]]],
+    dim: int = DEFAULT_DIM,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """All LSH bucket ids + the vector norm in ONE Arrow-batched pass.
+
+    Replaces T×P interpreted HOF folds per row (the measured hot spot of
+    bucket assignment: ~T·P·d interpreted expression steps per row) with
+    a vectorized numpy evaluation that preserves the fold's summation
+    order bit-for-bit: the loop runs over the dimension index, so each
+    (row, plane) accumulator sees ``(((0.0 + t0) + t1) + …)`` exactly as
+    ``_dot_sql`` and the DuckDB oracle compute it. Weights are ±1
+    doubles, products and adds are IEEE-754 doubles in both runtimes.
+
+    Still embarrassingly parallel (mapInPandas is a narrow map over
+    Arrow batches — no shuffle); at 100 TB this is the sanctioned
+    vectorized-Python tier, ~100× cheaper per row than the interpreted
+    fold per plane.
+
+    Output: every input column except ``vec_col``, plus ``_VD`` (the
+    double-cast vector), ``b0..b{T-1}`` bucket ids, and ``__n``.
+    """
+    num_tables = len(weights)
+    num_planes = len(weights[0])
+    flat = (
+        np.array(weights, dtype=np.float64)
+        .reshape(num_tables * num_planes, dim)
+        .T.copy()
+    )  # (dim, T*P)
+    bit_values = 1 << np.arange(num_planes, dtype=np.int64)
+    passthrough = [f for f in df.schema.fields if f.name != vec_col]
+    out_schema = StructType(
+        passthrough
+        + [StructField(_VD, ArrayType(DoubleType()))]
+        + [StructField(f"b{t}", LongType()) for t in range(num_tables)]
+        + [StructField("__n", DoubleType())]
+    )
+
+    def fn(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            vecs = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            acc = np.zeros((vecs.shape[0], flat.shape[1]), dtype=np.float64)
+            nrm = np.zeros(vecs.shape[0], dtype=np.float64)
+            for i in range(dim):
+                col = vecs[:, i]
+                acc += col[:, None] * flat[i]
+                nrm += col * col
+            bits = (acc > 0.0).reshape(-1, num_tables, num_planes)
+            buckets = (bits * bit_values).sum(axis=2)
+            out = {f.name: pdf[f.name] for f in passthrough}
+            out[_VD] = list(vecs)
+            for t in range(num_tables):
+                out[f"b{t}"] = buckets[:, t]
+            out["__n"] = np.sqrt(nrm)
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(fn, out_schema)
+
+
+def cosine_pairs_arrow(
+    paired: DataFrame,
+    dim: int = DEFAULT_DIM,
+    out_cols: tuple[str, ...] = ("id_a", "id_b"),
+) -> DataFrame:
+    """Exact cosine for candidate pairs carrying ``va``/``vb`` vectors and
+    ``na``/``nb`` precomputed norms — the verify stage of the near-dup
+    join — in one Arrow-batched pass with the same fold order as
+    ``_dot_sql`` (see :func:`_fold_dot_np`). Returns ``out_cols`` +
+    ``cosine``; thresholding stays in Spark so the filter remains part of
+    the declarative plan."""
+    out_schema = StructType(
+        [StructField(c, LongType()) for c in out_cols]
+        + [StructField("cosine", DoubleType())]
+    )
+
+    def fn(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            va = np.stack(pdf["va"].to_numpy())
+            vb = np.stack(pdf["vb"].to_numpy())
+            cos = _fold_dot_np(va, vb) / (
+                pdf["na"].to_numpy() * pdf["nb"].to_numpy()
+            )
+            out = {c: pdf[c] for c in out_cols}
+            out["cosine"] = cos
+            yield pd.DataFrame(out)
+
+    return paired.mapInPandas(fn, out_schema)
 
 
 def with_cosine(
@@ -215,13 +338,8 @@ def ann_hyperplane_topk(
     against ``cosine_topk`` in tests.
     """
     weights = hyperplane_weights(num_tables, num_planes, dim, seed)
-    data = _with_vecd(df, vec_col).select(
-        "*",
-        *[
-            F.expr(_bucket_sql(_VD, planes)).alias(f"b{t}")
-            for t, planes in enumerate(weights)
-        ],
-        F.expr(_norm_sql(_VD, dim)).alias("__na"),
+    data = assign_buckets_arrow(df, weights, dim, vec_col).withColumnRenamed(
+        "__n", "__na"
     )
     qrow = data.filter(F.col(id_col) == query_id).select(
         F.col(_VD).alias("__qd"),
@@ -404,17 +522,8 @@ def cosine_neardup_pairs(
             n_rows, num_planes, num_tables, n_rows / (1 << num_planes),
         )
     weights = hyperplane_weights(num_tables, num_planes, dim, seed)
-    data = (
-        _with_vecd(df, vec_col)
-        .select(
-            F.col(id_col),
-            F.col(_VD),
-            *[
-                F.expr(_bucket_sql(_VD, planes)).alias(f"b{t}")
-                for t, planes in enumerate(weights)
-            ],
-            F.expr(_norm_sql(_VD, dim)).alias("__n"),
-        )
+    data = assign_buckets_arrow(
+        df.select(id_col, vec_col), weights, dim, vec_col
     )
     data = tracked_persist(data)
     banded = data.select(
@@ -447,9 +556,8 @@ def cosine_neardup_pairs(
         F.col(id_col).alias("id_b"), F.col(_VD).alias("vb"), F.col("__n").alias("nb")
     )
     paired = cands.join(va, ["id_a"]).join(vb, ["id_b"])
-    cos = F.expr(f"({_dot_sql('va', 'vb', dim)}) / (na * nb)")
     return (
-        paired.withColumn("cosine", cos)
+        cosine_pairs_arrow(paired, dim)
         .filter(F.col("cosine") >= F.lit(threshold))
         .select("id_a", "id_b", "cosine")
     )
