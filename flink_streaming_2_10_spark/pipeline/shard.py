@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame, functions as F
 
 from flink_streaming_2_10_spark.pipeline.textstats import (
     BPE_PATTERN,
+    NONSPACE_RUN_PATTERN,
     language_pred_expr,
     quality_exprs,
 )
@@ -47,7 +48,7 @@ def prepare_training_shard(
     manifest a downstream tokenizer shards on.
     """
     text = F.col(text_col)
-    ws_tokens = F.size(F.filter(F.split(text, r"\s+"), lambda t: F.length(t) > 0))
+    ws_tokens = F.regexp_count(text, F.lit(NONSPACE_RUN_PATTERN))
     proj = df.select(
         F.col(id_col),
         language_pred_expr(text).alias("lang_pred"),

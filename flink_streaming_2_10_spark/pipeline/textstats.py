@@ -16,8 +16,6 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-from flink_streaming_2_10_spark.functions.text import NON_WORD_PATTERN
-
 #: Tiny per-language stopword lists (top function words). Order of the
 #: language arbitration is fixed: zh (CJK chars), then en/de/es/fr by
 #: score with that priority on ties.
@@ -40,10 +38,25 @@ CJK_PATTERN_DUCKDB = r"[\x{4e00}-\x{9fff}]"
 FINGERPRINT_MOD = 1 << 53  # fits (mod * 31 + char) in a signed 64-bit long
 
 
-def _words(text: Column) -> Column:
-    return F.filter(
-        F.split(F.lower(text), NON_WORD_PATTERN), lambda w: F.length(w) > 0
-    )
+#: Counting formulations (all compiled-regex ``regexp_count`` — no
+#: array HOFs, which Spark evaluates interpreted per element): a "word"
+#: is a maximal ``\w+`` run of the LOWERCASED text, identical to
+#: splitting on ``\W+`` and dropping empties; a stopword hit is such a
+#: run equal to a list entry, which ``\b(?:w1|w2|…)\b`` matches exactly
+#: (the boundary guards force whole-run matches, so leftmost-first and
+#: leftmost-longest alternation semantics agree — Java and RE2 count the
+#: same). Word-LENGTH mass is just the count of ``\w`` chars.
+WORD_RUN_PATTERN = r"\w+"
+WORD_CHAR_PATTERN = r"\w"
+NONSPACE_RUN_PATTERN = r"\S+"
+
+
+def _stop_pattern(stops: list[str]) -> str:
+    return r"\b(?:" + "|".join(stops) + r")\b"
+
+
+def _stop_hits(lowered: Column, stops: list[str]) -> Column:
+    return F.regexp_count(lowered, F.lit(_stop_pattern(stops)))
 
 
 def token_counts(
@@ -52,7 +65,7 @@ def token_counts(
     """Per-doc token accounting: whitespace tokens, BPE-ish pre-tokens,
     characters. All regexp_count/length expressions — scan-local."""
     text = F.col(text_col)
-    ws = F.size(F.filter(F.split(text, r"\s+"), lambda t: F.length(t) > 0))
+    ws = F.regexp_count(text, F.lit(NONSPACE_RUN_PATTERN))
     return df.select(
         F.col(id_col),
         ws.alias("ws_tokens"),
@@ -65,12 +78,10 @@ def quality_exprs(text: Column) -> dict[str, Column]:
     """The quality feature columns as reusable expressions (single source
     of truth for quality_scores and composed pipelines — the fixed
     evaluation order is what keeps the doubles oracle-matchable)."""
-    words = _words(text)
-    n_words = F.size(words)
+    lowered = F.lower(text)
+    n_words = F.regexp_count(lowered, F.lit(WORD_RUN_PATTERN))
     n_chars = F.length(text)
-    stop_hits = F.size(
-        F.filter(words, lambda w: w.isin(*STOPWORDS["en"]))
-    )
+    stop_hits = _stop_hits(lowered, STOPWORDS["en"])
     punct = F.regexp_count(text, F.lit(PUNCT_PATTERN))
     digits = F.regexp_count(text, F.lit(DIGIT_PATTERN))
     safe_words = F.greatest(n_words, F.lit(1))
@@ -79,7 +90,8 @@ def quality_exprs(text: Column) -> dict[str, Column]:
     punct_ratio = punct.cast("double") / safe_chars.cast("double")
     digit_ratio = digits.cast("double") / safe_chars.cast("double")
     mean_word_len = (
-        F.aggregate(words, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w))
+        F.regexp_count(lowered, F.lit(WORD_CHAR_PATTERN))
+        .cast("long")
         .cast("double")
         / safe_words.cast("double")
     )
@@ -120,14 +132,10 @@ def language_pred_expr(text: Column) -> Column:
     count decides zh; otherwise argmax of per-language stopword hit counts
     (token-level, repeats counted), ties broken in LANG_ORDER; all-zero →
     'unknown'."""
-    words = _words(text)
-
-    def stop_hits(stops: list[str]) -> Column:
-        # NB: bind via closure, not a lambda default arg — PySpark passes
-        # one lambda-variable per declared parameter of the function.
-        return F.size(F.filter(words, lambda w: w.isin(*stops)))
-
-    scores = {lang: stop_hits(stops) for lang, stops in STOPWORDS.items()}
+    lowered = F.lower(text)
+    scores = {
+        lang: _stop_hits(lowered, stops) for lang, stops in STOPWORDS.items()
+    }
     cjk = F.regexp_count(text, F.lit(CJK_PATTERN_SPARK))
     best = F.greatest(*[scores[lang] for lang in LANG_ORDER])
     return F.when(cjk > 0, F.lit("zh")).otherwise(
