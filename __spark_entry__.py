@@ -48,6 +48,7 @@ from flink_streaming_2_10_spark.pipeline.dedup import (
     simhash_fingerprints,
     simhash_neardup_pairs,
 )
+from flink_streaming_2_10_spark.pipeline.components import dedup_canonical
 from flink_streaming_2_10_spark.pipeline.similarity import (
     ann_hyperplane_topk,
     cosine_neardup_pairs,
@@ -259,6 +260,25 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH pairs (same parameters as ``dedup_minhash_lsh``)
+    resolved to per-document survivorship: transitive duplicate clusters
+    via distributed min-label propagation + pointer jumping, canonical =
+    min doc id per cluster. ``(doc_id, canonical_id, cluster_size)`` over
+    the full corpus — keep ``doc_id == canonical_id`` rows to dedup."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_dedup_pairs(
+        docs,
+        num_hashes=32,
+        bands=8,
+        rows=4,
+        shingle_n=3,
+        threshold=0.7,
+        hasher="md5",
+    )
+    return dedup_canonical(docs, pairs)
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash(60-bit, 3-gram features) near-dup pairs, hamming ≤ 3 via
     4-chunk pigeonhole join — md5 hashes for oracle parity."""
@@ -461,6 +481,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_components": q_dedup_components,
         "dedup_simhash": q_dedup_simhash,
         "similarity_cosine_topk": q_similarity_cosine_topk,
         "similarity_ann_topk": q_similarity_ann_topk,
@@ -555,9 +576,12 @@ def _ngram_jaccard_oracle(
               >= CAST({threshold} AS DOUBLE)"""
 
 
-def _minhash_lsh_oracle(
+def _minhash_pairs_ctes(
     num_hashes: int, bands: int, rows: int, shingle_n: int, threshold: float
 ) -> str:
+    """CTE chain ending in ``pairs(doc_a, doc_b, jaccard)`` — the verified
+    MinHash-LSH near-dup pair set, shared by the pairs oracle and the
+    connected-components oracle."""
     p = 2**31 - 1
     mins = ",\n               ".join(
         f"min(({a} * h + {b}) % {p}) AS g{i}"
@@ -569,8 +593,7 @@ def _minhash_lsh_oracle(
         )
         for b in range(bands)
     )
-    return f"""
-        WITH {_shingle_ctes(shingle_n)},
+    return f"""{_shingle_ctes(shingle_n)},
         hh AS (SELECT doc_id, h60, h60 % {p} AS h
                FROM (SELECT doc_id, {duckdb_hash60_sql("shingle")} AS h60
                      FROM sh)),
@@ -587,15 +610,51 @@ def _minhash_lsh_oracle(
                   FROM cands c
                   JOIN hh a ON a.doc_id = c.doc_a
                   JOIN hh b ON b.doc_id = c.doc_b AND b.h60 = a.h60
-                  GROUP BY 1, 2)
-        SELECT i.doc_a, i.doc_b,
+                  GROUP BY 1, 2),
+        pairs AS (SELECT i.doc_a, i.doc_b,
                CAST(i.inter AS DOUBLE) / CAST(sa.sz + sb.sz - i.inter AS DOUBLE)
                  AS jaccard
         FROM inter i
         JOIN sizes sa ON i.doc_a = sa.doc_id
         JOIN sizes sb ON i.doc_b = sb.doc_id
         WHERE CAST(i.inter AS DOUBLE) / CAST(sa.sz + sb.sz - i.inter AS DOUBLE)
-              >= CAST({threshold} AS DOUBLE)"""
+              >= CAST({threshold} AS DOUBLE))"""
+
+
+def _minhash_lsh_oracle(
+    num_hashes: int, bands: int, rows: int, shingle_n: int, threshold: float
+) -> str:
+    chain = _minhash_pairs_ctes(num_hashes, bands, rows, shingle_n, threshold)
+    return f"""
+        WITH {chain}
+        SELECT doc_a, doc_b, jaccard FROM pairs"""
+
+
+def _dedup_components_oracle(
+    num_hashes: int, bands: int, rows: int, shingle_n: int, threshold: float
+) -> str:
+    """Mirror of pipeline.components.dedup_canonical over MinHash-LSH
+    pairs: transitive closure via a recursive CTE (r reaches v; min
+    reachable id = component), then survivorship over the full corpus.
+    Recursion depth = component diameter — trivial at oracle scale; the
+    engine's O(log n) pointer-jumping loop reaches the same fixed point."""
+    chain = _minhash_pairs_ctes(num_hashes, bands, rows, shingle_n, threshold)
+    return f"""
+        WITH RECURSIVE {chain},
+        edges AS (SELECT doc_a AS ea, doc_b AS eb FROM pairs
+                  UNION SELECT doc_b, doc_a FROM pairs),
+        reach(v, r) AS (
+            SELECT ea, ea FROM edges
+            UNION
+            SELECT e.eb, c.r FROM reach c JOIN edges e ON e.ea = c.v),
+        comp AS (SELECT v AS node, min(r) AS component FROM reach GROUP BY v),
+        canon AS (SELECT d.doc_id,
+                         coalesce(c.component, d.doc_id) AS canonical_id
+                  FROM documents d LEFT JOIN comp c ON d.doc_id = c.node),
+        sz AS (SELECT canonical_id, count(*) AS cluster_size
+               FROM canon GROUP BY 1)
+        SELECT canon.doc_id, canon.canonical_id, sz.cluster_size
+        FROM canon JOIN sz USING (canonical_id)"""
 
 
 def _simhash_oracle(
@@ -1096,6 +1155,9 @@ def oracle_sql() -> dict[str, str]:
             n=3, threshold=0.5, max_df_frac=DEFAULT_MAX_DF_FRAC
         ),
         "dedup_minhash_lsh": _minhash_lsh_oracle(
+            num_hashes=32, bands=8, rows=4, shingle_n=3, threshold=0.7
+        ),
+        "dedup_components": _dedup_components_oracle(
             num_hashes=32, bands=8, rows=4, shingle_n=3, threshold=0.7
         ),
         "dedup_simhash": _simhash_oracle(

@@ -1,0 +1,153 @@
+"""Duplicate-cluster resolution: candidate pairs → connected components →
+one canonical document per cluster.
+
+Every pair-producing dedup operator in :mod:`pipeline.dedup` (n-gram
+Jaccard, MinHash+LSH, SimHash) and :mod:`pipeline.similarity`
+(``cosine_neardup_pairs``) emits *edges*; an actual dedup pass must delete
+all-but-one document per *transitive* duplicate cluster (A~B and B~C must
+collapse A,B,C even when A~C was never emitted). That closure is connected
+components over the pair graph.
+
+Algorithm: distributed min-label propagation with pointer jumping.
+
+* State is one ``(node, label)`` row per distinct node in the edge list;
+  labels start as the node's own id and only ever decrease, so the fixed
+  point assigns every node the MINIMUM id in its component.
+* Each round does (1) a neighbor step — every node takes the min of its
+  own and its neighbors' labels (one shuffle join edge⋈label + one hash
+  agg) — and (2) a pointer-jumping step — ``label ← min(label,
+  label(label))`` (one self-join on the label table). Neighbor steps alone
+  converge in O(diameter) rounds; the jump step contracts label chains
+  geometrically, giving O(log n) rounds even on pathological path-shaped
+  graphs (the same contraction idea as the large-star/small-star
+  MapReduce algorithm of Kiveris et al., "Connected Components in
+  MapReduce and Beyond", SoCC'14).
+* Per round the driver runs one ``localCheckpoint(eager=True)`` (truncate
+  the growing lineage — an iterative plan otherwise re-executes every
+  prior round) and one convergence count. Both label and edge tables
+  carry only 8-byte ids: at 100 TB of documents the edge list is the
+  near-dup pair set (≪ corpus) and the label table is 16 bytes × nodes —
+  the document bodies never enter the loop. On a real cluster prefer
+  ``spark.sparkContext.setCheckpointDir`` + ``checkpoint()`` over
+  ``localCheckpoint`` for fault tolerance; semantics are identical.
+
+Duplicate-cluster graphs in practice are near-cliques (every member pairs
+with most others), so typical convergence is 2–3 rounds; the jump step is
+insurance against adversarial chains (A~B~C~… transitive near-dup drift).
+
+No reference counterpart (the reference has no dedup surface); this is a
+north-star extension per SURVEY.md §7.2 item 9.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_rounds: int = 25,
+) -> DataFrame:
+    """``(node, component)`` for every node appearing in ``pairs``;
+    ``component`` is the minimum node id reachable through the pair graph.
+
+    ``max_rounds`` bounds the driver loop; with pointer jumping the round
+    count is O(log n), so 25 covers any realistic graph (2^25 nodes on a
+    pure path). Raises ``RuntimeError`` if the labels have not stabilized
+    within the bound rather than returning a partial closure.
+    """
+    e = pairs.select(
+        F.col(a_col).cast("long").alias("src"),
+        F.col(b_col).cast("long").alias("dst"),
+    )
+    # Symmetrize once; distinct() collapses multi-edges from overlapping
+    # dedup detectors so every round's join fans out at most degree-fold.
+    edges = (
+        e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.select("src")
+        .distinct()
+        .select(F.col("src").alias("v"), F.col("src").alias("label"))
+        .localCheckpoint(eager=True)
+    )
+
+    for _ in range(max_rounds):
+        # Neighbor step: propagate label(dst) to src over every edge, then
+        # fold with the node's current label. union+groupBy(min) is one
+        # hash exchange with map-side partials — no window, no sort.
+        nbr = edges.join(labels, edges["dst"] == labels["v"]).select(
+            F.col("src").alias("v"), "label"
+        )
+        merged = (
+            labels.unionByName(nbr).groupBy("v").agg(F.min("label").alias("label"))
+        )
+        # Pointer jump: label ← min(label, label(label)). Left join — the
+        # component-min node's label is itself, and any node's label is a
+        # node id that exists in the table, but the join stays `left` so a
+        # missing row degrades to a no-op rather than dropping the node.
+        hop = merged.select(
+            F.col("v").alias("jv"), F.col("label").alias("jlabel")
+        )
+        jumped = (
+            merged.join(hop, merged["label"] == hop["jv"], "left")
+            .select(
+                "v",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("jlabel"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            jumped.alias("n")
+            .join(labels.alias("o"), "v")
+            .where(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = jumped
+        if changed == 0:
+            return labels.select(
+                F.col("v").alias("node"), F.col("label").alias("component")
+            )
+    raise RuntimeError(
+        f"connected_components: labels still moving after {max_rounds} rounds"
+    )
+
+
+def dedup_canonical(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+) -> DataFrame:
+    """Resolve near-dup ``pairs`` to per-document survivorship over the
+    full corpus ``df``: ``(doc_id, canonical_id, cluster_size)``.
+
+    ``canonical_id`` is the minimum doc id of the document's duplicate
+    cluster (its own id when unpaired); keep rows where ``doc_id ==
+    canonical_id`` to materialize the deduplicated corpus. The component
+    table covers only paired docs (≪ corpus at scale), so the left join
+    back to ``df`` broadcasts under AQE whenever the dup set is small;
+    cluster sizes come from one hash agg on the 8-byte canonical id.
+    """
+    comp = connected_components(pairs, a_col=a_col, b_col=b_col)
+    canon = (
+        df.select(F.col(id_col))
+        .join(comp, F.col(id_col) == comp["node"], "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("component"), F.col(id_col)).alias("canonical_id"),
+        )
+    )
+    sizes = canon.groupBy("canonical_id").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return canon.join(sizes, "canonical_id").select(
+        id_col, "canonical_id", "cluster_size"
+    )

@@ -1,0 +1,94 @@
+"""Connected components + canonical-doc resolution over dedup pairs.
+
+Strategy: hand-built graphs with known component structure (transitivity,
+isolated nodes, chains that exercise pointer jumping), plus a DuckDB
+recursive-CTE cross-check of the full MinHash→components query at
+sf0.001 — the same oracle the driver replays at sf0.01.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from flink_streaming_2_10_spark.pipeline.components import (
+    connected_components,
+    dedup_canonical,
+)
+
+
+def _labels(spark, edges, **kw):
+    df = spark.createDataFrame(edges, ["doc_a", "doc_b"])
+    out = connected_components(df, **kw)
+    return {r["node"]: r["component"] for r in out.collect()}
+
+
+def test_transitive_closure(spark):
+    # A~B, B~C must put C in A's component even though A~C was never a pair.
+    got = _labels(spark, [(1, 2), (2, 3), (10, 11)])
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_component_is_min_id_regardless_of_edge_order(spark):
+    got = _labels(spark, [(9, 5), (5, 7), (7, 2), (8, 9)])
+    assert set(got.values()) == {2}
+    assert set(got) == {2, 5, 7, 8, 9}
+
+
+def test_path_graph_converges_via_pointer_jumping(spark):
+    # A 24-node path has diameter 23; pure neighbor propagation would need
+    # 23 rounds. With the jump step it must finish well inside 10.
+    edges = [(i, i + 1) for i in range(24)]
+    got = _labels(spark, edges, max_rounds=10)
+    assert set(got.values()) == {0}
+    assert len(got) == 25
+
+
+def test_duplicate_and_reversed_edges_collapse(spark):
+    got = _labels(spark, [(1, 2), (2, 1), (1, 2), (3, 2)])
+    assert got == {1: 1, 2: 1, 3: 1}
+
+
+def test_max_rounds_guard_raises(spark):
+    df = spark.createDataFrame([(i, i + 1) for i in range(24)], ["doc_a", "doc_b"])
+    with pytest.raises(RuntimeError, match="still moving"):
+        connected_components(df, max_rounds=1)
+
+
+def test_dedup_canonical_survivorship(spark):
+    docs = spark.createDataFrame([(i,) for i in range(1, 8)], ["doc_id"])
+    pairs = spark.createDataFrame([(2, 5), (5, 6), (3, 7)], ["doc_a", "doc_b"])
+    rows = {
+        r["doc_id"]: (r["canonical_id"], r["cluster_size"])
+        for r in dedup_canonical(docs, pairs).collect()
+    }
+    # cluster {2,5,6} -> canonical 2; {3,7} -> 3; 1 and 4 untouched.
+    assert rows == {
+        1: (1, 1),
+        2: (2, 3),
+        5: (2, 3),
+        6: (2, 3),
+        3: (3, 2),
+        7: (3, 2),
+        4: (4, 1),
+    }
+    survivors = [d for d, (c, _) in rows.items() if d == c]
+    assert sorted(survivors) == [1, 2, 3, 4]
+
+
+def test_dedup_components_query_matches_oracle(spark, duck):
+    import __spark_entry__ as entrymod
+    from tests.conftest import SF_SMALL, assert_df_matches_oracle
+
+    got = entrymod.queries()["dedup_components"](spark, SF_SMALL)
+    assert_df_matches_oracle(
+        got, duck, entrymod.oracle_sql()["dedup_components"]
+    )
+    # Survivor semantics: summing cluster sizes over canonical rows
+    # re-counts the whole corpus exactly once.
+    total = (
+        got.where(F.col("doc_id") == F.col("canonical_id"))
+        .agg(F.sum("cluster_size").alias("s"))
+        .collect()[0]["s"]
+    )
+    assert total == got.count()
