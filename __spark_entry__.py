@@ -49,6 +49,7 @@ from flink_streaming_2_10_spark.pipeline.dedup import (
     simhash_neardup_pairs,
 )
 from flink_streaming_2_10_spark.pipeline.components import dedup_canonical
+from flink_streaming_2_10_spark.pipeline.decontamination import decontaminate
 from flink_streaming_2_10_spark.pipeline.similarity import (
     ann_hyperplane_topk,
     cosine_neardup_pairs,
@@ -279,6 +280,16 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_canonical(docs, pairs)
 
 
+def q_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination audit (GPT-3-style n-gram overlap): every
+    20th document plays the held-out eval set; each corpus document is
+    flagged when ≥1 of its distinct word 5-grams occurs in that set. The
+    eval gram table broadcasts — corpus text never shuffles."""
+    docs = load_table(spark, sf_dir, "documents")
+    benchmark = docs.filter(F.col("doc_id") % 20 == 0)
+    return decontaminate(docs, benchmark, n=5, min_hits=1, hasher="md5")
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash(60-bit, 3-gram features) near-dup pairs, hamming ≤ 3 via
     4-chunk pigeonhole join — md5 hashes for oracle parity."""
@@ -483,6 +494,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_components": q_dedup_components,
         "dedup_simhash": q_dedup_simhash,
+        "decontamination": q_decontamination,
         "similarity_cosine_topk": q_similarity_cosine_topk,
         "similarity_ann_topk": q_similarity_ann_topk,
         "similarity_ivf_topk": q_similarity_ivf_topk,
@@ -655,6 +667,28 @@ def _dedup_components_oracle(
                FROM canon GROUP BY 1)
         SELECT canon.doc_id, canon.canonical_id, sz.cluster_size
         FROM canon JOIN sz USING (canonical_id)"""
+
+
+def _decontamination_oracle(n: int, min_hits: int, modulo: int) -> str:
+    """Mirror of pipeline.decontamination.decontaminate with every
+    ``modulo``-th document as the benchmark: gram hashes are the shared
+    md5-60bit function, so the contaminated-gram counts match exactly."""
+    return f"""
+        WITH {_shingle_ctes(n)},
+        dg AS (SELECT doc_id, {duckdb_hash60_sql("shingle")} AS h FROM sh),
+        bh AS (SELECT DISTINCT h FROM dg WHERE doc_id % {modulo} = 0),
+        totals AS (SELECT doc_id, count(*) AS total_ngrams
+                   FROM dg GROUP BY doc_id),
+        hits AS (SELECT dg.doc_id, count(*) AS contaminated_ngrams
+                 FROM dg JOIN bh ON dg.h = bh.h GROUP BY dg.doc_id)
+        SELECT d.doc_id,
+               coalesce(t.total_ngrams, 0) AS total_ngrams,
+               coalesce(hh.contaminated_ngrams, 0) AS contaminated_ngrams,
+               coalesce(hh.contaminated_ngrams, 0) >= {min_hits}
+                 AS is_contaminated
+        FROM documents d
+        LEFT JOIN totals t ON d.doc_id = t.doc_id
+        LEFT JOIN hits hh ON d.doc_id = hh.doc_id"""
 
 
 def _simhash_oracle(
@@ -1163,6 +1197,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash": _simhash_oracle(
             bits=60, max_hamming=3, chunks=4, shingle_n=3
         ),
+        "decontamination": _decontamination_oracle(n=5, min_hits=1, modulo=20),
         "similarity_cosine_topk": _cosine_topk_oracle(query_id=0, k=100),
         "similarity_ann_topk": _ann_topk_oracle(
             query_id=0, k=50, num_tables=8, num_planes=6
