@@ -89,6 +89,7 @@ from flink_streaming_2_10_spark.pipeline.textstats import (
     doc_fingerprints,
     language_id,
     quality_scores,
+    repetition_stats,
     token_counts,
 )
 from flink_streaming_2_10_spark.sources.generators import (
@@ -380,6 +381,13 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return doc_fingerprints(load_table(spark, sf_dir, "documents"))
 
 
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition metrics: duplicate-word / duplicate-trigram
+    fractions (narrow array math) + most-frequent-bigram character share
+    (explode + doc-keyed hash aggs)."""
+    return repetition_stats(load_table(spark, sf_dir, "documents"))
+
+
 # ---------------------------------------------------------------------------
 # Training-data pipeline: multimodal columns (north-star extensions)
 # ---------------------------------------------------------------------------
@@ -503,6 +511,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "text_language_id": q_text_language_id,
         "text_fingerprint": q_text_fingerprint,
+        "text_repetition": q_text_repetition,
         "training_shard": q_training_shard,
         "stratified_sample": q_stratified_sample,
         "domain_mixture": q_domain_mixture,
@@ -667,6 +676,58 @@ def _dedup_components_oracle(
                FROM canon GROUP BY 1)
         SELECT canon.doc_id, canon.canonical_id, sz.cluster_size
         FROM canon JOIN sz USING (canonical_id)"""
+
+
+def _text_repetition_oracle() -> str:
+    """Mirror of pipeline.textstats.repetition_stats: duplicate-word /
+    duplicate-trigram fractions and the top-bigram character share, with
+    the identical (cnt DESC, gram DESC) tie-break and exact-long
+    divisions."""
+    return """
+        WITH w AS (SELECT doc_id, len(text) AS text_len,
+                          list_filter(regexp_split_to_array(lower(text),
+                                                            '\\W+'),
+                                      x -> length(x) > 0) AS words
+                   FROM documents),
+        narrow AS (SELECT doc_id, text_len,
+                          len(words) AS n_words,
+                          len(list_distinct(words)) AS n_distinct_words,
+                          CASE WHEN len(words) >= 3 THEN len(words) - 2
+                               ELSE 0 END AS n_trigrams,
+                          len(list_distinct(
+                              CASE WHEN len(words) >= 3
+                                   THEN list_transform(
+                                        range(1, len(words) - 1),
+                                        i -> words[i] || ' ' || words[i+1]
+                                             || ' ' || words[i+2])
+                                   ELSE []::VARCHAR[] END)) AS n_distinct_trigrams
+                   FROM w),
+        bg AS (SELECT doc_id,
+                      unnest(CASE WHEN len(words) >= 2
+                                  THEN list_transform(
+                                       range(1, len(words)),
+                                       i -> words[i] || ' ' || words[i+1])
+                                  ELSE []::VARCHAR[] END) AS gram
+               FROM w),
+        bc AS (SELECT doc_id, gram, count(*) AS cnt FROM bg GROUP BY 1, 2),
+        top AS (SELECT doc_id, cnt, gram FROM bc
+                QUALIFY row_number() OVER (PARTITION BY doc_id
+                                           ORDER BY cnt DESC, gram DESC) = 1)
+        SELECT n.doc_id,
+               n.n_words,
+               CASE WHEN n.n_words > 0
+                    THEN CAST(n.n_words - n.n_distinct_words AS DOUBLE)
+                         / CAST(n.n_words AS DOUBLE)
+                    ELSE 0.0 END AS dup_word_frac,
+               CASE WHEN n.n_trigrams > 0
+                    THEN CAST(n.n_trigrams - n.n_distinct_trigrams AS DOUBLE)
+                         / CAST(n.n_trigrams AS DOUBLE)
+                    ELSE 0.0 END AS dup_trigram_frac,
+               t.gram AS top_bigram,
+               CASE WHEN t.cnt IS NULL OR n.text_len = 0 THEN 0.0
+                    ELSE CAST(t.cnt * len(t.gram) AS DOUBLE)
+                         / CAST(n.text_len AS DOUBLE) END AS top_bigram_frac
+        FROM narrow n LEFT JOIN top t ON n.doc_id = t.doc_id"""
 
 
 def _decontamination_oracle(n: int, min_hits: int, modulo: int) -> str:
@@ -1240,6 +1301,7 @@ def oracle_sql() -> dict[str, str]:
                    END AS fingerprint
             FROM documents
         """,
+        "text_repetition": _text_repetition_oracle(),
         # multimodal: payload bytes == utf-8(text) (ASCII corpus), so byte
         # stats are codepoint stats and the mapInPandas path is checkable.
         "multimodal_features": """

@@ -177,3 +177,86 @@ def doc_fingerprints(
     )
     fp = F.when(F.length(text) == 0, F.lit(0).cast("long")).otherwise(fold)
     return df.select(F.col(id_col), fp.alias("fingerprint"))
+
+
+def repetition_stats(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher-style repetition filters (Rae et al. 2021, table A1):
+    per-document duplicate-word fraction, duplicate-trigram fraction, and
+    the character share of the most frequent word bigram.
+
+    ``(doc_id, n_words, dup_word_frac, dup_trigram_frac, top_bigram,
+    top_bigram_frac)``. High values mark boilerplate/keyword-stuffed
+    documents a quality gate should drop.
+
+    Scale shape: the duplicate fractions are NARROW per-row array
+    expressions (token array projected once; total n-gram counts are
+    arithmetic on ``n_words``, only the distinct counts touch an array).
+    The bigram mode needs per-(doc, gram) counts — one explode + two hash
+    aggregations keyed by doc_id with map-side partials, then a join back
+    that co-partitions with the agg. Fractions divide exact longs, so the
+    doubles are bit-identical in DuckDB. Tie-break for the top bigram is
+    total-ordered (max count, then max gram lexicographically — Spark
+    struct max == DuckDB ORDER BY cnt DESC, gram DESC), so the output is
+    deterministic under any row order.
+    """
+    from flink_streaming_2_10_spark.pipeline.dedup import _words_sql
+
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.length(F.col(text_col)).alias("text_len"),
+        F.expr(_words_sql(text_col)).alias("__ws"),
+    )
+    tri = (
+        "CASE WHEN size(__ws) >= 3 THEN transform(sequence(0, size(__ws) - 3), "
+        "i -> concat_ws(' ', __ws[i], __ws[i+1], __ws[i+2])) "
+        "ELSE cast(array() as array<string>) END"
+    )
+    narrow = base.select(
+        "doc_id",
+        "text_len",
+        F.size("__ws").cast("long").alias("n_words"),
+        F.size(F.array_distinct("__ws")).cast("long").alias("n_distinct_words"),
+        F.greatest(F.size("__ws") - 2, F.lit(0)).cast("long").alias("n_trigrams"),
+        F.expr(f"size(array_distinct({tri}))")
+        .cast("long")
+        .alias("n_distinct_trigrams"),
+    )
+    big = (
+        "CASE WHEN size(__ws) >= 2 THEN transform(sequence(0, size(__ws) - 2), "
+        "i -> concat_ws(' ', __ws[i], __ws[i+1])) "
+        "ELSE cast(array() as array<string>) END"
+    )
+    top = (
+        base.select("doc_id", F.explode(F.expr(big)).alias("gram"))
+        .groupBy("doc_id", "gram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy("doc_id")
+        .agg(F.max(F.struct(F.col("cnt"), F.col("gram"))).alias("top"))
+    )
+
+    def _frac(num: Column, den: Column) -> Column:
+        return (
+            F.when(den > 0, num.cast("double") / den.cast("double"))
+            .otherwise(F.lit(0.0))
+        )
+
+    return narrow.join(top, "doc_id", "left").select(
+        "doc_id",
+        "n_words",
+        _frac(
+            F.col("n_words") - F.col("n_distinct_words"), F.col("n_words")
+        ).alias("dup_word_frac"),
+        _frac(
+            F.col("n_trigrams") - F.col("n_distinct_trigrams"),
+            F.col("n_trigrams"),
+        ).alias("dup_trigram_frac"),
+        F.col("top.gram").alias("top_bigram"),
+        F.when(F.col("top").isNull() | (F.col("text_len") == 0), F.lit(0.0))
+        .otherwise(
+            (F.col("top.cnt") * F.length(F.col("top.gram"))).cast("double")
+            / F.col("text_len").cast("double")
+        )
+        .alias("top_bigram_frac"),
+    )

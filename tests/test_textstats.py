@@ -96,3 +96,41 @@ def test_language_id_runs_on_testdata(spark):
     assert out.count() == docs.count()
     langs = {r["lang_pred"] for r in out.collect()}
     assert langs <= {"en", "de", "es", "fr", "zh", "unknown"}
+
+
+def test_repetition_stats_hand_computed(spark):
+    from flink_streaming_2_10_spark.pipeline.textstats import repetition_stats
+
+    rows = [
+        (1, "a b a b a b"),          # heavy repetition
+        (2, "one two three four"),   # all distinct
+        (3, "solo"),                 # < 2 words: no bigram
+        (4, ""),                     # empty
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r.asDict() for r in repetition_stats(df).collect()}
+
+    r1 = out[1]
+    assert r1["n_words"] == 6
+    assert r1["dup_word_frac"] == (6 - 2) / 6
+    # trigrams: [a b a, b a b, a b a, b a b] -> 4 total, 2 distinct
+    assert r1["dup_trigram_frac"] == (4 - 2) / 4
+    # bigram counts: "a b" x3, "b a" x2 -> top is "a b"
+    assert r1["top_bigram"] == "a b"
+    assert r1["top_bigram_frac"] == 3 * 3 / len("a b a b a b")
+
+    r2 = out[2]
+    assert r2["dup_word_frac"] == 0.0 and r2["dup_trigram_frac"] == 0.0
+    # all bigrams tie at cnt=1 -> lexicographically largest wins
+    assert r2["top_bigram"] == "two three"
+
+    assert out[3]["top_bigram"] is None and out[3]["top_bigram_frac"] == 0.0
+    assert out[4]["n_words"] == 0 and out[4]["dup_word_frac"] == 0.0
+
+
+def test_repetition_query_matches_oracle(spark, duck):
+    import __spark_entry__ as entrymod
+    from tests.conftest import SF_SMALL, assert_df_matches_oracle
+
+    got = entrymod.queries()["text_repetition"](spark, SF_SMALL)
+    assert_df_matches_oracle(got, duck, entrymod.oracle_sql()["text_repetition"])
