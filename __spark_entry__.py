@@ -28,6 +28,7 @@ from flink_streaming_2_10_spark.operators.relational import (
     revenue_by_region,
     shipping_priority,
 )
+from flink_streaming_2_10_spark.operators.temporal import asof_join, interval_join
 from flink_streaming_2_10_spark.operators.topspeed import top_speed_windowing
 from flink_streaming_2_10_spark.operators.twitter import fork_find_word_pipeline
 from flink_streaming_2_10_spark.operators.windows import (
@@ -388,6 +389,66 @@ def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repetition_stats(load_table(spark, sf_dir, "documents"))
 
 
+def _events_us(spark: SparkSession, sf_dir: str, event_type: str) -> DataFrame:
+    """(event_id, user_id, t) for one event type, time as epoch-µs long —
+    integer time keeps every comparison and division exact in both
+    engines (see operators/temporal.py module docstring)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.filter(F.col("event_type") == event_type).select(
+        "event_id", "user_id", F.unix_micros("ts").alias("t")
+    )
+
+
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attribution as-of join: each click matched to the user's latest
+    view at-or-before it, within a 1-hour tolerance (merge-asof via
+    union + per-key sort + running last — operators/temporal.py)."""
+    clicks = _events_us(spark, sf_dir, "click")
+    views = _events_us(spark, sf_dir, "view")
+    out = asof_join(
+        clicks,
+        views,
+        on=["user_id"],
+        left_time="t",
+        right_time="t",
+        tolerance=3_600_000_000,
+        tie_cols=["event_id"],
+        right_prefix="view_",
+    )
+    ms = lambda c: F.expr(f"{c} div 1000")  # noqa: E731
+    return out.select(
+        F.col("event_id").alias("click_event_id"),
+        "user_id",
+        ms("t").alias("click_ms"),
+        "view_event_id",
+        ms("view_t").alias("view_ms"),
+        (ms("t") - ms("view_t")).alias("gap_ms"),
+    )
+
+
+def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join: every error within 1 hour AFTER a click by the
+    same user (bucketed range join, each right row shuffled once)."""
+    clicks = _events_us(spark, sf_dir, "click")
+    errors = _events_us(spark, sf_dir, "error")
+    out = interval_join(
+        clicks,
+        errors,
+        on=["user_id"],
+        left_time="t",
+        right_time="t",
+        lower=0,
+        upper=3_600_000_000,
+        right_prefix="err_",
+    )
+    return out.select(
+        F.col("event_id").alias("click_event_id"),
+        "user_id",
+        F.col("err_event_id").alias("error_event_id"),
+        F.expr("(err_t - t) div 1000").alias("delta_ms"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Training-data pipeline: multimodal columns (north-star extensions)
 # ---------------------------------------------------------------------------
@@ -495,6 +556,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_window_agg": q_session_window_agg,
         "window_join_grades_salaries": q_window_join,
         "maxby_argmax": q_maxby_argmax,
+        "asof_join_attribution": q_asof_join,
+        "interval_join_errors": q_interval_join,
         "async_ordered_identity": q_async_ordered_identity,
         "topspeed_delta_trigger": q_topspeed,
         "dedup_exact": q_dedup_exact,
@@ -1235,6 +1298,45 @@ def oracle_sql() -> dict[str, str]:
         """,
         "async_ordered_identity": """
             SELECT event_id, user_id, value FROM events
+        """,
+        # as-of: deterministic top-1 via LATERAL with the same
+        # (time DESC, event_id DESC) tie order as the engine's running
+        # last() over (t ASC, tie ASC). Integer µs → ms divisions are
+        # floor==truncate on positive epochs, so they agree with `div`.
+        "asof_join_attribution": """
+            WITH e AS (SELECT event_id, user_id, event_type,
+                              epoch_us(CAST(ts AS TIMESTAMP)) AS t
+                       FROM events),
+            c AS (SELECT event_id, user_id, t FROM e
+                  WHERE event_type = 'click'),
+            v AS (SELECT event_id, user_id, t FROM e
+                  WHERE event_type = 'view')
+            SELECT c.event_id AS click_event_id,
+                   c.user_id,
+                   c.t // 1000 AS click_ms,
+                   m.event_id AS view_event_id,
+                   m.t // 1000 AS view_ms,
+                   (c.t // 1000) - (m.t // 1000) AS gap_ms
+            FROM c LEFT JOIN LATERAL (
+                SELECT v.event_id, v.t FROM v
+                WHERE v.user_id = c.user_id
+                  AND v.t <= c.t AND v.t >= c.t - 3600000000
+                ORDER BY v.t DESC, v.event_id DESC LIMIT 1) m ON true
+        """,
+        "interval_join_errors": """
+            WITH e AS (SELECT event_id, user_id, event_type,
+                              epoch_us(CAST(ts AS TIMESTAMP)) AS t
+                       FROM events),
+            c AS (SELECT event_id, user_id, t FROM e
+                  WHERE event_type = 'click'),
+            er AS (SELECT event_id, user_id, t FROM e
+                   WHERE event_type = 'error')
+            SELECT c.event_id AS click_event_id,
+                   c.user_id,
+                   er.event_id AS error_event_id,
+                   (er.t - c.t) // 1000 AS delta_ms
+            FROM c JOIN er ON c.user_id = er.user_id
+                          AND er.t >= c.t AND er.t <= c.t + 3600000000
         """,
         "topspeed_delta_trigger": _topspeed_oracle(
             num_cars=4, trigger_meters=50.0, eviction_sec=10

@@ -1,0 +1,160 @@
+"""Temporal joins the DataFrame API lacks as primitives: as-of join and
+interval (range) join.
+
+The reference's stream–stream joins are window-bucketed equi joins
+(JoinExample.scala — see operators/join.py); real event pipelines also
+need the two temporal shapes Flink exposes as ``intervalJoin`` and the
+table API's temporal/as-of join, and which training-data pipelines use
+for attribution and session stitching. Both are implemented as
+compositions of shuffles Catalyst already plans well — no Python, no
+driver loops.
+
+* **As-of join** — for each left row, the single latest right row with
+  ``right_time <= left_time`` (optionally within a tolerance window) per
+  key. Implementation: tag and union both sides, hash-partition by key,
+  ONE per-partition sort by (time, side, tie), and a running
+  ``last(right_payload, ignorenulls=True)`` window — the distributed
+  merge-asof. Cost: one exchange per input + one sort; no join explosion,
+  no per-row probes. Skewed keys concentrate in single partitions (the
+  price of per-key ordering) — AQE skew handling does not split windows,
+  so pre-filter degenerate hot keys or bucket time coarsely first.
+
+* **Interval join** — all pairs with ``right_time ∈ [left_time + lower,
+  left_time + upper]`` per key. Implementation: quantize time into
+  buckets of width ``upper − lower``; each left row lands in the (at
+  most two) buckets its window overlaps, each right row in exactly one,
+  so an equi join on (key, bucket) + an exact range filter finds every
+  pair while shuffling each right row once and each left row at most
+  twice — the standard symmetric-interval-join bucketing, and the same
+  idea as the reference's window-bucketed join generalized to arbitrary
+  offsets.
+
+Time columns are NUMERIC (e.g. ``unix_micros`` longs): integer
+comparisons are exact and oracle-reproducible, while timestamp-typed
+arithmetic differs subtly across engines. Callers project timestamps to
+µs first (see __spark_entry__.q_asof_join_attribution).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+from pyspark.sql.types import StructType
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_time: str,
+    right_time: str,
+    tolerance: int | None = None,
+    tie_cols: list[str] | None = None,
+    right_prefix: str = "r_",
+) -> DataFrame:
+    """Distributed merge-asof: latest right row at-or-before each left row.
+
+    Returns every ``left`` row with all ``right`` columns appended as
+    ``{right_prefix}{col}`` — NULL when no right row qualifies.
+    ``tolerance`` (same units as the time columns) drops matches older
+    than ``left_time - tolerance``. When several right rows share a
+    (key, time), ``tie_cols`` break the tie deterministically (the
+    greatest wins — mirror any oracle with ORDER BY time DESC, ties
+    DESC).
+    """
+    if tie_cols is None:
+        tie_cols = []
+    r_struct = F.struct(*[F.col(c) for c in right.columns]).alias("__r")
+    r_type = StructType(right.schema.fields)
+    l_struct = F.struct(*[F.col(c) for c in left.columns]).alias("__l")
+    l_type = StructType(left.schema.fields)
+
+    tagged_r = right.select(
+        *[F.col(c) for c in on],
+        F.col(right_time).cast("long").alias("__t"),
+        F.lit(0).alias("__side"),
+        *[F.col(c).cast("long").alias(f"__tie{i}") for i, c in enumerate(tie_cols)],
+        F.lit(None).cast(l_type).alias("__l"),
+        r_struct,
+    )
+    tagged_l = left.select(
+        *[F.col(c) for c in on],
+        F.col(left_time).cast("long").alias("__t"),
+        F.lit(1).alias("__side"),
+        # Left rows sort AFTER any right row at the same (t, side) — the
+        # tie columns only order right rows among themselves, so a left
+        # row pins them to +inf.
+        *[F.lit(None).cast("long").alias(f"__tie{i}") for i in range(len(tie_cols))],
+        l_struct,
+        F.lit(None).cast(r_type).alias("__r"),
+    )
+    # Right rows order before left rows at equal time (asof is inclusive);
+    # nulls_last puts left rows after all right tie values.
+    order: list[Column] = [F.col("__t").asc(), F.col("__side").asc()]
+    order += [F.col(f"__tie{i}").asc_nulls_last() for i in range(len(tie_cols))]
+    w = (
+        Window.partitionBy(*[F.col(c) for c in on])
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    merged = tagged_r.unionByName(tagged_l).withColumn(
+        "__match", F.last("__r", ignorenulls=True).over(w)
+    )
+    matched = merged.filter(F.col("__side") == 1)
+    match = F.col("__match")
+    if tolerance is not None:
+        in_window = match[right_time].cast("long") >= F.col("__t") - F.lit(tolerance)
+        match = F.when(in_window, match)
+    return matched.select(
+        *[F.col(f"__l.{c}").alias(c) for c in left.columns],
+        *[match[c].alias(f"{right_prefix}{c}") for c in right.columns],
+    )
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_time: str,
+    right_time: str,
+    lower: int,
+    upper: int,
+    right_prefix: str = "r_",
+) -> DataFrame:
+    """All (left, right) pairs with ``right_time`` in ``[left_time +
+    lower, left_time + upper]`` per key (bounds inclusive, same units as
+    the numeric time columns; ``lower <= upper``).
+
+    Bucket width = window length: each right row is shuffled once, each
+    left row at most twice, and the equi join on (key, bucket) bounds
+    candidate pairs to adjacent buckets — output size is the only
+    quadratic term, and only when the data genuinely has that many pairs.
+    """
+    if lower > upper:
+        raise ValueError(f"interval_join: lower {lower} > upper {upper}")
+    width = max(upper - lower, 1)
+    lt = F.col(left_time).cast("long")
+    rt = F.col(right_time).cast("long")
+
+    # floor-div buckets (F.floor handles negative times correctly;
+    # integer `div` truncates toward zero which would misbucket them).
+    lo_bucket = F.floor((lt + F.lit(lower)) / F.lit(width)).cast("long")
+    hi_bucket = F.floor((lt + F.lit(upper)) / F.lit(width)).cast("long")
+    l_exp = left.withColumn(
+        "__bucket",
+        F.explode(F.array_distinct(F.array(lo_bucket, hi_bucket))),
+    ).withColumn("__lt", lt)
+    r_exp = right.select(
+        F.floor(rt / F.lit(width)).cast("long").alias("__bucket"),
+        rt.alias("__rt"),
+        *[F.col(c) for c in on],
+        *[F.col(c).alias(f"{right_prefix}{c}") for c in right.columns],
+    )
+    cond = (
+        (F.col("__rt") >= F.col("__lt") + F.lit(lower))
+        & (F.col("__rt") <= F.col("__lt") + F.lit(upper))
+    )
+    return (
+        l_exp.join(r_exp, on=[*on, "__bucket"])
+        .filter(cond)
+        .drop("__bucket", "__lt", "__rt")
+    )

@@ -1,0 +1,124 @@
+"""As-of join and interval join (operators/temporal.py).
+
+Strategy: hand-built keyed timelines covering inclusivity, tolerance,
+tie-breaks, and bucket boundaries (the interval join's correctness risk
+is a pair straddling a quantization edge), plus the DuckDB oracle replay
+of both driver queries at sf0.001.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from flink_streaming_2_10_spark.operators.temporal import asof_join, interval_join
+
+
+@pytest.fixture(scope="module")
+def trades_quotes(spark):
+    trades = spark.createDataFrame(
+        [(1, "A", 100), (2, "A", 205), (3, "B", 50), (4, "C", 10)],
+        ["trade_id", "sym", "t"],
+    )
+    quotes = spark.createDataFrame(
+        [
+            (10, "A", 90),
+            (11, "A", 100),  # equal time: asof is inclusive
+            (12, "A", 200),
+            (13, "B", 60),  # after the only B trade
+        ],
+        ["quote_id", "sym", "t"],
+    )
+    return trades, quotes
+
+
+def _asof_map(trades, quotes, **kw):
+    out = asof_join(
+        trades, quotes, on=["sym"], left_time="t", right_time="t",
+        right_prefix="q_", **kw
+    )
+    return {r["trade_id"]: r["q_quote_id"] for r in out.collect()}
+
+
+def test_asof_latest_at_or_before(trades_quotes):
+    trades, quotes = trades_quotes
+    got = _asof_map(trades, quotes)
+    # trade 1 at t=100 matches quote 11 (equal time wins over t=90);
+    # trade 2 matches quote 12; B's quote is later than the trade; C has
+    # no quotes at all.
+    assert got == {1: 11, 2: 12, 3: None, 4: None}
+
+
+def test_asof_tolerance_drops_stale_match(trades_quotes):
+    trades, quotes = trades_quotes
+    got = _asof_map(trades, quotes, tolerance=5)
+    assert got == {1: 11, 2: 12, 3: None, 4: None}
+    got_tight = _asof_map(trades, quotes, tolerance=4)
+    # quote 12 at t=200 is 5 ticks before trade 2 at t=205 -> dropped
+    assert got_tight[2] is None
+
+
+def test_asof_tie_break_is_greatest(spark):
+    left = spark.createDataFrame([(1, "A", 100)], ["trade_id", "sym", "t"])
+    right = spark.createDataFrame(
+        [(7, "A", 100), (9, "A", 100), (8, "A", 100)], ["quote_id", "sym", "t"]
+    )
+    got = _asof_map(left, right, tie_cols=["quote_id"])
+    assert got == {1: 9}
+
+
+def test_asof_keeps_every_left_row_and_columns(trades_quotes):
+    trades, quotes = trades_quotes
+    out = asof_join(trades, quotes, on=["sym"], left_time="t", right_time="t")
+    assert out.count() == trades.count()
+    assert set(out.columns) == {"trade_id", "sym", "t", "r_quote_id", "r_sym", "r_t"}
+
+
+def test_interval_join_bounds_inclusive_and_bucket_edges(spark):
+    left = spark.createDataFrame([(1, "A", 100)], ["lid", "k", "t"])
+    # window [t+0, t+10] = [100, 110]; bucket width 10 puts 100 and 110
+    # in different buckets — both must still match. 99 and 111 must not.
+    right = spark.createDataFrame(
+        [(20, "A", 99), (21, "A", 100), (22, "A", 105), (23, "A", 110),
+         (24, "A", 111), (25, "B", 105)],
+        ["rid", "k", "t"],
+    )
+    out = interval_join(
+        left, right, on=["k"], left_time="t", right_time="t", lower=0, upper=10
+    )
+    assert sorted(r["r_rid"] for r in out.collect()) == [21, 22, 23]
+
+
+def test_interval_join_negative_lower(spark):
+    # symmetric window [-5, +5] around each left time
+    left = spark.createDataFrame([(1, "A", 100)], ["lid", "k", "t"])
+    right = spark.createDataFrame(
+        [(20, "A", 94), (21, "A", 95), (22, "A", 105), (23, "A", 106)],
+        ["rid", "k", "t"],
+    )
+    out = interval_join(
+        left, right, on=["k"], left_time="t", right_time="t", lower=-5, upper=5
+    )
+    assert sorted(r["r_rid"] for r in out.collect()) == [21, 22]
+
+
+def test_interval_join_no_duplicate_pairs(spark):
+    # A right row whose bucket both left copies probe must appear once.
+    left = spark.createDataFrame(
+        [(1, "A", 100), (2, "A", 101)], ["lid", "k", "t"]
+    )
+    right = spark.createDataFrame([(20, "A", 105)], ["rid", "k", "t"])
+    out = interval_join(
+        left, right, on=["k"], left_time="t", right_time="t", lower=0, upper=10
+    )
+    pairs = sorted((r["lid"], r["r_rid"]) for r in out.collect())
+    assert pairs == [(1, 20), (2, 20)]
+
+
+def test_driver_queries_match_oracle(spark, duck):
+    import __spark_entry__ as entrymod
+    from tests.conftest import SF_SMALL, assert_df_matches_oracle
+
+    for name in ("asof_join_attribution", "interval_join_errors"):
+        got = entrymod.queries()[name](spark, SF_SMALL)
+        assert_df_matches_oracle(got, duck, entrymod.oracle_sql()[name])
