@@ -74,7 +74,10 @@ from flink_streaming_2_10_spark.pipeline.sampling import (
     stratified_sample,
     stratified_sample_oracle,
 )
-from flink_streaming_2_10_spark.pipeline.shard import prepare_training_shard
+from flink_streaming_2_10_spark.pipeline.shard import (
+    prepare_curated_shard,
+    prepare_training_shard,
+)
 from flink_streaming_2_10_spark.pipeline.multimodal import (
     attach_media,
     audio_stats,
@@ -497,6 +500,24 @@ def q_training_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_training_shard_curated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full curation pipeline in one job: language + quality + repetition
+    gates scan-side, benchmark decontamination as a broadcast gram probe
+    (every 20th doc as the eval fixture), exact dedup as the single
+    corpus-scale shuffle (pipeline/shard.py::prepare_curated_shard)."""
+    docs = load_table(spark, sf_dir, "documents")
+    benchmark = docs.filter(F.col("doc_id") % 20 == 0)
+    return prepare_curated_shard(
+        docs,
+        benchmark,
+        lang="en",
+        min_quality=0.5,
+        max_dup_word_frac=0.6,
+        decontam_n=5,
+        hasher="md5",
+    )
+
+
 #: Per-language draw rates for the stratified-sample query (default 0.05
 #: for strata not listed). Shared by the Spark query and the oracle.
 SAMPLE_RATES = {"en": 0.5, "de": 0.25, "es": 0.1}
@@ -576,6 +597,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": q_text_fingerprint,
         "text_repetition": q_text_repetition,
         "training_shard": q_training_shard,
+        "training_shard_curated": q_training_shard_curated,
         "stratified_sample": q_stratified_sample,
         "domain_mixture": q_domain_mixture,
         "pii_redaction": q_pii_redaction,
@@ -1137,6 +1159,100 @@ def _training_shard_oracle(lang: str = "en", min_quality: float = 0.5) -> str:
         FROM k GROUP BY fp"""
 
 
+def _curated_shard_oracle(
+    lang: str,
+    min_quality: float,
+    max_dup_word_frac: float,
+    decontam_n: int,
+    modulo: int,
+) -> str:
+    """Mirror of pipeline/shard.py::prepare_curated_shard — the v1
+    training-shard oracle plus the duplicate-word-fraction gate and the
+    benchmark n-gram contamination anti-join (benchmark = every
+    ``modulo``-th document). The oracle computes contamination over ALL
+    documents while the engine only explodes gate survivors — membership
+    on the kept set is identical, so results agree."""
+    score_cols = ",\n                     ".join(
+        f"CAST({_stop_hits_sql(STOPWORDS[lg])} AS INT) AS s_{lg}"
+        for lg in LANG_ORDER
+    )
+    best = "greatest(" + ", ".join(f"s_{lg}" for lg in LANG_ORDER) + ")"
+    whens = "\n                    ".join(
+        f"WHEN s_{lg} = best THEN '{lg}'" for lg in LANG_ORDER
+    )
+    gram = " || ' ' || ".join(
+        f"words[i+{j}]" if j else "words[i]" for j in range(decontam_n)
+    )
+    return f"""
+        WITH t AS (SELECT doc_id, text, {_WORDS_SQL} AS words FROM documents),
+        g AS (SELECT doc_id, text, words,
+                     CAST(len(words) AS INT) AS n_words,
+                     CAST(len(list_distinct(words)) AS INT) AS n_distinct_words,
+                     CAST({_stop_hits_sql(STOPWORDS["en"])} AS INT) AS stop_hits,
+                     CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]')) AS INT)
+                        AS punct,
+                     CAST(len(regexp_extract_all(text, '[0-9]')) AS INT) AS digits,
+                     CAST(length(text) AS INT) AS n_chars,
+                     CAST(len(regexp_extract_all(text,
+                          '{CJK_PATTERN_DUCKDB}')) AS INT) AS cjk,
+                     {score_cols},
+                     CAST(len(list_filter(regexp_split_to_array(text, '\\s+'),
+                          x -> length(x) > 0)) AS INT) AS ws_tokens,
+                     CAST(len(regexp_extract_all(text, '{BPE_PATTERN}')) AS INT)
+                        AS bpe_tokens,
+                     md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fp
+              FROM t),
+        b AS (SELECT *, {best} AS best FROM g),
+        f AS (SELECT doc_id, ws_tokens, bpe_tokens, fp,
+                     CASE WHEN cjk > 0 THEN 'zh'
+                          WHEN best = 0 THEN 'unknown'
+                          {whens}
+                     END AS lang_pred,
+                     (CAST(stop_hits AS DOUBLE)
+                        / CAST(greatest(n_words, 1) AS DOUBLE))
+                         * CAST(0.3 AS DOUBLE)
+                     + (CAST(1.0 AS DOUBLE)
+                        - CAST(punct AS DOUBLE)
+                          / CAST(greatest(n_chars, 1) AS DOUBLE))
+                         * CAST(0.3 AS DOUBLE)
+                     + (CAST(1.0 AS DOUBLE)
+                        - CAST(digits AS DOUBLE)
+                          / CAST(greatest(n_chars, 1) AS DOUBLE))
+                         * CAST(0.1 AS DOUBLE)
+                     + least(CAST(n_words AS DOUBLE) / CAST(50.0 AS DOUBLE),
+                             CAST(1.0 AS DOUBLE)) * CAST(0.3 AS DOUBLE)
+                       AS quality,
+                     CASE WHEN n_words > 0
+                          THEN CAST(n_words - n_distinct_words AS DOUBLE)
+                               / CAST(n_words AS DOUBLE)
+                          ELSE 0.0 END AS dup_word_frac
+              FROM b),
+        k AS (SELECT * FROM f
+              WHERE lang_pred = '{lang}'
+                AND quality >= CAST({min_quality!r} AS DOUBLE)
+                AND dup_word_frac <= CAST({max_dup_word_frac!r} AS DOUBLE)),
+        sh5 AS (SELECT doc_id,
+                       unnest(list_distinct(
+                           CASE WHEN len(words) >= {decontam_n}
+                                THEN list_transform(
+                                     range(1, len(words) - {decontam_n} + 2),
+                                     i -> {gram})
+                                ELSE []::VARCHAR[] END)) AS shingle
+                FROM t),
+        dgr AS (SELECT doc_id, {duckdb_hash60_sql("shingle")} AS h FROM sh5),
+        bh AS (SELECT DISTINCT h FROM dgr WHERE doc_id % {modulo} = 0),
+        contam AS (SELECT DISTINCT dgr.doc_id FROM dgr JOIN bh USING (h)),
+        clean AS (SELECT * FROM k
+                  WHERE doc_id NOT IN (SELECT doc_id FROM contam))
+        SELECT min(doc_id) AS doc_id,
+               CAST(count(*) AS BIGINT) AS n_dups,
+               arg_min(ws_tokens, doc_id) AS ws_tokens,
+               arg_min(bpe_tokens, doc_id) AS bpe_tokens,
+               arg_min(quality, doc_id) AS quality,
+               arg_min(dup_word_frac, doc_id) AS dup_word_frac
+        FROM clean GROUP BY fp"""
+
+
 def _topspeed_oracle(
     num_cars: int, trigger_meters: float, eviction_sec: int
 ) -> str:
@@ -1383,6 +1499,13 @@ def oracle_sql() -> dict[str, str]:
         "text_quality": _text_quality_oracle(),
         "text_language_id": _text_language_id_oracle(),
         "training_shard": _training_shard_oracle(lang="en", min_quality=0.5),
+        "training_shard_curated": _curated_shard_oracle(
+            lang="en",
+            min_quality=0.5,
+            max_dup_word_frac=0.6,
+            decontam_n=5,
+            modulo=20,
+        ),
         "stratified_sample": stratified_sample_oracle(
             SAMPLE_RATES, default_rate=0.05
         ),

@@ -71,3 +71,102 @@ def prepare_training_shard(
         )
         .select(id_col, "n_dups", "ws_tokens", "bpe_tokens", "quality")
     )
+
+
+def prepare_curated_shard(
+    df: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang: str = "en",
+    min_quality: float = 0.5,
+    max_dup_word_frac: float = 0.6,
+    decontam_n: int = 5,
+    hasher: str = "xxhash64",
+) -> DataFrame:
+    """``prepare_training_shard`` plus the round-2 curation gates: a
+    Gopher-style repetition cap and GPT-3-style benchmark decontamination
+    — still one corpus-scale shuffle.
+
+    Pipeline order (and why it stays cheap at 100 TB):
+
+    1. ONE narrow projection computes language, quality, token counts,
+       the dedup fingerprint AND the duplicate-word fraction (array math
+       on the same token split) — all gates evaluate scan-side, so
+       rejected bodies never leave the scan stage;
+    2. only GATE SURVIVORS explode their ``decontam_n``-grams for the
+       contamination probe: a broadcast semi-join against the benchmark
+       gram set (eval sets are small by definition), producing the
+       contaminated-id list — an exchange of 8-byte ids for flagged docs
+       only, then a broadcast anti-join back (decontamination removes a
+       small fraction by assumption; if most of the corpus overlaps the
+       eval set, the pipeline has bigger problems than this plan);
+    3. the dedup groupBy on the 32-byte fingerprint — the single
+       corpus-scale shuffle, carrying the manifest fields, not bodies.
+
+    Returns ``(doc_id, n_dups, ws_tokens, bpe_tokens, quality,
+    dup_word_frac)``.
+    """
+    from flink_streaming_2_10_spark.pipeline.dedup import (
+        _hash60,
+        _shingles,
+        _words_sql,
+    )
+
+    text = F.col(text_col)
+    n_words = F.expr(f"size({_words_sql(text_col)})")
+    n_distinct = F.expr(f"size(array_distinct({_words_sql(text_col)}))")
+    dup_word_frac = (
+        F.when(
+            n_words > 0,
+            (n_words - n_distinct).cast("double") / n_words.cast("double"),
+        )
+        .otherwise(F.lit(0.0))
+    )
+    proj = df.select(
+        F.col(id_col),
+        F.col(text_col),
+        language_pred_expr(text).alias("lang_pred"),
+        quality_exprs(text)["quality"].alias("quality"),
+        F.regexp_count(text, F.lit(NONSPACE_RUN_PATTERN)).alias("ws_tokens"),
+        F.regexp_count(text, F.lit(BPE_PATTERN)).alias("bpe_tokens"),
+        F.md5(F.regexp_replace(F.lower(text), r"\s+", " ")).alias("fp"),
+        dup_word_frac.alias("dup_word_frac"),
+    )
+    kept = proj.filter(
+        (F.col("lang_pred") == lang)
+        & (F.col("quality") >= F.lit(min_quality))
+        & (F.col("dup_word_frac") <= F.lit(max_dup_word_frac))
+    )
+    bench_grams = (
+        _shingles(benchmark, id_col, text_col, decontam_n)
+        .select(_hash60(F.col("shingle"), hasher).alias("h"))
+        .distinct()
+    )
+    contaminated = (
+        _shingles(kept, id_col, text_col, decontam_n)
+        .select("doc_id", _hash60(F.col("shingle"), hasher).alias("h"))
+        .join(F.broadcast(bench_grams), "h")
+        .select("doc_id")
+        .distinct()
+    )
+    clean = kept.join(
+        F.broadcast(contaminated),
+        kept[id_col] == contaminated["doc_id"],
+        "left_anti",
+    )
+    return (
+        clean.groupBy("fp")
+        .agg(
+            F.min(id_col).alias(id_col),
+            F.count(F.lit(1)).alias("n_dups"),
+            F.min_by("ws_tokens", F.col(id_col)).alias("ws_tokens"),
+            F.min_by("bpe_tokens", F.col(id_col)).alias("bpe_tokens"),
+            F.min_by("quality", F.col(id_col)).alias("quality"),
+            F.min_by("dup_word_frac", F.col(id_col)).alias("dup_word_frac"),
+        )
+        .select(
+            id_col, "n_dups", "ws_tokens", "bpe_tokens", "quality",
+            "dup_word_frac",
+        )
+    )

@@ -47,3 +47,51 @@ def test_shard_gates_match_component_operators(shard_corpus):
         r["doc_id"] for r in prepare_training_shard(shard_corpus).collect()
     }
     assert survivors == {1, 3}  # eligible minus the dup of doc 1
+
+
+def test_curated_shard_adds_repetition_and_decontamination_gates(spark):
+    from flink_streaming_2_10_spark.pipeline.shard import prepare_curated_shard
+
+    eval_text = "it is a truth that you know and that it is good to see here"
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog in the field"),
+        # verbatim eval copy -> decontamination must drop it
+        (3, eval_text),
+        # repetition-stuffed but English and long enough to pass quality:
+        # 4 distinct words over 20 -> dup_word_frac 0.8 > 0.6
+        (6, "the dog the dog the dog the dog the dog "
+            "is it is it is it is it is it good dog"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    bench = spark.createDataFrame([(100, eval_text)], ["doc_id", "text"])
+
+    out = {
+        r["doc_id"]: r
+        for r in prepare_curated_shard(
+            docs, bench, lang="en", min_quality=0.5,
+            max_dup_word_frac=0.6, decontam_n=5,
+        ).collect()
+    }
+    assert set(out) == {1}
+    assert out[1]["dup_word_frac"] < 0.6
+
+    # v1 (no curation gates) keeps all three -> the gates did the work
+    v1 = {r["doc_id"] for r in prepare_training_shard(docs).collect()}
+    assert v1 == {1, 3, 6}
+
+
+def test_curated_shard_query_matches_oracle(spark, duck):
+    import __spark_entry__ as entrymod
+    from tests.conftest import SF_SMALL, assert_df_matches_oracle
+
+    got = entrymod.queries()["training_shard_curated"](spark, SF_SMALL)
+    assert_df_matches_oracle(
+        got, duck, entrymod.oracle_sql()["training_shard_curated"]
+    )
+    # curated output is a subset of the v1 manifest's survivors
+    v1_ids = {
+        r["doc_id"]
+        for r in entrymod.queries()["training_shard"](spark, SF_SMALL).collect()
+    }
+    got_ids = {r["doc_id"] for r in got.collect()}
+    assert got_ids <= v1_ids
