@@ -118,3 +118,41 @@ def collect_stream(
 
     run_update_stream(df, checkpoint_dir, on_batch, output_mode)
     return batches
+
+
+def streaming_exact_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    watermark_delay: str | None = None,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Continuous-ingestion exact dedup: emit each document whose
+    (normalized-text) fingerprint has not been seen before.
+
+    The streaming face of ``pipeline.dedup.exact_dedup``: state is one
+    32-byte fingerprint per distinct document, never the body. With
+    ``watermark_delay`` set (and a ``ts_col`` event-time column) the
+    engine uses ``dropDuplicatesWithinWatermark`` so state ages out after
+    the delay — the production shape for unbounded ingestion, where
+    "duplicate" means "re-sent within the replay horizon" (exactly the
+    at-least-once-source use case). With ``None`` state is unbounded and
+    the final output set matches the batch operator's survivor set
+    (arrival-order survivor rather than min-id — parity asserts on
+    fingerprint sets, see tests).
+
+    Survivors stream through in append mode with their payload columns;
+    dedup keys on the fingerprint only.
+    """
+    text = F.col(text_col)
+    fp = F.md5(F.regexp_replace(F.lower(text), r"\s+", " ")).alias("__fp")
+    staged = docs.select(F.col(id_col), text, fp, *(
+        [F.col(ts_col)] if watermark_delay is not None else []
+    ))
+    if watermark_delay is not None:
+        return (
+            staged.withWatermark(ts_col, watermark_delay)
+            .dropDuplicatesWithinWatermark(["__fp"])
+            .drop("__fp")
+        )
+    return staged.dropDuplicates(["__fp"]).drop("__fp")

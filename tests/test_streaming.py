@@ -343,3 +343,81 @@ def test_kafka_decode_projection_on_wire_shaped_frame(spark):
     assert [r["_key"] for r in out] == ["k1", None, "k3"]
     assert [r["_offset"] for r in out] == [42, 43, 44]
     assert all(r["_topic"] == "events" for r in out)
+
+
+def test_streaming_exact_dedup_suppresses_cross_batch_dups(spark, tmp_path):
+    """Fingerprint state must persist ACROSS micro-batches: a duplicate
+    arriving in a later file is suppressed; survivor set equals the batch
+    operator's (arrival order == id order here, so ids match too)."""
+    import json as jsonlib
+
+    from flink_streaming_2_10_spark.pipeline.dedup import exact_dedup
+    from flink_streaming_2_10_spark.streaming.runners import (
+        streaming_exact_dedup,
+    )
+
+    batches_in = [
+        [(1, "alpha beta gamma"), (2, "delta epsilon")],
+        [(3, "Alpha  BETA gamma"), (4, "zeta eta")],  # 3 dups 1 (normalized)
+        [(5, "zeta eta")],  # verbatim dup of 4
+    ]
+    src = str(tmp_path / "in")
+    _write_text_files(
+        src,
+        [
+            "\n".join(
+                jsonlib.dumps({"doc_id": i, "text": t}) for i, t in rows
+            )
+            for rows in batches_in
+        ],
+    )
+    stream = (
+        spark.readStream.option("maxFilesPerTrigger", 1)
+        .schema("doc_id LONG, text STRING")
+        .json(src)
+    )
+    out = streaming_exact_dedup(stream)
+    collected = collect_stream(out, str(tmp_path / "ck"), output_mode="append")
+    survivors = sorted(r["doc_id"] for batch in collected for r in batch)
+    assert survivors == [1, 2, 4]
+
+    all_rows = [r for rows in batches_in for r in rows]
+    batch_df = spark.createDataFrame(all_rows, ["doc_id", "text"])
+    batch_survivors = sorted(
+        r["doc_id"] for r in exact_dedup(batch_df).collect()
+    )
+    assert survivors == batch_survivors
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    """The watermark variant bounds state by event-time age; with all
+    events inside the horizon it must behave like plain dedup."""
+    import json as jsonlib
+
+    from flink_streaming_2_10_spark.streaming.runners import (
+        streaming_exact_dedup,
+    )
+
+    rows = [
+        (1, "alpha beta", "2024-01-01T00:00:00"),
+        (2, "alpha beta", "2024-01-01T00:00:30"),  # dup inside horizon
+        (3, "gamma delta", "2024-01-01T00:01:00"),
+    ]
+    src = str(tmp_path / "in")
+    _write_text_files(
+        src,
+        [
+            "\n".join(
+                jsonlib.dumps({"doc_id": i, "text": t, "ts": ts})
+                for i, t, ts in rows
+            )
+        ],
+    )
+    stream = (
+        spark.readStream.schema("doc_id LONG, text STRING, ts TIMESTAMP")
+        .json(src)
+    )
+    out = streaming_exact_dedup(stream, watermark_delay="10 minutes")
+    collected = collect_stream(out, str(tmp_path / "ck"), output_mode="append")
+    survivors = sorted(r["doc_id"] for batch in collected for r in batch)
+    assert survivors == [1, 3]
