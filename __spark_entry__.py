@@ -78,6 +78,7 @@ from flink_streaming_2_10_spark.pipeline.shard import (
     prepare_curated_shard,
     prepare_training_shard,
 )
+from flink_streaming_2_10_spark.pipeline.writer import shard_manifest
 from flink_streaming_2_10_spark.pipeline.multimodal import (
     attach_media,
     audio_stats,
@@ -518,6 +519,15 @@ def q_training_shard_curated(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-shard assignment manifest for the tokenizer
+    fleet: per-shard doc/token/char totals + id range, one narrow
+    projection + one 8-key hash agg (pipeline/writer.py)."""
+    return shard_manifest(
+        load_table(spark, sf_dir, "documents"), num_shards=8, hasher="md5"
+    )
+
+
 #: Per-language draw rates for the stratified-sample query (default 0.05
 #: for strata not listed). Shared by the Spark query and the oracle.
 SAMPLE_RATES = {"en": 0.5, "de": 0.25, "es": 0.1}
@@ -598,6 +608,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_repetition": q_text_repetition,
         "training_shard": q_training_shard,
         "training_shard_curated": q_training_shard_curated,
+        "shard_manifest": q_shard_manifest,
         "stratified_sample": q_stratified_sample,
         "domain_mixture": q_domain_mixture,
         "pii_redaction": q_pii_redaction,
@@ -1499,6 +1510,20 @@ def oracle_sql() -> dict[str, str]:
         "text_quality": _text_quality_oracle(),
         "text_language_id": _text_language_id_oracle(),
         "training_shard": _training_shard_oracle(lang="en", min_quality=0.5),
+        "shard_manifest": f"""
+            WITH a AS (SELECT doc_id, text,
+                              CAST({duckdb_hash60_sql(
+                                  "CAST(doc_id AS VARCHAR)")} % 8 AS INT)
+                                AS shard
+                       FROM documents)
+            SELECT shard,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(len(regexp_extract_all(text, '\\S+'))) AS BIGINT)
+                     AS n_tokens,
+                   CAST(sum(length(text)) AS BIGINT) AS n_chars,
+                   min(doc_id) AS min_doc_id,
+                   max(doc_id) AS max_doc_id
+            FROM a GROUP BY shard""",
         "training_shard_curated": _curated_shard_oracle(
             lang="en",
             min_quality=0.5,

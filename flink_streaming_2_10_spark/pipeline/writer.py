@@ -1,0 +1,103 @@
+"""Training-shard writer: the sink side of the curation pipeline —
+deterministic hash sharding, shard-local ordering, one parquet directory
+per shard, and a driver-consumable manifest.
+
+The reference's sinks are line sinks (``writeAsText``/``print`` —
+sinks.py); a training pipeline's terminal op is instead "write N
+well-balanced, reproducibly-assigned shards + a manifest the tokenizer
+fleet can schedule on". Design for 100 TB:
+
+* shard assignment is a pure column expression on the id (no sampling
+  pass, no global sort): ``pmod(hash60(id), num_shards)`` — re-running
+  the pipeline reassigns identically, so incremental re-writes and
+  debugging a single shard are deterministic;
+* the write repartitions BY the shard column (one hash exchange of the
+  final survivor rows) and sorts only within partitions (no global
+  order, no range-exchange skew pass), then ``partitionBy("shard")``
+  emits one directory per shard;
+* the manifest is one hash aggregation on the same assignment — token
+  totals per shard let a scheduler bin-pack tokenizer work.
+
+``hasher="md5"`` mirrors in DuckDB (shard_manifest oracle);
+``xxhash64`` is the cluster default — identical plan shape.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from flink_streaming_2_10_spark.pipeline.dedup import _hash60
+from flink_streaming_2_10_spark.pipeline.textstats import NONSPACE_RUN_PATTERN
+
+
+def assign_shards(
+    df: DataFrame,
+    num_shards: int,
+    id_col: str = "doc_id",
+    hasher: str = "xxhash64",
+) -> DataFrame:
+    """Append a deterministic ``shard`` column: ``pmod(hash60(id),
+    num_shards)``. Hashing the id string (not the raw integer) spreads
+    sequential ids uniformly."""
+    if num_shards < 1:
+        raise ValueError(f"num_shards must be >= 1, got {num_shards}")
+    h = _hash60(F.col(id_col).cast("string"), hasher)
+    return df.withColumn("shard", F.pmod(h, F.lit(num_shards)).cast("int"))
+
+
+def shard_manifest(
+    df: DataFrame,
+    num_shards: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hasher: str = "xxhash64",
+) -> DataFrame:
+    """Per-shard scheduling stats: ``(shard, n_docs, n_tokens, n_chars,
+    min_doc_id, max_doc_id)`` — one narrow projection + one hash agg on
+    the int shard key."""
+    assigned = assign_shards(df, num_shards, id_col, hasher).select(
+        "shard",
+        F.col(id_col),
+        F.regexp_count(F.col(text_col), F.lit(NONSPACE_RUN_PATTERN))
+        .cast("long")
+        .alias("__tok"),
+        F.length(F.col(text_col)).cast("long").alias("__chars"),
+    )
+    return (
+        assigned.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("__tok").alias("n_tokens"),
+            F.sum("__chars").alias("n_chars"),
+            F.min(id_col).alias("min_doc_id"),
+            F.max(id_col).alias("max_doc_id"),
+        )
+    )
+
+
+def write_training_shards(
+    df: DataFrame,
+    out_dir: str,
+    num_shards: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hasher: str = "xxhash64",
+) -> DataFrame:
+    """Write ``df`` as ``out_dir/shard=K/*.parquet`` (one file per shard
+    via repartition-by-shard + partitionBy) with rows ordered by id
+    within each shard, and return the manifest DataFrame.
+
+    The exchange keys on the int shard column; ``sortWithinPartitions``
+    keeps ordering shard-local (a global orderBy would add a range
+    exchange + skew-prone sampling pass for ordering nobody reads
+    across shard boundaries).
+    """
+    assigned = assign_shards(df, num_shards, id_col, hasher)
+    (
+        assigned.repartition(num_shards, "shard")
+        .sortWithinPartitions("shard", id_col)
+        .write.partitionBy("shard")
+        .mode("overwrite")
+        .parquet(out_dir)
+    )
+    return shard_manifest(df, num_shards, id_col, text_col, hasher)

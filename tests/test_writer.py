@@ -1,0 +1,93 @@
+"""Shard writer: deterministic assignment, balanced parquet output,
+manifest parity (pipeline/writer.py)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from flink_streaming_2_10_spark.catalog import load_table
+from flink_streaming_2_10_spark.pipeline.writer import (
+    assign_shards,
+    shard_manifest,
+    write_training_shards,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_assignment_deterministic_and_in_range(spark):
+    docs = load_table(spark, SF_DIR, "documents")
+    a = assign_shards(docs, 8).select("doc_id", "shard")
+    b = assign_shards(docs, 8).select("doc_id", "shard")
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+    bounds = a.agg(F.min("shard"), F.max("shard")).collect()[0]
+    assert bounds[0] >= 0 and bounds[1] <= 7
+
+
+def test_assignment_is_reasonably_balanced(spark):
+    docs = load_table(spark, SF_DIR, "documents")
+    sizes = [
+        r["n"]
+        for r in assign_shards(docs, 8)
+        .groupBy("shard")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    ]
+    n = docs.count()
+    assert len(sizes) == 8
+    # md5-uniform over 500 docs: every shard within 3x of the mean
+    assert max(sizes) <= 3 * n / 8 and min(sizes) >= n / 8 / 3
+
+
+def test_write_round_trips_and_orders_within_shards(spark, tmp_path):
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    out = str(tmp_path / "shards")
+    manifest = write_training_shards(docs, out, num_shards=4)
+
+    # one directory per shard, all input rows present exactly once
+    dirs = sorted(d for d in os.listdir(out) if d.startswith("shard="))
+    assert dirs == [f"shard={k}" for k in range(4)]
+    back = spark.read.parquet(out)
+    assert back.count() == docs.count()
+    assert back.select("doc_id").distinct().count() == docs.count()
+
+    # shard column in the files matches the deterministic assignment
+    expected = assign_shards(docs, 4).select("doc_id", "shard")
+    mismatch = (
+        back.select("doc_id", "shard")
+        .exceptAll(expected)
+        .count()
+    )
+    assert mismatch == 0
+
+    # each shard file is sorted by doc_id
+    for k in range(4):
+        ids = [
+            r["doc_id"]
+            for r in spark.read.parquet(f"{out}/shard={k}").select("doc_id").collect()
+        ]
+        # parquet preserves row order within the single part file
+        assert ids == sorted(ids)
+
+    # returned manifest agrees with the standalone manifest op
+    m2 = shard_manifest(docs, 4)
+    assert manifest.exceptAll(m2).count() == 0
+
+
+def test_manifest_query_matches_oracle(spark, duck):
+    import __spark_entry__ as entrymod
+    from tests.conftest import SF_SMALL, assert_df_matches_oracle
+
+    got = entrymod.queries()["shard_manifest"](spark, SF_SMALL)
+    assert_df_matches_oracle(got, duck, entrymod.oracle_sql()["shard_manifest"])
+    totals = got.agg(F.sum("n_docs")).collect()[0][0]
+    assert totals == load_table(spark, SF_SMALL, "documents").count()
+
+
+def test_num_shards_validation(spark):
+    docs = load_table(spark, SF_DIR, "documents")
+    with pytest.raises(ValueError, match="num_shards"):
+        assign_shards(docs, 0)
