@@ -32,6 +32,7 @@ from flink_streaming_2_10_spark.operators.temporal import asof_join, interval_jo
 from flink_streaming_2_10_spark.operators.topspeed import top_speed_windowing
 from flink_streaming_2_10_spark.operators.twitter import fork_find_word_pipeline
 from flink_streaming_2_10_spark.operators.windows import (
+    hypertable_rollup,
     session_window_agg,
     tumbling_window_agg,
 )
@@ -187,6 +188,28 @@ def q_session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         keys=["user_id"],
         aggs=[F.count(F.lit(1)).alias("cnt")],
         gap="5 minutes",
+    )
+
+
+def q_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-aggregate pyramid over events: hourly keyed count/sum
+    (the only corpus-scale shuffle), daily tier re-aggregated from the
+    hourly partials (operators/windows.py::hypertable_rollup)."""
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "value_c", to_units("value")
+    )
+    out = hypertable_rollup(
+        ev,
+        keys=["event_type"],
+        value_c_col="value_c",
+        tiers=[("1h", 3_600_000), ("1d", 86_400_000)],
+    )
+    return out.select(
+        "granularity",
+        "window_start_ms",
+        "event_type",
+        "cnt",
+        from_units("value_c_sum").alias("total_value"),
     )
 
 
@@ -584,6 +607,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_field_extract": q_json_field_extract,
         "english_docs_wordcount": q_english_docs_wordcount,
         "tumbling_window_agg": q_tumbling_window_agg,
+        "hypertable_rollup": q_hypertable_rollup,
         "session_window_agg": q_session_window_agg,
         "window_join_grades_salaries": q_window_join,
         "maxby_argmax": q_maxby_argmax,
@@ -1383,6 +1407,30 @@ def oracle_sql() -> dict[str, str]:
                    CAST({ev_value_sum} AS DOUBLE)/100.0 AS total_value
             FROM events
             GROUP BY 1, 2, 3
+        """,
+        "hypertable_rollup": f"""
+            WITH e AS (SELECT event_type,
+                              epoch_ms(CAST(ts AS TIMESTAMP)) AS ms,
+                              CAST(round(value*100) AS BIGINT) AS vc
+                       FROM events),
+            h AS (SELECT (ms // 3600000) * 3600000 AS window_start_ms,
+                         event_type,
+                         CAST(count(*) AS BIGINT) AS cnt,
+                         CAST(sum(vc) AS BIGINT) AS vcs
+                  FROM e GROUP BY 1, 2),
+            d AS (SELECT (window_start_ms // 86400000) * 86400000
+                           AS window_start_ms,
+                         event_type,
+                         CAST(sum(cnt) AS BIGINT) AS cnt,
+                         CAST(sum(vcs) AS BIGINT) AS vcs
+                  FROM h GROUP BY 1, 2)
+            SELECT '1h' AS granularity, window_start_ms, event_type, cnt,
+                   CAST(vcs AS DOUBLE)/100.0 AS total_value
+            FROM h
+            UNION ALL
+            SELECT '1d' AS granularity, window_start_ms, event_type, cnt,
+                   CAST(vcs AS DOUBLE)/100.0 AS total_value
+            FROM d
         """,
         "session_window_agg": """
             WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),

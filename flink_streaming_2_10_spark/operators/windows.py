@@ -111,3 +111,74 @@ def windowed_word_count(
         window_size=window_size,
         ts_col=ts_col,
     )
+
+
+def hypertable_rollup(
+    df: DataFrame,
+    keys: list[str],
+    value_c_col: str,
+    tiers: list[tuple[str, int]],
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Hypertable-style continuous aggregate: keyed count/sum rollups at a
+    chain of time granularities, where each coarser tier aggregates the
+    PREVIOUS tier's partials instead of rescanning raw rows — the
+    TimescaleDB continuous-aggregate / OLAP summary-table pattern.
+
+    ``tiers`` is ``[(label, bucket_millis), ...]`` finest first; each
+    bucket width must divide the next (1 h → 1 d → 7 d). The finest tier
+    is the ONLY corpus-scale shuffle; every further tier exchanges just
+    the previous tier's (bucket × key) rows — at 100 TB that's the
+    difference between one scan feeding the whole granularity pyramid and
+    one scan per granularity. ``value_c_col`` must already be exact
+    integer units (functions/money.py::to_units), so tier-over-tier
+    re-aggregation is associative and oracle-stable.
+
+    Output: ``(granularity, window_start_ms, *keys, cnt, value_c_sum)``
+    unioned across tiers (union of aligned projections — no shuffle).
+    """
+    if not tiers:
+        raise ValueError("hypertable_rollup: need at least one tier")
+    for (_, fine_ms), (_, coarse_ms) in zip(tiers, tiers[1:]):
+        if coarse_ms % fine_ms != 0:
+            raise ValueError(
+                f"tier {coarse_ms} ms is not a multiple of {fine_ms} ms"
+            )
+    fine_label, fine_ms = tiers[0]
+    # integer `div`, not float division + floor: epoch millis are positive
+    # so truncation == floor, and the arithmetic is exact by construction.
+    ws = F.expr(f"(unix_millis(`{ts_col}`) div {fine_ms}) * {fine_ms}L")
+    from flink_streaming_2_10_spark.pipeline.caching import tracked_persist
+
+    cur = (
+        df.groupBy(ws.alias("window_start_ms"), *[F.col(k) for k in keys])
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(value_c_col).alias("value_c_sum"),
+        )
+    )
+    levels = []
+    for i, (label, ms) in enumerate(tiers):
+        if i > 0:
+            bucket = F.expr(f"(window_start_ms div {ms}) * {ms}L").alias(
+                "window_start_ms"
+            )
+            cur = (
+                cur.groupBy(bucket, *[F.col(k) for k in keys])
+                .agg(
+                    F.sum("cnt").alias("cnt"),
+                    F.sum("value_c_sum").alias("value_c_sum"),
+                )
+            )
+        if i < len(tiers) - 1:
+            # Each non-final tier is consumed TWICE (its own output branch
+            # + the next tier's input). Without materialization Catalyst
+            # plans the whole chain once per union branch — i.e. one raw
+            # scan per granularity, which defeats the pyramid. Persist the
+            # partials (bucket × key rows, tiny next to the input).
+            cur = tracked_persist(cur)
+        levels.append(cur.select(F.lit(label).alias("granularity"), "*"))
+    out = levels[0]
+    for lv in levels[1:]:
+        out = out.unionByName(lv)
+    return out

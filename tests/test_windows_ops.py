@@ -60,3 +60,65 @@ def test_max_by_record_tie_break_first_seen(spark):
     out = max_by_record(df, keys=["k"], order_col="speed", tie_break=["t"])
     got = {(r.k, r.rec_id) for r in out.collect()}
     assert got == {(1, 101), (2, 200)}
+
+
+def test_hypertable_rollup_tiers_are_consistent(spark):
+    from datetime import datetime
+
+    from flink_streaming_2_10_spark.operators.windows import hypertable_rollup
+
+    rows = [
+        # two hours inside one day, two event types
+        (datetime(2024, 1, 1, 0, 10), "a", 100),
+        (datetime(2024, 1, 1, 0, 50), "a", 200),
+        (datetime(2024, 1, 1, 5, 0), "a", 50),
+        (datetime(2024, 1, 1, 5, 30), "b", 25),
+        # second day
+        (datetime(2024, 1, 2, 3, 0), "a", 1000),
+    ]
+    df = spark.createDataFrame(rows, ["ts", "event_type", "value_c"])
+    out = hypertable_rollup(
+        df, keys=["event_type"], value_c_col="value_c",
+        tiers=[("1h", 3_600_000), ("1d", 86_400_000)],
+    )
+    got = {
+        (r["granularity"], r["window_start_ms"], r["event_type"]):
+            (r["cnt"], r["value_c_sum"])
+        for r in out.collect()
+    }
+    day1 = 1704067200000  # 2024-01-01T00:00Z
+    assert got[("1h", day1, "a")] == (2, 300)
+    assert got[("1h", day1 + 5 * 3_600_000, "a")] == (1, 50)
+    assert got[("1h", day1 + 5 * 3_600_000, "b")] == (1, 25)
+    assert got[("1d", day1, "a")] == (3, 350)
+    assert got[("1d", day1, "b")] == (1, 25)
+    assert got[("1d", day1 + 86_400_000, "a")] == (1, 1000)
+    # every day-tier row equals the sum of its hour-tier rows
+    assert len(got) == 7
+
+
+def test_hypertable_rollup_rejects_non_nesting_tiers(spark):
+    from datetime import datetime
+
+    from flink_streaming_2_10_spark.operators.windows import hypertable_rollup
+
+    df = spark.createDataFrame(
+        [(datetime(2024, 1, 1), "a", 1)], ["ts", "event_type", "value_c"]
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="multiple"):
+        hypertable_rollup(
+            df, keys=["event_type"], value_c_col="value_c",
+            tiers=[("1h", 3_600_000), ("90m", 5_400_000)],
+        )
+
+
+def test_hypertable_rollup_query_matches_oracle(spark, duck):
+    import __spark_entry__ as entrymod
+    from tests.conftest import SF_SMALL, assert_df_matches_oracle
+
+    got = entrymod.queries()["hypertable_rollup"](spark, SF_SMALL)
+    assert_df_matches_oracle(
+        got, duck, entrymod.oracle_sql()["hypertable_rollup"]
+    )
