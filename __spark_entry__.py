@@ -24,6 +24,7 @@ from flink_streaming_2_10_spark.operators.async_io import (
 )
 from flink_streaming_2_10_spark.operators.join import join_grades_salaries
 from flink_streaming_2_10_spark.operators.relational import (
+    pricing_cube,
     pricing_summary,
     revenue_by_region,
     shipping_priority,
@@ -506,6 +507,12 @@ def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pricing_summary(load_table(spark, sf_dir, "lineitem"))
 
 
+def q_pricing_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q1 aggregate at every grouping level of (returnflag, linestatus)
+    via cube — one Expand + one hash agg, subtotals in the same pass."""
+    return pricing_cube(load_table(spark, sf_dir, "lineitem"))
+
+
 def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Broadcast + shuffle joins, agg, deterministic top-k (TPC-H Q3 shape)."""
     return shipping_priority(
@@ -641,6 +648,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_frame_sample": q_multimodal_frame_sample,
         "multimodal_audio_stats": q_multimodal_audio_stats,
         "tpch_q1_pricing_summary": q_tpch_q1,
+        "pricing_cube": q_pricing_cube,
         "tpch_q3_shipping_priority": q_tpch_q3,
         "revenue_by_region": q_revenue_by_region,
     }
@@ -1663,6 +1671,23 @@ def oracle_sql() -> dict[str, str]:
                    (CAST(disc_pc_sum AS DOUBLE)/100.0)/CAST(count_order AS DOUBLE) AS avg_disc,
                    count_order
             FROM agg
+        """,
+        "pricing_cube": """
+            WITH pre AS (
+              SELECT l_returnflag, l_linestatus, l_quantity,
+                     CAST(round(l_extendedprice*100) AS BIGINT)
+                       * (100 - CAST(round(l_discount*100) AS BIGINT))
+                       AS disc_price_u
+              FROM lineitem
+              WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00')
+            SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
+                   coalesce(l_linestatus, 'ALL') AS l_linestatus,
+                   CAST(count(*) AS BIGINT) AS cnt,
+                   sum(l_quantity) AS sum_qty,
+                   CAST(CAST(sum(disc_price_u) AS BIGINT) AS DOUBLE)/10000.0
+                     AS revenue
+            FROM pre
+            GROUP BY CUBE (l_returnflag, l_linestatus)
         """,
         "tpch_q3_shipping_priority": """
             WITH l AS (

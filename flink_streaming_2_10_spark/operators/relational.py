@@ -151,3 +151,40 @@ def revenue_by_region(
             from_units("total_c_sum").alias("total_revenue"),
         )
     )
+
+
+def pricing_cube(lineitem: DataFrame, cutoff: str = "1998-09-02") -> DataFrame:
+    """Multi-dimensional pricing summary: the Q1 aggregate at EVERY
+    grouping level of (returnflag, linestatus) — per-cell, per-flag,
+    per-status, and grand total — in one pass via ``cube``.
+
+    Catalyst expands the cube into a single Expand + hash aggregate: one
+    scan, one exchange on the (low-cardinality) grouping key with
+    map-side partials, rows multiplied only by the 4 grouping sets. The
+    OLAP summary-board shape — subtotals come free with the same money
+    discipline as ``pricing_summary`` (exact integer units, one terminal
+    division). Rolled-up dimensions surface as 'ALL' (the source columns
+    are non-null, so the label is unambiguous).
+    """
+    li = lineitem.filter(F.col("l_shipdate") <= F.lit(cutoff).cast("timestamp"))
+    pre = li.select(
+        "l_returnflag",
+        "l_linestatus",
+        F.col("l_quantity"),
+        (
+            to_units("l_extendedprice")
+            * (F.lit(100) - to_units("l_discount"))
+        ).alias("disc_price_u"),
+    )
+    agg = pre.cube("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum("l_quantity").alias("sum_qty"),
+        F.sum("disc_price_u").alias("disc_u_sum"),
+    )
+    return agg.select(
+        F.coalesce("l_returnflag", F.lit("ALL")).alias("l_returnflag"),
+        F.coalesce("l_linestatus", F.lit("ALL")).alias("l_linestatus"),
+        "cnt",
+        "sum_qty",
+        from_units("disc_u_sum", 4).alias("revenue"),
+    )

@@ -36,3 +36,28 @@ def test_query_matches_oracle(spark, duck, name):
     else:
         # rows-only contract for non-SQL-expressible ops
         assert df.count() >= 0
+
+
+def test_pricing_cube_levels_and_oracle(spark, duck):
+    import __spark_entry__ as entrymod
+    from pyspark.sql import functions as F
+    from tests.conftest import SF_SMALL, assert_df_matches_oracle
+
+    got = entrymod.queries()["pricing_cube"](spark, SF_SMALL)
+    assert_df_matches_oracle(got, duck, entrymod.oracle_sql()["pricing_cube"])
+
+    rows = {
+        (r["l_returnflag"], r["l_linestatus"]): r for r in got.collect()
+    }
+    cells = [
+        r for (f, s), r in rows.items() if f != "ALL" and s != "ALL"
+    ]
+    grand = rows[("ALL", "ALL")]
+    # subtotals must reconcile exactly: integer counts and exact-unit sums
+    assert grand["cnt"] == sum(r["cnt"] for r in cells)
+    assert grand["sum_qty"] == sum(r["sum_qty"] for r in cells)
+    for f in {f for (f, s) in rows if f != "ALL"}:
+        assert rows[(f, "ALL")]["cnt"] == sum(
+            r["cnt"] for (rf, rs), r in rows.items()
+            if rf == f and rs != "ALL"
+        )
