@@ -76,6 +76,18 @@ def connected_components(
         .localCheckpoint(eager=True)
     )
 
+    # Convergence detection: labels only ever DECREASE (min-folds of node
+    # ids), so the label table changed iff Σlabel dropped. Tracking the
+    # sum costs ONE aggregation job per round on the checkpointed table —
+    # no join back to the previous round's labels, no extra shuffle.
+    # decimal(38,0) keeps the sum exact for any realistic id domain
+    # (10^38 ≫ 2^63 · nodes).
+    def _label_sum(lbls: DataFrame):
+        return lbls.agg(
+            F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
+        ).collect()[0]["s"]
+
+    prev_sum = _label_sum(labels)
     for _ in range(max_rounds):
         # Neighbor step: propagate label(dst) to src over every edge, then
         # fold with the node's current label. union+groupBy(min) is one
@@ -101,19 +113,17 @@ def connected_components(
                     F.col("label"), F.coalesce(F.col("jlabel"), F.col("label"))
                 ).alias("label"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
-        changed = (
-            jumped.alias("n")
-            .join(labels.alias("o"), "v")
-            .where(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
+        # The sum aggregation is the materializing action for the lazy
+        # checkpoint — one job per round total.
+        cur_sum = _label_sum(jumped)
         labels = jumped
-        if changed == 0:
+        if cur_sum == prev_sum:
             return labels.select(
                 F.col("v").alias("node"), F.col("label").alias("component")
             )
+        prev_sum = cur_sum
     raise RuntimeError(
         f"connected_components: labels still moving after {max_rounds} rounds"
     )
