@@ -80,6 +80,7 @@ from flink_streaming_2_10_spark.pipeline.shard import (
     prepare_curated_shard,
     prepare_training_shard,
 )
+from flink_streaming_2_10_spark.pipeline.sketches import kmv_distinct_estimate
 from flink_streaming_2_10_spark.pipeline.writer import shard_manifest
 from flink_streaming_2_10_spark.pipeline.multimodal import (
     attach_media,
@@ -549,6 +550,22 @@ def q_training_shard_curated(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sketch_distinct_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic KMV cardinality sketch: estimated distinct 3-gram
+    count per language — one narrow hash map + one agg with 64 min()
+    partials, no distinct shuffle (pipeline/sketches.py). md5 hashing
+    makes the ESTIMATE itself oracle-exact."""
+    from flink_streaming_2_10_spark.pipeline.dedup import _shingles
+
+    docs = load_table(spark, sf_dir, "documents")
+    grams = _shingles(docs, "lang", "text", 3).withColumnRenamed(
+        "doc_id", "lang"
+    )
+    return kmv_distinct_estimate(
+        grams, ["lang"], "shingle", k=64, hasher="md5"
+    )
+
+
 def q_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic hash-shard assignment manifest for the tokenizer
     fleet: per-shard doc/token/char totals + id range, one narrow
@@ -640,6 +657,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "training_shard": q_training_shard,
         "training_shard_curated": q_training_shard_curated,
         "shard_manifest": q_shard_manifest,
+        "sketch_distinct_ngrams": q_sketch_distinct_ngrams,
         "stratified_sample": q_stratified_sample,
         "domain_mixture": q_domain_mixture,
         "pii_redaction": q_pii_redaction,
@@ -804,6 +822,46 @@ def _dedup_components_oracle(
                FROM canon GROUP BY 1)
         SELECT canon.doc_id, canon.canonical_id, sz.cluster_size
         FROM canon JOIN sz USING (canonical_id)"""
+
+
+def _kmv_sketch_oracle(k: int, shingle_n: int) -> str:
+    """Mirror of pipeline/sketches.py::kmv_distinct_estimate over per-lang
+    3-gram streams: same md5 base hash, same affine-permutation minima,
+    same exact pooled integer sum, same single terminal division — the
+    ESTIMATE hash-matches, not just the inputs."""
+    p = 2**31 - 1
+    gram = " || ' ' || ".join(
+        f"words[i+{j}]" if j else "words[i]" for j in range(shingle_n)
+    )
+    mins = ",\n                     ".join(
+        f"min(({a} * h + {b}) % {p}) AS m{i}"
+        for i, (a, b) in enumerate(minhash_perm_params(k))
+    )
+    pooled = " + ".join(f"(m{i} + 1)" for i in range(k))
+    scale = float(k) * (p + 1)
+    return f"""
+        WITH w AS (SELECT lang,
+                          list_filter(regexp_split_to_array(lower(text),
+                                                            '\\W+'),
+                                      x -> length(x) > 0) AS words
+                   FROM documents),
+        sh AS (SELECT lang,
+                      unnest(list_distinct(
+                          CASE WHEN len(words) >= {shingle_n}
+                               THEN list_transform(
+                                    range(1, len(words) - {shingle_n} + 2),
+                                    i -> {gram})
+                               ELSE []::VARCHAR[] END)) AS shingle
+               FROM w),
+        hh AS (SELECT lang, {duckdb_hash60_sql("shingle")} % {p} AS h
+               FROM sh),
+        m AS (SELECT lang,
+                     {mins}
+              FROM hh GROUP BY lang)
+        SELECT lang,
+               {scale!r} / CAST({pooled} AS DOUBLE) - 1.0 AS est_distinct,
+               {k} AS k
+        FROM m"""
 
 
 def _text_repetition_oracle() -> str:
@@ -1608,6 +1666,7 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "text_repetition": _text_repetition_oracle(),
+        "sketch_distinct_ngrams": _kmv_sketch_oracle(k=64, shingle_n=3),
         # multimodal: payload bytes == utf-8(text) (ASCII corpus), so byte
         # stats are codepoint stats and the mapInPandas path is checkable.
         "multimodal_features": """
