@@ -50,17 +50,55 @@ def asof_join(
     tolerance: int | None = None,
     tie_cols: list[str] | None = None,
     right_prefix: str = "r_",
+    direction: str = "backward",
 ) -> DataFrame:
-    """Distributed merge-asof: latest right row at-or-before each left row.
+    """Distributed merge-asof: latest right row at-or-before each left row
+    (``direction="backward"``, the default) or earliest right row
+    at-or-after it (``"forward"``).
 
     Returns every ``left`` row with all ``right`` columns appended as
     ``{right_prefix}{col}`` — NULL when no right row qualifies.
-    ``tolerance`` (same units as the time columns) drops matches older
-    than ``left_time - tolerance``. When several right rows share a
+    ``tolerance`` (same units as the time columns) drops matches further
+    than that from ``left_time``. When several right rows share a
     (key, time), ``tie_cols`` break the tie deterministically (the
-    greatest wins — mirror any oracle with ORDER BY time DESC, ties
-    DESC).
+    greatest wins for backward, the smallest for forward — pandas
+    ``merge_asof`` sort-order semantics; mirror any oracle with ORDER BY
+    time DESC, ties DESC / time ASC, ties ASC respectively).
+
+    Forward is backward on the time-reversed axis: both time columns are
+    negated (exact for int64 magnitudes), the backward machinery runs
+    unchanged, and the negation never escapes — payload columns are
+    emitted from untouched structs. Same plan: one exchange per input,
+    one per-key sort, one running-last window.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    if direction == "forward":
+        neg = "__neg_t"
+        lneg = left.withColumn(neg, -F.col(left_time).cast("long"))
+        rneg = right.withColumn(neg, -F.col(right_time).cast("long"))
+        # ties negate too: greatest(-tie) on the reversed axis == smallest
+        # tie in forward order.
+        neg_ties = []
+        for i, c in enumerate(tie_cols or []):
+            nt = f"__neg_tie{i}"
+            rneg = rneg.withColumn(nt, -F.col(c).cast("long"))
+            lneg = lneg.withColumn(nt, F.lit(None).cast("long"))
+            neg_ties.append(nt)
+        out = asof_join(
+            lneg,
+            rneg,
+            on=on,
+            left_time=neg,
+            right_time=neg,
+            tolerance=tolerance,
+            tie_cols=neg_ties,
+            right_prefix=right_prefix,
+            direction="backward",
+        )
+        drop = [neg, f"{right_prefix}{neg}"]
+        drop += neg_ties + [f"{right_prefix}{t}" for t in neg_ties]
+        return out.drop(*drop)
     if tie_cols is None:
         tie_cols = []
     r_struct = F.struct(*[F.col(c) for c in right.columns]).alias("__r")

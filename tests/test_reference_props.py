@@ -121,3 +121,39 @@ def test_connected_components_matches_union_find(spark, seed):
     touched = {v for e in edges for v in e}
     want = {v: find(v) for v in touched}
     assert got == want
+
+
+@pytest.mark.parametrize("seed", [5, 61])
+def test_asof_forward_matches_pandas(spark, seed):
+    rng = random.Random(seed)
+    left = _rand_events(rng, 100, 4, 2000)
+    right = _rand_events(rng, 120, 4, 7000)
+    ldf = spark.createDataFrame(left, ["lid", "k", "t"])
+    rdf = spark.createDataFrame(right, ["rid", "k", "t"])
+    tol = 40
+
+    got = {
+        r["lid"]: r["r_rid"]
+        for r in asof_join(
+            ldf, rdf, on=["k"], left_time="t", right_time="t",
+            tolerance=tol, tie_cols=["rid"], direction="forward",
+        ).collect()
+    }
+
+    # forward + smallest-rid tie-break == merge_asof forward on frames
+    # sorted by (t, rid): pandas takes the FIRST match in sort order.
+    lp = pd.DataFrame(left, columns=["lid", "k", "t"]).sort_values(
+        ["t", "lid"], kind="mergesort"
+    )
+    rp = pd.DataFrame(right, columns=["rid", "k", "t"]).sort_values(
+        ["t", "rid"], kind="mergesort"
+    )
+    merged = pd.merge_asof(
+        lp, rp, on="t", by="k", direction="forward", tolerance=tol,
+        suffixes=("", "_r"),
+    )
+    want = {
+        int(row.lid): (None if pd.isna(row.rid) else int(row.rid))
+        for row in merged.itertuples()
+    }
+    assert got == want

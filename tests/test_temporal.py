@@ -122,3 +122,57 @@ def test_driver_queries_match_oracle(spark, duck):
     for name in ("asof_join_attribution", "interval_join_errors"):
         got = entrymod.queries()[name](spark, SF_SMALL)
         assert_df_matches_oracle(got, duck, entrymod.oracle_sql()[name])
+
+
+def test_asof_forward_direction(spark):
+    left = spark.createDataFrame(
+        [(1, "A", 100), (2, "A", 250), (3, "B", 50)], ["trade_id", "sym", "t"]
+    )
+    right = spark.createDataFrame(
+        [(10, "A", 90), (11, "A", 100), (12, "A", 200), (13, "B", 40)],
+        ["quote_id", "sym", "t"],
+    )
+    out = asof_join(
+        left, right, on=["sym"], left_time="t", right_time="t",
+        right_prefix="q_", direction="forward",
+    )
+    got = {r["trade_id"]: r["q_quote_id"] for r in out.collect()}
+    # trade 1 at 100: earliest quote at-or-after is 11 (equal time);
+    # trade 2 at 250: nothing after; trade 3 at 50: B quote is before.
+    assert got == {1: 11, 2: None, 3: None}
+    assert "q___neg_t" not in out.columns and "__neg_t" not in out.columns
+
+
+def test_asof_forward_tie_break_is_smallest(spark):
+    left = spark.createDataFrame([(1, "A", 100)], ["trade_id", "sym", "t"])
+    right = spark.createDataFrame(
+        [(9, "A", 150), (7, "A", 150), (8, "A", 150)], ["quote_id", "sym", "t"]
+    )
+    out = asof_join(
+        left, right, on=["sym"], left_time="t", right_time="t",
+        tie_cols=["quote_id"], right_prefix="q_", direction="forward",
+    )
+    assert out.collect()[0]["q_quote_id"] == 7
+
+
+def test_asof_forward_tolerance(spark):
+    left = spark.createDataFrame([(1, "A", 100)], ["trade_id", "sym", "t"])
+    right = spark.createDataFrame([(9, "A", 160)], ["quote_id", "sym", "t"])
+    keep = asof_join(
+        left, right, on=["sym"], left_time="t", right_time="t",
+        tolerance=60, right_prefix="q_", direction="forward",
+    ).collect()[0]["q_quote_id"]
+    drop = asof_join(
+        left, right, on=["sym"], left_time="t", right_time="t",
+        tolerance=59, right_prefix="q_", direction="forward",
+    ).collect()[0]["q_quote_id"]
+    assert keep == 9 and drop is None
+
+
+def test_asof_rejects_unknown_direction(spark, trades_quotes):
+    trades, quotes = trades_quotes
+    with pytest.raises(ValueError, match="direction"):
+        asof_join(
+            trades, quotes, on=["sym"], left_time="t", right_time="t",
+            direction="nearest",
+        )
