@@ -9,12 +9,14 @@ columnar batches of payloads without ever collecting to the driver. At
 (metadata-only plans never read payload bytes thanks to parquet column
 pruning) or streams it batch-wise through Python exactly once.
 
-STUBS: this container has no image/audio codec libraries, so the *real*
-decoders raise ``NotImplementedError`` (clearly marked below) and the
-feature extractor falls back to a deterministic fake "decode" derived
-from the payload bytes. The Spark-side plumbing — binary schema, struct
-metadata, Arrow batch shapes, UDF signatures, partition behavior — is
-real and tested; swapping the fake for PIL/libav is a one-function change.
+Image dimensions are decoded for REAL from PNG / JPEG / GIF headers with
+a pure-Python parser (``decode_image_real`` below) — no codec library
+needed, the container's only gap is full-pixel decode. Payloads that are
+not a recognized image container (e.g. the text-derived fixtures, audio
+PCM, video bitstreams) fall back to a deterministic fake "decode" derived
+from the payload bytes, so the operator is total. Full-pixel decode /
+resample (``resize_images``) remains a declared pass-through: that part
+genuinely needs PIL/libav.
 """
 
 from __future__ import annotations
@@ -68,16 +70,61 @@ def attach_media(
 
 
 # ---------------------------------------------------------------------------
-# decoders — REAL ones are stubs (no codec libs in this container)
+# decoders — real header parsing (pure Python, no codec libraries)
 # ---------------------------------------------------------------------------
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+#: JPEG SOF markers that carry frame dimensions (baseline, extended,
+#: progressive, lossless, differential, arithmetic variants) — every
+#: 0xC0..0xCF marker EXCEPT DHT (C4), JPG (C8) and DAC (CC).
+_JPEG_SOF = frozenset(range(0xC0, 0xD0)) - {0xC4, 0xC8, 0xCC}
 
-def decode_image_real(payload: bytes):
-    """STUB: real image decode needs PIL/opencv (absent here). The
-    feature extractor catches this and uses the deterministic fake."""
-    raise NotImplementedError(
-        "image decoding requires PIL/opencv, not available in this container"
-    )
+
+def decode_image_real(payload: bytes) -> tuple[int, int]:
+    """Parse (width, height) straight from the container header — PNG
+    IHDR, JPEG SOFn segment scan, or GIF logical-screen descriptor. Pure
+    Python byte-offset arithmetic; raises ``ValueError`` when the payload
+    is not one of those three containers (callers may then fall back)."""
+    if payload.startswith(_PNG_SIG):
+        # Signature (8) + IHDR length (4) + b"IHDR" (4); width/height are
+        # the first two big-endian uint32 fields of the IHDR chunk data.
+        if len(payload) < 24 or payload[12:16] != b"IHDR":
+            raise ValueError("truncated or malformed PNG: missing IHDR")
+        width = int.from_bytes(payload[16:20], "big")
+        height = int.from_bytes(payload[20:24], "big")
+        return width, height
+    if payload[:2] == b"\xff\xd8":  # JPEG SOI
+        pos = 2
+        n = len(payload)
+        while pos + 4 <= n:
+            if payload[pos] != 0xFF:
+                raise ValueError("malformed JPEG: lost marker sync")
+            marker = payload[pos + 1]
+            if marker == 0xFF:  # fill byte
+                pos += 1
+                continue
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                pos += 2  # standalone markers carry no length
+                continue
+            seg_len = int.from_bytes(payload[pos + 2 : pos + 4], "big")
+            if seg_len < 2:
+                raise ValueError("malformed JPEG: bad segment length")
+            if marker in _JPEG_SOF:
+                # SOFn: len(2) precision(1) height(2) width(2) ...
+                if pos + 9 > n:
+                    raise ValueError("truncated JPEG: SOF cut short")
+                height = int.from_bytes(payload[pos + 5 : pos + 7], "big")
+                width = int.from_bytes(payload[pos + 7 : pos + 9], "big")
+                return width, height
+            pos += 2 + seg_len
+        raise ValueError("malformed JPEG: no SOF marker before EOF")
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        if len(payload) < 10:
+            raise ValueError("truncated GIF: missing screen descriptor")
+        width = int.from_bytes(payload[6:8], "little")
+        height = int.from_bytes(payload[8:10], "little")
+        return width, height
+    raise ValueError("not a PNG/JPEG/GIF payload")
 
 
 def fake_decode_dims(payload: bytes) -> tuple[int, int]:
@@ -97,7 +144,7 @@ def media_features(media: DataFrame, batch_hint: int = 1024) -> DataFrame:
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             payloads = pdf["payload"]
-            dims = [fake_decode_for(p) for p in payloads]
+            dims = [dims_for(p) for p in payloads]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
@@ -109,12 +156,11 @@ def media_features(media: DataFrame, batch_hint: int = 1024) -> DataFrame:
                 }
             )
 
-    def fake_decode_for(payload: bytes) -> tuple[int, int]:
+    def dims_for(payload: bytes) -> tuple[int, int]:
         try:
-            decode_image_real(payload)
-        except NotImplementedError:
+            return decode_image_real(bytes(payload))
+        except ValueError:
             return fake_decode_dims(payload)
-        raise AssertionError("real decoder unexpectedly available")
 
     return media.select("media_id", "kind", "payload").mapInPandas(
         extract, schema=FEATURES_SCHEMA

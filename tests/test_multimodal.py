@@ -1,7 +1,11 @@
 """Multimodal plumbing tests: binary payload schema, Arrow batch shapes,
-stubbed decoders, frame-sampling explosion, metadata-only plans."""
+real PNG/JPEG/GIF header decoding, frame-sampling explosion,
+metadata-only plans."""
 
 from __future__ import annotations
+
+import struct
+import zlib
 
 import pytest
 from pyspark.sql import functions as F
@@ -32,9 +36,66 @@ def test_media_schema(media):
     assert types["meta"].startswith("struct<sample_rate:int,duration_ms:int,codec:string")
 
 
-def test_real_decoder_is_stubbed():
-    with pytest.raises(NotImplementedError):
-        decode_image_real(b"\x89PNG")
+def _png_bytes(width: int, height: int) -> bytes:
+    """Genuine (if pixel-less) PNG: signature + well-formed IHDR chunk
+    with a correct CRC — exactly what `file`/PIL would accept as a header."""
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    chunk = b"IHDR" + ihdr
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + struct.pack(">I", len(ihdr))
+        + chunk
+        + struct.pack(">I", zlib.crc32(chunk) & 0xFFFFFFFF)
+    )
+
+
+def _jpeg_bytes(width: int, height: int, sof_marker: int = 0xC0) -> bytes:
+    """Genuine JPEG prefix: SOI, APP0/JFIF, DQT filler, then SOFn carrying
+    the frame dimensions — the segments a real camera file leads with."""
+    app0_body = b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00"
+    app0 = b"\xff\xe0" + struct.pack(">H", 2 + len(app0_body)) + app0_body
+    dqt_body = b"\x00" + bytes(64)
+    dqt = b"\xff\xdb" + struct.pack(">H", 2 + len(dqt_body)) + dqt_body
+    sof_body = struct.pack(">BHHB", 8, height, width, 3) + b"\x01\x22\x00\x02\x11\x01\x03\x11\x01"
+    sof = bytes([0xFF, sof_marker]) + struct.pack(">H", 2 + len(sof_body)) + sof_body
+    return b"\xff\xd8" + app0 + dqt + sof
+
+
+def _gif_bytes(width: int, height: int) -> bytes:
+    return b"GIF89a" + struct.pack("<HH", width, height) + b"\xf7\x00\x00"
+
+
+def test_decode_real_png():
+    assert decode_image_real(_png_bytes(640, 480)) == (640, 480)
+    assert decode_image_real(_png_bytes(1, 70000)) == (1, 70000)
+
+
+def test_decode_real_jpeg_baseline_and_progressive():
+    assert decode_image_real(_jpeg_bytes(1920, 1080)) == (1920, 1080)
+    # progressive (SOF2) — dimensions live in the same segment layout
+    assert decode_image_real(_jpeg_bytes(320, 240, sof_marker=0xC2)) == (320, 240)
+
+
+def test_decode_jpeg_skips_non_sof_and_fill_bytes():
+    # DHT (a non-SOF 0xC4 marker) and a 0xFF fill byte before SOF0 must be
+    # stepped over, not mistaken for the frame header
+    dht_body = b"\x00" + bytes(16) + b"\x00"
+    dht = b"\xff\xc4" + struct.pack(">H", 2 + len(dht_body)) + dht_body
+    sof_body = struct.pack(">BHHB", 8, 24, 42, 1) + b"\x01\x11\x00"
+    sof = b"\xff\xff\xc0" + struct.pack(">H", 2 + len(sof_body)) + sof_body
+    assert decode_image_real(b"\xff\xd8" + dht + sof) == (42, 24)
+
+
+def test_decode_real_gif():
+    assert decode_image_real(_gif_bytes(800, 600)) == (800, 600)
+    assert decode_image_real(b"GIF87a" + struct.pack("<HH", 12, 7)) == (12, 7)
+
+
+def test_decode_rejects_non_images():
+    for junk in (b"", b"hello world", b"\x89PNGnope", b"\xff\xd8\x00\x00",
+                 b"RIFF....WAVE"):
+        with pytest.raises(ValueError):
+            decode_image_real(junk)
 
 
 def test_fake_decode_deterministic():
@@ -54,6 +115,26 @@ def test_media_features_roundtrip(media, spark):
         assert r["n_bytes"] == len(payload)
         assert r["checksum"] == sum(payload) % 65536
         assert (r["width"], r["height"]) == fake_decode_dims(payload)
+
+
+def test_media_features_real_image_bytes(spark):
+    # genuine PNG/JPEG/GIF payloads through the Spark mapInPandas path:
+    # dimensions must come from the real header parse, not the fake fallback
+    payloads = [
+        (1, "image", _png_bytes(640, 480)),
+        (2, "image", _jpeg_bytes(1920, 1080)),
+        (3, "image", _gif_bytes(800, 600)),
+        (4, "image", b"not an image at all"),
+    ]
+    df = spark.createDataFrame(payloads, "media_id long, kind string, payload binary")
+    out = {r["media_id"]: r for r in media_features(df).collect()}
+    assert (out[1]["width"], out[1]["height"]) == (640, 480)
+    assert (out[2]["width"], out[2]["height"]) == (1920, 1080)
+    assert (out[3]["width"], out[3]["height"]) == (800, 600)
+    for mid in (1, 2, 3):
+        real = (out[mid]["width"], out[mid]["height"])
+        assert real != fake_decode_dims(payloads[mid - 1][2])
+    assert (out[4]["width"], out[4]["height"]) == fake_decode_dims(b"not an image at all")
 
 
 def test_media_features_batch_shape(spark):
