@@ -27,11 +27,16 @@ TABLES = (
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one testdata table, normalizing types.
 
-    ``events.ts`` is stored as parquet TIMESTAMP(NANOS); with
-    ``spark.sql.legacy.parquet.nanosAsLong`` it scans as a nanosecond long,
-    which we convert to a proper TimestampType (microsecond truncation —
-    identical to what DuckDB's TIMESTAMP cast does, so oracle comparisons
-    agree).
+    Timestamp normalization (the driver has shipped both representations):
+
+    * ``events.ts`` as parquet TIMESTAMP(NANOS) — with
+      ``spark.sql.legacy.parquet.nanosAsLong`` it scans as a nanosecond
+      long, which we convert to TimestampType (microsecond truncation —
+      identical to DuckDB's TIMESTAMP cast, so oracle comparisons agree).
+    * plain TIMESTAMP(MICROS) without UTC adjustment — scans as
+      TIMESTAMP_NTZ, which ``window()``/``unix_millis`` reject. The
+      session is pinned to UTC (session.py), so casting NTZ→TIMESTAMP
+      preserves wall time == epoch semantics exactly.
     """
     configure(spark)
     df = spark.read.parquet(f"{sf_dir.rstrip('/')}/{name}.parquet")
@@ -39,6 +44,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # Integer division (`div`), NOT `/`: float division of ~1.7e18 ns
         # values rounds at sub-µs precision and can land one µs high.
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    for col, dtype in df.dtypes:
+        if dtype == "timestamp_ntz":
+            df = df.withColumn(col, F.col(col).cast("timestamp"))
     return df
 
 

@@ -74,6 +74,17 @@ def attach_media(
 # ---------------------------------------------------------------------------
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
+#: Dimensions outside (0, INT32_MAX] cannot be represented in the int32
+#: FEATURES_SCHEMA columns (Arrow conversion would silently wrap), and a
+#: zero dimension is how JPEG encodes "height deferred to a DNL marker" —
+#: both are treated as unparseable so callers fall back deterministically.
+_MAX_DIM = 0x7FFFFFFF
+
+
+def _checked_dims(width: int, height: int, what: str) -> tuple[int, int]:
+    if not (0 < width <= _MAX_DIM and 0 < height <= _MAX_DIM):
+        raise ValueError(f"{what}: dimensions {width}x{height} out of int32 range")
+    return width, height
 #: JPEG SOF markers that carry frame dimensions (baseline, extended,
 #: progressive, lossless, differential, arithmetic variants) — every
 #: 0xC0..0xCF marker EXCEPT DHT (C4), JPG (C8) and DAC (CC).
@@ -92,7 +103,7 @@ def decode_image_real(payload: bytes) -> tuple[int, int]:
             raise ValueError("truncated or malformed PNG: missing IHDR")
         width = int.from_bytes(payload[16:20], "big")
         height = int.from_bytes(payload[20:24], "big")
-        return width, height
+        return _checked_dims(width, height, "malformed PNG")
     if payload[:2] == b"\xff\xd8":  # JPEG SOI
         pos = 2
         n = len(payload)
@@ -115,7 +126,9 @@ def decode_image_real(payload: bytes) -> tuple[int, int]:
                     raise ValueError("truncated JPEG: SOF cut short")
                 height = int.from_bytes(payload[pos + 5 : pos + 7], "big")
                 width = int.from_bytes(payload[pos + 7 : pos + 9], "big")
-                return width, height
+                # height == 0 is legal JPEG (DNL-deferred height) but
+                # unparseable without scanning entropy-coded data.
+                return _checked_dims(width, height, "unsupported JPEG")
             pos += 2 + seg_len
         raise ValueError("malformed JPEG: no SOF marker before EOF")
     if payload[:6] in (b"GIF87a", b"GIF89a"):
@@ -123,7 +136,7 @@ def decode_image_real(payload: bytes) -> tuple[int, int]:
             raise ValueError("truncated GIF: missing screen descriptor")
         width = int.from_bytes(payload[6:8], "little")
         height = int.from_bytes(payload[8:10], "little")
-        return width, height
+        return _checked_dims(width, height, "malformed GIF")
     raise ValueError("not a PNG/JPEG/GIF payload")
 
 

@@ -98,6 +98,38 @@ def test_decode_rejects_non_images():
             decode_image_real(junk)
 
 
+def test_decode_rejects_out_of_range_dims():
+    # uint32 PNG dims that overflow int32 (Arrow would silently wrap them
+    # in the width/height columns) must be treated as unparseable
+    for w, h in ((0xFFFFFFFF, 480), (640, 0x80000000), (0, 480), (640, 0)):
+        with pytest.raises(ValueError):
+            decode_image_real(_png_bytes(w, h))
+    with pytest.raises(ValueError):
+        decode_image_real(_gif_bytes(0, 600))
+
+
+def test_decode_rejects_jpeg_dnl_deferred_height():
+    # height == 0 in SOF is legal JPEG ("height arrives later in a DNL
+    # marker") but unparseable from the header alone -> fall back
+    with pytest.raises(ValueError):
+        decode_image_real(_jpeg_bytes(1920, 0))
+
+
+def test_media_features_total_on_adversarial_headers(spark):
+    # the operator stays total: malformed headers take the deterministic
+    # fallback instead of wrapping negative through the int32 schema
+    bad_png = _png_bytes(0xFFFFFFFF, 0xFFFFFFFF)
+    dnl_jpeg = _jpeg_bytes(640, 0)
+    df = spark.createDataFrame(
+        [(1, "image", bad_png), (2, "image", dnl_jpeg)],
+        "media_id long, kind string, payload binary",
+    )
+    out = {r["media_id"]: r for r in media_features(df).collect()}
+    assert (out[1]["width"], out[1]["height"]) == fake_decode_dims(bad_png)
+    assert (out[2]["width"], out[2]["height"]) == fake_decode_dims(dnl_jpeg)
+    assert all(r["width"] > 0 and r["height"] > 0 for r in out.values())
+
+
 def test_fake_decode_deterministic():
     assert fake_decode_dims(b"ab") == fake_decode_dims(b"ab")
     assert fake_decode_dims(b"") == (128, 128)
