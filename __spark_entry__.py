@@ -431,7 +431,10 @@ def _events_us(spark: SparkSession, sf_dir: str, event_type: str) -> DataFrame:
 def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Attribution as-of join: each click matched to the user's latest
     view at-or-before it, within a 1-hour tolerance (merge-asof via
-    union + per-key sort + running last — operators/temporal.py)."""
+    union + per-key sort + running last — operators/temporal.py).
+    Runs the skew-hardened ``bucketed`` path — partitioned by (user,
+    1-hour bucket) — which is result-identical to the plain path, so the
+    oracle validates the production-skew plan."""
     clicks = _events_us(spark, sf_dir, "click")
     views = _events_us(spark, sf_dir, "view")
     out = asof_join(
@@ -443,6 +446,7 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         tolerance=3_600_000_000,
         tie_cols=["event_id"],
         right_prefix="view_",
+        bucketed=True,
     )
     ms = lambda c: F.expr(f"{c} div 1000")  # noqa: E731
     return out.select(

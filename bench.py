@@ -68,6 +68,13 @@ def main() -> None:
         name: (round(statistics.median(ts), 3) if ts else -1.0)
         for name, ts in samples.items()
     }
+    # Per-query MIN alongside the median: the min is the best observed
+    # cold-cache execution, so a median/min gap flags host jitter or
+    # codegen/JIT warmup rather than a real plan change — regression calls
+    # should compare both before blaming the code.
+    timings_min = {
+        name: (round(min(ts), 3) if ts else -1.0) for name, ts in samples.items()
+    }
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
@@ -77,6 +84,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "queries_min": timings_min,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "n": n_iter,
                 "iterations": [

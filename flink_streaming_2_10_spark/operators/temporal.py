@@ -17,7 +17,10 @@ driver loops.
   merge-asof. Cost: one exchange per input + one sort; no join explosion,
   no per-row probes. Skewed keys concentrate in single partitions (the
   price of per-key ordering) — AQE skew handling does not split windows,
-  so pre-filter degenerate hot keys or bucket time coarsely first.
+  so for skew-prone keys use ``bucketed=True``: the window partitions by
+  (key, coarse time bucket) with right rows replicated one bucket
+  forward, which is exact under ``tolerance`` and bounds any partition
+  to one tolerance-width slice of one key.
 
 * **Interval join** — all pairs with ``right_time ∈ [left_time + lower,
   left_time + upper]`` per key. Implementation: quantize time into
@@ -51,10 +54,22 @@ def asof_join(
     tie_cols: list[str] | None = None,
     right_prefix: str = "r_",
     direction: str = "backward",
+    bucketed: bool = False,
 ) -> DataFrame:
     """Distributed merge-asof: latest right row at-or-before each left row
     (``direction="backward"``, the default) or earliest right row
     at-or-after it (``"forward"``).
+
+    ``bucketed=True`` (requires ``tolerance``) is the skew-hardened path:
+    the sort window is partitioned by (key, ``floor(time/tolerance)``)
+    instead of key alone, with each right row replicated into its own and
+    the next bucket. Any right row within tolerance of a left row at
+    bucket ``b`` has bucket ``b-1`` or ``b``, so the replicated bucket
+    holds every candidate — the result is IDENTICAL to the plain path
+    (matches beyond tolerance are nulled either way), but a hot key's
+    rows spread across ``time_span/tolerance`` partitions instead of
+    concentrating in one. Cost: 2× the right side in the shuffle. Use it
+    when one key can dominate (default/null user ids, bot traffic).
 
     Returns every ``left`` row with all ``right`` columns appended as
     ``{right_prefix}{col}`` — NULL when no right row qualifies.
@@ -95,10 +110,13 @@ def asof_join(
             tie_cols=neg_ties,
             right_prefix=right_prefix,
             direction="backward",
+            bucketed=bucketed,
         )
         drop = [neg, f"{right_prefix}{neg}"]
         drop += neg_ties + [f"{right_prefix}{t}" for t in neg_ties]
         return out.drop(*drop)
+    if bucketed and tolerance is None:
+        raise ValueError("asof_join: bucketed=True requires a tolerance")
     if tie_cols is None:
         tie_cols = []
     r_struct = F.struct(*[F.col(c) for c in right.columns]).alias("__r")
@@ -125,12 +143,26 @@ def asof_join(
         l_struct,
         F.lit(None).cast(r_type).alias("__r"),
     )
+    part_cols: list[Column] = [F.col(c) for c in on]
+    if bucketed:
+        # Coarse time buckets of width == tolerance. A candidate right row
+        # (rt in [t - tolerance, t]) has bucket(rt) in {bucket(t) - 1,
+        # bucket(t)}, so replicating right rows one bucket forward makes
+        # each left row's own bucket self-sufficient; anything older is
+        # outside tolerance and nulled by the filter below regardless.
+        bwidth = F.lit(max(int(tolerance), 1))
+        bucket = F.floor(F.col("__t") / bwidth).cast("long")
+        tagged_r = tagged_r.withColumn(
+            "__bucket", F.explode(F.array(bucket, bucket + F.lit(1)))
+        )
+        tagged_l = tagged_l.withColumn("__bucket", bucket)
+        part_cols.append(F.col("__bucket"))
     # Right rows order before left rows at equal time (asof is inclusive);
     # nulls_last puts left rows after all right tie values.
     order: list[Column] = [F.col("__t").asc(), F.col("__side").asc()]
     order += [F.col(f"__tie{i}").asc_nulls_last() for i in range(len(tie_cols))]
     w = (
-        Window.partitionBy(*[F.col(c) for c in on])
+        Window.partitionBy(*part_cols)
         .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )

@@ -331,6 +331,7 @@ def minhash_lsh_candidates(
     bands: int = 16,
     rows: int = 4,
     hash_buckets: bool = True,
+    validate: bool = True,
 ) -> DataFrame:
     """LSH banding: docs whose signature agrees on ALL rows of at least one
     band become a candidate pair. bands×rows must equal signature length —
@@ -343,6 +344,12 @@ def minhash_lsh_candidates(
     path), or the raw concat string when oracle-exact candidate sets are
     required (DuckDB has no xxhash64). Collisions (real candidates) are
     rare by construction, so the self-join output stays near-linear.
+
+    ``validate=False`` skips the per-row signature-length guard — for
+    callers that construct ``sig`` themselves with a statically known
+    length (``minhash_dedup_pairs`` builds it as an ``array()`` of exactly
+    ``num_hashes`` elements, so the check is provable at plan time and the
+    runtime expression would be dead weight in the banding stage).
     """
     # Fail fast on a banding mismatch. Array length isn't in the schema,
     # so guard inside the bucket expression: assert_true evaluates per row
@@ -369,7 +376,9 @@ def minhash_lsh_candidates(
 
     # The guard must live inside an expression the plan keeps, or column
     # pruning would drop it — fold it into band 0's index (+0 when valid).
-    guard_zero = sig_guard.isNull().cast("int") * F.lit(0)
+    guard_zero = (
+        sig_guard.isNull().cast("int") * F.lit(0) if validate else F.lit(0)
+    )
 
     # One row per doc — cache so the bucket self-join doesn't recompute the
     # signature aggregation for each side.
@@ -446,7 +455,12 @@ def minhash_dedup_pairs(
             F.array(*[F.col(f"g{i}") for i in range(num_hashes)]).alias("sig"),
         )
     )
-    cands = minhash_lsh_candidates(sigs, bands, rows, hash_buckets=hasher == "xxhash64")
+    # validate=False: sigs' array() length == num_hashes by construction
+    # and bands*rows == num_hashes was checked above — plan-time proof, no
+    # per-row guard expression in the banding stage.
+    cands = minhash_lsh_candidates(
+        sigs, bands, rows, hash_buckets=hasher == "xxhash64", validate=False
+    )
     sizes = posts.groupBy("doc_id").agg(F.count(F.lit(1)).alias("set_size"))
     a = posts.select(F.col("doc_id").alias("doc_a"), "h")
     b = posts.select(F.col("doc_id").alias("doc_b"), "h")

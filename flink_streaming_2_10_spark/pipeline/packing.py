@@ -25,15 +25,36 @@ from flink_streaming_2_10_spark.pipeline.dedup import duckdb_hash60_sql
 from flink_streaming_2_10_spark.pipeline.textstats import BPE_PATTERN
 
 
+def derive_num_shards(df: DataFrame) -> int:
+    """Scale-aware shard count: one shard per input partition, floored at
+    the cluster's default parallelism.
+
+    The shard count IS the packing parallelism — the running-sum window is
+    partitioned by shard, so at most ``num_shards`` tasks ever do ordering
+    work. Input partition count tracks data volume (one scan partition ≈
+    ``spark.sql.files.maxPartitionBytes``), so a 100× bigger corpus gets
+    ~100× the shards automatically instead of squeezing through a fixed
+    8-way window stage; the defaultParallelism floor keeps tiny inputs
+    from under-using the cluster.
+    """
+    spark = df.sparkSession
+    return max(df.rdd.getNumPartitions(), spark.sparkContext.defaultParallelism)
+
+
 def pack_concat_chunks(
     df: DataFrame,
     budget: int = 512,
-    num_shards: int = 8,
+    num_shards: int | None = None,
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
     """Pack documents into fixed-``budget`` token sequences, concat-and-
     chunk style, sharded by ``pmod(hash(doc_id), num_shards)``.
+
+    ``num_shards=None`` (the default) derives the shard count from the
+    input size via :func:`derive_num_shards`; pass an explicit count when
+    the number of output files is a contract (the oracle query pins 8 for
+    cross-engine parity).
 
     Per document: ``tokens = bpe_count(text) + 1`` (one EOS separator —
     also guarantees every doc occupies ≥1 slot). Within a shard, docs
@@ -47,6 +68,8 @@ def pack_concat_chunks(
     n_tokens, first_doc, last_doc)`` — every chunk holds exactly
     ``budget`` tokens except each shard's last.
     """
+    if num_shards is None:
+        num_shards = derive_num_shards(df)
     sid = F.conv(
         F.substring(F.md5(F.concat(F.lit("shard:"), F.col(id_col).cast("string"))), 1, 15),
         16,

@@ -73,6 +73,15 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.driver.extraJavaOptions", "-Djava.net.preferIPv4Stack=true")
+        # STATIC conf (must be set before the session exists): the default
+        # 100-entry generated-class cache thrashes on a many-query workload
+        # (this engine's surface is 44 queries × several codegen stages
+        # each), re-paying Janino compilation of the big aggregate
+        # expressions (simhash vote lanes, 64-permutation minhash) on every
+        # run. 2000 entries keeps every distinct stage compiled once per
+        # JVM; entries are generated-class references, so the footprint is
+        # a few MB.
+        .config("spark.sql.codegen.cache.maxEntries", "2000")
     )
     for key, value in RUNTIME_CONF.items():
         builder = builder.config(key, value)

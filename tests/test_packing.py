@@ -6,7 +6,10 @@ import pytest
 from pyspark.sql import functions as F
 
 from flink_streaming_2_10_spark.catalog import load_table
-from flink_streaming_2_10_spark.pipeline.packing import pack_concat_chunks
+from flink_streaming_2_10_spark.pipeline.packing import (
+    derive_num_shards,
+    pack_concat_chunks,
+)
 from flink_streaming_2_10_spark.pipeline.textstats import BPE_PATTERN
 from tests.conftest import SF_SMALL
 
@@ -67,6 +70,32 @@ def test_straddling_doc_counted_in_both_chunks(spark):
     # doc 2 appears in chunk 0 (1 token) and chunk 1 (2 tokens)
     chunk1 = rows[(0, 1)]
     assert chunk1["first_doc"] == 2
+
+
+def test_default_shards_scale_with_input(spark, docs):
+    # the default shard count is the packing parallelism: it must track
+    # input partitions (data volume) with a defaultParallelism floor, so
+    # the window stage never collapses to a fixed 8-way bottleneck
+    derived = derive_num_shards(docs)
+    assert derived == max(
+        docs.rdd.getNumPartitions(), spark.sparkContext.defaultParallelism
+    )
+    wide = docs.repartition(derived * 3)
+    assert derive_num_shards(wide) == derived * 3
+    assert derived >= spark.sparkContext.defaultParallelism
+
+
+def test_window_parallelism_tracks_shard_param(docs):
+    # distinct shard ids == the window stage's effective parallelism;
+    # every shard must be populated once num_shards << row count
+    for k in (2, 16):
+        got = (
+            pack_concat_chunks(docs, budget=512, num_shards=k)
+            .select("shard_id")
+            .distinct()
+            .count()
+        )
+        assert got == k
 
 
 def test_shard_scaleout_preserves_totals(docs):

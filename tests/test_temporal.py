@@ -124,6 +124,79 @@ def test_driver_queries_match_oracle(spark, duck):
         assert_df_matches_oracle(got, duck, entrymod.oracle_sql()[name])
 
 
+def test_asof_bucketed_matches_plain_on_skewed_key(spark):
+    """One key holds 90% of the rows: the skew-hardened bucketed path
+    must return exactly what the plain path returns."""
+    import random
+
+    rng = random.Random(7)
+    n = 400
+    left_rows = [
+        (i, "hot" if i % 10 else f"cold{i}", rng.randrange(0, 10_000))
+        for i in range(n)
+    ]
+    right_rows = [
+        (1000 + i, "hot" if i % 10 else f"cold{i}", rng.randrange(0, 10_000))
+        for i in range(n)
+    ]
+    left = spark.createDataFrame(left_rows, ["lid", "k", "t"])
+    right = spark.createDataFrame(right_rows, ["rid", "k", "t"])
+    kw = dict(
+        on=["k"], left_time="t", right_time="t", tolerance=500,
+        tie_cols=["rid"], right_prefix="q_",
+    )
+    plain = asof_join(left, right, **kw)
+    hard = asof_join(left, right, bucketed=True, **kw)
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, hard.collect()))
+    for direction in ("forward",):
+        p = asof_join(left, right, direction=direction, **kw)
+        h = asof_join(left, right, direction=direction, bucketed=True, **kw)
+        assert sorted(map(tuple, p.collect())) == sorted(map(tuple, h.collect()))
+
+
+def test_asof_bucketed_bounds_hot_key_partitions(spark):
+    """The window state for a hot key must split across time buckets:
+    no (key, bucket) group may hold more than one tolerance-width slice
+    of the hot key's rows."""
+    from pyspark.sql import functions as F
+
+    n, tol, span = 2000, 100, 10_000
+    left = spark.createDataFrame(
+        [(i, "hot", (i * 37) % span) for i in range(n)], ["lid", "k", "t"]
+    )
+    right = spark.createDataFrame(
+        [(i, "hot", (i * 53) % span) for i in range(n)], ["rid", "k", "t"]
+    )
+    # replicate the operator's partitioning: (k, floor(t/tol)) for left,
+    # right counted twice (own + next bucket)
+    lcnt = left.groupBy("k", F.floor(F.col("t") / tol).alias("b")).count()
+    rcnt = right.groupBy("k", F.floor(F.col("t") / tol).alias("b")).count()
+    biggest = (
+        lcnt.join(rcnt.withColumnRenamed("count", "rc"), ["k", "b"], "outer")
+        .fillna(0)
+        .select((F.col("count") + 2 * F.col("rc")).alias("g"))
+        .agg(F.max("g"))
+        .collect()[0][0]
+    )
+    # 2n rows on one key collapse to one partition un-bucketed; bucketed,
+    # the largest group is ~3 * (2n / (span/tol)) — two orders smaller
+    assert biggest < (2 * n) / 10
+    # and the hardened operator still produces one row per left row
+    out = asof_join(
+        left, right, on=["k"], left_time="t", right_time="t",
+        tolerance=tol, tie_cols=["rid"], bucketed=True, right_prefix="q_",
+    )
+    assert out.count() == n
+
+
+def test_asof_bucketed_requires_tolerance(spark):
+    left = spark.createDataFrame([(1, "A", 100)], ["lid", "k", "t"])
+    with pytest.raises(ValueError, match="tolerance"):
+        asof_join(
+            left, left, on=["k"], left_time="t", right_time="t", bucketed=True
+        )
+
+
 def test_asof_forward_direction(spark):
     left = spark.createDataFrame(
         [(1, "A", 100), (2, "A", 250), (3, "B", 50)], ["trade_id", "sym", "t"]
