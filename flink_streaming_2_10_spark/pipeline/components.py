@@ -27,9 +27,10 @@ Algorithm: distributed min-label propagation with pointer jumping.
   prior round) and one convergence count. Both label and edge tables
   carry only 8-byte ids: at 100 TB of documents the edge list is the
   near-dup pair set (≪ corpus) and the label table is 16 bytes × nodes —
-  the document bodies never enter the loop. On a real cluster prefer
-  ``spark.sparkContext.setCheckpointDir`` + ``checkpoint()`` over
-  ``localCheckpoint`` for fault tolerance; semantics are identical.
+  the document bodies never enter the loop. On a real cluster pass
+  ``checkpoint="reliable"`` (dir-based ``checkpoint()`` after
+  ``spark.sparkContext.setCheckpointDir``) for fault tolerance;
+  semantics are identical to the default ``localCheckpoint``.
 
 Duplicate-cluster graphs in practice are near-cliques (every member pairs
 with most others), so typical convergence is 2–3 rounds; the jump step is
@@ -49,6 +50,8 @@ def connected_components(
     a_col: str = "doc_a",
     b_col: str = "doc_b",
     max_rounds: int = 25,
+    checkpoint: str = "local",
+    stats: dict | None = None,
 ) -> DataFrame:
     """``(node, component)`` for every node appearing in ``pairs``;
     ``component`` is the minimum node id reachable through the pair graph.
@@ -57,23 +60,38 @@ def connected_components(
     count is O(log n), so 25 covers any realistic graph (2^25 nodes on a
     pure path). Raises ``RuntimeError`` if the labels have not stabilized
     within the bound rather than returning a partial closure.
+
+    ``checkpoint`` selects lineage truncation: ``"local"`` (executor-disk
+    ``localCheckpoint`` — fastest, fine single-JVM) or ``"reliable"``
+    (dir-based ``checkpoint()`` — survives executor loss; the caller must
+    have called ``spark.sparkContext.setCheckpointDir`` first, which is
+    the cluster-mode deployment step). ``stats``, when a dict, receives
+    ``{"rounds": N}`` on return — observability for convergence tests.
     """
+    if checkpoint not in ("local", "reliable"):
+        raise ValueError(f"checkpoint must be local|reliable, got {checkpoint!r}")
+
+    def _ckpt(df: DataFrame, eager: bool) -> DataFrame:
+        if checkpoint == "local":
+            return df.localCheckpoint(eager=eager)
+        return df.checkpoint(eager=eager)
+
     e = pairs.select(
         F.col(a_col).cast("long").alias("src"),
         F.col(b_col).cast("long").alias("dst"),
     )
     # Symmetrize once; distinct() collapses multi-edges from overlapping
     # dedup detectors so every round's join fans out at most degree-fold.
-    edges = (
+    edges = _ckpt(
         e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-        .distinct()
-        .localCheckpoint(eager=True)
+        .distinct(),
+        True,
     )
-    labels = (
+    labels = _ckpt(
         edges.select("src")
         .distinct()
-        .select(F.col("src").alias("v"), F.col("src").alias("label"))
-        .localCheckpoint(eager=True)
+        .select(F.col("src").alias("v"), F.col("src").alias("label")),
+        True,
     )
 
     # Convergence detection: labels only ever DECREASE (min-folds of node
@@ -88,7 +106,7 @@ def connected_components(
         ).collect()[0]["s"]
 
     prev_sum = _label_sum(labels)
-    for _ in range(max_rounds):
+    for round_no in range(1, max_rounds + 1):
         # Neighbor step: propagate label(dst) to src over every edge, then
         # fold with the node's current label. union+groupBy(min) is one
         # hash exchange with map-side partials — no window, no sort.
@@ -105,21 +123,23 @@ def connected_components(
         hop = merged.select(
             F.col("v").alias("jv"), F.col("label").alias("jlabel")
         )
-        jumped = (
+        jumped = _ckpt(
             merged.join(hop, merged["label"] == hop["jv"], "left")
             .select(
                 "v",
                 F.least(
                     F.col("label"), F.coalesce(F.col("jlabel"), F.col("label"))
                 ).alias("label"),
-            )
-            .localCheckpoint(eager=False)
+            ),
+            False,
         )
         # The sum aggregation is the materializing action for the lazy
         # checkpoint — one job per round total.
         cur_sum = _label_sum(jumped)
         labels = jumped
         if cur_sum == prev_sum:
+            if stats is not None:
+                stats["rounds"] = round_no
             return labels.select(
                 F.col("v").alias("node"), F.col("label").alias("component")
             )

@@ -65,6 +65,35 @@ def kafka_json_stream(
     return decode_kafka_records(raw, schema)
 
 
+#: The exact output schema of ``readStream.format("kafka").load()`` —
+#: what :func:`decode_kafka_records` consumes and what the stub source
+#: reproduces.
+KAFKA_WIRE_SCHEMA = (
+    "key binary, value binary, topic string, partition int, offset long, "
+    "timestamp timestamp, timestampType int"
+)
+
+
+def kafka_wire_stub_stream(spark: SparkSession, directory: str) -> DataFrame:
+    """File-backed stand-in for the connector's ``load()``: streams
+    parquet files carrying the connector's exact wire schema
+    (:data:`KAFKA_WIRE_SCHEMA`), one micro-batch per file.
+
+    This is the broker-less integration path: a producer-side test writes
+    wire-shaped batches (binary key/value, topic/partition/offset
+    metadata), and everything downstream of ``load()`` — decode,
+    projection, windowing, aggregation — runs end-to-end as a real
+    Structured Streaming query. Swapping this source for
+    ``kafka_json_stream`` is a one-line change, which is the point: the
+    pipeline is connector-agnostic past the wire schema.
+    """
+    return (
+        spark.readStream.schema(KAFKA_WIRE_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(directory)
+    )
+
+
 def decode_kafka_records(raw: DataFrame, schema: StructType | str) -> DataFrame:
     """Decode the connector's wire schema (binary key/value + topic/
     partition/offset/timestamp) into typed records. Split out from

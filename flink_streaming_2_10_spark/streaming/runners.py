@@ -120,6 +120,56 @@ def collect_stream(
     return batches
 
 
+def interval_join_event_stream(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_time: str,
+    right_time: str,
+    lower_seconds: int,
+    upper_seconds: int,
+    watermark_delay: str = "10 seconds",
+    right_prefix: str = "r_",
+) -> DataFrame:
+    """Watermarked stream–stream interval join: every (left, right) pair
+    with ``right_time ∈ [left_time + lower_seconds, left_time +
+    upper_seconds]`` per key — the live form of
+    ``operators.temporal.interval_join`` (Flink's ``intervalJoin``
+    analog).
+
+    Structured Streaming plans a two-sided time-range inner join with
+    watermarks on BOTH event-time columns, from which it derives state
+    eviction: a buffered left row is dropped once the right watermark
+    passes ``left_time + upper_seconds`` (and symmetrically), so state is
+    bounded by watermark delay + window width — no unbounded buffering.
+    Time columns must be TimestampType (event time); the batch operator's
+    numeric-µs contract stays exact for oracle comparison, while this
+    builder is the deployment shape. On bounded inputs the same plan runs
+    as a plain range join (watermarks are no-ops in batch), which is what
+    the parity test exploits.
+    """
+    if lower_seconds > upper_seconds:
+        raise ValueError(
+            f"interval_join_event_stream: lower {lower_seconds} > upper "
+            f"{upper_seconds}"
+        )
+    l_wm = left.withWatermark(left_time, watermark_delay)
+    r_wm = right.withWatermark(right_time, watermark_delay).select(
+        *[F.col(c).alias(f"{right_prefix}{c}") for c in right.columns]
+    )
+    rt = F.col(f"{right_prefix}{right_time}")
+    cond = None
+    for k in on:
+        eq = l_wm[k] == r_wm[f"{right_prefix}{k}"]
+        cond = eq if cond is None else cond & eq
+    cond = (
+        cond
+        & (rt >= F.col(left_time) + F.expr(f"INTERVAL {int(lower_seconds)} SECONDS"))
+        & (rt <= F.col(left_time) + F.expr(f"INTERVAL {int(upper_seconds)} SECONDS"))
+    )
+    return l_wm.join(r_wm, cond, "inner")
+
+
 def streaming_exact_dedup(
     docs: DataFrame,
     id_col: str = "doc_id",

@@ -44,6 +44,46 @@ def test_path_graph_converges_via_pointer_jumping(spark):
     assert len(got) == 25
 
 
+def test_long_path_round_count_is_logarithmic(spark):
+    """512-node path (diameter 511): pointer jumping must converge in
+    ~log2(n) rounds — the claim the 25-round default bound rests on.
+    Neighbor-only propagation would need 511 rounds; each (neighbor +
+    jump) round roughly triples the contraction, so log2(512)=9 plus
+    slack covers it. Also proves the bound itself is nowhere near the
+    raise."""
+    n = 512
+    df = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], ["doc_a", "doc_b"]
+    )
+    stats: dict = {}
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(df, stats=stats).collect()
+    }
+    assert set(got.values()) == {0} and len(got) == n + 1
+    assert stats["rounds"] <= 11, stats
+
+
+def test_reliable_checkpoint_mode(spark, tmp_path):
+    """Dir-based checkpoint() — the cluster fault-tolerance option —
+    produces identical components."""
+    spark.sparkContext.setCheckpointDir(str(tmp_path / "ckpt"))
+    df = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], ["doc_a", "doc_b"]
+    )
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(df, checkpoint="reliable").collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_unknown_checkpoint_mode_raises(spark):
+    df = spark.createDataFrame([(1, 2)], ["doc_a", "doc_b"])
+    with pytest.raises(ValueError, match="local|reliable"):
+        connected_components(df, checkpoint="hdfs")
+
+
 def test_duplicate_and_reversed_edges_collapse(spark):
     got = _labels(spark, [(1, 2), (2, 1), (1, 2), (3, 2)])
     assert got == {1: 1, 2: 1, 3: 1}
