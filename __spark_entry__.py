@@ -73,6 +73,7 @@ from flink_streaming_2_10_spark.pipeline.redaction import (
 from flink_streaming_2_10_spark.pipeline.sampling import (
     domain_mixture,
     domain_mixture_oracle,
+    source_quality_cap,
     stratified_sample,
     stratified_sample_oracle,
 )
@@ -96,9 +97,11 @@ from flink_streaming_2_10_spark.pipeline.textstats import (
     STOPWORDS,
     doc_fingerprints,
     language_id,
+    length_histogram,
     quality_scores,
     repetition_stats,
     token_counts,
+    top_ngrams,
 )
 from flink_streaming_2_10_spark.sources.generators import (
     car_events_from_events,
@@ -418,6 +421,29 @@ def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repetition_stats(load_table(spark, sf_dir, "documents"))
 
 
+def q_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus n-gram heavy hitters: top 50 word trigrams by document
+    frequency — partial-agg count + TakeOrderedAndProject, no global
+    sort (pipeline/textstats.top_ngrams)."""
+    return top_ngrams(load_table(spark, sf_dir, "documents"), n=3, k=50)
+
+
+def q_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-count histogram per language in integer-exact decimal
+    magnitude buckets (pipeline/textstats.length_histogram)."""
+    return length_histogram(load_table(spark, sf_dir, "documents"))
+
+
+def q_source_quality_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain capping: top 25 docs per source by heuristic quality,
+    running the two-pass bucketed top-k (prefilter_buckets=4) so the
+    oracle validates the skew-bounded plan, which is result-identical
+    to the single-window form (pipeline/sampling.source_quality_cap)."""
+    return source_quality_cap(
+        load_table(spark, sf_dir, "documents"), cap=25, prefilter_buckets=4
+    )
+
+
 def _events_us(spark: SparkSession, sf_dir: str, event_type: str) -> DataFrame:
     """(event_id, user_id, t) for one event type, time as epoch-µs long —
     integer time keeps every comparison and division exact in both
@@ -658,6 +684,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_language_id": q_text_language_id,
         "text_fingerprint": q_text_fingerprint,
         "text_repetition": q_text_repetition,
+        "top_ngrams": q_top_ngrams,
+        "length_histogram": q_length_histogram,
+        "source_quality_cap": q_source_quality_cap,
         "training_shard": q_training_shard,
         "training_shard_curated": q_training_shard_curated,
         "shard_manifest": q_shard_manifest,
@@ -1175,6 +1204,79 @@ def _text_quality_oracle() -> str:
         FROM f"""
 
 
+def _top_ngrams_oracle(n: int = 3, k: int = 50) -> str:
+    """Mirror of textstats.top_ngrams: document frequency over the same
+    distinct-per-doc shingles, identical (doc_freq DESC, ngram ASC) cut."""
+    return f"""
+        WITH {_shingle_ctes(n)}
+        SELECT shingle AS ngram, CAST(count(*) AS BIGINT) AS doc_freq
+        FROM sh
+        GROUP BY shingle
+        ORDER BY doc_freq DESC, ngram ASC
+        LIMIT {int(k)}"""
+
+
+def _length_histogram_oracle() -> str:
+    """Mirror of textstats.length_histogram — the digit-count bucket is
+    integer-exact in both engines (no float log edge cases)."""
+    return f"""
+        WITH t AS (SELECT lang,
+                          CAST(len(regexp_extract_all(text, '{BPE_PATTERN}'))
+                               AS BIGINT) AS tokens
+                   FROM documents)
+        SELECT lang,
+               CAST(length(CAST(tokens AS VARCHAR)) AS INT) AS magnitude,
+               count(*) AS n_docs,
+               CAST(sum(tokens) AS BIGINT) AS total_tokens,
+               CAST(min(tokens) AS BIGINT) AS min_tokens,
+               CAST(max(tokens) AS BIGINT) AS max_tokens
+        FROM t
+        GROUP BY lang, magnitude"""
+
+
+def _source_quality_cap_oracle(cap: int = 25) -> str:
+    """Mirror of sampling.source_quality_cap: same quality arithmetic as
+    _text_quality_oracle (fixed evaluation order keeps the doubles
+    bit-identical), ranked per source with the same (quality DESC,
+    doc_id) total order. The Spark side's bucketed prefilter is
+    result-invariant, so one plain window is the correct oracle."""
+    return f"""
+        WITH t AS (SELECT doc_id, source, text, {_WORDS_SQL} AS words
+                   FROM documents),
+        f AS (SELECT doc_id, source,
+                     CAST(len(words) AS INT) AS n_words,
+                     CAST({_stop_hits_sql(STOPWORDS["en"])} AS INT) AS stop_hits,
+                     CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]')) AS INT)
+                        AS punct,
+                     CAST(len(regexp_extract_all(text, '[0-9]')) AS INT) AS digits,
+                     CAST(length(text) AS INT) AS n_chars
+              FROM t),
+        q AS (SELECT doc_id, source,
+                     (CAST(stop_hits AS DOUBLE)
+                        / CAST(greatest(n_words, 1) AS DOUBLE))
+                       * CAST(0.3 AS DOUBLE)
+                     + (CAST(1.0 AS DOUBLE)
+                        - CAST(punct AS DOUBLE)
+                          / CAST(greatest(n_chars, 1) AS DOUBLE))
+                       * CAST(0.3 AS DOUBLE)
+                     + (CAST(1.0 AS DOUBLE)
+                        - CAST(digits AS DOUBLE)
+                          / CAST(greatest(n_chars, 1) AS DOUBLE))
+                       * CAST(0.1 AS DOUBLE)
+                     + least(CAST(n_words AS DOUBLE) / CAST(50.0 AS DOUBLE),
+                             CAST(1.0 AS DOUBLE)) * CAST(0.3 AS DOUBLE)
+                       AS quality
+              FROM f),
+        r AS (SELECT doc_id, source, quality,
+                     CAST(row_number() OVER (PARTITION BY source
+                                             ORDER BY quality DESC, doc_id)
+                          AS INT) AS rank_in_source
+              FROM q)
+        SELECT doc_id, source, quality, rank_in_source
+        FROM r
+        WHERE rank_in_source <= {int(cap)}"""
+
+
 def _text_language_id_oracle() -> str:
     score_cols = ",\n                     ".join(
         f"CAST({_stop_hits_sql(STOPWORDS[lang])} AS INT) AS s_{lang}"
@@ -1670,6 +1772,9 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "text_repetition": _text_repetition_oracle(),
+        "top_ngrams": _top_ngrams_oracle(n=3, k=50),
+        "length_histogram": _length_histogram_oracle(),
+        "source_quality_cap": _source_quality_cap_oracle(cap=25),
         "sketch_distinct_ngrams": _kmv_sketch_oracle(k=64, shingle_n=3),
         # multimodal: payload bytes == utf-8(text) (ASCII corpus), so byte
         # stats are codepoint stats and the mapInPandas path is checkable.

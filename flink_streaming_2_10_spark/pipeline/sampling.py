@@ -161,3 +161,56 @@ def domain_mixture_oracle(
                      {float(max_weight)!r}) AS weight
         FROM per, tot
     """
+
+
+def source_quality_cap(
+    df: DataFrame,
+    cap: int = 100,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    text_col: str = "text",
+    prefilter_buckets: int | None = None,
+) -> DataFrame:
+    """Cap every source (domain) at its ``cap`` highest-quality documents
+    — the "domain capping" pass real pretraining mixtures apply so one
+    mega-crawl domain can't dominate the corpus. Quality is the shared
+    heuristic (textstats.quality_exprs), ties broken by doc_id; output is
+    ``(doc_id, source, quality, rank_in_source)``.
+
+    Scale: ranking is a window partitioned by source — a mega-domain
+    would concentrate in one task, so ``prefilter_buckets=B`` enables the
+    two-pass top-k: pass 1 ranks within (source, hash-bucket of doc_id)
+    and keeps ``cap`` rows per bucket (any row in a source's global
+    top-``cap`` is necessarily in its bucket's top-``cap``, so this
+    prunes without changing the answer); pass 2 ranks the surviving
+    ``≤ B·cap`` rows per source. Per-task state is bounded by
+    ``max(rows/B, B·cap)`` — pick B ≈ sqrt(hot_rows/cap). Quality is
+    computed scan-side BEFORE any shuffle; only (id, source, quality)
+    ever moves.
+    """
+    from pyspark.sql import Window
+
+    from flink_streaming_2_10_spark.pipeline.textstats import quality_exprs
+
+    scored = df.select(
+        F.col(id_col),
+        F.col(source_col),
+        quality_exprs(F.col(text_col))["quality"].alias("quality"),
+    )
+    order = [F.col("quality").desc(), F.col(id_col).asc()]
+    if prefilter_buckets is not None:
+        # result-invariant prune: the bucket hash needs no cross-engine
+        # contract (nothing downstream depends on WHICH bucket, only
+        # that each is capped), so the cheap JVM hash is fine.
+        w1 = Window.partitionBy(
+            F.col(source_col), F.pmod(F.hash(F.col(id_col)), F.lit(prefilter_buckets))
+        ).orderBy(*order)
+        scored = (
+            scored.withColumn("__r", F.row_number().over(w1))
+            .filter(F.col("__r") <= cap)
+            .drop("__r")
+        )
+    w = Window.partitionBy(source_col).orderBy(*order)
+    return scored.withColumn("rank_in_source", F.row_number().over(w)).filter(
+        F.col("rank_in_source") <= cap
+    )

@@ -260,3 +260,62 @@ def repetition_stats(
         )
         .alias("top_bigram_frac"),
     )
+
+
+def top_ngrams(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    k: int = 50,
+) -> DataFrame:
+    """Corpus-wide n-gram heavy hitters: the ``k`` word n-grams present
+    in the most documents — ``(ngram, doc_freq)``, document frequency
+    (per-doc distinct via the shared shingle builder), total-ordered by
+    (doc_freq DESC, ngram ASC) so the cut at ``k`` is deterministic.
+
+    100 TB shape: shingling is a narrow map (dedup._shingles — no
+    shuffle); the frequency count is one hash aggregation with map-side
+    partials keyed on the gram string; the final top-k plans as
+    TakeOrderedAndProject — every partition forwards at most ``k`` rows,
+    no global sort. The classic exact-heavy-hitter plan; sketch-based
+    alternatives (pipeline.sketches) only become necessary when ``k`` or
+    the gram cardinality explodes.
+    """
+    from flink_streaming_2_10_spark.pipeline.dedup import _shingles
+
+    return (
+        _shingles(df, id_col, text_col, n)
+        .groupBy(F.col("shingle").alias("ngram"))
+        .agg(F.count(F.lit(1)).alias("doc_freq"))
+        .orderBy(F.col("doc_freq").desc(), F.col("ngram").asc())
+        .limit(k)
+    )
+
+
+def length_histogram(
+    df: DataFrame, text_col: str = "text", lang_col: str = "lang"
+) -> DataFrame:
+    """Token-count distribution per language in decimal-magnitude
+    buckets: ``magnitude`` = digit count of the BPE-ish token count
+    (1 → 1-9 tokens, 2 → 10-99, …), with per-bucket doc count and
+    token-mass min/max/total.
+
+    Bucket edges are INTEGER-exact (string digit count) rather than
+    ``floor(log10/log2)`` — float logs can land boundary values on
+    different sides across engines, which would silently shift histogram
+    mass. Scan shape: one narrow projection, one tiny hash aggregation
+    (≤ languages × ~7 buckets of state), map-side partials — the whole
+    corpus reduces to a handful of rows with zero wide shuffles.
+    """
+    tokens = F.regexp_count(F.col(text_col), F.lit(BPE_PATTERN)).cast("long")
+    t = df.select(F.col(lang_col).alias("lang"), tokens.alias("tokens"))
+    return t.groupBy(
+        "lang",
+        F.length(F.col("tokens").cast("string")).cast("int").alias("magnitude"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("tokens").alias("total_tokens"),
+        F.min("tokens").alias("min_tokens"),
+        F.max("tokens").alias("max_tokens"),
+    )

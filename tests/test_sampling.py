@@ -80,3 +80,34 @@ def test_mixture_weight_cap(spark):
         for r in domain_mixture(df, F.col("tok"), max_weight=8.0).collect()
     }
     assert out["xx"]["weight"] == 8.0  # uncapped would be ~500
+
+
+def test_source_quality_cap_prefilter_is_result_invariant(spark):
+    from flink_streaming_2_10_spark.catalog import load_table
+    from flink_streaming_2_10_spark.pipeline.sampling import source_quality_cap
+    from tests.conftest import SF_SMALL
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    plain = source_quality_cap(docs, cap=10)
+    pruned = source_quality_cap(docs, cap=10, prefilter_buckets=3)
+    assert sorted(map(tuple, plain.collect())) == sorted(
+        map(tuple, pruned.collect())
+    )
+
+
+def test_source_quality_cap_caps_and_ranks(spark):
+    from flink_streaming_2_10_spark.catalog import load_table
+    from flink_streaming_2_10_spark.pipeline.sampling import source_quality_cap
+    from tests.conftest import SF_SMALL
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    rows = source_quality_cap(docs, cap=5).collect()
+    by_source: dict[str, list] = {}
+    for r in rows:
+        by_source.setdefault(r["source"], []).append(r)
+    for src, grp in by_source.items():
+        assert len(grp) <= 5
+        grp.sort(key=lambda r: r["rank_in_source"])
+        assert [r["rank_in_source"] for r in grp] == list(range(1, len(grp) + 1))
+        qs = [r["quality"] for r in grp]
+        assert qs == sorted(qs, reverse=True)

@@ -134,3 +134,52 @@ def test_repetition_query_matches_oracle(spark, duck):
 
     got = entrymod.queries()["text_repetition"](spark, SF_SMALL)
     assert_df_matches_oracle(got, duck, entrymod.oracle_sql()["text_repetition"])
+
+
+def test_top_ngrams_doc_frequency_not_term_frequency(spark):
+    from flink_streaming_2_10_spark.pipeline.textstats import top_ngrams
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c a b c a b c"),  # "a b c" 3x in one doc -> df 1
+            (2, "a b c x y z"),
+            (3, "x y z only here"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r["ngram"]: r["doc_freq"] for r in top_ngrams(df, n=3, k=10).collect()}
+    assert got["a b c"] == 2  # docs 1 and 2, not 4 occurrences
+    assert got["x y z"] == 2
+
+
+def test_top_ngrams_cut_is_deterministic(spark):
+    from flink_streaming_2_10_spark.pipeline.textstats import top_ngrams
+
+    # 4 grams with equal df; k=2 must keep the lexicographically first two
+    df = spark.createDataFrame(
+        [(1, "p q r"), (2, "a b c"), (3, "m n o"), (4, "d e f")],
+        ["doc_id", "text"],
+    )
+    rows = top_ngrams(df, n=3, k=2).collect()
+    assert [r["ngram"] for r in rows] == ["a b c", "d e f"]
+
+
+def test_length_histogram_integer_bucket_edges(spark):
+    from flink_streaming_2_10_spark.pipeline.textstats import length_histogram
+
+    # 9 tokens -> magnitude 1; 10 tokens -> magnitude 2 (exact edge)
+    df = spark.createDataFrame(
+        [
+            ("en", " ".join(["w"] * 9)),
+            ("en", " ".join(["w"] * 10)),
+            ("de", "one two"),
+        ],
+        ["lang", "text"],
+    )
+    got = {
+        (r["lang"], r["magnitude"]): (r["n_docs"], r["total_tokens"])
+        for r in length_histogram(df).collect()
+    }
+    assert got[("en", 1)] == (1, 9)
+    assert got[("en", 2)] == (1, 10)
+    assert got[("de", 1)] == (1, 2)
