@@ -24,6 +24,7 @@ from flink_streaming_2_10_spark.operators.async_io import (
 )
 from flink_streaming_2_10_spark.operators.join import join_grades_salaries
 from flink_streaming_2_10_spark.operators.relational import (
+    forecast_revenue,
     pricing_cube,
     pricing_summary,
     revenue_by_region,
@@ -101,6 +102,7 @@ from flink_streaming_2_10_spark.pipeline.textstats import (
     quality_scores,
     repetition_stats,
     token_counts,
+    token_percentiles,
     top_ngrams,
 )
 from flink_streaming_2_10_spark.sources.generators import (
@@ -533,6 +535,20 @@ def q_multimodal_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audio_stats(attach_media(load_table(spark, sf_dir, "documents")))
 
 
+def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 forecast revenue: date/discount/quantity band filter +
+    one exact scaled-integer sum; every predicate reaches the parquet
+    scan (operators/relational.forecast_revenue)."""
+    return forecast_revenue(load_table(spark, sf_dir, "lineitem"))
+
+
+def q_token_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language token-count percentiles with percentile_cont
+    semantics via the value histogram — no per-group value buffer
+    (pipeline/textstats.token_percentiles)."""
+    return token_percentiles(load_table(spark, sf_dir, "documents"))
+
+
 def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scan → filter → keyed agg at table scale (TPC-H Q1 shape)."""
     return pricing_summary(load_table(spark, sf_dir, "lineitem"))
@@ -686,6 +702,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_repetition": q_text_repetition,
         "top_ngrams": q_top_ngrams,
         "length_histogram": q_length_histogram,
+        "token_percentiles": q_token_percentiles,
         "source_quality_cap": q_source_quality_cap,
         "training_shard": q_training_shard,
         "training_shard_curated": q_training_shard_curated,
@@ -699,6 +716,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_frame_sample": q_multimodal_frame_sample,
         "multimodal_audio_stats": q_multimodal_audio_stats,
         "tpch_q1_pricing_summary": q_tpch_q1,
+        "tpch_q6_forecast_revenue": q_tpch_q6,
         "pricing_cube": q_pricing_cube,
         "tpch_q3_shipping_priority": q_tpch_q3,
         "revenue_by_region": q_revenue_by_region,
@@ -1277,6 +1295,47 @@ def _source_quality_cap_oracle(cap: int = 25) -> str:
         WHERE rank_in_source <= {int(cap)}"""
 
 
+def _token_percentiles_oracle(ps: tuple[float, ...] = (0.5, 0.9, 0.99)) -> str:
+    """Mirror of textstats.token_percentiles — the same histogram →
+    cumulative-rank → ``(1-frac)·lo + frac·hi`` arithmetic (identical
+    double op order, so results are bit-identical to percentile_cont in
+    both engines)."""
+    probes, finals = [], []
+    for i, p in enumerate(ps):
+        h = f"({p!r} * (CAST(n AS DOUBLE) - 1.0))"
+        probes.append(
+            f"min(CASE WHEN cum > floor({h}) THEN tokens END) AS lo{i},\n"
+            f"               min(CASE WHEN cum > least(floor({h}) + 1, n - 1) "
+            f"THEN tokens END) AS hi{i}"
+        )
+        hd = f"({p!r} * (CAST(n_docs AS DOUBLE) - 1.0))"
+        frac = f"({hd} - floor({hd}))"
+        finals.append(
+            f"(1.0 - {frac}) * CAST(lo{i} AS DOUBLE) "
+            f"+ {frac} * CAST(hi{i} AS DOUBLE) AS p{round(p * 100)}"
+        )
+    probe_sql = ",\n               ".join(probes)
+    final_sql = ",\n               ".join(finals)
+    return f"""
+        WITH t AS (SELECT lang,
+                          CAST(len(regexp_extract_all(text, '{BPE_PATTERN}'))
+                               AS BIGINT) AS tokens
+                   FROM documents),
+        hist AS (SELECT lang, tokens, count(*) AS cnt FROM t GROUP BY 1, 2),
+        cum AS (SELECT lang, tokens,
+                       sum(cnt) OVER (PARTITION BY lang ORDER BY tokens
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW) AS cum,
+                       sum(cnt) OVER (PARTITION BY lang) AS n
+                FROM hist),
+        g AS (SELECT lang, CAST(max(n) AS BIGINT) AS n_docs,
+               {probe_sql}
+              FROM cum GROUP BY lang)
+        SELECT lang, n_docs,
+               {final_sql}
+        FROM g"""
+
+
 def _text_language_id_oracle() -> str:
     score_cols = ",\n                     ".join(
         f"CAST({_stop_hits_sql(STOPWORDS[lang])} AS INT) AS s_{lang}"
@@ -1774,6 +1833,7 @@ def oracle_sql() -> dict[str, str]:
         "text_repetition": _text_repetition_oracle(),
         "top_ngrams": _top_ngrams_oracle(n=3, k=50),
         "length_histogram": _length_histogram_oracle(),
+        "token_percentiles": _token_percentiles_oracle(),
         "source_quality_cap": _source_quality_cap_oracle(cap=25),
         "sketch_distinct_ngrams": _kmv_sketch_oracle(k=64, shingle_n=3),
         # multimodal: payload bytes == utf-8(text) (ASCII corpus), so byte
@@ -1812,6 +1872,18 @@ def oracle_sql() -> dict[str, str]:
                         * CAST(8000 + (doc_id % 4) * 4000 AS BIGINT) / 1000
                         AS BIGINT) * 2 AS pcm16_bytes
             FROM documents WHERE doc_id % 3 = 1
+        """,
+        "tpch_q6_forecast_revenue": """
+            WITH pre AS (
+              SELECT CAST(round(l_extendedprice*100) AS BIGINT) AS price_c,
+                     CAST(round(l_discount*100) AS BIGINT) AS disc_pc
+              FROM lineitem
+              WHERE l_shipdate >= TIMESTAMP '1994-01-01 00:00:00'
+                AND l_shipdate < TIMESTAMP '1995-01-01 00:00:00'
+                AND l_quantity < 24.0)
+            SELECT CAST(sum(price_c * disc_pc) AS DOUBLE) / 10000.0 AS revenue
+            FROM pre
+            WHERE disc_pc BETWEEN 5 AND 7
         """,
         "tpch_q1_pricing_summary": """
             WITH pre AS (

@@ -188,3 +188,47 @@ def pricing_cube(lineitem: DataFrame, cutoff: str = "1998-09-02") -> DataFrame:
         "sum_qty",
         from_units("disc_u_sum", 4).alias("revenue"),
     )
+
+
+def forecast_revenue(
+    lineitem: DataFrame,
+    date_from: str = "1994-01-01",
+    date_to: str = "1995-01-01",
+    disc_lo_pc: int = 5,
+    disc_hi_pc: int = 7,
+    qty_max: int = 24,
+) -> DataFrame:
+    """TPC-H Q6-style forecast revenue: ``sum(extendedprice * discount)``
+    over a ship-date year, a discount band, and a quantity cap — one row.
+
+    The canonical pushdown shape: the date range and quantity cap are raw
+    column predicates that reach the parquet scan (``PushedFilters``), and
+    a coarse raw-double discount range is pushed alongside so row groups
+    outside the band never decompress; the EXACT band membership is then
+    decided on basis points (``round(discount*100)`` — the same integer
+    units the revenue sum uses), which is engine-stable where raw double
+    comparison at band edges is not. Aggregation is one partial+final sum
+    of exact scaled longs (cents × basis points = 1e4 units) — no wide
+    shuffle anywhere.
+    """
+    lo_raw = disc_lo_pc / 100.0 - 0.005
+    hi_raw = disc_hi_pc / 100.0 + 0.005
+    li = lineitem.filter(
+        (F.col("l_shipdate") >= F.lit(date_from).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(date_to).cast("timestamp"))
+        & (F.col("l_quantity") < F.lit(float(qty_max)))
+        & (F.col("l_discount") >= F.lit(lo_raw))  # pushdown-only bound
+        & (F.col("l_discount") <= F.lit(hi_raw))
+    )
+    pre = li.select(
+        to_units("l_extendedprice").alias("price_c"),
+        to_units("l_discount").alias("disc_pc"),
+    ).filter(
+        (F.col("disc_pc") >= F.lit(int(disc_lo_pc)))
+        & (F.col("disc_pc") <= F.lit(int(disc_hi_pc)))
+    )
+    return pre.agg(
+        from_units(
+            F.sum(F.col("price_c") * F.col("disc_pc")), 4
+        ).alias("revenue")
+    )

@@ -319,3 +319,63 @@ def length_histogram(
         F.min("tokens").alias("min_tokens"),
         F.max("tokens").alias("max_tokens"),
     )
+
+
+def token_percentiles(
+    df: DataFrame,
+    text_col: str = "text",
+    lang_col: str = "lang",
+    ps: tuple[float, ...] = (0.5, 0.9, 0.99),
+) -> DataFrame:
+    """Exact per-language token-count percentiles (``percentile_cont``
+    linear-interpolation semantics) computed the 100 TB way: via the
+    VALUE HISTOGRAM, never a per-group value buffer.
+
+    Spark's built-in ``percentile_cont`` materializes every group value
+    in the aggregation buffer — a non-starter when one language holds
+    billions of documents. Token counts have small integer cardinality,
+    so the distribution compresses losslessly to (lang, tokens, count):
+    one hash agg over the corpus, a cumulative sum across each language's
+    DISTINCT values (window state = distinct token counts, not rows),
+    then each percentile is picked with two rank probes and one
+    interpolation. The arithmetic mirrors percentile_cont exactly
+    (``(1-frac)·lo + frac·hi`` with ``frac = p·(n-1) - floor(p·(n-1))``)
+    — asserted against the built-in in tests.
+    """
+    from pyspark.sql import Window
+
+    tokens = F.regexp_count(F.col(text_col), F.lit(BPE_PATTERN)).cast("long")
+    t = df.select(F.col(lang_col).alias("lang"), tokens.alias("tokens"))
+    hist = t.groupBy("lang", "tokens").agg(F.count(F.lit(1)).alias("cnt"))
+    wcum = (
+        Window.partitionBy("lang")
+        .orderBy("tokens")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = hist.select(
+        "lang",
+        "tokens",
+        F.sum("cnt").over(wcum).alias("cum"),
+        F.sum("cnt").over(Window.partitionBy("lang")).alias("n"),
+    )
+    aggs = [F.max("n").alias("n_docs")]
+    for i, p in enumerate(ps):
+        h = F.lit(float(p)) * (F.col("n").cast("double") - F.lit(1.0))
+        lo_rank = F.floor(h)
+        hi_rank = F.least(lo_rank + F.lit(1), F.col("n") - F.lit(1))
+        aggs.append(
+            F.min(F.when(F.col("cum") > lo_rank, F.col("tokens"))).alias(f"__lo{i}")
+        )
+        aggs.append(
+            F.min(F.when(F.col("cum") > hi_rank, F.col("tokens"))).alias(f"__hi{i}")
+        )
+    g = cum.groupBy("lang").agg(*aggs)
+    out = [F.col("lang"), F.col("n_docs")]
+    for i, p in enumerate(ps):
+        h = F.lit(float(p)) * (F.col("n_docs").cast("double") - F.lit(1.0))
+        frac = h - F.floor(h)
+        val = (F.lit(1.0) - frac) * F.col(f"__lo{i}").cast("double") + frac * F.col(
+            f"__hi{i}"
+        ).cast("double")
+        out.append(val.alias(f"p{round(p * 100)}"))
+    return g.select(*out)

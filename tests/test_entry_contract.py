@@ -61,3 +61,27 @@ def test_pricing_cube_levels_and_oracle(spark, duck):
             r["cnt"] for (rf, rs), r in rows.items()
             if rf == f and rs != "ALL"
         )
+
+
+def test_tpch_q6_revenue_band_semantics(spark):
+    """Band membership is decided on exact basis points: a discount that
+    rounds to 5 belongs even if the raw double sits just under 0.05."""
+    from pyspark.sql import functions as F
+
+    from flink_streaming_2_10_spark.operators.relational import forecast_revenue
+
+    rows = [
+        # (qty, price, discount, shipdate) — in-band
+        (10.0, 1000.0, 0.05, "1994-06-01"),
+        (10.0, 1000.0, 0.07, "1994-06-01"),
+        # out of band / date / qty
+        (10.0, 1000.0, 0.04, "1994-06-01"),
+        (10.0, 1000.0, 0.08, "1994-06-01"),
+        (10.0, 1000.0, 0.06, "1995-06-01"),
+        (30.0, 1000.0, 0.06, "1994-06-01"),
+    ]
+    li = spark.createDataFrame(
+        rows, ["l_quantity", "l_extendedprice", "l_discount", "d"]
+    ).withColumn("l_shipdate", F.col("d").cast("timestamp"))
+    got = forecast_revenue(li).collect()[0]["revenue"]
+    assert got == 1000.0 * 0.05 + 1000.0 * 0.07  # 120.0 exactly

@@ -183,3 +183,45 @@ def test_length_histogram_integer_bucket_edges(spark):
     assert got[("en", 1)] == (1, 9)
     assert got[("en", 2)] == (1, 10)
     assert got[("de", 1)] == (1, 2)
+
+
+def test_token_percentiles_match_builtin_percentile_cont(spark):
+    """The histogram-based percentile must be BIT-identical to Spark's
+    percentile_cont (which buffers all group values — the thing the
+    histogram formulation avoids at scale)."""
+    from pyspark.sql import functions as F
+
+    from flink_streaming_2_10_spark.catalog import load_table
+    from flink_streaming_2_10_spark.pipeline.textstats import (
+        BPE_PATTERN,
+        token_percentiles,
+    )
+    from tests.conftest import SF_SMALL
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    mine = {r["lang"]: r for r in token_percentiles(docs).collect()}
+    docs.select(
+        "lang",
+        F.regexp_count("text", F.lit(BPE_PATTERN)).cast("long").alias("tk"),
+    ).createOrReplaceTempView("__tk")
+    ref = spark.sql(
+        """SELECT lang, count(*) AS n_docs,
+             percentile_cont(0.5) WITHIN GROUP (ORDER BY tk) AS p50,
+             percentile_cont(0.9) WITHIN GROUP (ORDER BY tk) AS p90,
+             percentile_cont(0.99) WITHIN GROUP (ORDER BY tk) AS p99
+           FROM __tk GROUP BY lang"""
+    ).collect()
+    assert len(ref) == len(mine)
+    for r in ref:
+        m = mine[r["lang"]]
+        for c in ("n_docs", "p50", "p90", "p99"):
+            assert m[c] == r[c], (r["lang"], c, m[c], r[c])
+
+
+def test_token_percentiles_single_doc_group(spark):
+    from flink_streaming_2_10_spark.pipeline.textstats import token_percentiles
+
+    df = spark.createDataFrame([("xx", "one two three")], ["lang", "text"])
+    row = token_percentiles(df).collect()[0]
+    # n=1: every percentile is the single value (3 tokens)
+    assert (row["n_docs"], row["p50"], row["p90"], row["p99"]) == (1, 3.0, 3.0, 3.0)
