@@ -170,6 +170,57 @@ def interval_join_event_stream(
     return l_wm.join(r_wm, cond, "inner")
 
 
+def asof_enrich_stream(
+    stream: DataFrame,
+    dim: DataFrame,
+    on: list[str],
+    left_time: str,
+    right_time: str,
+    tolerance: int | None = None,
+    right_prefix: str = "r_",
+) -> DataFrame:
+    """Stream–static as-of enrichment: each (unbounded) left row picks the
+    latest ``dim`` row with ``right_time <= left_time`` per key — the live
+    face of ``operators.temporal.asof_join`` for the temporal-dimension
+    case (price books, model-version history, slowly-changing configs).
+
+    Spark cannot run the union+window merge-asof on an unbounded stream
+    (non-windowed sort), but the dimension side of a temporal join is
+    BATCH by nature — so the history is pre-aggregated once into a
+    per-key time-sorted array of (t, payload) structs and broadcast; each
+    streaming row probes it with an ordered-array filter
+    (``try_element_at(filter(hist, h -> h.t <= lt), -1)``, NULL when
+    nothing qualifies) — a stream-static broadcast
+    join, no streaming state at all. Time columns are numeric (µs longs),
+    same contract as the batch operator. Ties on (key, time) resolve to
+    the GREATEST payload struct (sort_array total order) — matching the
+    batch operator's greatest-tie-wins when the tie column leads the
+    payload. Per-key history must fit one executor's array (the
+    dimension-table regime; for billion-row BOTH-sides-big asof, use the
+    batch operator's bucketed path).
+    """
+    t = F.col(right_time).cast("long")
+    payload = F.struct(*[F.col(c) for c in dim.columns])
+    hist = dim.groupBy(*[F.col(c) for c in on]).agg(
+        F.sort_array(F.collect_list(F.struct(t.alias("__t"), payload.alias("__p"))))
+        .alias("__hist")
+    )
+    joined = stream.join(F.broadcast(hist), on=on, how="left")
+    lt = F.col(left_time).cast("long")
+    # try_element_at: an empty candidate list (no history at-or-before lt,
+    # or an unmatched key's NULL array) yields NULL instead of the ANSI
+    # index error.
+    match = F.try_element_at(
+        F.filter(F.col("__hist"), lambda h: h["__t"] <= lt), F.lit(-1)
+    )
+    if tolerance is not None:
+        match = F.when(match["__t"] >= lt - F.lit(tolerance), match)
+    return joined.select(
+        *[F.col(c) for c in stream.columns],
+        *[match["__p"][c].alias(f"{right_prefix}{c}") for c in dim.columns],
+    )
+
+
 def streaming_exact_dedup(
     docs: DataFrame,
     id_col: str = "doc_id",

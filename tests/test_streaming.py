@@ -329,6 +329,75 @@ def test_kafka_source_contract(spark):
             )
 
 
+def test_asof_enrich_stream_matches_batch_asof(spark, tmp_path):
+    """Stream-static as-of enrichment parity: the broadcast-history probe
+    must agree with the batch merge-asof on unique-time data, bounded AND
+    streamed."""
+    import random
+
+    from flink_streaming_2_10_spark.operators.temporal import asof_join
+    from flink_streaming_2_10_spark.streaming.runners import asof_enrich_stream
+
+    rng = random.Random(11)
+    times = rng.sample(range(100_000), 400)
+    clicks = [(i, f"u{i % 7}", times[i]) for i in range(200)]
+    prices = [(200 + i, f"u{i % 7}", times[200 + i]) for i in range(200)]
+    left = spark.createDataFrame(clicks, ["lid", "k", "t"])
+    dim = spark.createDataFrame(prices, ["rid", "k", "t"])
+
+    expected = {
+        r["lid"]: r["q_rid"]
+        for r in asof_join(
+            left, dim, on=["k"], left_time="t", right_time="t",
+            tolerance=50_000, right_prefix="q_",
+        ).collect()
+    }
+    bounded = {
+        r["lid"]: r["q_rid"]
+        for r in asof_enrich_stream(
+            left, dim, on=["k"], left_time="t", right_time="t",
+            tolerance=50_000, right_prefix="q_",
+        ).collect()
+    }
+    assert bounded == expected and any(v is not None for v in expected.values())
+
+    src = str(tmp_path / "clicks")
+    _write_text_files(
+        src,
+        ["\n".join(f"{l},{k},{t}" for l, k, t in chunk)
+         for chunk in (clicks[:100], clicks[100:])],
+    )
+    parts = F.split(F.col("text"), ",")
+    sleft = _stream_lines(spark, src, per_file=False).select(
+        F.element_at(parts, 1).cast("long").alias("lid"),
+        F.element_at(parts, 2).alias("k"),
+        F.element_at(parts, 3).cast("long").alias("t"),
+    )
+    batches = collect_stream(
+        asof_enrich_stream(
+            sleft, dim, on=["k"], left_time="t", right_time="t",
+            tolerance=50_000, right_prefix="q_",
+        ),
+        str(tmp_path / "ck"),
+        output_mode="append",
+    )
+    streamed = {r["lid"]: r["q_rid"] for batch in batches for r in batch}
+    assert streamed == expected
+
+
+def test_asof_enrich_stream_tie_is_greatest_payload(spark):
+    from flink_streaming_2_10_spark.streaming.runners import asof_enrich_stream
+
+    left = spark.createDataFrame([(1, "A", 100)], ["lid", "k", "t"])
+    dim = spark.createDataFrame(
+        [(7, "A", 100), (9, "A", 100), (8, "A", 100)], ["rid", "k", "t"]
+    )
+    got = asof_enrich_stream(
+        left, dim, on=["k"], left_time="t", right_time="t", right_prefix="q_"
+    ).collect()[0]
+    assert got["q_rid"] == 9
+
+
 def test_kafka_stub_protocol_end_to_end(spark, tmp_path):
     """S10 integration without a broker: wire-shaped parquet batches
     (binary key/value + topic/partition/offset metadata, the connector's
