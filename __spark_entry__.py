@@ -487,6 +487,41 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel attribution view → click → purchase: for every view, the
+    FIRST click at-or-after it (within 1 h) by the same user, then the
+    first purchase at-or-after that click (within 1 h) — two chained
+    FORWARD as-of joins (operators/temporal.py), ties to the smallest
+    event id. Unmatched stages propagate NULL through the chain (a null
+    click time can never match a purchase). One row per view with stage
+    ids and gaps — the classic conversion-funnel shape composed from the
+    engine's temporal primitives, no self-join explosion."""
+    tol = 3_600_000_000
+    views = _events_us(spark, sf_dir, "view").select(
+        F.col("event_id").alias("view_id"), "user_id", "t"
+    )
+    clicks = _events_us(spark, sf_dir, "click")
+    purchases = _events_us(spark, sf_dir, "purchase")
+    step1 = asof_join(
+        views, clicks, on=["user_id"], left_time="t", right_time="t",
+        tolerance=tol, tie_cols=["event_id"], right_prefix="c_",
+        direction="forward",
+    )
+    step2 = asof_join(
+        step1, purchases, on=["user_id"], left_time="c_t", right_time="t",
+        tolerance=tol, tie_cols=["event_id"], right_prefix="p_",
+        direction="forward",
+    )
+    return step2.select(
+        "view_id",
+        "user_id",
+        F.col("c_event_id").alias("click_id"),
+        F.col("p_event_id").alias("purchase_id"),
+        (F.col("c_t") - F.col("t")).alias("click_gap_us"),
+        (F.col("p_t") - F.col("c_t")).alias("purchase_gap_us"),
+    )
+
+
 def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interval join: every error within 1 hour AFTER a click by the
     same user (bucketed range join, each right row shuffled once)."""
@@ -682,6 +717,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_join_grades_salaries": q_window_join,
         "maxby_argmax": q_maxby_argmax,
         "asof_join_attribution": q_asof_join,
+        "funnel_view_click_purchase": q_funnel,
         "interval_join_errors": q_interval_join,
         "async_ordered_identity": q_async_ordered_identity,
         "topspeed_delta_trigger": q_topspeed,
@@ -1728,6 +1764,34 @@ def oracle_sql() -> dict[str, str]:
                 WHERE v.user_id = c.user_id
                   AND v.t <= c.t AND v.t >= c.t - 3600000000
                 ORDER BY v.t DESC, v.event_id DESC LIMIT 1) m ON true
+        """,
+        "funnel_view_click_purchase": """
+            WITH e AS (SELECT event_id, user_id, event_type,
+                              epoch_us(CAST(ts AS TIMESTAMP)) AS t
+                       FROM events),
+            v AS (SELECT event_id AS view_id, user_id, t FROM e
+                  WHERE event_type = 'view'),
+            c AS (SELECT event_id, user_id, t FROM e
+                  WHERE event_type = 'click'),
+            p AS (SELECT event_id, user_id, t FROM e
+                  WHERE event_type = 'purchase'),
+            s1 AS (
+              SELECT v.view_id, v.user_id, v.t,
+                     mc.event_id AS click_id, mc.t AS ct
+              FROM v LEFT JOIN LATERAL (
+                SELECT c.event_id, c.t FROM c
+                WHERE c.user_id = v.user_id
+                  AND c.t >= v.t AND c.t <= v.t + 3600000000
+                ORDER BY c.t ASC, c.event_id ASC LIMIT 1) mc ON true)
+            SELECT s1.view_id, s1.user_id, s1.click_id,
+                   mp.event_id AS purchase_id,
+                   s1.ct - s1.t AS click_gap_us,
+                   mp.t - s1.ct AS purchase_gap_us
+            FROM s1 LEFT JOIN LATERAL (
+              SELECT p.event_id, p.t FROM p
+              WHERE s1.ct IS NOT NULL AND p.user_id = s1.user_id
+                AND p.t >= s1.ct AND p.t <= s1.ct + 3600000000
+              ORDER BY p.t ASC, p.event_id ASC LIMIT 1) mp ON true
         """,
         "interval_join_errors": """
             WITH e AS (SELECT event_id, user_id, event_type,

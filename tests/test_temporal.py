@@ -249,3 +249,28 @@ def test_asof_rejects_unknown_direction(spark, trades_quotes):
             trades, quotes, on=["sym"], left_time="t", right_time="t",
             direction="nearest",
         )
+
+
+def test_chained_forward_asof_null_stage_propagates(spark):
+    """Funnel-style chaining: a left row whose first-stage match is NULL
+    must stay NULL through later stages (a null click time can never
+    match a purchase), and matched stages pick the earliest candidate."""
+    views = spark.createDataFrame([(1, "u", 100), (2, "u", 900)], ["vid", "k", "t"])
+    clicks = spark.createDataFrame([(11, "u", 150)], ["event_id", "k", "t"])
+    buys = spark.createDataFrame(
+        [(21, "u", 160), (22, "u", 1000)], ["event_id", "k", "t"]
+    )
+    s1 = asof_join(
+        views, clicks, on=["k"], left_time="t", right_time="t",
+        tolerance=100, tie_cols=["event_id"], right_prefix="c_",
+        direction="forward",
+    )
+    s2 = asof_join(
+        s1, buys, on=["k"], left_time="c_t", right_time="t",
+        tolerance=100, tie_cols=["event_id"], right_prefix="p_",
+        direction="forward",
+    )
+    got = {r["vid"]: (r["c_event_id"], r["p_event_id"]) for r in s2.collect()}
+    # view 1 -> click 11 -> purchase 21; view 2 has no click within 100,
+    # so its purchase must be NULL even though purchase 22 is at 1000
+    assert got == {1: (11, 21), 2: (None, None)}
