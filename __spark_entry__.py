@@ -30,7 +30,11 @@ from flink_streaming_2_10_spark.operators.relational import (
     revenue_by_region,
     shipping_priority,
 )
-from flink_streaming_2_10_spark.operators.temporal import asof_join, interval_join
+from flink_streaming_2_10_spark.operators.temporal import (
+    asof_join,
+    interval_join,
+    sessionize,
+)
 from flink_streaming_2_10_spark.operators.topspeed import top_speed_windowing
 from flink_streaming_2_10_spark.operators.twitter import fork_find_word_pipeline
 from flink_streaming_2_10_spark.operators.windows import (
@@ -522,6 +526,26 @@ def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user inactivity sessionization (30-min gap) + per-session
+    rollup: label every event with its session index (one per-key sort +
+    lag + running sum — operators/temporal.sessionize), then one hash agg
+    to session summaries (events, bounds, duration)."""
+    gap = 1_800_000_000
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.unix_micros("ts").alias("t")
+    )
+    lab = sessionize(
+        ev, on=["user_id"], time_col="t", gap=gap, tie_cols=["event_id"]
+    )
+    return lab.groupBy("user_id", "session_idx").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("t").alias("session_start_us"),
+        F.max("t").alias("session_end_us"),
+        (F.max("t") - F.min("t")).alias("duration_us"),
+    )
+
+
 def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interval join: every error within 1 hour AFTER a click by the
     same user (bucketed range join, each right row shuffled once)."""
@@ -718,6 +742,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "maxby_argmax": q_maxby_argmax,
         "asof_join_attribution": q_asof_join,
         "funnel_view_click_purchase": q_funnel,
+        "sessionize_events": q_sessionize,
         "interval_join_errors": q_interval_join,
         "async_ordered_identity": q_async_ordered_identity,
         "topspeed_delta_trigger": q_topspeed,
@@ -1764,6 +1789,28 @@ def oracle_sql() -> dict[str, str]:
                 WHERE v.user_id = c.user_id
                   AND v.t <= c.t AND v.t >= c.t - 3600000000
                 ORDER BY v.t DESC, v.event_id DESC LIMIT 1) m ON true
+        """,
+        "sessionize_events": """
+            WITH e AS (SELECT event_id, user_id,
+                              epoch_us(CAST(ts AS TIMESTAMP)) AS t
+                       FROM events),
+            lg AS (SELECT *, lag(t) OVER (PARTITION BY user_id
+                                          ORDER BY t, event_id) AS prev
+                   FROM e),
+            fl AS (SELECT *, CASE WHEN prev IS NULL OR t - prev > 1800000000
+                                  THEN 1 ELSE 0 END AS is_new
+                   FROM lg),
+            lab AS (SELECT *, CAST(sum(is_new) OVER (
+                              PARTITION BY user_id ORDER BY t, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                         AS BIGINT) AS session_idx
+                    FROM fl)
+            SELECT user_id, session_idx,
+                   count(*) AS n_events,
+                   CAST(min(t) AS BIGINT) AS session_start_us,
+                   CAST(max(t) AS BIGINT) AS session_end_us,
+                   CAST(max(t) - min(t) AS BIGINT) AS duration_us
+            FROM lab GROUP BY user_id, session_idx
         """,
         "funnel_view_click_purchase": """
             WITH e AS (SELECT event_id, user_id, event_type,

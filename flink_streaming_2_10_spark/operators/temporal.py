@@ -228,3 +228,39 @@ def interval_join(
         .filter(cond)
         .drop("__bucket", "__lt", "__rt")
     )
+
+
+def sessionize(
+    df: DataFrame,
+    on: list[str],
+    time_col: str,
+    gap: int,
+    tie_cols: list[str] | None = None,
+) -> DataFrame:
+    """Inactivity-gap sessionization: assign every event a per-key
+    ``session_idx`` (1-based), where a new session starts when the gap
+    from the key's previous event exceeds ``gap`` (same numeric units as
+    ``time_col``; a gap of exactly ``gap`` stays in-session).
+
+    The event-level face of session windows (operators/windows.py
+    ``session_window_agg`` aggregates; this LABELS, so downstream can
+    join events back to their session or compute arbitrary per-session
+    features). Implementation: one per-key sort, ``lag`` for the
+    previous time, and a running sum of new-session flags — the
+    standard distributed sessionization, one exchange + one window.
+    ``tie_cols`` totally order simultaneous events so labels are
+    deterministic. Same skew caveat as ``asof_join``: a degenerate hot
+    key serializes in one task (sessionization is inherently sequential
+    per key — there is no tolerance bound to bucket by, since one long
+    session may span the whole timeline).
+    """
+    tie_cols = tie_cols or []
+    order = [F.col(time_col).asc()] + [F.col(c).asc() for c in tie_cols]
+    w = Window.partitionBy(*[F.col(c) for c in on]).orderBy(*order)
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    prev = F.lag(F.col(time_col).cast("long")).over(w)
+    is_new = F.when(
+        prev.isNull() | (F.col(time_col).cast("long") - prev > F.lit(gap)),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    return df.withColumn("session_idx", F.sum(is_new).over(wrun))

@@ -274,3 +274,34 @@ def test_chained_forward_asof_null_stage_propagates(spark):
     # view 1 -> click 11 -> purchase 21; view 2 has no click within 100,
     # so its purchase must be NULL even though purchase 22 is at 1000
     assert got == {1: (11, 21), 2: (None, None)}
+
+
+def test_sessionize_gap_edges_and_indices(spark):
+    from flink_streaming_2_10_spark.operators.temporal import sessionize
+
+    rows = [
+        # user a: gap of exactly 10 stays in-session; 11 starts a new one
+        (1, "a", 0), (2, "a", 10), (3, "a", 21), (4, "a", 25),
+        # user b: single event
+        (5, "b", 1000),
+    ]
+    df = spark.createDataFrame(rows, ["event_id", "k", "t"])
+    got = {
+        r["event_id"]: r["session_idx"]
+        for r in sessionize(
+            df, on=["k"], time_col="t", gap=10, tie_cols=["event_id"]
+        ).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 2, 4: 2, 5: 1}
+
+
+def test_sessionize_simultaneous_events_share_session(spark):
+    from flink_streaming_2_10_spark.operators.temporal import sessionize
+
+    df = spark.createDataFrame(
+        [(1, "a", 100), (2, "a", 100), (3, "a", 100)], ["event_id", "k", "t"]
+    )
+    rows = sessionize(
+        df, on=["k"], time_col="t", gap=1, tie_cols=["event_id"]
+    ).collect()
+    assert {r["session_idx"] for r in rows} == {1}
