@@ -100,6 +100,7 @@ from flink_streaming_2_10_spark.pipeline.textstats import (
     FINGERPRINT_MOD,
     LANG_ORDER,
     STOPWORDS,
+    collocations,
     doc_fingerprints,
     language_id,
     length_histogram,
@@ -440,6 +441,14 @@ def q_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return length_histogram(load_table(spark, sf_dir, "documents"))
 
 
+def q_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top 50 bigram collocations by PMI lift (log-free exact-ratio
+    ranking — pipeline/textstats.collocations), min 5 occurrences."""
+    return collocations(
+        load_table(spark, sf_dir, "documents"), min_count=5, k=50
+    )
+
+
 def q_source_quality_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Domain capping: top 25 docs per source by heuristic quality,
     running the two-pass bucketed top-k (prefilter_buckets=4) so the
@@ -764,6 +773,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_ngrams": q_top_ngrams,
         "length_histogram": q_length_histogram,
         "token_percentiles": q_token_percentiles,
+        "collocations": q_collocations,
         "source_quality_cap": q_source_quality_cap,
         "training_shard": q_training_shard,
         "training_shard_curated": q_training_shard_curated,
@@ -1311,6 +1321,37 @@ def _length_histogram_oracle() -> str:
                CAST(max(tokens) AS BIGINT) AS max_tokens
         FROM t
         GROUP BY lang, magnitude"""
+
+
+def _collocations_oracle(min_count: int = 5, k: int = 50) -> str:
+    """Mirror of textstats.collocations — identical exact-long counts and
+    the same fixed-order double division chain (no log), so lift values
+    and the (lift DESC, w1, w2) cut hash-match."""
+    return f"""
+        WITH w AS (SELECT {_WORDS_SQL} AS words FROM documents),
+        bi AS (SELECT unnest(list_transform(range(1, len(words)),
+                                            i -> struct_pack(
+                                                w1 := words[i],
+                                                w2 := words[i+1]))) AS b
+               FROM w WHERE len(words) >= 2),
+        cb AS (SELECT b.w1 AS w1, b.w2 AS w2, count(*) AS c_ab
+               FROM bi GROUP BY 1, 2),
+        uni AS (SELECT unnest(words) AS word FROM w),
+        cu AS (SELECT word, count(*) AS c_w FROM uni GROUP BY 1),
+        tot AS (SELECT (SELECT CAST(sum(c_ab) AS BIGINT) FROM cb) AS n_bi,
+                       (SELECT CAST(sum(c_w) AS BIGINT) FROM cu) AS n_uni)
+        SELECT cb.w1, cb.w2, CAST(cb.c_ab AS BIGINT) AS c_ab,
+               (CAST(cb.c_ab AS DOUBLE) / CAST(tot.n_bi AS DOUBLE))
+               / ((CAST(a.c_w AS DOUBLE) / CAST(tot.n_uni AS DOUBLE))
+                  * (CAST(b.c_w AS DOUBLE) / CAST(tot.n_uni AS DOUBLE)))
+                 AS lift
+        FROM cb
+        JOIN cu a ON a.word = cb.w1
+        JOIN cu b ON b.word = cb.w2
+        CROSS JOIN tot
+        WHERE cb.c_ab >= {int(min_count)}
+        ORDER BY lift DESC, cb.w1 ASC, cb.w2 ASC
+        LIMIT {int(k)}"""
 
 
 def _source_quality_cap_oracle(cap: int = 25) -> str:
@@ -1945,6 +1986,7 @@ def oracle_sql() -> dict[str, str]:
         "top_ngrams": _top_ngrams_oracle(n=3, k=50),
         "length_histogram": _length_histogram_oracle(),
         "token_percentiles": _token_percentiles_oracle(),
+        "collocations": _collocations_oracle(min_count=5, k=50),
         "source_quality_cap": _source_quality_cap_oracle(cap=25),
         "sketch_distinct_ngrams": _kmv_sketch_oracle(k=64, shingle_n=3),
         # multimodal: payload bytes == utf-8(text) (ASCII corpus), so byte

@@ -379,3 +379,56 @@ def token_percentiles(
         ).cast("double")
         out.append(val.alias(f"p{round(p * 100)}"))
     return g.select(*out)
+
+
+def collocations(
+    df: DataFrame,
+    text_col: str = "text",
+    min_count: int = 5,
+    k: int = 50,
+) -> DataFrame:
+    """Top-``k`` bigram collocations by PMI lift: ``(p(ab) / (p(a)·p(b))``
+    over corpus TERM frequencies — the classic collocation score, ranked
+    without the log (monotone transform; the RAW ratio stays a
+    deterministic chain of exact-long divisions, whereas ``ln`` differs
+    in the last ulp across math libraries and would break cross-engine
+    hashing). Bigrams below ``min_count`` occurrences are noise-pruned.
+
+    Scale shape: bigram/unigram counting is explode → hash agg with
+    map-side partials (shuffle carries word strings only); the two
+    marginal joins key on single words against the vocabulary-sized
+    unigram table; totals attach via broadcast; the final cut is
+    TakeOrderedAndProject on (lift DESC, w1, w2) — no global sort.
+    """
+    from flink_streaming_2_10_spark.pipeline.dedup import _words_sql
+
+    ws = df.select(F.expr(_words_sql(text_col)).alias("__ws"))
+    big = (
+        "CASE WHEN size(__ws) >= 2 THEN transform(sequence(0, size(__ws) - 2), "
+        "i -> struct(__ws[i] AS w1, __ws[i+1] AS w2)) "
+        "ELSE cast(array() as array<struct<w1:string,w2:string>>) END"
+    )
+    bi = ws.select(F.explode(F.expr(big)).alias("b")).select("b.w1", "b.w2")
+    uni = ws.select(F.explode("__ws").alias("w"))
+    cb = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_ab"))
+    cu = uni.groupBy("w").agg(F.count(F.lit(1)).alias("c_w"))
+    totals = F.broadcast(
+        cb.agg(F.sum("c_ab").alias("n_bi")).crossJoin(
+            cu.agg(F.sum("c_w").alias("n_uni"))
+        )
+    )
+    lift = (
+        F.col("c_ab").cast("double") / F.col("n_bi").cast("double")
+    ) / (
+        (F.col("c_a").cast("double") / F.col("n_uni").cast("double"))
+        * (F.col("c_b").cast("double") / F.col("n_uni").cast("double"))
+    )
+    return (
+        cb.filter(F.col("c_ab") >= F.lit(int(min_count)))
+        .join(cu.select(F.col("w").alias("w1"), F.col("c_w").alias("c_a")), "w1")
+        .join(cu.select(F.col("w").alias("w2"), F.col("c_w").alias("c_b")), "w2")
+        .crossJoin(totals)
+        .select("w1", "w2", "c_ab", lift.alias("lift"))
+        .orderBy(F.col("lift").desc(), F.col("w1").asc(), F.col("w2").asc())
+        .limit(k)
+    )

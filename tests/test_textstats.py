@@ -225,3 +225,31 @@ def test_token_percentiles_single_doc_group(spark):
     row = token_percentiles(df).collect()[0]
     # n=1: every percentile is the single value (3 tokens)
     assert (row["n_docs"], row["p50"], row["p90"], row["p99"]) == (1, 3.0, 3.0, 3.0)
+
+
+def test_collocations_lift_value_and_order(spark):
+    from flink_streaming_2_10_spark.pipeline.textstats import collocations
+
+    # "new york" appears 4x and its words appear ONLY together (max lift);
+    # "of the" appears 4x but both words are common elsewhere (low lift)
+    docs = spark.createDataFrame(
+        [
+            (1, "new york of the city"),
+            (2, "new york of the state"),
+            (3, "new york of the port"),
+            (4, "new york of the bay the of"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = collocations(docs, min_count=4, k=10).collect()
+    got = {(r["w1"], r["w2"]): r for r in rows}
+    assert set(got) == {("new", "york"), ("york", "of"), ("of", "the")}
+    # exact lift for (new, york): c_ab=4 of n_bi=18 bigrams; c_a=c_b=4 of
+    # n_uni=22 words
+    r = got[("new", "york")]
+    assert r["c_ab"] == 4
+    assert r["lift"] == (4 / 18) / ((4 / 22) * (4 / 22))
+    # uniquely-paired words outrank the common-word bigram
+    lifts = [(r["w1"], r["w2"], r["lift"]) for r in rows]
+    assert lifts[0][:2] == ("new", "york")
+    assert got[("new", "york")]["lift"] > got[("of", "the")]["lift"]
