@@ -157,3 +157,65 @@ def test_asof_forward_matches_pandas(spark, seed):
         for row in merged.itertuples()
     }
     assert got == want
+
+
+@pytest.mark.parametrize("seed", [3, 41, 77])
+def test_sessionize_matches_sequential_reference(spark, seed):
+    """Distributed sessionize vs a per-key sequential sweep."""
+    from flink_streaming_2_10_spark.operators.temporal import sessionize
+
+    rng = random.Random(seed)
+    events = _rand_events(rng, 200, 6, 1)
+    gap = 25
+    df = spark.createDataFrame(events, ["eid", "k", "t"])
+    got = {
+        r["eid"]: (r["k"], r["session_idx"])
+        for r in sessionize(
+            df, on=["k"], time_col="t", gap=gap, tie_cols=["eid"]
+        ).collect()
+    }
+
+    by_key: dict[str, list] = {}
+    for eid, k, t in events:
+        by_key.setdefault(k, []).append((t, eid))
+    want = {}
+    for k, evs in by_key.items():
+        evs.sort()
+        idx, prev = 0, None
+        for t, eid in evs:
+            if prev is None or t - prev > gap:
+                idx += 1
+            want[eid] = (k, idx)
+            prev = t
+    assert got == want
+
+
+@pytest.mark.parametrize("seed", [5, 19])
+def test_packing_conservation_under_random_shards(spark, seed):
+    """Token mass and doc multiplicity are invariant under any shard
+    count, and every non-final chunk is exactly full."""
+    from pyspark.sql import functions as F
+
+    from flink_streaming_2_10_spark.pipeline.packing import pack_concat_chunks
+    from flink_streaming_2_10_spark.pipeline.textstats import BPE_PATTERN
+
+    rng = random.Random(seed)
+    docs = [
+        (i, " ".join(rng.choice("alpha beta gamma delta x 7 !".split())
+                      for _ in range(rng.randrange(1, 40))))
+        for i in range(120)
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    budget = rng.randrange(16, 100)
+    total = df.select(
+        F.sum(F.regexp_count("text", F.lit(BPE_PATTERN)) + 1)
+    ).collect()[0][0]
+    for shards in (1, rng.randrange(2, 9), 17):
+        rows = pack_concat_chunks(df, budget=budget, num_shards=shards).collect()
+        assert sum(r["n_tokens"] for r in rows) == total
+        last = {}
+        for r in rows:
+            last[r["shard_id"]] = max(last.get(r["shard_id"], -1), r["chunk_id"])
+        for r in rows:
+            if r["chunk_id"] != last[r["shard_id"]]:
+                assert r["n_tokens"] == budget
