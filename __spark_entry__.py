@@ -1314,7 +1314,9 @@ def _length_histogram_oracle() -> str:
                                AS BIGINT) AS tokens
                    FROM documents)
         SELECT lang,
-               CAST(length(CAST(tokens AS VARCHAR)) AS INT) AS magnitude,
+               CAST(CASE WHEN tokens = 0 THEN 0
+                         ELSE length(CAST(tokens AS VARCHAR)) END
+                    AS INT) AS magnitude,
                count(*) AS n_docs,
                CAST(sum(tokens) AS BIGINT) AS total_tokens,
                CAST(min(tokens) AS BIGINT) AS min_tokens,
@@ -1838,7 +1840,7 @@ def oracle_sql() -> dict[str, str]:
             lg AS (SELECT *, lag(t) OVER (PARTITION BY user_id
                                           ORDER BY t, event_id) AS prev
                    FROM e),
-            fl AS (SELECT *, CASE WHEN prev IS NULL OR t - prev > 1800000000
+            fl AS (SELECT *, CASE WHEN prev IS NULL OR t - prev >= 1800000000
                                   THEN 1 ELSE 0 END AS is_new
                    FROM lg),
             lab AS (SELECT *, CAST(sum(is_new) OVER (

@@ -44,6 +44,21 @@ from pyspark.sql import Column, DataFrame, Window, functions as F
 from pyspark.sql.types import StructType
 
 
+def _floor_div(expr_sql: str, width: int) -> Column:
+    """Exact floor division of a long SQL expression by an int width.
+
+    ``F.floor(col / width)`` goes through double division, and for
+    |t| > 2^53 (the epoch-ns regime catalog.py guards against with
+    ``div``-not-``/``) float rounding can shift the bucket by one —
+    silently breaking the replicated-one-bucket invariant. Integer
+    ``div`` truncates toward zero, so emulate floor on negatives with
+    the ``((t + 1) div W) - 1`` identity. Exact for all int64 inputs.
+    """
+    e = f"CAST(({expr_sql}) AS BIGINT)"
+    w = int(width)
+    return F.expr(f"IF({e} >= 0, {e} div {w}, (({e} + 1) div {w}) - 1)")
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,
@@ -150,8 +165,7 @@ def asof_join(
         # bucket(t)}, so replicating right rows one bucket forward makes
         # each left row's own bucket self-sufficient; anything older is
         # outside tolerance and nulled by the filter below regardless.
-        bwidth = F.lit(max(int(tolerance), 1))
-        bucket = F.floor(F.col("__t") / bwidth).cast("long")
+        bucket = _floor_div("__t", max(int(tolerance), 1))
         tagged_r = tagged_r.withColumn(
             "__bucket", F.explode(F.array(bucket, bucket + F.lit(1)))
         )
@@ -205,16 +219,17 @@ def interval_join(
     lt = F.col(left_time).cast("long")
     rt = F.col(right_time).cast("long")
 
-    # floor-div buckets (F.floor handles negative times correctly;
-    # integer `div` truncates toward zero which would misbucket them).
-    lo_bucket = F.floor((lt + F.lit(lower)) / F.lit(width)).cast("long")
-    hi_bucket = F.floor((lt + F.lit(upper)) / F.lit(width)).cast("long")
+    # Exact integer floor-div buckets (_floor_div above — double division
+    # would misbucket |t| > 2^53, and raw `div` misbuckets negatives).
+    lt_sql = f"CAST(`{left_time}` AS BIGINT)"
+    lo_bucket = _floor_div(f"{lt_sql} + ({int(lower)})", width)
+    hi_bucket = _floor_div(f"{lt_sql} + ({int(upper)})", width)
     l_exp = left.withColumn(
         "__bucket",
         F.explode(F.array_distinct(F.array(lo_bucket, hi_bucket))),
     ).withColumn("__lt", lt)
     r_exp = right.select(
-        F.floor(rt / F.lit(width)).cast("long").alias("__bucket"),
+        _floor_div(f"CAST(`{right_time}` AS BIGINT)", width).alias("__bucket"),
         rt.alias("__rt"),
         *[F.col(c) for c in on],
         *[F.col(c).alias(f"{right_prefix}{c}") for c in right.columns],
@@ -239,8 +254,13 @@ def sessionize(
 ) -> DataFrame:
     """Inactivity-gap sessionization: assign every event a per-key
     ``session_idx`` (1-based), where a new session starts when the gap
-    from the key's previous event exceeds ``gap`` (same numeric units as
-    ``time_col``; a gap of exactly ``gap`` stays in-session).
+    from the key's previous event reaches ``gap`` (same numeric units as
+    ``time_col``; a delta of exactly ``gap`` STARTS a new session —
+    Flink's ``EventTimeSessionWindows.withGap`` merges the [t, t+gap)
+    windows only when the delta is strictly less than gap, and
+    operators/windows.py ``session_window_agg`` via Spark
+    ``session_window`` behaves identically, so all three faces agree at
+    the boundary).
 
     The event-level face of session windows (operators/windows.py
     ``session_window_agg`` aggregates; this LABELS, so downstream can
@@ -260,7 +280,7 @@ def sessionize(
     wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     prev = F.lag(F.col(time_col).cast("long")).over(w)
     is_new = F.when(
-        prev.isNull() | (F.col(time_col).cast("long") - prev > F.lit(gap)),
+        prev.isNull() | (F.col(time_col).cast("long") - prev >= F.lit(gap)),
         F.lit(1),
     ).otherwise(F.lit(0))
     return df.withColumn("session_idx", F.sum(is_new).over(wrun))

@@ -74,7 +74,17 @@ def connected_components(
     def _ckpt(df: DataFrame, eager: bool) -> DataFrame:
         if checkpoint == "local":
             return df.localCheckpoint(eager=eager)
-        return df.checkpoint(eager=eager)
+        # Reliable (dir-based) checkpointing re-RUNS the computation when
+        # the checkpoint files are written unless the blocks are cached —
+        # unlike localCheckpoint, which persists the computed blocks by
+        # construction. Persist first so each round's join/agg lineage
+        # executes once (the eager materializing job), the file write
+        # streams from cache, and the cache is dropped immediately — the
+        # loop's live state stays ids-only either way.
+        df = df.persist()
+        out = df.checkpoint(eager=True)
+        df.unpersist()
+        return out
 
     e = pairs.select(
         F.col(a_col).cast("long").alias("src"),
@@ -133,8 +143,10 @@ def connected_components(
             ),
             False,
         )
-        # The sum aggregation is the materializing action for the lazy
-        # checkpoint — one job per round total.
+        # Local mode: the sum aggregation is the materializing action for
+        # the lazy checkpoint — one job per round total. Reliable mode
+        # materializes eagerly inside _ckpt (persist + write), so the sum
+        # is a cheap second job over the checkpoint files.
         cur_sum = _label_sum(jumped)
         labels = jumped
         if cur_sum == prev_sum:

@@ -298,8 +298,10 @@ def length_histogram(
 ) -> DataFrame:
     """Token-count distribution per language in decimal-magnitude
     buckets: ``magnitude`` = digit count of the BPE-ish token count
-    (1 → 1-9 tokens, 2 → 10-99, …), with per-bucket doc count and
-    token-mass min/max/total.
+    (0 → empty doc, 1 → 1-9 tokens, 2 → 10-99, …), with per-bucket doc
+    count and token-mass min/max/total. Zero-token documents get their
+    OWN bucket (digit count of '0' is 1, which would otherwise hide
+    empties inside the shortest bucket).
 
     Bucket edges are INTEGER-exact (string digit count) rather than
     ``floor(log10/log2)`` — float logs can land boundary values on
@@ -310,10 +312,12 @@ def length_histogram(
     """
     tokens = F.regexp_count(F.col(text_col), F.lit(BPE_PATTERN)).cast("long")
     t = df.select(F.col(lang_col).alias("lang"), tokens.alias("tokens"))
-    return t.groupBy(
-        "lang",
-        F.length(F.col("tokens").cast("string")).cast("int").alias("magnitude"),
-    ).agg(
+    magnitude = (
+        F.when(F.col("tokens") == 0, F.lit(0))
+        .otherwise(F.length(F.col("tokens").cast("string")))
+        .cast("int")
+    )
+    return t.groupBy("lang", magnitude.alias("magnitude")).agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("tokens").alias("total_tokens"),
         F.min("tokens").alias("min_tokens"),

@@ -183,7 +183,7 @@ def test_sessionize_matches_sequential_reference(spark, seed):
         evs.sort()
         idx, prev = 0, None
         for t, eid in evs:
-            if prev is None or t - prev > gap:
+            if prev is None or t - prev >= gap:
                 idx += 1
             want[eid] = (k, idx)
             prev = t

@@ -115,6 +115,44 @@ def test_interval_join_no_duplicate_pairs(spark):
     assert pairs == [(1, 20), (2, 20)]
 
 
+def test_bucketed_asof_exact_at_epoch_ns_scale(spark):
+    """Bucket ids must come from exact integer floor division: at
+    epoch-ns magnitudes (> 2^53, double ulp = 256) a float-div bucket
+    can land a within-tolerance right row many buckets below its left
+    row, silently NULLing the match. Times straddle a double-rounding
+    midpoint so the old float path computes buckets ~36 apart."""
+    base = (1 << 60) + 256_000  # ulp(double) == 256 here
+    t_r, t_l = base + 126, base + 129  # 3 ns apart, round 256 apart
+    left = spark.createDataFrame([(1, "A", t_l)], ["lid", "k", "t"])
+    right = spark.createDataFrame([(20, "A", t_r)], ["rid", "k", "t"])
+    out = asof_join(
+        left, right, on=["k"], left_time="t", right_time="t",
+        tolerance=7, bucketed=True, right_prefix="q_",
+    )
+    assert [r["q_rid"] for r in out.collect()] == [20]
+
+
+def test_interval_join_exact_at_epoch_ns_scale_and_negative_times(spark):
+    """Same exactness requirement for the interval join's buckets, on
+    both huge-positive (epoch-ns) and negative time axes."""
+    base = (1 << 60) + 256_000
+    cases = [
+        (1, "A", base + 129, 20, base + 126),   # straddles double midpoint
+        (2, "B", -(base + 129), 21, -(base + 126)),
+    ]
+    left = spark.createDataFrame(
+        [(lid, k, lt) for lid, k, lt, _, _ in cases], ["lid", "k", "t"]
+    )
+    right = spark.createDataFrame(
+        [(rid, k, rt) for _, k, _, rid, rt in cases], ["rid", "k", "t"]
+    )
+    out = interval_join(
+        left, right, on=["k"], left_time="t", right_time="t", lower=-7, upper=7
+    )
+    pairs = sorted((r["lid"], r["r_rid"]) for r in out.collect())
+    assert pairs == [(1, 20), (2, 21)]
+
+
 def test_driver_queries_match_oracle(spark, duck):
     import __spark_entry__ as entrymod
     from tests.conftest import SF_SMALL, assert_df_matches_oracle
@@ -280,8 +318,9 @@ def test_sessionize_gap_edges_and_indices(spark):
     from flink_streaming_2_10_spark.operators.temporal import sessionize
 
     rows = [
-        # user a: gap of exactly 10 stays in-session; 11 starts a new one
-        (1, "a", 0), (2, "a", 10), (3, "a", 21), (4, "a", 25),
+        # user a: Flink session_window semantics — a delta of exactly the
+        # gap (10) STARTS a new session; 9 stays in-session.
+        (1, "a", 0), (2, "a", 10), (3, "a", 19), (4, "a", 30),
         # user b: single event
         (5, "b", 1000),
     ]
@@ -292,7 +331,7 @@ def test_sessionize_gap_edges_and_indices(spark):
             df, on=["k"], time_col="t", gap=10, tie_cols=["event_id"]
         ).collect()
     }
-    assert got == {1: 1, 2: 1, 3: 2, 4: 2, 5: 1}
+    assert got == {1: 1, 2: 2, 3: 2, 4: 3, 5: 1}
 
 
 def test_sessionize_simultaneous_events_share_session(spark):

@@ -167,11 +167,13 @@ def test_top_ngrams_cut_is_deterministic(spark):
 def test_length_histogram_integer_bucket_edges(spark):
     from flink_streaming_2_10_spark.pipeline.textstats import length_histogram
 
-    # 9 tokens -> magnitude 1; 10 tokens -> magnitude 2 (exact edge)
+    # 9 tokens -> magnitude 1; 10 tokens -> magnitude 2 (exact edge);
+    # 0 tokens -> its OWN magnitude-0 bucket, not hidden inside 1-9.
     df = spark.createDataFrame(
         [
             ("en", " ".join(["w"] * 9)),
             ("en", " ".join(["w"] * 10)),
+            ("en", ""),
             ("de", "one two"),
         ],
         ["lang", "text"],
@@ -180,6 +182,7 @@ def test_length_histogram_integer_bucket_edges(spark):
         (r["lang"], r["magnitude"]): (r["n_docs"], r["total_tokens"])
         for r in length_histogram(df).collect()
     }
+    assert got[("en", 0)] == (1, 0)
     assert got[("en", 1)] == (1, 9)
     assert got[("en", 2)] == (1, 10)
     assert got[("de", 1)] == (1, 2)
