@@ -25,6 +25,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from flink_streaming_2_10_spark.pipeline.caching import tracked_persist
 from flink_streaming_2_10_spark.pipeline.textstats import (
     BPE_PATTERN,
     NONSPACE_RUN_PATTERN,
@@ -138,6 +139,11 @@ def prepare_curated_shard(
         & (F.col("quality") >= F.lit(min_quality))
         & (F.col("dup_word_frac") <= F.lit(max_dup_word_frac))
     )
+    # `kept` is consumed twice (shingle probe + anti-join left side);
+    # without a persist the five-regexp gate projection runs twice over
+    # every document body. MEMORY_AND_DISK spills gracefully at scale and
+    # the caller releases via the caching contract (bench.py does).
+    kept = tracked_persist(kept)
     bench_grams = (
         _shingles(benchmark, id_col, text_col, decontam_n)
         .select(_hash60(F.col("shingle"), hasher).alias("h"))
