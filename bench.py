@@ -77,24 +77,35 @@ def main() -> None:
     }
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_seconds",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "queries_min": timings_min,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "n": n_iter,
-                "iterations": [
-                    round(sum(ts[i] for ts in samples.values() if len(ts) > i), 3)
-                    for i in range(n_iter)
-                ],
-            }
-        )
+    result = json.dumps(
+        {
+            "metric": "total_query_seconds",
+            "value": total,
+            "unit": "sec",
+            "queries": timings,
+            "queries_min": timings_min,
+            "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            "n": n_iter,
+            "iterations": [
+                round(sum(ts[i] for ts in samples.values() if len(ts) > i), 3)
+                for i in range(n_iter)
+            ],
+        }
     )
+    # Durable copy first: if anything clips the stdout tail (progress-bar
+    # races, pipe truncation), the driver — or a human — can read the file.
+    try:
+        with open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH.json"),
+            "w",
+        ) as fh:
+            fh.write(result + "\n")
+    except OSError:
+        pass
+    # Stop Spark BEFORE the JSON line so no executor/JVM shutdown chatter
+    # can interleave after it — the JSON is the process's final stdout.
     spark.stop()
+    print(result, flush=True)
 
 
 if __name__ == "__main__":

@@ -72,6 +72,10 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
+        # No console progress bar: its \r-frames interleave with stdout
+        # capture and have clipped the driver's tail-parse of bench.py's
+        # JSON line mid-object. STATIC core conf — must be set here.
+        .config("spark.ui.showConsoleProgress", "false")
         .config("spark.driver.extraJavaOptions", "-Djava.net.preferIPv4Stack=true")
         # STATIC conf (must be set before the session exists): the default
         # 100-entry generated-class cache thrashes on a many-query workload
