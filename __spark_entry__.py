@@ -56,7 +56,9 @@ from flink_streaming_2_10_spark.pipeline.dedup import (
     simhash_fingerprints,
     simhash_neardup_pairs,
 )
+from flink_streaming_2_10_spark.pipeline.caching import tracked_persist
 from flink_streaming_2_10_spark.pipeline.components import dedup_canonical
+from flink_streaming_2_10_spark.pipeline.graph import shortest_path_hops
 from flink_streaming_2_10_spark.pipeline.decontamination import decontaminate
 from flink_streaming_2_10_spark.pipeline.similarity import (
     ann_hyperplane_topk,
@@ -319,6 +321,34 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         hasher="md5",
     )
     return dedup_canonical(docs, pairs)
+
+
+def q_graph_shortest_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BFS hop counts over the MinHash-LSH near-dup graph (same pair
+    parameters as ``dedup_minhash_lsh``) from seed nodes divisible by 4:
+    transitive near-dup drift distance, the second algorithm on the
+    general ``iterate()`` feedback loop (operators/iterate.py — the
+    engine's analog of the pom-advertised IterateExample, pom.xml:157).
+    Oracle: bounded recursive CTE, same min-hop fixed point."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = tracked_persist(
+        minhash_dedup_pairs(
+            docs,
+            num_hashes=32,
+            bands=8,
+            rows=4,
+            shingle_n=3,
+            threshold=0.7,
+            hasher="md5",
+        )
+    )
+    nodes = (
+        pairs.select(F.col("doc_a").alias("node"))
+        .union(pairs.select(F.col("doc_b").alias("node")))
+        .distinct()
+    )
+    seeds = nodes.filter(F.col("node") % 4 == 0)
+    return shortest_path_hops(pairs, seeds, max_rounds=30)
 
 
 def q_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -759,6 +789,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_components": q_dedup_components,
+        "graph_shortest_hops": q_graph_shortest_hops,
         "dedup_simhash": q_dedup_simhash,
         "decontamination": q_decontamination,
         "similarity_cosine_topk": q_similarity_cosine_topk,
@@ -944,6 +975,31 @@ def _dedup_components_oracle(
                FROM canon GROUP BY 1)
         SELECT canon.doc_id, canon.canonical_id, sz.cluster_size
         FROM canon JOIN sz USING (canonical_id)"""
+
+
+def _graph_hops_oracle(
+    num_hashes: int, bands: int, rows: int, shingle_n: int, threshold: float,
+    seed_mod: int, max_hops: int,
+) -> str:
+    """Mirror of pipeline/graph.shortest_path_hops over MinHash-LSH
+    pairs: min-hop BFS as a bounded recursive CTE. The ``d < max_hops``
+    bound is what terminates the recursion on CYCLIC graphs (unbounded,
+    a cycle keeps producing (v, d+k) rows forever); it matches the
+    engine's ``max_rounds`` and both sides exceed any near-dup cluster
+    diameter, so the fixed points agree."""
+    chain = _minhash_pairs_ctes(num_hashes, bands, rows, shingle_n, threshold)
+    return f"""
+        WITH RECURSIVE {chain},
+        edges AS (SELECT doc_a AS ea, doc_b AS eb FROM pairs
+                  UNION SELECT doc_b, doc_a FROM pairs),
+        seeds AS (SELECT DISTINCT ea AS v FROM edges WHERE ea % {seed_mod} = 0),
+        reach(v, d) AS (
+            SELECT v, 0 FROM seeds
+            UNION
+            SELECT e.eb, r.d + 1 FROM reach r JOIN edges e ON e.ea = r.v
+            WHERE r.d < {max_hops})
+        SELECT v AS node, CAST(min(d) AS BIGINT) AS hops
+        FROM reach GROUP BY v"""
 
 
 def _kmv_sketch_oracle(k: int, shingle_n: int) -> str:
@@ -1916,6 +1972,10 @@ def oracle_sql() -> dict[str, str]:
         ),
         "dedup_components": _dedup_components_oracle(
             num_hashes=32, bands=8, rows=4, shingle_n=3, threshold=0.7
+        ),
+        "graph_shortest_hops": _graph_hops_oracle(
+            num_hashes=32, bands=8, rows=4, shingle_n=3, threshold=0.7,
+            seed_mod=4, max_hops=30,
         ),
         "dedup_simhash": _simhash_oracle(
             bits=60, max_hamming=3, chunks=4, shingle_n=3

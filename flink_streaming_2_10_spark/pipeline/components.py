@@ -44,6 +44,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from flink_streaming_2_10_spark.operators.iterate import iterate, truncate_lineage
+
 
 def connected_components(
     pairs: DataFrame,
@@ -68,40 +70,21 @@ def connected_components(
     the cluster-mode deployment step). ``stats``, when a dict, receives
     ``{"rounds": N}`` on return — observability for convergence tests.
     """
-    if checkpoint not in ("local", "reliable"):
-        raise ValueError(f"checkpoint must be local|reliable, got {checkpoint!r}")
-
-    def _ckpt(df: DataFrame, eager: bool) -> DataFrame:
-        if checkpoint == "local":
-            return df.localCheckpoint(eager=eager)
-        # Reliable (dir-based) checkpointing re-RUNS the computation when
-        # the checkpoint files are written unless the blocks are cached —
-        # unlike localCheckpoint, which persists the computed blocks by
-        # construction. Persist first so each round's join/agg lineage
-        # executes once (the eager materializing job), the file write
-        # streams from cache, and the cache is dropped immediately — the
-        # loop's live state stays ids-only either way.
-        df = df.persist()
-        out = df.checkpoint(eager=True)
-        df.unpersist()
-        return out
-
     e = pairs.select(
         F.col(a_col).cast("long").alias("src"),
         F.col(b_col).cast("long").alias("dst"),
     )
     # Symmetrize once; distinct() collapses multi-edges from overlapping
     # dedup detectors so every round's join fans out at most degree-fold.
-    edges = _ckpt(
+    edges = truncate_lineage(
         e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .distinct(),
-        True,
+        checkpoint,
     )
-    labels = _ckpt(
+    labels0 = (
         edges.select("src")
         .distinct()
-        .select(F.col("src").alias("v"), F.col("src").alias("label")),
-        True,
+        .select(F.col("src").alias("v"), F.col("src").alias("label"))
     )
 
     # Convergence detection: labels only ever DECREASE (min-folds of node
@@ -115,8 +98,7 @@ def connected_components(
             F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
         ).collect()[0]["s"]
 
-    prev_sum = _label_sum(labels)
-    for round_no in range(1, max_rounds + 1):
+    def _step(labels: DataFrame, _round_no: int) -> DataFrame:
         # Neighbor step: propagate label(dst) to src over every edge, then
         # fold with the node's current label. union+groupBy(min) is one
         # hash exchange with map-side partials — no window, no sort.
@@ -133,31 +115,23 @@ def connected_components(
         hop = merged.select(
             F.col("v").alias("jv"), F.col("label").alias("jlabel")
         )
-        jumped = _ckpt(
-            merged.join(hop, merged["label"] == hop["jv"], "left")
-            .select(
-                "v",
-                F.least(
-                    F.col("label"), F.coalesce(F.col("jlabel"), F.col("label"))
-                ).alias("label"),
-            ),
-            False,
+        return merged.join(hop, merged["label"] == hop["jv"], "left").select(
+            "v",
+            F.least(
+                F.col("label"), F.coalesce(F.col("jlabel"), F.col("label"))
+            ).alias("label"),
         )
-        # Local mode: the sum aggregation is the materializing action for
-        # the lazy checkpoint — one job per round total. Reliable mode
-        # materializes eagerly inside _ckpt (persist + write), so the sum
-        # is a cheap second job over the checkpoint files.
-        cur_sum = _label_sum(jumped)
-        labels = jumped
-        if cur_sum == prev_sum:
-            if stats is not None:
-                stats["rounds"] = round_no
-            return labels.select(
-                F.col("v").alias("node"), F.col("label").alias("component")
-            )
-        prev_sum = cur_sum
-    raise RuntimeError(
-        f"connected_components: labels still moving after {max_rounds} rounds"
+
+    labels = iterate(
+        labels0,
+        _step,
+        max_rounds=max_rounds,
+        metric=_label_sum,
+        checkpoint=checkpoint,
+        stats=stats,
+    )
+    return labels.select(
+        F.col("v").alias("node"), F.col("label").alias("component")
     )
 
 

@@ -1,0 +1,100 @@
+"""Graph distance over the near-duplicate pair graph: BFS hop counts
+from a seed set, built on :func:`operators.iterate.iterate`.
+
+Why this exists: the duplicate-pair graphs that
+:mod:`pipeline.components` resolves into clusters also carry DISTANCE
+structure — how many near-dup steps separate a document from a trusted
+seed set (transitive contamination drift: A overlaps an eval document, B
+near-dups A, C near-dups B...). Hop counts bound that drift, and they are
+the simplest second fixed-point algorithm exercising the general
+``iterate()`` loop (the reference module advertises feedback iteration —
+``IterateExample``, pom.xml:157 — as a first-class capability).
+
+Algorithm: distributed parallel BFS as min-distance propagation.
+
+* State is ``(node, hops)`` for every REACHED node — 16 bytes/row;
+  unreached nodes are absent, so early rounds carry only the frontier's
+  closure, not the whole graph.
+* Each round: every reached node offers ``hops + 1`` to its neighbors
+  (one shuffle join edges⋈state), min-folded with the current state (one
+  hash agg with map-side partials). Distances only decrease and nodes
+  only appear, so the (count, Σhops) pair is a sound one-scalar
+  convergence metric: equal ⇒ fixed point.
+* Rounds = eccentricity of the seed set (near-dup clusters are
+  near-cliques, so 2-3 in practice). Per-round cost: one exchange of
+  ids+distances — document bodies never enter the loop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from flink_streaming_2_10_spark.operators.iterate import iterate, truncate_lineage
+
+
+def shortest_path_hops(
+    pairs: DataFrame,
+    seeds: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    seed_col: str | None = None,
+    max_rounds: int = 30,
+    checkpoint: str = "local",
+    stats: dict | None = None,
+) -> DataFrame:
+    """``(node, hops)`` — minimum number of edges from any ``seeds`` row
+    to each reachable node of the undirected ``pairs`` graph.
+
+    ``seeds`` contributes its first (or ``seed_col``) column; seed nodes
+    report ``hops = 0`` whether or not they appear in ``pairs``.
+    Unreachable nodes are absent from the result (their distance is
+    infinite, and emitting the full node set would force a join against
+    it every round for no information).
+
+    ``max_rounds`` bounds the driver loop at the graph's true
+    seed-eccentricity; ``RuntimeError`` if distances are still moving
+    after that many rounds (a path graph of N nodes needs N-1). Same
+    ``checkpoint``/``stats`` contract as ``connected_components``.
+    """
+    sc = seed_col or seeds.columns[0]
+    e = pairs.select(
+        F.col(a_col).cast("long").alias("src"),
+        F.col(b_col).cast("long").alias("dst"),
+    )
+    edges = truncate_lineage(
+        e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct(),
+        checkpoint,
+    )
+    dist0 = seeds.select(
+        F.col(sc).cast("long").alias("node"), F.lit(0).cast("long").alias("hops")
+    ).distinct()
+
+    # (count, Σhops) as an exact tuple: nodes only appear, distances only
+    # decrease, so the pair is unchanged iff the state is a fixed point.
+    # decimal(38,0) keeps the sum exact for any id/diameter domain.
+    def _probe(d: DataFrame):
+        row = d.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("hops").cast("decimal(38,0)")).alias("s"),
+        ).collect()[0]
+        return (row["n"], row["s"])
+
+    def _step(dist: DataFrame, _round_no: int) -> DataFrame:
+        offers = edges.join(dist, edges["src"] == dist["node"]).select(
+            F.col("dst").alias("node"), (F.col("hops") + F.lit(1)).alias("hops")
+        )
+        return (
+            dist.unionByName(offers)
+            .groupBy("node")
+            .agg(F.min("hops").alias("hops"))
+        )
+
+    return iterate(
+        dist0,
+        _step,
+        max_rounds=max_rounds,
+        metric=_probe,
+        checkpoint=checkpoint,
+        stats=stats,
+    )

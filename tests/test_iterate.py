@@ -1,0 +1,125 @@
+"""iterate() (operators/iterate.py) and BFS hops (pipeline/graph.py).
+
+Strategy: toy fixed-point loops with known round counts and end states;
+hand-built graphs (path, disconnected, clique) against exact BFS answers;
+and the driver query's DuckDB recursive-CTE oracle at sf0.001.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from flink_streaming_2_10_spark.operators.iterate import iterate, truncate_lineage
+from flink_streaming_2_10_spark.pipeline.graph import shortest_path_hops
+
+
+def _halve_to_zero(df, _round_no):
+    return df.select((F.col("x") / 2).cast("long").alias("x"))
+
+
+def test_iterate_converges_and_reports_rounds(spark):
+    df = spark.createDataFrame([(8,), (2,)], ["x"])
+    stats: dict = {}
+
+    def metric(d):
+        return d.agg(F.sum("x")).collect()[0][0]
+
+    out = iterate(df, _halve_to_zero, max_rounds=10, metric=metric, stats=stats)
+    assert [r["x"] for r in out.collect()] == [0, 0]
+    # 8 -> 4 -> 2 -> 1 -> 0; round 5 observes the unchanged sum.
+    assert stats["rounds"] == 5
+
+
+def test_iterate_fixed_rounds_without_metric(spark):
+    df = spark.createDataFrame([(100,)], ["x"])
+    stats: dict = {}
+    out = iterate(df, _halve_to_zero, max_rounds=3, stats=stats)
+    assert out.collect()[0]["x"] == 12  # 100 -> 50 -> 25 -> 12
+    assert stats["rounds"] == 3
+
+
+def test_iterate_strict_raises_when_still_moving(spark):
+    df = spark.createDataFrame([(1,)], ["x"])
+
+    def grow(d, _r):
+        return d.select((F.col("x") + 1).alias("x"))
+
+    def metric(d):
+        return d.agg(F.sum("x")).collect()[0][0]
+
+    with pytest.raises(RuntimeError, match="still moving"):
+        iterate(df, grow, max_rounds=3, metric=metric)
+    # non-strict: returns the bounded state instead
+    got = iterate(df, grow, max_rounds=3, metric=metric, strict=False)
+    assert got.collect()[0]["x"] == 4
+
+
+def test_iterate_rejects_bad_checkpoint_mode(spark):
+    df = spark.createDataFrame([(1,)], ["x"])
+    with pytest.raises(ValueError, match="local|reliable"):
+        iterate(df, _halve_to_zero, max_rounds=1, checkpoint="hdfs")
+
+
+def test_truncate_lineage_reliable_mode(spark, tmp_path):
+    spark.sparkContext.setCheckpointDir(str(tmp_path / "ckpt"))
+    df = spark.createDataFrame([(1,), (2,)], ["x"])
+    out = truncate_lineage(df.select((F.col("x") * 2).alias("x")), "reliable")
+    assert sorted(r["x"] for r in out.collect()) == [2, 4]
+
+
+def test_bfs_path_graph_exact_hops(spark):
+    # path 1-2-3-4-5, seed 1 -> hops == position; needs 4 rounds (worst
+    # case for the loop, unlike near-clique dedup graphs)
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5)], ["doc_a", "doc_b"]
+    )
+    seeds = spark.createDataFrame([(1,)], ["node"])
+    stats: dict = {}
+    got = {
+        r["node"]: r["hops"]
+        for r in shortest_path_hops(pairs, seeds, stats=stats).collect()
+    }
+    assert got == {1: 0, 2: 1, 3: 2, 4: 3, 5: 4}
+    assert stats["rounds"] >= 4
+
+
+def test_bfs_unreachable_nodes_absent_and_seed_not_in_graph(spark):
+    pairs = spark.createDataFrame([(1, 2), (10, 11)], ["doc_a", "doc_b"])
+    # seed 99 touches nothing; seed 1 reaches only its own component
+    seeds = spark.createDataFrame([(1,), (99,)], ["node"])
+    got = {
+        r["node"]: r["hops"] for r in shortest_path_hops(pairs, seeds).collect()
+    }
+    assert got == {1: 0, 2: 1, 99: 0}
+
+
+def test_bfs_multi_seed_takes_nearest(spark):
+    # path 1-2-3-4-5 with seeds at both ends: 3 is 2 hops from either
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5)], ["doc_a", "doc_b"]
+    )
+    seeds = spark.createDataFrame([(1,), (5,)], ["node"])
+    got = {
+        r["node"]: r["hops"] for r in shortest_path_hops(pairs, seeds).collect()
+    }
+    assert got == {1: 0, 2: 1, 3: 2, 4: 1, 5: 0}
+
+
+def test_bfs_max_rounds_too_small_raises(spark):
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5)], ["doc_a", "doc_b"]
+    )
+    seeds = spark.createDataFrame([(1,)], ["node"])
+    with pytest.raises(RuntimeError, match="still moving"):
+        shortest_path_hops(pairs, seeds, max_rounds=2)
+
+
+def test_graph_hops_query_matches_oracle(spark, duck):
+    import __spark_entry__ as entrymod
+    from tests.conftest import SF_SMALL, assert_df_matches_oracle
+
+    df = entrymod.queries()["graph_shortest_hops"](spark, SF_SMALL)
+    assert_df_matches_oracle(
+        df, duck, entrymod.oracle_sql()["graph_shortest_hops"]
+    )
