@@ -170,6 +170,53 @@ def interval_join_event_stream(
     return l_wm.join(r_wm, cond, "inner")
 
 
+def dim_history(
+    dim: DataFrame,
+    on: list[str],
+    right_time: str,
+    tolerance: int | None = None,
+    min_event_time: int | None = None,
+    max_history: int | None = None,
+) -> DataFrame:
+    """Per-key time-sorted ``(key..., __hist)`` history table for
+    :func:`asof_enrich_stream`, with the two bounds that make the
+    broadcast safe-by-default on deep version histories:
+
+    * ``min_event_time`` + ``tolerance`` — EXACT pruning: a backward
+      as-of probe at ``lt`` only accepts versions with ``t >= lt -
+      tolerance``, and every stream row has ``lt >= min_event_time``
+      (the stream's epoch — earliest event time the caller will ever
+      probe with), so versions older than ``min_event_time - tolerance``
+      can never match ANY probe and are dropped scan-side, BEFORE the
+      collect_list aggregation buffers them. Results are identical.
+    * ``max_history`` — hard cap: keep only the newest ``max_history``
+      versions per key (array slice after the sort). This bounds the
+      broadcast array even when no tolerance exists; results are
+      identical as long as no probe needs a version older than the
+      newest ``max_history`` (otherwise that probe degrades to NULL —
+      the documented trade for a bounded executor footprint).
+    """
+    t = F.col(right_time).cast("long")
+    if tolerance is not None and min_event_time is not None:
+        dim = dim.filter(t >= F.lit(int(min_event_time) - int(tolerance)))
+    payload = F.struct(*[F.col(c) for c in dim.columns])
+    hist = dim.groupBy(*[F.col(c) for c in on]).agg(
+        F.sort_array(F.collect_list(F.struct(t.alias("__t"), payload.alias("__p"))))
+        .alias("__hist")
+    )
+    if max_history is not None:
+        n = int(max_history)
+        if n < 1:
+            raise ValueError(f"max_history must be >= 1, got {max_history}")
+        hist = hist.withColumn(
+            "__hist",
+            F.expr(
+                f"slice(__hist, greatest(1, size(__hist) - {n} + 1), {n})"
+            ),
+        )
+    return hist
+
+
 def asof_enrich_stream(
     stream: DataFrame,
     dim: DataFrame,
@@ -178,6 +225,8 @@ def asof_enrich_stream(
     right_time: str,
     tolerance: int | None = None,
     right_prefix: str = "r_",
+    min_event_time: int | None = None,
+    max_history: int | None = None,
 ) -> DataFrame:
     """Stream–static as-of enrichment: each (unbounded) left row picks the
     latest ``dim`` row with ``right_time <= left_time`` per key — the live
@@ -197,13 +246,18 @@ def asof_enrich_stream(
     batch operator's greatest-tie-wins when the tie column leads the
     payload. Per-key history must fit one executor's array (the
     dimension-table regime; for billion-row BOTH-sides-big asof, use the
-    batch operator's bucketed path).
+    batch operator's bucketed path) — and SHOULD be bounded explicitly:
+    pass ``min_event_time`` (the stream's epoch) with ``tolerance`` for
+    exact never-matchable pruning, and/or ``max_history`` as a hard
+    per-key cap; see :func:`dim_history` for the exactness conditions.
     """
-    t = F.col(right_time).cast("long")
-    payload = F.struct(*[F.col(c) for c in dim.columns])
-    hist = dim.groupBy(*[F.col(c) for c in on]).agg(
-        F.sort_array(F.collect_list(F.struct(t.alias("__t"), payload.alias("__p"))))
-        .alias("__hist")
+    hist = dim_history(
+        dim,
+        on=on,
+        right_time=right_time,
+        tolerance=tolerance,
+        min_event_time=min_event_time,
+        max_history=max_history,
     )
     joined = stream.join(F.broadcast(hist), on=on, how="left")
     lt = F.col(left_time).cast("long")

@@ -385,6 +385,69 @@ def test_asof_enrich_stream_matches_batch_asof(spark, tmp_path):
     assert streamed == expected
 
 
+def test_asof_enrich_history_bounds_pathological_key(spark):
+    """A dimension key with a deep version history must stay under the
+    configured bounds with IDENTICAL results: min_event_time+tolerance
+    prunes never-matchable versions exactly; max_history hard-caps the
+    per-key array."""
+    from pyspark.sql import functions as F
+
+    from flink_streaming_2_10_spark.operators.temporal import asof_join
+    from flink_streaming_2_10_spark.streaming.runners import (
+        asof_enrich_stream,
+        dim_history,
+    )
+
+    # 5000 versions of one hot key, one version of a cold key; probes all
+    # land in the newest 1% of the history.
+    dim = spark.range(5000).select(
+        F.col("id").alias("rid"), F.lit("hot").alias("k"), F.col("id").alias("t")
+    ).union(
+        spark.createDataFrame([(9000, "cold", 10)], ["rid", "k", "t"])
+    )
+    left = spark.createDataFrame(
+        [(1, "hot", 4999), (2, "hot", 4960), (3, "cold", 4000)], ["lid", "k", "t"]
+    )
+    kw = dict(on=["k"], left_time="t", right_time="t", right_prefix="q_")
+    expected = {
+        r["lid"]: r["q_rid"]
+        for r in asof_join(left, dim, tolerance=100, **kw).collect()
+    }
+    assert expected == {1: 4999, 2: 4960, 3: None}  # cold: 3990 too stale
+
+    # exact pruning: only versions >= 4950 - 100 can ever match
+    pruned = {
+        r["lid"]: r["q_rid"]
+        for r in asof_enrich_stream(
+            left, dim, tolerance=100, min_event_time=4950, **kw
+        ).collect()
+    }
+    assert pruned == expected
+    hist = dim_history(
+        dim, on=["k"], right_time="t", tolerance=100, min_event_time=4950
+    )
+    sizes = {r["k"]: r["n"] for r in hist.select(
+        "k", F.size("__hist").alias("n")).collect()}
+    assert sizes["hot"] == 150 and "cold" not in sizes  # 4850..4999 kept
+
+    # hard cap: newest max_history versions per key, same probe answers
+    capped = {
+        r["lid"]: r["q_rid"]
+        for r in asof_enrich_stream(
+            left, dim, tolerance=100, max_history=64, **kw
+        ).collect()
+    }
+    assert capped == expected
+    hist_cap = dim_history(dim, on=["k"], right_time="t", max_history=64)
+    assert hist_cap.agg(F.max(F.size("__hist"))).collect()[0][0] == 64
+    # the cap keeps the NEWEST versions
+    newest = hist_cap.filter(F.col("k") == "hot").select(
+        F.element_at("__hist", -1)["__t"].alias("t_last"),
+        F.element_at("__hist", 1)["__t"].alias("t_first"),
+    ).collect()[0]
+    assert (newest["t_first"], newest["t_last"]) == (4936, 4999)
+
+
 def test_asof_enrich_stream_tie_is_greatest_payload(spark):
     from flink_streaming_2_10_spark.streaming.runners import asof_enrich_stream
 
