@@ -112,6 +112,10 @@ from flink_streaming_2_10_spark.pipeline.textstats import (
     token_percentiles,
     top_ngrams,
 )
+from flink_streaming_2_10_spark.streaming.incremental import (
+    build_partial_models,
+    score_with_models,
+)
 from flink_streaming_2_10_spark.sources.generators import (
     car_events_from_events,
     grades_from_events,
@@ -585,6 +589,32 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_incremental_model_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IncrementalLearningSkeleton (pom.xml:179) as event-time scoring:
+    one partial model per (event_type, 6 h training window) — exact
+    (Σ value-cents, count) stats, effective from window END — and every
+    event scored against the newest closed model (as-of join), float-free
+    via v·n >= Σ. Events before their type's first closed window score
+    NULL (streaming/incremental.py)."""
+    window_us = 21_600_000_000  # 6 hours
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.unix_micros("ts").alias("t"),
+        to_units("value").alias("vc"),
+    )
+    models = build_partial_models(
+        ev, on=["event_type"], time_col="t", value_units_col="vc",
+        window=window_us,
+    )
+    scored = score_with_models(
+        ev, models, on=["event_type"], event_time="t", value_units_col="vc"
+    )
+    return scored.select(
+        "event_id", "event_type", "m_model_t", "m_n_samples", "above_model"
+    )
+
+
 def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interval join: every error within 1 hour AFTER a click by the
     same user (bucketed range join, each right row shuffled once)."""
@@ -782,6 +812,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join_attribution": q_asof_join,
         "funnel_view_click_purchase": q_funnel,
         "sessionize_events": q_sessionize,
+        "incremental_model_scoring": q_incremental_model_scoring,
         "interval_join_errors": q_interval_join,
         "async_ordered_identity": q_async_ordered_identity,
         "topspeed_delta_trigger": q_topspeed,
@@ -1910,6 +1941,28 @@ def oracle_sql() -> dict[str, str]:
                    CAST(max(t) AS BIGINT) AS session_end_us,
                    CAST(max(t) - min(t) AS BIGINT) AS duration_us
             FROM lab GROUP BY user_id, session_idx
+        """,
+        "incremental_model_scoring": """
+            WITH e AS (SELECT event_id, event_type,
+                              epoch_us(CAST(ts AS TIMESTAMP)) AS t,
+                              CAST(round(value*100) AS BIGINT) AS vc
+                       FROM events),
+            m AS (SELECT event_type,
+                         ((t // 21600000000) + 1) * 21600000000 AS model_t,
+                         sum(vc) AS sum_units, count(*) AS n_samples
+                  FROM e GROUP BY 1, 2),
+            s AS (SELECT e.event_id, e.event_type, e.vc,
+                         mm.model_t, mm.sum_units, mm.n_samples
+                  FROM e LEFT JOIN LATERAL (
+                      SELECT model_t, sum_units, n_samples FROM m
+                      WHERE m.event_type = e.event_type AND m.model_t <= e.t
+                      ORDER BY model_t DESC LIMIT 1) mm ON true)
+            SELECT event_id, event_type,
+                   CAST(model_t AS BIGINT) AS m_model_t,
+                   CAST(n_samples AS BIGINT) AS m_n_samples,
+                   CASE WHEN n_samples IS NULL THEN NULL
+                        ELSE vc * n_samples >= sum_units END AS above_model
+            FROM s
         """,
         "funnel_view_click_purchase": """
             WITH e AS (SELECT event_id, user_id, event_type,
