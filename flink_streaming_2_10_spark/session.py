@@ -87,6 +87,16 @@ def get_spark(
         # a few MB.
         .config("spark.sql.codegen.cache.maxEntries", "2000")
     )
+    # Kafka connector auto-enable: when the deployment drops connector
+    # jars into $SPARK_HOME/jars or points $SPARK_GRAFT_KAFKA_JARS at
+    # them, put them on the classpath so sources.kafka.kafka_json_stream
+    # (and its gated live test) just work. STATIC conf — classpath is
+    # fixed at JVM launch.
+    from flink_streaming_2_10_spark.sources.kafka import find_kafka_jars
+
+    kafka_jars = find_kafka_jars()
+    if kafka_jars:
+        builder = builder.config("spark.jars", ",".join(kafka_jars))
     for key, value in RUNTIME_CONF.items():
         builder = builder.config(key, value)
     return configure(builder.getOrCreate())
