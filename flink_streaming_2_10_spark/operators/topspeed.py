@@ -155,3 +155,98 @@ def top_speed_windowing_stream(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def transform_with_state_available() -> bool:
+    """True when the arbitrary-state v2 API is RUNNABLE here: the PySpark
+    classes exist (Spark 4.0+) AND the ``google.protobuf`` runtime they
+    depend on imports — transformWithStateInPandas launches a streaming
+    Python driver worker that speaks protobuf to the JVM, and a missing/
+    broken protobuf crashes that worker at query start, not at import."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+        from pyspark.sql.streaming.stateful_processor import (  # noqa: F401
+            StatefulProcessor,
+        )
+
+        return True
+    except ImportError:
+        return False
+
+
+def top_speed_windowing_stream_tws(
+    df: DataFrame,
+    trigger_meters: float = 50.0,
+    eviction_sec: int = 10,
+):
+    """Streaming path on the Spark 4 arbitrary-state v2 API
+    (``transformWithStateInPandas`` + ``StatefulProcessor``): the same
+    ``_replay`` state machine, with the (buffer, last-trigger) tuple held
+    in a named ``ValueState`` instead of the single opaque
+    ``GroupState``. Identical output to
+    :func:`top_speed_windowing_stream` — the parity test runs whichever
+    API the container provides and compares against the batch replay.
+
+    Gate on :func:`transform_with_state_available` — it also verifies the
+    ``google.protobuf`` runtime the API's streaming Python driver worker
+    needs (a broken protobuf crashes the worker at query START, after
+    this builder returns). Requires the RocksDB state store provider
+    (``spark.sql.streaming.stateStore.providerClass`` →
+    ``...state.RocksDBStateStoreProvider``) — the v2 API does not run on
+    the default HDFS-backed store; set it on the session before starting
+    the query (tests do; rocksdbjni ships with Spark 4).
+    """
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    eviction_ms = eviction_sec * 1000
+
+    class _TopSpeedProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("replay", _STATE_SCHEMA)
+
+        def handleInputRows(self, key, rows, timerValues):
+            if self._state.exists():
+                last_distance, bs, bd, bt = self._state.get()
+                buffer = list(zip(bs, bd, bt))
+            else:
+                last_distance, buffer = None, []
+            emitted: list[tuple[int, float, int]] = []
+            for pdf in rows:
+                pdf = pdf.sort_values(
+                    ["time", "distance", "speed"], kind="mergesort"
+                )
+                recs = list(zip(pdf["speed"], pdf["distance"], pdf["time"]))
+                out, buffer, last_distance = _replay(
+                    recs, buffer, last_distance, trigger_meters, eviction_ms
+                )
+                emitted.extend(out)
+            self._state.update(
+                (
+                    last_distance,
+                    [r[0] for r in buffer],
+                    [r[1] for r in buffer],
+                    [r[2] for r in buffer],
+                )
+            )
+            if emitted:
+                yield pd.DataFrame(
+                    [(key[0], s, d, t) for (s, d, t) in emitted],
+                    columns=OUTPUT_COLUMNS,
+                )
+
+        def close(self) -> None:
+            pass
+
+    return (
+        df.select(*OUTPUT_COLUMNS)
+        .groupBy("carId")
+        .transformWithStateInPandas(
+            statefulProcessor=_TopSpeedProcessor(),
+            outputStructType=_SCHEMA,
+            outputMode="append",
+            timeMode="None",
+        )
+    )
