@@ -435,6 +435,22 @@ def q_similarity_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def q_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic dedup: the cosine near-dup pair graph (same parameters as
+    ``similarity_cosine_neardup``) resolved to transitive clusters —
+    ``(vec_id, canonical_id, cluster_size)`` over ALL embeddings, keep
+    ``vec_id == canonical_id`` rows to dedup by meaning. Composes the LSH
+    candidate generation with the iterate()-based components closure; the
+    embedding vectors never enter the loop (ids-only state)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = cosine_neardup_pairs(
+        emb, threshold=0.4, num_tables=8, num_planes=None
+    )
+    return dedup_canonical(
+        emb, pairs, id_col="vec_id", a_col="id_a", b_col="id_b"
+    )
+
+
 def q_text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Whitespace + BPE-ish token counting per document (scan-local)."""
     return token_counts(load_table(spark, sf_dir, "documents"))
@@ -827,6 +843,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_ann_topk": q_similarity_ann_topk,
         "similarity_ivf_topk": q_similarity_ivf_topk,
         "similarity_cosine_neardup": q_similarity_cosine_neardup,
+        "semantic_clusters": q_semantic_clusters,
         "text_token_stats": q_text_token_stats,
         "text_quality": q_text_quality,
         "text_language_id": q_text_language_id,
@@ -1300,9 +1317,12 @@ def _ivf_topk_oracle(
         LIMIT {k}"""
 
 
-def _cosine_neardup_oracle(
+def _cosine_pairs_ctes(
     threshold: float, num_tables: int, num_planes: int, seed: int = 42
 ) -> str:
+    """CTE chain ending in ``pairs (id_a, id_b, cosine)`` — the LSH
+    bucket self-join + exact-cosine verify shared by the neardup and
+    semantic-cluster oracles."""
     w = _weights_literal_sql(hyperplane_weights(num_tables, num_planes, _DIM, seed))
     buckets = ",\n               ".join(
         f"{_bucket_sql(t, num_planes)} AS b{t}" for t in range(num_tables)
@@ -1310,8 +1330,7 @@ def _cosine_neardup_oracle(
     per_table = "\n            UNION ALL ".join(
         f"SELECT vec_id, {t} AS t, b{t} AS bkt FROM bk" for t in range(num_tables)
     )
-    return f"""
-        WITH wt AS (SELECT CAST({w} AS DOUBLE[][][]) AS w),
+    return f"""wt AS (SELECT CAST({w} AS DOUBLE[][][]) AS w),
         bk AS (SELECT vec_id, embedding,
                {buckets}
                FROM embeddings, wt),
@@ -1323,9 +1342,41 @@ def _cosine_neardup_oracle(
                           {_cosine_sql("ea.embedding", "eb.embedding")} AS cosine
                    FROM cands c
                    JOIN embeddings ea ON ea.vec_id = c.id_a
-                   JOIN embeddings eb ON eb.vec_id = c.id_b)
-        SELECT id_a, id_b, cosine FROM scored
-        WHERE cosine >= CAST({threshold} AS DOUBLE)"""
+                   JOIN embeddings eb ON eb.vec_id = c.id_b),
+        pairs AS (SELECT id_a, id_b, cosine FROM scored
+                  WHERE cosine >= CAST({threshold} AS DOUBLE))"""
+
+
+def _cosine_neardup_oracle(
+    threshold: float, num_tables: int, num_planes: int, seed: int = 42
+) -> str:
+    return f"""
+        WITH {_cosine_pairs_ctes(threshold, num_tables, num_planes, seed)}
+        SELECT id_a, id_b, cosine FROM pairs"""
+
+
+def _semantic_clusters_oracle(
+    threshold: float, num_tables: int, num_planes: int, seed: int = 42
+) -> str:
+    """Mirror of pipeline.components.dedup_canonical over the cosine
+    near-dup pair graph: transitive closure via a recursive reach CTE,
+    survivorship over ALL embeddings (singletons keep their own id)."""
+    return f"""
+        WITH RECURSIVE {_cosine_pairs_ctes(threshold, num_tables, num_planes, seed)},
+        edges AS (SELECT id_a AS ea, id_b AS eb FROM pairs
+                  UNION SELECT id_b, id_a FROM pairs),
+        reach(v, r) AS (
+            SELECT ea, ea FROM edges
+            UNION
+            SELECT e.eb, c.r FROM reach c JOIN edges e ON e.ea = c.v),
+        comp AS (SELECT v AS node, min(r) AS component FROM reach GROUP BY v),
+        canon AS (SELECT emb.vec_id,
+                         coalesce(c.component, emb.vec_id) AS canonical_id
+                  FROM embeddings emb LEFT JOIN comp c ON emb.vec_id = c.node),
+        sz AS (SELECT canonical_id, count(*) AS cluster_size
+               FROM canon GROUP BY 1)
+        SELECT canon.vec_id, canon.canonical_id, sz.cluster_size
+        FROM canon JOIN sz USING (canonical_id)"""
 
 
 # ---------------------------------------------------------------------------
@@ -2042,6 +2093,9 @@ def oracle_sql() -> dict[str, str]:
             query_id=0, k=50, num_centroids=16, nprobe=4
         ),
         "similarity_cosine_neardup": _cosine_neardup_oracle(
+            threshold=0.4, num_tables=8, num_planes=6
+        ),
+        "semantic_clusters": _semantic_clusters_oracle(
             threshold=0.4, num_tables=8, num_planes=6
         ),
         "text_token_stats": f"""
