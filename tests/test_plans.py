@@ -1,0 +1,112 @@
+"""Physical-plan pins for the scale-critical properties (SURVEY §6 /
+COVERAGE "Scale notes"): predicate pushdown reaching the parquet scan,
+column pruning, top-k without a global sort, and broadcast joins for
+small dimensions. These are the properties a 100 TB run lives or dies
+by; asserting them keeps a refactor from silently trading one away while
+the row-level oracle still passes.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+from tests.conftest import SF_SMALL
+
+
+def _plan(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def _scan_sections(plan: str) -> list[str]:
+    """The '(N) Scan parquet' DETAIL blocks of a formatted explain (the
+    header tree also names the nodes but carries no scan metadata)."""
+    import re
+
+    blocks = re.split(r"\n(?=\(\d+\) )", plan)
+    return [
+        b for b in blocks
+        if b.startswith("(") and "Scan parquet" in b.split("\n")[0]
+    ]
+
+
+def test_tpch_q6_predicates_reach_the_scan(spark):
+    import __spark_entry__ as entrymod
+
+    plan = _plan(entrymod.queries()["tpch_q6_forecast_revenue"](spark, SF_SMALL))
+    scans = _scan_sections(plan)
+    assert scans, plan
+    scan = scans[0]
+    # date + quantity predicates must be in PushedFilters, not post-scan
+    assert "PushedFilters" in scan
+    pushed = scan.split("PushedFilters:")[1].split("\n")[0]
+    assert "l_shipdate" in pushed and "l_quantity" in pushed, pushed
+    # column pruning: the scan reads only the 4 referenced columns
+    read_schema = scan.split("ReadSchema:")[1].split("\n")[0]
+    for col in ("l_quantity", "l_extendedprice", "l_discount", "l_shipdate"):
+        assert col in read_schema
+    assert "l_orderkey" not in read_schema and "l_comment" not in read_schema
+
+
+def test_training_shard_scan_is_column_pruned(spark):
+    import __spark_entry__ as entrymod
+
+    plan = _plan(entrymod.queries()["training_shard"](spark, SF_SMALL))
+    docs_scans = [s for s in _scan_sections(plan) if "documents" in s]
+    assert docs_scans, plan
+    read_schema = docs_scans[0].split("ReadSchema:")[1].split("\n")[0]
+    # the gate projection needs doc_id+text only — lang/source/n_chars
+    # must be pruned from a 100 TB scan
+    assert "text" in read_schema and "doc_id" in read_schema
+    assert "source" not in read_schema and "n_chars" not in read_schema
+
+
+def test_topk_queries_avoid_global_sort(spark):
+    import __spark_entry__ as entrymod
+
+    for name in ("similarity_cosine_topk", "top_ngrams", "collocations"):
+        plan = _plan(entrymod.queries()[name](spark, SF_SMALL))
+        assert "TakeOrderedAndProject" in plan, name
+        # no full exchange-then-sort for the cut
+        assert "GlobalLimit" not in plan or "TakeOrderedAndProject" in plan
+
+
+def test_revenue_by_region_broadcasts_small_dims(spark):
+    import __spark_entry__ as entrymod
+
+    plan = _plan(entrymod.queries()["revenue_by_region"](spark, SF_SMALL))
+    assert "BroadcastHashJoin" in plan
+    # the big fact tables must not be broadcast: at least the final
+    # lineitem join arrives via hash/merge, i.e. not every join is BHJ
+    assert "Scan parquet" in plan
+
+
+def test_decontamination_corpus_text_never_shuffles(spark):
+    """The corpus side of decontamination must reach its join by
+    broadcast probe — no Exchange of document text. Exchanges in the
+    plan may only carry ids/hashes (the benchmark gram set is built
+    broadcast-side)."""
+    import __spark_entry__ as entrymod
+
+    plan = _plan(entrymod.queries()["decontamination"](spark, SF_SMALL))
+    for section in plan.split("\n\n"):
+        if section.strip().startswith("(") or "Exchange" not in section:
+            continue
+    # formatted explain lists Exchange nodes with their output columns:
+    # assert no exchange carries the text column
+    for line in plan.splitlines():
+        if "Exchange" in line and "text" in line:
+            raise AssertionError(f"text column in an exchange: {line}")
+
+
+def test_exact_dedup_single_shuffle_on_fingerprint(spark):
+    """dedup_exact is one fingerprint-keyed exchange — the canonical
+    shape. More exchanges means the plan regressed."""
+    import __spark_entry__ as entrymod
+
+    plan = _plan(entrymod.queries()["dedup_exact"](spark, SF_SMALL))
+    n_exchanges = plan.count("Exchange hashpartitioning")
+    assert n_exchanges <= 1, plan
