@@ -128,6 +128,58 @@ def test_streaming_windowed_wordcount_event_time(spark, tmp_path):
     assert len(got) >= len(expected) - 1
 
 
+def test_session_window_stream_equals_batch(spark, tmp_path):
+    """A9 live face: session-window aggregation as a watermarked streaming
+    query. One session's events arrive across TWO micro-batches (state
+    merge), a later event starts a second session, and a far-future flush
+    event advances the watermark so append mode emits every closed
+    session. Streamed sessions must equal the batch operator's."""
+    from flink_streaming_2_10_spark.operators.windows import session_window_agg
+
+    file1 = [
+        ("2024-01-01 00:00:00", "a"),
+        ("2024-01-01 00:02:00", "a"),
+        ("2024-01-01 00:03:00", "b"),
+    ]
+    file2 = [
+        ("2024-01-01 00:04:00", "a"),   # merges into a's first session
+        ("2024-01-01 00:20:00", "a"),   # > 5 min gap: second session
+        ("2024-01-01 01:00:00", "zz"),  # flush: closes everything else
+    ]
+    src = str(tmp_path / "in")
+    _write_text_files(
+        src, ["\n".join(f"{ts},{u}" for ts, u in f) for f in (file1, file2)]
+    )
+
+    def parse(df):
+        parts = F.split(F.col("text"), ",")
+        return df.select(
+            F.element_at(parts, 1).cast("timestamp").alias("ts"),
+            F.element_at(parts, 2).alias("user"),
+        )
+
+    all_rows = [(f"{ts},{u}",) for ts, u in file1 + file2]
+    batch_df = parse(spark.createDataFrame(all_rows, ["text"]))
+    kw = dict(keys=["user"], gap="5 minutes")
+    aggs = lambda: [F.count(F.lit(1)).alias("cnt")]  # noqa: E731
+    expected = {
+        (r["session_start"], r["session_end"], r["user"], r["cnt"])
+        for r in session_window_agg(batch_df, aggs=aggs(), **kw).collect()
+        if r["user"] != "zz"  # the flush session never closes
+    }
+    assert len(expected) == 3  # a x2 (merged first, second), b x1
+
+    stream = session_window_agg(
+        parse(_stream_lines(spark, src)), aggs=aggs(), **kw
+    )
+    batches = collect_stream(stream, str(tmp_path / "ck"), output_mode="append")
+    got = {
+        (r["session_start"], r["session_end"], r["user"], r["cnt"])
+        for batch in batches for r in batch
+    }
+    assert got == expected
+
+
 def test_streaming_window_join_equals_batch(spark, tmp_path):
     grades_rows = [
         ("2024-01-01 00:00:00", "alice", 3),
