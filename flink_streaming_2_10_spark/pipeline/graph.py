@@ -12,14 +12,17 @@ the simplest second fixed-point algorithm exercising the general
 
 Algorithm: distributed parallel BFS as min-distance propagation.
 
-* State is ``(node, hops)`` for every REACHED node — 16 bytes/row;
-  unreached nodes are absent, so early rounds carry only the frontier's
-  closure, not the whole graph.
-* Each round: every reached node offers ``hops + 1`` to its neighbors
-  (one shuffle join edges⋈state), min-folded with the current state (one
-  hash agg with map-side partials). Distances only decrease and nodes
-  only appear, so the (count, Σhops) pair is a sound one-scalar
-  convergence metric: equal ⇒ fixed point.
+* State is ``(node, hops, changed)`` for every REACHED node — 17
+  bytes/row; unreached nodes are absent, so early rounds carry only the
+  frontier's closure, not the whole graph.
+* Each round is FRONTIER-optimized (the textbook distributed BFS): only
+  nodes whose distance improved LAST round offer ``hops + 1`` to their
+  neighbors, so the edge join — the O(E) term — touches just the
+  frontier's adjacency, not the whole reached set; the min-fold merge
+  (one union + hash agg with map-side partials) then recomputes the
+  frontier for the next round. Distances only decrease and nodes only
+  appear, so the (count, Σhops) pair is a sound one-scalar convergence
+  metric: equal ⇒ fixed point (an empty frontier makes no offers).
 * Rounds = eccentricity of the seed set (near-dup clusters are
   near-cliques, so 2-3 in practice). Per-round cost: one exchange of
   ids+distances — document bodies never enter the loop.
@@ -66,12 +69,19 @@ def shortest_path_hops(
         .distinct(),
         checkpoint,
     )
-    dist0 = seeds.select(
-        F.col(sc).cast("long").alias("node"), F.lit(0).cast("long").alias("hops")
-    ).distinct()
+    dist0 = (
+        seeds.select(F.col(sc).cast("long").alias("node"))
+        .distinct()
+        .select(
+            "node",
+            F.lit(0).cast("long").alias("hops"),
+            F.lit(True).alias("changed"),
+        )
+    )
 
     # (count, Σhops) as an exact tuple: nodes only appear, distances only
-    # decrease, so the pair is unchanged iff the state is a fixed point.
+    # decrease, so the pair is unchanged iff the state is a fixed point
+    # (`changed` is derived from the same fold and empties with it).
     # decimal(38,0) keeps the sum exact for any id/diameter domain.
     def _probe(d: DataFrame):
         row = d.agg(
@@ -81,16 +91,34 @@ def shortest_path_hops(
         return (row["n"], row["s"])
 
     def _step(dist: DataFrame, _round_no: int) -> DataFrame:
-        offers = edges.join(dist, edges["src"] == dist["node"]).select(
-            F.col("dst").alias("node"), (F.col("hops") + F.lit(1)).alias("hops")
+        # Only the frontier (nodes improved last round) makes offers —
+        # settled nodes' neighbors already saw an <= offer, so joining
+        # them again can't improve anything.
+        frontier = dist.filter(F.col("changed"))
+        offers = edges.join(frontier, edges["src"] == frontier["node"]).select(
+            F.col("dst").alias("node"),
+            (F.col("hops") + F.lit(1)).alias("hops"),
+            F.lit(True).alias("is_offer"),
         )
         return (
-            dist.unionByName(offers)
+            dist.select("node", "hops", F.lit(False).alias("is_offer"))
+            .unionByName(offers)
             .groupBy("node")
-            .agg(F.min("hops").alias("hops"))
+            .agg(
+                F.min("hops").alias("hops"),
+                # prior distance (+inf for brand-new nodes): the node
+                # changed iff the fold beat it.
+                F.min(F.when(~F.col("is_offer"), F.col("hops"))).alias("__prior"),
+            )
+            .select(
+                "node",
+                "hops",
+                (F.col("__prior").isNull() | (F.col("hops") < F.col("__prior")))
+                .alias("changed"),
+            )
         )
 
-    return iterate(
+    out = iterate(
         dist0,
         _step,
         max_rounds=max_rounds,
@@ -98,3 +126,4 @@ def shortest_path_hops(
         checkpoint=checkpoint,
         stats=stats,
     )
+    return out.select("node", "hops")
