@@ -13,10 +13,12 @@ Algorithm: distributed min-label propagation with pointer jumping.
 * State is one ``(node, label)`` row per distinct node in the edge list;
   labels start as the node's own id and only ever decrease, so the fixed
   point assigns every node the MINIMUM id in its component.
-* Each round does (1) a neighbor step — every node takes the min of its
-  own and its neighbors' labels (one shuffle join edge⋈label + one hash
-  agg) — and (2) a pointer-jumping step — ``label ← min(label,
-  label(label))`` (one self-join on the label table). Neighbor steps alone
+* Each round does (1) a FRONTIER neighbor step — nodes whose label
+  dropped last round offer it to their neighbors (one shuffle join
+  edge⋈frontier + one hash agg; settled nodes' offers are redundant, so
+  the O(E) term shrinks to the frontier's adjacency) — and (2) a
+  pointer-jumping step — ``label ← min(label, label(label))`` (one
+  self-join on the label table, O(V)). Neighbor steps alone
   converge in O(diameter) rounds; the jump step contracts label chains
   geometrically, giving O(log n) rounds even on pathological path-shaped
   graphs (the same contraction idea as the large-star/small-star
@@ -84,7 +86,11 @@ def connected_components(
     labels0 = (
         edges.select("src")
         .distinct()
-        .select(F.col("src").alias("v"), F.col("src").alias("label"))
+        .select(
+            F.col("src").alias("v"),
+            F.col("src").alias("label"),
+            F.lit(True).alias("changed"),
+        )
     )
 
     # Convergence detection: labels only ever DECREASE (min-folds of node
@@ -99,19 +105,36 @@ def connected_components(
         ).collect()[0]["s"]
 
     def _step(labels: DataFrame, _round_no: int) -> DataFrame:
-        # Neighbor step: propagate label(dst) to src over every edge, then
-        # fold with the node's current label. union+groupBy(min) is one
-        # hash exchange with map-side partials — no window, no sort.
-        nbr = edges.join(labels, edges["dst"] == labels["v"]).select(
-            F.col("src").alias("v"), "label"
+        # Neighbor step, FRONTIER-optimized: only nodes whose label
+        # dropped last round offer it to their neighbors — a settled
+        # node's label was already offered the round it last changed, so
+        # re-joining it cannot lower anything. The O(E) edge join touches
+        # the frontier's adjacency, not the whole graph; the fold
+        # (union + groupBy(min), one hash exchange with map-side
+        # partials) recovers each node's prior label alongside the min.
+        frontier = labels.filter(F.col("changed"))
+        nbr = edges.join(frontier, edges["dst"] == frontier["v"]).select(
+            F.col("src").alias("v"), "label", F.lit(True).alias("is_offer")
         )
         merged = (
-            labels.unionByName(nbr).groupBy("v").agg(F.min("label").alias("label"))
+            labels.select("v", "label", F.lit(False).alias("is_offer"))
+            .unionByName(nbr)
+            .groupBy("v")
+            .agg(
+                F.min("label").alias("label"),
+                F.min(F.when(~F.col("is_offer"), F.col("label"))).alias(
+                    "__prior"
+                ),
+            )
         )
-        # Pointer jump: label ← min(label, label(label)). Left join — the
-        # component-min node's label is itself, and any node's label is a
-        # node id that exists in the table, but the join stays `left` so a
-        # missing row degrades to a no-op rather than dropping the node.
+        # Pointer jump: label ← min(label, label(label)) — full-table by
+        # design (it contracts chains created in ANY earlier round, and
+        # it's O(V), not O(E)). Left join — the component-min node's
+        # label is itself, and any node's label is a node id that exists
+        # in the table, but the join stays `left` so a missing row
+        # degrades to a no-op rather than dropping the node. `changed`
+        # compares the round's FINAL label (post-jump) to the prior, so
+        # jump-caused drops re-enter the frontier too.
         hop = merged.select(
             F.col("v").alias("jv"), F.col("label").alias("jlabel")
         )
@@ -120,6 +143,12 @@ def connected_components(
             F.least(
                 F.col("label"), F.coalesce(F.col("jlabel"), F.col("label"))
             ).alias("label"),
+            (
+                F.least(
+                    F.col("label"), F.coalesce(F.col("jlabel"), F.col("label"))
+                )
+                < F.col("__prior")
+            ).alias("changed"),
         )
 
     labels = iterate(
