@@ -95,6 +95,37 @@ def test_max_rounds_guard_raises(spark):
         connected_components(df, max_rounds=1)
 
 
+@pytest.mark.parametrize("seed", [7, 23, 91])
+def test_random_graph_matches_union_find(spark, seed):
+    """Random multigraphs vs a sequential union-find: stresses the
+    frontier bookkeeping (settled nodes must still receive late offers
+    through their neighbors) and the jump/frontier interplay on whatever
+    chain shapes the seed produces."""
+    import random
+
+    rng = random.Random(seed)
+    n = 60
+    edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(50)]
+    got = _labels(spark, edges)
+
+    parent = list(range(n))
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        parent[find(a)] = find(b)
+    nodes = {v for e in edges for v in e}
+    comp_min: dict[int, int] = {}
+    for v in nodes:
+        r = find(v)
+        comp_min[r] = min(comp_min.get(r, v), v)
+    assert got == {v: comp_min[find(v)] for v in nodes}
+
+
 def test_dedup_canonical_survivorship(spark):
     docs = spark.createDataFrame([(i,) for i in range(1, 8)], ["doc_id"])
     pairs = spark.createDataFrame([(2, 5), (5, 6), (3, 7)], ["doc_a", "doc_b"])
