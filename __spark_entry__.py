@@ -624,7 +624,10 @@ def q_incremental_model_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
         window=window_us,
     )
     scored = score_with_models(
-        ev, models, on=["event_type"], event_time="t", value_units_col="vc"
+        ev, models, on=["event_type"], event_time="t", value_units_col="vc",
+        # the model table is keys x windows (tiny); broadcast probing
+        # keeps events from shuffling into |event_type| partitions
+        broadcast=True,
     )
     return scored.select(
         "event_id", "event_type", "m_model_t", "m_n_samples", "above_model"

@@ -95,20 +95,33 @@ def score_with_models(
     event_time: str,
     value_units_col: str,
     right_prefix: str = "m_",
+    broadcast: bool = False,
 ) -> DataFrame:
     """Batch scorer: every event with its newest applicable model's
     columns (``{prefix}model_t``/``sum_units``/``n_samples``, NULL before
     the first model) and ``above_model`` — whether the event's value is
     at or above the model mean. The skeleton's predictor, reformulated on
-    event time."""
-    enriched = asof_join(
+    event time.
+
+    ``broadcast=True`` scores via the broadcast model-history probe
+    (:func:`streaming.runners.asof_enrich_stream`'s machinery on a
+    bounded frame) instead of the union+sort-window merge-asof. The
+    model table is TINY by construction (keys × training windows), while
+    the key domain is often low-cardinality (event types, sources) — the
+    sort-window path would shuffle every event into |keys| partitions,
+    a parallelism collapse at scale, where the broadcast probe is a
+    narrow map: events never shuffle at all. Results are identical
+    (model_t is unique per key, so tie semantics never engage).
+    """
+    join = asof_enrich_stream if broadcast else asof_join
+    enriched = join(
         events,
         models,
         on=on,
         left_time=event_time,
         right_time="model_t",
         right_prefix=right_prefix,
-    )
+    ).drop(*[f"{right_prefix}{k}" for k in on])
     return enriched.withColumn(
         "above_model", _above_expr(value_units_col, right_prefix)
     )

@@ -70,6 +70,24 @@ def test_scoring_uses_newest_closed_model_inclusive(spark):
     }
 
 
+def test_broadcast_and_sortwindow_scorers_agree(spark):
+    ev = _events(spark)
+    models = build_partial_models(
+        ev, on=["k"], time_col="t", value_units_col="vc", window=10
+    )
+    kw = dict(on=["k"], event_time="t", value_units_col="vc")
+
+    def snap(df):
+        return sorted(
+            (r["event_id"], r["m_model_t"], r["m_n_samples"], r["above_model"])
+            for r in df.collect()
+        )
+
+    assert snap(score_with_models(ev, models, **kw)) == snap(
+        score_with_models(ev, models, broadcast=True, **kw)
+    )
+
+
 def test_hot_swap_replay_equals_batch_score(spark, tmp_path):
     """run_incremental_scoring with per-batch model refresh: the union of
     scored micro-batches must be byte-identical to the one-shot batch

@@ -102,6 +102,22 @@ def test_decontamination_corpus_text_never_shuffles(spark):
             raise AssertionError(f"text column in an exchange: {line}")
 
 
+def test_incremental_scoring_events_never_shuffle(spark):
+    """The broadcast model-probe plan: the only exchanges are for the
+    tiny model aggregation's broadcast — the 10k-row (at 100 TB: 10^12-
+    row) events side must reach its join without a hash exchange keyed
+    on the 5-value event_type (a parallelism collapse)."""
+    import __spark_entry__ as entrymod
+
+    plan = _plan(
+        entrymod.queries()["incremental_model_scoring"](spark, SF_SMALL)
+    )
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    # no sort-merge join and no window sort over the events side
+    assert "SortMergeJoin" not in plan
+    assert "Window" not in plan
+
+
 def test_exact_dedup_single_shuffle_on_fingerprint(spark):
     """dedup_exact is one fingerprint-keyed exchange — the canonical
     shape. More exchanges means the plan regressed."""
