@@ -55,6 +55,50 @@ def test_iterate_strict_raises_when_still_moving(spark):
     assert got.collect()[0]["x"] == 4
 
 
+def test_iterate_per_row_exit_fibonacci(spark):
+    """The upstream IterateExample program shape (pom.xml:157): each
+    (i, j) pair steps to (j, i+j) with a step counter until it crosses a
+    bound, and rows EXIT the loop individually — modeled as a done flag
+    that freezes the row. Metric is (active count, Σstep): Σstep moves
+    every round any row is still stepping, so equality ⇒ all rows done.
+    Verified against a sequential replay of the same recurrence."""
+    bound = 100
+    seeds = [(0, 1), (1, 1), (2, 3), (5, 8), (90, 95)]
+    df = spark.createDataFrame(seeds, ["i", "j"]).select(
+        "i", "j", F.col("i").alias("i0"), F.col("j").alias("j0"),
+        F.lit(0).alias("step"), F.lit(False).alias("done"),
+    )
+
+    def step(d, _r):
+        active = ~F.col("done")
+        ni = F.when(active, F.col("j")).otherwise(F.col("i"))
+        nj = F.when(active, F.col("i") + F.col("j")).otherwise(F.col("j"))
+        nstep = F.when(active, F.col("step") + 1).otherwise(F.col("step"))
+        return d.select(
+            ni.alias("i"), nj.alias("j"), "i0", "j0",
+            nstep.alias("step"), (nj > bound).alias("done"),
+        )
+
+    def metric(d):
+        row = d.agg(
+            F.sum((~F.col("done")).cast("long")).alias("active"),
+            F.sum("step").alias("steps"),
+        ).collect()[0]
+        return (row["active"], row["steps"])
+
+    out = iterate(df, step, max_rounds=50, metric=metric)
+    got = {(r["i0"], r["j0"]): r["step"] for r in out.collect()}
+
+    def ref(i, j):
+        n = 0
+        while j <= bound:
+            i, j, n = j, i + j, n + 1
+        return n
+
+    assert got == {(i, j): ref(i, j) for i, j in seeds}
+    assert all(r["done"] for r in out.collect())
+
+
 def test_iterate_rejects_bad_checkpoint_mode(spark):
     df = spark.createDataFrame([(1,)], ["x"])
     with pytest.raises(ValueError, match="local|reliable"):
