@@ -275,6 +275,68 @@ def asof_enrich_stream(
     )
 
 
+def sessionize_stream(
+    df: DataFrame,
+    on: list[str],
+    time_col: str,
+    gap: int,
+) -> DataFrame:
+    """Continuous inactivity-gap sessionization: label every event of an
+    unbounded stream with its per-key ``session_idx`` — the live face of
+    ``operators.temporal.sessionize`` (same boundary semantics: a delta
+    of exactly ``gap`` STARTS a new session, matching Flink's
+    ``EventTimeSessionWindows.withGap``).
+
+    State per key is TWO numbers — (last event time, current session
+    index) — carried across micro-batches by ``applyInPandasWithState``;
+    the labeling itself is the same lag-and-count sweep as the batch
+    operator, run per batch in arrival order. Requires per-key
+    time-ascending delivery (the ``assignAscendingTimestamps`` regime
+    every stateful operator here assumes, topspeed included); out-of-
+    order streams need the watermarked session_window aggregation
+    instead, which can merge windows — but cannot LABEL events.
+    Output: input columns + ``session_idx`` (append mode).
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    in_cols = list(df.columns)
+    out_schema = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields
+    ) + ", session_idx long"
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        if state.exists:
+            last_t, idx = state.get
+        else:
+            last_t, idx = None, 0
+        # Concat the key's Arrow chunks BEFORE sorting: chunk boundaries
+        # are storage artifacts, and time order must hold across them.
+        frames = list(pdfs)
+        pdf = pd.concat(frames) if len(frames) > 1 else frames[0]
+        pdf = pdf.sort_values([time_col], kind="mergesort")
+        out_idx = []
+        for t in pdf[time_col].astype("int64"):
+            if last_t is None or t - last_t >= gap:
+                idx += 1
+            last_t = int(t)
+            out_idx.append(idx)
+        state.update((last_t, idx))
+        yield pdf.assign(session_idx=out_idx)[in_cols + ["session_idx"]]
+
+    return (
+        df.groupBy(*[F.col(c) for c in on])
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType="last_t long, idx long",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def streaming_exact_dedup(
     docs: DataFrame,
     id_col: str = "doc_id",

@@ -128,6 +128,58 @@ def test_streaming_windowed_wordcount_event_time(spark, tmp_path):
     assert len(got) >= len(expected) - 1
 
 
+def test_sessionize_stream_equals_batch(spark, tmp_path):
+    """Event-level sessionization parity: the applyInPandasWithState
+    labeler over time-ordered micro-batches must assign exactly the
+    batch operator's session indices, including sessions that continue
+    and sessions that start across a batch boundary."""
+    import random
+
+    from flink_streaming_2_10_spark.operators.temporal import sessionize
+    from flink_streaming_2_10_spark.streaming.runners import sessionize_stream
+
+    rng = random.Random(29)
+    gap = 25
+    events, t = [], {}
+    for eid in range(120):
+        k = f"u{rng.randrange(4)}"
+        t[k] = t.get(k, 0) + rng.randrange(1, 60)  # ascending per key
+        events.append((eid, k, t[k]))
+    events.sort(key=lambda e: e[2])  # global time order for the replay
+    df = spark.createDataFrame(events, ["event_id", "k", "t"])
+    expected = {
+        r["event_id"]: (r["k"], r["session_idx"])
+        for r in sessionize(df, on=["k"], time_col="t", gap=gap).collect()
+    }
+
+    src = str(tmp_path / "ev")
+    third = len(events) // 3
+    _write_text_files(
+        src,
+        [
+            "\n".join(f"{e},{k},{tt}" for e, k, tt in chunk)
+            for chunk in (events[:third], events[third : 2 * third],
+                          events[2 * third :])
+        ],
+    )
+    parts = F.split(F.col("text"), ",")
+    stream = _stream_lines(spark, src).select(
+        F.element_at(parts, 1).cast("long").alias("event_id"),
+        F.element_at(parts, 2).alias("k"),
+        F.element_at(parts, 3).cast("long").alias("t"),
+    )
+    batches = collect_stream(
+        sessionize_stream(stream, on=["k"], time_col="t", gap=gap),
+        str(tmp_path / "ck"),
+        output_mode="append",
+    )
+    got = {
+        r["event_id"]: (r["k"], r["session_idx"])
+        for batch in batches for r in batch
+    }
+    assert got == expected
+
+
 def test_session_window_stream_equals_batch(spark, tmp_path):
     """A9 live face: session-window aggregation as a watermarked streaming
     query. One session's events arrive across TWO micro-batches (state
