@@ -31,6 +31,8 @@ write; the loop adds nothing super-linear.
 
 from __future__ import annotations
 
+import os
+import shutil
 from typing import Any, Callable
 
 from pyspark.sql import DataFrame
@@ -56,6 +58,24 @@ def truncate_lineage(df: DataFrame, checkpoint: str, eager: bool = True) -> Data
     raise ValueError(f"checkpoint must be local|reliable, got {checkpoint!r}")
 
 
+def _round_dir(resume_dir: str, round_no: int) -> str:
+    return os.path.join(resume_dir, f"round_{round_no:05d}")
+
+
+def _last_completed_round(resume_dir: str) -> int | None:
+    """Highest round with a _SUCCESS marker (a dir without one is a
+    write that died mid-flight and must be ignored)."""
+    if not os.path.isdir(resume_dir):
+        return None
+    done = [
+        int(name.split("_", 1)[1])
+        for name in os.listdir(resume_dir)
+        if name.startswith("round_")
+        and os.path.exists(os.path.join(resume_dir, name, "_SUCCESS"))
+    ]
+    return max(done) if done else None
+
+
 def iterate(
     initial: DataFrame,
     step: Callable[[DataFrame, int], DataFrame],
@@ -64,6 +84,7 @@ def iterate(
     checkpoint: str = "local",
     stats: dict | None = None,
     strict: bool = True,
+    resume_dir: str | None = None,
 ) -> DataFrame:
     """Apply ``step`` repeatedly until a fixed point (or ``max_rounds``).
 
@@ -85,16 +106,53 @@ def iterate(
     ``max_rounds`` rather than returning a non-fixed point.
 
     ``stats`` (when a dict) receives ``{"rounds": N}`` — rounds actually
-    executed.
+    executed — and, when resuming, ``{"resumed_from": K}``.
+
+    ``resume_dir`` makes the loop DRIVER-LOSS durable: each round's state
+    is written as parquet to ``{resume_dir}/round_NNNNN`` (the write is
+    both the durable checkpoint and the lineage truncation — the next
+    round plans against the files), and a relaunch with the same
+    ``resume_dir`` continues from the highest round whose _SUCCESS marker
+    landed — a 20-round job that dies at round 15 restarts at 15, not 0.
+    The convergence baseline is recomputed from the resumed state (the
+    metric depends only on state), and superseded round dirs are deleted
+    as soon as the next round's write succeeds, so storage is bounded by
+    ~2 state copies. The ``checkpoint`` mode is ignored for per-round
+    truncation while ``resume_dir`` is set (parquet already truncates);
+    pass a durable (shared-filesystem) path on a real cluster.
     """
     if max_rounds < 0:
         raise ValueError(f"max_rounds must be >= 0, got {max_rounds}")
-    state = truncate_lineage(initial, checkpoint, eager=True)
+    start_round = 0
+    state = None
+    if resume_dir is not None:
+        last = _last_completed_round(resume_dir)
+        if last is not None:
+            start_round = min(last, max_rounds)
+            state = initial.sparkSession.read.parquet(
+                _round_dir(resume_dir, start_round)
+            )
+            if stats is not None:
+                stats["resumed_from"] = start_round
+    if state is None:
+        state = truncate_lineage(initial, checkpoint, eager=True)
     prev = metric(state) if metric is not None else None
-    for round_no in range(1, max_rounds + 1):
-        # Lazy in local mode: the metric below materializes checkpoint +
-        # probe in one job. Reliable mode is eager inside truncate_lineage.
-        state = truncate_lineage(step(state, round_no), checkpoint, eager=metric is None)
+
+    def _advance(new_state: DataFrame, round_no: int) -> DataFrame:
+        if resume_dir is None:
+            # Lazy in local mode: the metric materializes checkpoint +
+            # probe in one job. Reliable mode is eager in truncate_lineage.
+            return truncate_lineage(new_state, checkpoint, eager=metric is None)
+        path = _round_dir(resume_dir, round_no)
+        new_state.write.mode("overwrite").parquet(path)
+        for stale in range(round_no):
+            stale_path = _round_dir(resume_dir, stale)
+            if os.path.isdir(stale_path):
+                shutil.rmtree(stale_path, ignore_errors=True)
+        return new_state.sparkSession.read.parquet(path)
+
+    for round_no in range(start_round + 1, max_rounds + 1):
+        state = _advance(step(state, round_no), round_no)
         if metric is None:
             continue
         cur = metric(state)
@@ -105,7 +163,7 @@ def iterate(
         prev = cur
     if stats is not None:
         stats["rounds"] = max_rounds
-    if metric is not None and strict and max_rounds > 0:
+    if metric is not None and strict and max_rounds > 0 and start_round < max_rounds:
         raise RuntimeError(
             f"iterate: state still moving after {max_rounds} rounds"
         )

@@ -56,9 +56,12 @@ def connected_components(
     max_rounds: int = 25,
     checkpoint: str = "local",
     stats: dict | None = None,
+    resume_dir: str | None = None,
 ) -> DataFrame:
     """``(node, component)`` for every node appearing in ``pairs``;
     ``component`` is the minimum node id reachable through the pair graph.
+    ``resume_dir`` makes the loop driver-loss durable (see
+    ``operators.iterate.iterate``).
 
     ``max_rounds`` bounds the driver loop; with pointer jumping the round
     count is O(log n), so 25 covers any realistic graph (2^25 nodes on a
@@ -158,6 +161,7 @@ def connected_components(
         metric=_label_sum,
         checkpoint=checkpoint,
         stats=stats,
+        resume_dir=resume_dir,
     )
     return labels.select(
         F.col("v").alias("node"), F.col("label").alias("component")

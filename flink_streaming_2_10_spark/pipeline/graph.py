@@ -44,6 +44,7 @@ def shortest_path_hops(
     max_rounds: int = 30,
     checkpoint: str = "local",
     stats: dict | None = None,
+    resume_dir: str | None = None,
 ) -> DataFrame:
     """``(node, hops)`` — minimum number of edges from any ``seeds`` row
     to each reachable node of the undirected ``pairs`` graph.
@@ -125,5 +126,6 @@ def shortest_path_hops(
         metric=_probe,
         checkpoint=checkpoint,
         stats=stats,
+        resume_dir=resume_dir,
     )
     return out.select("node", "hops")

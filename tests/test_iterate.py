@@ -112,6 +112,70 @@ def test_truncate_lineage_reliable_mode(spark, tmp_path):
     assert sorted(r["x"] for r in out.collect()) == [2, 4]
 
 
+def test_iterate_resumes_after_driver_loss(spark, tmp_path):
+    """Driver-loss durability: a loop killed mid-round relaunches from
+    the last _SUCCESS'd round — same fixed point, earlier rounds not
+    re-executed, superseded round dirs cleaned up."""
+    import os
+
+    resume = str(tmp_path / "it")
+    df = spark.createDataFrame([(64,)], ["x"])
+
+    def metric(d):
+        return d.agg(F.sum("x")).collect()[0][0]
+
+    boom = {"at": 3}
+
+    def fragile_step(d, round_no):
+        if round_no == boom["at"]:
+            raise RuntimeError("driver died")
+        return _halve_to_zero(d, round_no)
+
+    with pytest.raises(RuntimeError, match="driver died"):
+        iterate(df, fragile_step, max_rounds=10, metric=metric,
+                resume_dir=resume)
+    # rounds 1-2 landed durably before the crash
+    assert sorted(os.listdir(resume))[-1] == "round_00002"
+
+    boom["at"] = None  # relaunch: no failure this time
+    stats: dict = {}
+    out = iterate(df, fragile_step, max_rounds=10, metric=metric,
+                  resume_dir=resume, stats=stats)
+    assert stats["resumed_from"] == 2
+    assert out.collect()[0]["x"] == 0
+    # 64 -> ... -> 0 takes 7 halvings + 1 confirm = 8 rounds total;
+    # resumed run executed only rounds 3..8
+    assert stats["rounds"] == 8
+    # storage bounded: only the final round's state remains
+    rounds_left = [n for n in os.listdir(resume) if n.startswith("round_")]
+    assert rounds_left == ["round_00008"]
+
+    fresh = iterate(df, _halve_to_zero, max_rounds=10, metric=metric)
+    assert fresh.collect()[0]["x"] == out.collect()[0]["x"]
+
+
+def test_components_with_resume_dir_matches_plain(spark, tmp_path):
+    from flink_streaming_2_10_spark.pipeline.components import (
+        connected_components,
+    )
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 8), (9, 9)], ["doc_a", "doc_b"]
+    )
+    plain = {
+        r["node"]: r["component"]
+        for r in connected_components(pairs).collect()
+    }
+    stats: dict = {}
+    durable = {
+        r["node"]: r["component"]
+        for r in connected_components(
+            pairs, resume_dir=str(tmp_path / "cc"), stats=stats
+        ).collect()
+    }
+    assert durable == plain and stats["rounds"] >= 1
+
+
 def test_bfs_path_graph_exact_hops(spark):
     # path 1-2-3-4-5, seed 1 -> hops == position; needs 4 rounds (worst
     # case for the loop, unlike near-clique dedup graphs)
