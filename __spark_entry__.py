@@ -85,6 +85,7 @@ from flink_streaming_2_10_spark.pipeline.sampling import (
     stratified_sample_oracle,
 )
 from flink_streaming_2_10_spark.pipeline.shard import (
+    curate_corpus_neardup,
     prepare_curated_shard,
     prepare_training_shard,
 )
@@ -743,6 +744,31 @@ def q_training_shard_curated(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_curated_corpus_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full curation DAG with NEAR-dup canonicalization: gates →
+    MinHash-LSH pairs over survivors → transitive clusters (iterate()
+    components, min-id survivor, cluster sizes) → decontamination of the
+    canonical docs (pipeline/shard.py::curate_corpus_neardup). Same gate/
+    decontam parameters as training_shard_curated, same pair parameters
+    as dedup_minhash_lsh — the composition is what's new."""
+    docs = load_table(spark, sf_dir, "documents")
+    benchmark = docs.filter(F.col("doc_id") % 20 == 0)
+    return curate_corpus_neardup(
+        docs,
+        benchmark,
+        lang="en",
+        min_quality=0.5,
+        max_dup_word_frac=0.6,
+        decontam_n=5,
+        num_hashes=32,
+        bands=8,
+        rows=4,
+        shingle_n=3,
+        threshold=0.7,
+        hasher="md5",
+    )
+
+
 def q_sketch_distinct_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic KMV cardinality sketch: estimated distinct 3-gram
     count per language — one narrow hash map + one agg with 64 min()
@@ -859,6 +885,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_quality_cap": q_source_quality_cap,
         "training_shard": q_training_shard,
         "training_shard_curated": q_training_shard_curated,
+        "curated_corpus_neardup": q_curated_corpus_neardup,
         "shard_manifest": q_shard_manifest,
         "sketch_distinct_ngrams": q_sketch_distinct_ngrams,
         "stratified_sample": q_stratified_sample,
@@ -884,15 +911,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # ---------------------------------------------------------------------------
 
 
-def _shingle_ctes(n: int = 3) -> str:
+def _shingle_ctes(n: int = 3, source: str = "documents") -> str:
     """CTEs ``w`` (word arrays) and ``sh`` (distinct n-gram postings) —
-    mirror of pipeline.dedup._shingles."""
+    mirror of pipeline.dedup._shingles. ``source`` is any relation with
+    (doc_id, text) — a table or an upstream CTE (the composed curation
+    oracle feeds the GATED subset)."""
     gram = " || ' ' || ".join(f"words[i+{j}]" if j else "words[i]" for j in range(n))
     return f"""
         w AS (SELECT doc_id,
                      list_filter(regexp_split_to_array(lower(text), '\\W+'),
                                  x -> length(x) > 0) AS words
-              FROM documents),
+              FROM {source}),
         sh AS (SELECT doc_id,
                       unnest(list_distinct(
                           CASE WHEN len(words) >= {n}
@@ -948,11 +977,17 @@ def _ngram_jaccard_oracle(
 
 
 def _minhash_pairs_ctes(
-    num_hashes: int, bands: int, rows: int, shingle_n: int, threshold: float
+    num_hashes: int,
+    bands: int,
+    rows: int,
+    shingle_n: int,
+    threshold: float,
+    source: str = "documents",
 ) -> str:
     """CTE chain ending in ``pairs(doc_a, doc_b, jaccard)`` — the verified
-    MinHash-LSH near-dup pair set, shared by the pairs oracle and the
-    connected-components oracle."""
+    MinHash-LSH near-dup pair set, shared by the pairs oracle, the
+    connected-components oracle, and (with ``source`` = the gated CTE)
+    the composed curation oracle."""
     p = 2**31 - 1
     mins = ",\n               ".join(
         f"min(({a} * h + {b}) % {p}) AS g{i}"
@@ -964,7 +999,7 @@ def _minhash_pairs_ctes(
         )
         for b in range(bands)
     )
-    return f"""{_shingle_ctes(shingle_n)},
+    return f"""{_shingle_ctes(shingle_n, source)},
         hh AS (SELECT doc_id, h60, h60 % {p} AS h
                FROM (SELECT doc_id, {duckdb_hash60_sql("shingle")} AS h60
                      FROM sh)),
@@ -1670,19 +1705,13 @@ def _training_shard_oracle(lang: str = "en", min_quality: float = 0.5) -> str:
         FROM k GROUP BY fp"""
 
 
-def _curated_shard_oracle(
-    lang: str,
-    min_quality: float,
-    max_dup_word_frac: float,
-    decontam_n: int,
-    modulo: int,
+def _curated_gate_ctes(
+    lang: str, min_quality: float, max_dup_word_frac: float
 ) -> str:
-    """Mirror of pipeline/shard.py::prepare_curated_shard — the v1
-    training-shard oracle plus the duplicate-word-fraction gate and the
-    benchmark n-gram contamination anti-join (benchmark = every
-    ``modulo``-th document). The oracle computes contamination over ALL
-    documents while the engine only explodes gate survivors — membership
-    on the kept set is identical, so results agree."""
+    """CTE chain ``t → g → b → f → k`` ending in the curated-gate
+    survivors ``k(doc_id, ws_tokens, bpe_tokens, fp, lang_pred, quality,
+    dup_word_frac)`` — mirror of shard.py::_curation_gate, shared by the
+    curated-shard and composed-curation oracles."""
     score_cols = ",\n                     ".join(
         f"CAST({_stop_hits_sql(STOPWORDS[lg])} AS INT) AS s_{lg}"
         for lg in LANG_ORDER
@@ -1691,11 +1720,7 @@ def _curated_shard_oracle(
     whens = "\n                    ".join(
         f"WHEN s_{lg} = best THEN '{lg}'" for lg in LANG_ORDER
     )
-    gram = " || ' ' || ".join(
-        f"words[i+{j}]" if j else "words[i]" for j in range(decontam_n)
-    )
-    return f"""
-        WITH t AS (SELECT doc_id, text, {_WORDS_SQL} AS words FROM documents),
+    return f"""t AS (SELECT doc_id, text, {_WORDS_SQL} AS words FROM documents),
         g AS (SELECT doc_id, text, words,
                      CAST(len(words) AS INT) AS n_words,
                      CAST(len(list_distinct(words)) AS INT) AS n_distinct_words,
@@ -1741,8 +1766,19 @@ def _curated_shard_oracle(
         k AS (SELECT * FROM f
               WHERE lang_pred = '{lang}'
                 AND quality >= CAST({min_quality!r} AS DOUBLE)
-                AND dup_word_frac <= CAST({max_dup_word_frac!r} AS DOUBLE)),
-        sh5 AS (SELECT doc_id,
+                AND dup_word_frac <= CAST({max_dup_word_frac!r} AS DOUBLE))"""
+
+
+def _decontam_ctes(decontam_n: int, modulo: int) -> str:
+    """CTE chain ``sh5 → dgr → bh → contam`` — contaminated doc ids via
+    the shared md5-60bit gram hash, benchmark = every ``modulo``-th
+    document. Computed over ALL documents (CTE ``t`` must exist) while
+    the engine only explodes gate survivors — membership on any kept
+    subset is identical, so results agree."""
+    gram = " || ' ' || ".join(
+        f"words[i+{j}]" if j else "words[i]" for j in range(decontam_n)
+    )
+    return f"""sh5 AS (SELECT doc_id,
                        unnest(list_distinct(
                            CASE WHEN len(words) >= {decontam_n}
                                 THEN list_transform(
@@ -1752,7 +1788,22 @@ def _curated_shard_oracle(
                 FROM t),
         dgr AS (SELECT doc_id, {duckdb_hash60_sql("shingle")} AS h FROM sh5),
         bh AS (SELECT DISTINCT h FROM dgr WHERE doc_id % {modulo} = 0),
-        contam AS (SELECT DISTINCT dgr.doc_id FROM dgr JOIN bh USING (h)),
+        contam AS (SELECT DISTINCT dgr.doc_id FROM dgr JOIN bh USING (h))"""
+
+
+def _curated_shard_oracle(
+    lang: str,
+    min_quality: float,
+    max_dup_word_frac: float,
+    decontam_n: int,
+    modulo: int,
+) -> str:
+    """Mirror of pipeline/shard.py::prepare_curated_shard — the curated
+    gate chain plus the benchmark contamination anti-join and the
+    exact-dedup fingerprint groupBy."""
+    return f"""
+        WITH {_curated_gate_ctes(lang, min_quality, max_dup_word_frac)},
+        {_decontam_ctes(decontam_n, modulo)},
         clean AS (SELECT * FROM k
                   WHERE doc_id NOT IN (SELECT doc_id FROM contam))
         SELECT min(doc_id) AS doc_id,
@@ -1762,6 +1813,52 @@ def _curated_shard_oracle(
                arg_min(quality, doc_id) AS quality,
                arg_min(dup_word_frac, doc_id) AS dup_word_frac
         FROM clean GROUP BY fp"""
+
+
+def _curated_neardup_oracle(
+    lang: str,
+    min_quality: float,
+    max_dup_word_frac: float,
+    decontam_n: int,
+    modulo: int,
+    num_hashes: int,
+    bands: int,
+    rows: int,
+    shingle_n: int,
+    threshold: float,
+) -> str:
+    """Mirror of pipeline/shard.py::curate_corpus_neardup — gates, then
+    MinHash-LSH pairs over the GATED subset (``kd``), transitive closure
+    via a recursive reach CTE, min-id survivor per cluster with cluster
+    sizes, and the contamination anti-join on the canonical survivors.
+    Cluster sizes are computed BEFORE decontamination, like the engine."""
+    return f"""
+        WITH RECURSIVE {_curated_gate_ctes(lang, min_quality, max_dup_word_frac)},
+        kd AS (SELECT k.doc_id, t.text FROM k JOIN t USING (doc_id)),
+        {_minhash_pairs_ctes(num_hashes, bands, rows, shingle_n, threshold,
+                             source="kd")},
+        edges AS (SELECT doc_a AS ea, doc_b AS eb FROM pairs
+                  UNION SELECT doc_b, doc_a FROM pairs),
+        reach(v, r) AS (
+            SELECT ea, ea FROM edges
+            UNION
+            SELECT e.eb, c.r FROM reach c JOIN edges e ON e.ea = c.v),
+        comp AS (SELECT v AS node, min(r) AS component FROM reach GROUP BY v),
+        canon AS (SELECT k.doc_id,
+                         coalesce(c.component, k.doc_id) AS canonical_id
+                  FROM k LEFT JOIN comp c ON k.doc_id = c.node),
+        szc AS (SELECT canonical_id, CAST(count(*) AS BIGINT) AS cluster_size
+                FROM canon GROUP BY 1),
+        surv AS (SELECT k.*, szc.cluster_size
+                 FROM k
+                 JOIN canon ON k.doc_id = canon.doc_id
+                 JOIN szc ON canon.canonical_id = szc.canonical_id
+                 WHERE k.doc_id = canon.canonical_id),
+        {_decontam_ctes(decontam_n, modulo)}
+        SELECT doc_id, cluster_size, ws_tokens, bpe_tokens, quality,
+               dup_word_frac
+        FROM surv
+        WHERE doc_id NOT IN (SELECT doc_id FROM contam)"""
 
 
 def _topspeed_oracle(
@@ -2133,6 +2230,18 @@ def oracle_sql() -> dict[str, str]:
             max_dup_word_frac=0.6,
             decontam_n=5,
             modulo=20,
+        ),
+        "curated_corpus_neardup": _curated_neardup_oracle(
+            lang="en",
+            min_quality=0.5,
+            max_dup_word_frac=0.6,
+            decontam_n=5,
+            modulo=20,
+            num_hashes=32,
+            bands=8,
+            rows=4,
+            shingle_n=3,
+            threshold=0.7,
         ),
         "stratified_sample": stratified_sample_oracle(
             SAMPLE_RATES, default_rate=0.05

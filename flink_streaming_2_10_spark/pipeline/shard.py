@@ -74,6 +74,75 @@ def prepare_training_shard(
     )
 
 
+def _curation_gate(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    lang: str,
+    min_quality: float,
+    max_dup_word_frac: float,
+) -> DataFrame:
+    """The shared scan-side curation gate: ONE narrow projection computes
+    language prediction, quality, token counts, the exact-dedup
+    fingerprint and the duplicate-word fraction, then filters — rejected
+    bodies never leave the scan stage. Keeps ``text_col`` for downstream
+    consumers (shingle probes, near-dup signatures)."""
+    from flink_streaming_2_10_spark.pipeline.dedup import _words_sql
+
+    text = F.col(text_col)
+    n_words = F.expr(f"size({_words_sql(text_col)})")
+    n_distinct = F.expr(f"size(array_distinct({_words_sql(text_col)}))")
+    dup_word_frac = (
+        F.when(
+            n_words > 0,
+            (n_words - n_distinct).cast("double") / n_words.cast("double"),
+        )
+        .otherwise(F.lit(0.0))
+    )
+    proj = df.select(
+        F.col(id_col),
+        F.col(text_col),
+        language_pred_expr(text).alias("lang_pred"),
+        quality_exprs(text)["quality"].alias("quality"),
+        F.regexp_count(text, F.lit(NONSPACE_RUN_PATTERN)).alias("ws_tokens"),
+        F.regexp_count(text, F.lit(BPE_PATTERN)).alias("bpe_tokens"),
+        F.md5(F.regexp_replace(F.lower(text), r"\s+", " ")).alias("fp"),
+        dup_word_frac.alias("dup_word_frac"),
+    )
+    return proj.filter(
+        (F.col("lang_pred") == lang)
+        & (F.col("quality") >= F.lit(min_quality))
+        & (F.col("dup_word_frac") <= F.lit(max_dup_word_frac))
+    )
+
+
+def _contaminated_ids(
+    kept: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    decontam_n: int,
+    hasher: str,
+) -> DataFrame:
+    """Distinct ids of ``kept`` docs sharing ≥1 ``decontam_n``-gram with
+    the benchmark — the broadcast semi-join probe (eval sets are small by
+    definition; corpus text never shuffles)."""
+    from flink_streaming_2_10_spark.pipeline.dedup import _hash60, _shingles
+
+    bench_grams = (
+        _shingles(benchmark, id_col, text_col, decontam_n)
+        .select(_hash60(F.col("shingle"), hasher).alias("h"))
+        .distinct()
+    )
+    return (
+        _shingles(kept, id_col, text_col, decontam_n)
+        .select(F.col(id_col), _hash60(F.col("shingle"), hasher).alias("h"))
+        .join(F.broadcast(bench_grams), "h")
+        .select(id_col)
+        .distinct()
+    )
+
+
 def prepare_curated_shard(
     df: DataFrame,
     benchmark: DataFrame,
@@ -108,57 +177,19 @@ def prepare_curated_shard(
     Returns ``(doc_id, n_dups, ws_tokens, bpe_tokens, quality,
     dup_word_frac)``.
     """
-    from flink_streaming_2_10_spark.pipeline.dedup import (
-        _hash60,
-        _shingles,
-        _words_sql,
-    )
-
-    text = F.col(text_col)
-    n_words = F.expr(f"size({_words_sql(text_col)})")
-    n_distinct = F.expr(f"size(array_distinct({_words_sql(text_col)}))")
-    dup_word_frac = (
-        F.when(
-            n_words > 0,
-            (n_words - n_distinct).cast("double") / n_words.cast("double"),
-        )
-        .otherwise(F.lit(0.0))
-    )
-    proj = df.select(
-        F.col(id_col),
-        F.col(text_col),
-        language_pred_expr(text).alias("lang_pred"),
-        quality_exprs(text)["quality"].alias("quality"),
-        F.regexp_count(text, F.lit(NONSPACE_RUN_PATTERN)).alias("ws_tokens"),
-        F.regexp_count(text, F.lit(BPE_PATTERN)).alias("bpe_tokens"),
-        F.md5(F.regexp_replace(F.lower(text), r"\s+", " ")).alias("fp"),
-        dup_word_frac.alias("dup_word_frac"),
-    )
-    kept = proj.filter(
-        (F.col("lang_pred") == lang)
-        & (F.col("quality") >= F.lit(min_quality))
-        & (F.col("dup_word_frac") <= F.lit(max_dup_word_frac))
-    )
     # `kept` is consumed twice (shingle probe + anti-join left side);
     # without a persist the five-regexp gate projection runs twice over
     # every document body. MEMORY_AND_DISK spills gracefully at scale and
     # the caller releases via the caching contract (bench.py does).
-    kept = tracked_persist(kept)
-    bench_grams = (
-        _shingles(benchmark, id_col, text_col, decontam_n)
-        .select(_hash60(F.col("shingle"), hasher).alias("h"))
-        .distinct()
+    kept = tracked_persist(
+        _curation_gate(df, id_col, text_col, lang, min_quality, max_dup_word_frac)
     )
-    contaminated = (
-        _shingles(kept, id_col, text_col, decontam_n)
-        .select("doc_id", _hash60(F.col("shingle"), hasher).alias("h"))
-        .join(F.broadcast(bench_grams), "h")
-        .select("doc_id")
-        .distinct()
+    contaminated = _contaminated_ids(
+        kept, benchmark, id_col, text_col, decontam_n, hasher
     )
     clean = kept.join(
         F.broadcast(contaminated),
-        kept[id_col] == contaminated["doc_id"],
+        kept[id_col] == contaminated[id_col],
         "left_anti",
     )
     return (
@@ -175,4 +206,89 @@ def prepare_curated_shard(
             id_col, "n_dups", "ws_tokens", "bpe_tokens", "quality",
             "dup_word_frac",
         )
+    )
+
+
+def curate_corpus_neardup(
+    df: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang: str = "en",
+    min_quality: float = 0.5,
+    max_dup_word_frac: float = 0.6,
+    decontam_n: int = 5,
+    num_hashes: int = 64,
+    bands: int = 16,
+    rows: int = 4,
+    shingle_n: int = 3,
+    threshold: float = 0.7,
+    hasher: str = "xxhash64",
+) -> DataFrame:
+    """The FULL curation DAG in one call — the pipeline a corpus actually
+    runs ahead of tokenization, with NEAR-duplicate (not just exact)
+    canonicalization:
+
+    1. scan-side gates (language / quality / repetition —
+       :func:`_curation_gate`, one projection, rejected bodies never
+       leave the scan);
+    2. MinHash-LSH pairs over gate SURVIVORS only → transitive clusters
+       (``connected_components`` on the ``iterate()`` loop, ids-only
+       state) → keep the min-id doc per cluster. Identical texts collide
+       in every band, so exact dedup is subsumed;
+    3. benchmark decontamination of the canonical survivors (broadcast
+       gram probe — by this stage the candidate set is smallest);
+    4. per-survivor manifest ``(doc_id, cluster_size, ws_tokens,
+       bpe_tokens, quality, dup_word_frac)``.
+
+    Scale shape: the gate is a narrow map; signatures/buckets carry
+    8-byte hashes, never text; the component loop state is ids-only;
+    decontamination probes only canonical survivors. The corpus-scale
+    shuffles are the LSH band bucket join and the per-band exchange —
+    both on survivor ids.
+    """
+    from flink_streaming_2_10_spark.pipeline.components import (
+        connected_components,
+    )
+    from flink_streaming_2_10_spark.pipeline.dedup import minhash_dedup_pairs
+
+    kept = tracked_persist(
+        _curation_gate(df, id_col, text_col, lang, min_quality, max_dup_word_frac)
+    )
+    pairs = minhash_dedup_pairs(
+        kept.select(F.col(id_col), F.col(text_col)),
+        id_col=id_col,
+        text_col=text_col,
+        num_hashes=num_hashes,
+        bands=bands,
+        rows=rows,
+        shingle_n=shingle_n,
+        threshold=threshold,
+        hasher=hasher,
+    )
+    comp = connected_components(pairs, a_col="doc_a", b_col="doc_b")
+    canon = (
+        kept.join(comp, kept[id_col] == comp["node"], "left")
+        .withColumn(
+            "canonical_id", F.coalesce(F.col("component"), F.col(id_col))
+        )
+        .drop("node", "component")
+    )
+    sizes = canon.groupBy("canonical_id").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    surv = canon.filter(F.col(id_col) == F.col("canonical_id")).join(
+        sizes, "canonical_id"
+    )
+    contaminated = _contaminated_ids(
+        surv, benchmark, id_col, text_col, decontam_n, hasher
+    )
+    clean = surv.join(
+        F.broadcast(contaminated),
+        surv[id_col] == contaminated[id_col],
+        "left_anti",
+    )
+    return clean.select(
+        id_col, "cluster_size", "ws_tokens", "bpe_tokens", "quality",
+        "dup_word_frac",
     )
