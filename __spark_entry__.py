@@ -80,6 +80,8 @@ from flink_streaming_2_10_spark.pipeline.redaction import (
 from flink_streaming_2_10_spark.pipeline.sampling import (
     domain_mixture,
     domain_mixture_oracle,
+    priority_sample,
+    priority_sample_oracle,
     source_quality_cap,
     stratified_sample,
     stratified_sample_oracle,
@@ -807,6 +809,16 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-size deterministic per-language sample: the 40 smallest
+    md5 priorities per stratum, via the skew-bounded two-pass top-k
+    (prefilter_buckets=4 — result-invariant, so the oracle validates the
+    bounded plan itself; pipeline/sampling.py::priority_sample)."""
+    return priority_sample(
+        load_table(spark, sf_dir, "documents"), k=40, prefilter_buckets=4
+    )
+
+
 def q_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language token composition + uniform-target resampling weights
     (one tiny hash agg + broadcast total; pipeline/sampling.py)."""
@@ -889,6 +901,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shard_manifest": q_shard_manifest,
         "sketch_distinct_ngrams": q_sketch_distinct_ngrams,
         "stratified_sample": q_stratified_sample,
+        "priority_sample": q_priority_sample,
         "domain_mixture": q_domain_mixture,
         "pii_redaction": q_pii_redaction,
         "sequence_packing": q_sequence_packing,
@@ -2246,6 +2259,7 @@ def oracle_sql() -> dict[str, str]:
         "stratified_sample": stratified_sample_oracle(
             SAMPLE_RATES, default_rate=0.05
         ),
+        "priority_sample": priority_sample_oracle(k=40),
         "domain_mixture": domain_mixture_oracle(
             f"len(regexp_extract_all(text, '{BPE_PATTERN}'))"
         ),

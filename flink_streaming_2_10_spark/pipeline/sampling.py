@@ -163,6 +163,83 @@ def domain_mixture_oracle(
     """
 
 
+def priority_sample(
+    df: DataFrame,
+    k: int,
+    id_col: str = "doc_id",
+    strata_col: str = "lang",
+    salt: str = "priority",
+    prefilter_buckets: int | None = None,
+) -> DataFrame:
+    """EXACT-size deterministic per-stratum sample: the ``k`` rows with
+    the smallest hash priorities per stratum — the fixed-size complement
+    of :func:`stratified_sample`'s Bernoulli draw (which only hits its
+    rate in expectation). Output ``(id, stratum, priority,
+    sample_rank)``.
+
+    Properties that make this the reproducible-cohort primitive:
+    membership depends only on (salt, id), so re-runs and other engines
+    draw the same rows (the priority is the shared md5-60 key); and the
+    draw NESTS — ``priority_sample(k)`` is a strict prefix of
+    ``priority_sample(k+1)`` per stratum, so scaling a study up keeps
+    every previously selected document.
+
+    Scale: identical shape to :func:`source_quality_cap` — ranking
+    windows partitioned by stratum, with the same result-invariant
+    two-pass bucketed top-k (``prefilter_buckets``) bounding per-task
+    state under a mega-stratum; only (id, stratum, 8-byte priority)
+    ever shuffles.
+    """
+    from pyspark.sql import Window
+
+    keyed = df.select(
+        F.col(id_col),
+        F.col(strata_col),
+        _sample_key(F.col(id_col), salt).alias("priority"),
+    )
+    order = [F.col("priority").asc(), F.col(id_col).asc()]
+    if prefilter_buckets is not None:
+        w1 = Window.partitionBy(
+            F.col(strata_col),
+            F.pmod(F.hash(F.col(id_col)), F.lit(prefilter_buckets)),
+        ).orderBy(*order)
+        keyed = (
+            keyed.withColumn("__r", F.row_number().over(w1))
+            .filter(F.col("__r") <= k)
+            .drop("__r")
+        )
+    w = Window.partitionBy(strata_col).orderBy(*order)
+    return keyed.withColumn("sample_rank", F.row_number().over(w)).filter(
+        F.col("sample_rank") <= k
+    )
+
+
+def priority_sample_oracle(
+    k: int,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    strata_col: str = "lang",
+    salt: str = "priority",
+) -> str:
+    """DuckDB mirror of :func:`priority_sample` (same md5-60 priority,
+    same (priority, id) order)."""
+    key = sample_key_sql(id_col, salt)
+    return f"""
+        WITH keyed AS (
+            SELECT {id_col}, {strata_col},
+                   CAST({key} AS BIGINT) AS priority
+            FROM {table}
+        ),
+        r AS (SELECT *, row_number() OVER (
+                  PARTITION BY {strata_col}
+                  ORDER BY priority, {id_col}) AS sample_rank
+              FROM keyed)
+        SELECT {id_col}, {strata_col}, priority,
+               CAST(sample_rank AS INT) AS sample_rank
+        FROM r WHERE sample_rank <= {int(k)}
+    """
+
+
 def source_quality_cap(
     df: DataFrame,
     cap: int = 100,

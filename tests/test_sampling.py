@@ -8,6 +8,7 @@ from pyspark.sql import functions as F
 from flink_streaming_2_10_spark.catalog import load_table
 from flink_streaming_2_10_spark.pipeline.sampling import (
     domain_mixture,
+    priority_sample,
     stratified_sample,
 )
 from tests.conftest import SF_SMALL
@@ -57,6 +58,44 @@ def test_sample_salt_changes_draw(docs):
     rates = {"en": 0.4}
     a = {r["doc_id"] for r in stratified_sample(docs, rates, salt="a").collect()}
     b = {r["doc_id"] for r in stratified_sample(docs, rates, salt="b").collect()}
+    assert a != b
+
+
+def test_priority_sample_exact_size_and_nesting(docs):
+    """Exactly min(k, |stratum|) rows per stratum, and the k-draw is a
+    strict prefix of the (k+10)-draw — scaling a cohort up keeps every
+    previously selected document."""
+    small = {r["doc_id"] for r in priority_sample(docs, k=15).collect()}
+    big_rows = priority_sample(docs, k=25).collect()
+    big = {r["doc_id"] for r in big_rows}
+    assert small < big
+    per = {}
+    for r in big_rows:
+        per[r["lang"]] = per.get(r["lang"], 0) + 1
+    strata_sizes = {
+        r["lang"]: r["n"]
+        for r in docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert per == {
+        lang: min(25, n) for lang, n in strata_sizes.items() if min(25, n) > 0
+    }
+
+
+def test_priority_sample_prefilter_is_result_invariant(docs):
+    plain = sorted(
+        (r["doc_id"], r["sample_rank"])
+        for r in priority_sample(docs, k=20).collect()
+    )
+    bucketed = sorted(
+        (r["doc_id"], r["sample_rank"])
+        for r in priority_sample(docs, k=20, prefilter_buckets=4).collect()
+    )
+    assert plain == bucketed and len(plain) > 0
+
+
+def test_priority_sample_salt_changes_draw(docs):
+    a = {r["doc_id"] for r in priority_sample(docs, k=20, salt="a").collect()}
+    b = {r["doc_id"] for r in priority_sample(docs, k=20, salt="b").collect()}
     assert a != b
 
 
