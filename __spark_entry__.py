@@ -627,10 +627,10 @@ def q_incremental_model_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
         window=window_us,
     )
     scored = score_with_models(
+        # default broadcast probe: the model table is keys x windows
+        # (tiny), so events never shuffle into |event_type| partitions
+        # (plan pinned by tests/test_plans.py)
         ev, models, on=["event_type"], event_time="t", value_units_col="vc",
-        # the model table is keys x windows (tiny); broadcast probing
-        # keeps events from shuffling into |event_type| partitions
-        broadcast=True,
     )
     return scored.select(
         "event_id", "event_type", "m_model_t", "m_n_samples", "above_model"
@@ -855,23 +855,37 @@ def q_revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Query registry, ordered under the driver's 50-row correctness cap.
+
+    57 queries, 50 driver rows per round: the dict is ROTATED so every key
+    has a driver-green row at most one round old (COVERAGE.md "Rotation").
+    Round 6 promotes the seven keys that fell past the cap in round 5
+    (multimodal_frame_sample, multimodal_audio_stats, tpch_q1/q6/q3,
+    pricing_cube, revenue_by_region) into the verified window and demotes
+    seven long-stable keys (green in rounds 2-5, code untouched) to the
+    tail: fork_find_word, json_field_extract, english_docs_wordcount,
+    maxby_argmax, async_ordered_identity, text_fingerprint,
+    length_histogram. Next round swaps the segments back.
+    """
     return {
         "wordcount_rolling_sum": q_wordcount,
         "pojo_wordcount_sum": q_pojo_wordcount,
-        "fork_find_word": q_fork_find_word,
-        "json_field_extract": q_json_field_extract,
-        "english_docs_wordcount": q_english_docs_wordcount,
+        "tpch_q1_pricing_summary": q_tpch_q1,
+        "tpch_q6_forecast_revenue": q_tpch_q6,
+        "tpch_q3_shipping_priority": q_tpch_q3,
+        "pricing_cube": q_pricing_cube,
+        "revenue_by_region": q_revenue_by_region,
+        "multimodal_frame_sample": q_multimodal_frame_sample,
+        "multimodal_audio_stats": q_multimodal_audio_stats,
         "tumbling_window_agg": q_tumbling_window_agg,
         "hypertable_rollup": q_hypertable_rollup,
         "session_window_agg": q_session_window_agg,
         "window_join_grades_salaries": q_window_join,
-        "maxby_argmax": q_maxby_argmax,
         "asof_join_attribution": q_asof_join,
         "funnel_view_click_purchase": q_funnel,
         "sessionize_events": q_sessionize,
         "incremental_model_scoring": q_incremental_model_scoring,
         "interval_join_errors": q_interval_join,
-        "async_ordered_identity": q_async_ordered_identity,
         "topspeed_delta_trigger": q_topspeed,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -888,10 +902,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_token_stats": q_text_token_stats,
         "text_quality": q_text_quality,
         "text_language_id": q_text_language_id,
-        "text_fingerprint": q_text_fingerprint,
         "text_repetition": q_text_repetition,
         "top_ngrams": q_top_ngrams,
-        "length_histogram": q_length_histogram,
         "token_percentiles": q_token_percentiles,
         "collocations": q_collocations,
         "source_quality_cap": q_source_quality_cap,
@@ -906,13 +918,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redaction": q_pii_redaction,
         "sequence_packing": q_sequence_packing,
         "multimodal_features": q_multimodal_features,
-        "multimodal_frame_sample": q_multimodal_frame_sample,
-        "multimodal_audio_stats": q_multimodal_audio_stats,
-        "tpch_q1_pricing_summary": q_tpch_q1,
-        "tpch_q6_forecast_revenue": q_tpch_q6,
-        "pricing_cube": q_pricing_cube,
-        "tpch_q3_shipping_priority": q_tpch_q3,
-        "revenue_by_region": q_revenue_by_region,
+        # --- rotation tail (positions 51-57): driver-green in round 5,
+        # code untouched; promoted back next round (COVERAGE.md) ---
+        "fork_find_word": q_fork_find_word,
+        "json_field_extract": q_json_field_extract,
+        "english_docs_wordcount": q_english_docs_wordcount,
+        "maxby_argmax": q_maxby_argmax,
+        "async_ordered_identity": q_async_ordered_identity,
+        "text_fingerprint": q_text_fingerprint,
+        "length_histogram": q_length_histogram,
     }
 
 
@@ -2091,7 +2105,7 @@ def oracle_sql() -> dict[str, str]:
             lg AS (SELECT *, lag(t) OVER (PARTITION BY user_id
                                           ORDER BY t, event_id) AS prev
                    FROM e),
-            fl AS (SELECT *, CASE WHEN prev IS NULL OR t - prev >= 1800000000
+            fl AS (SELECT *, CASE WHEN prev IS NULL OR t - prev > 1800000000
                                   THEN 1 ELSE 0 END AS is_new
                    FROM lg),
             lab AS (SELECT *, CAST(sum(is_new) OVER (

@@ -77,15 +77,25 @@ def main() -> None:
     }
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    result = json.dumps(
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    # Stdout line: COMPACT — the driver keeps only the last ~2000 chars of
+    # stdout, so the printed JSON must fit entirely inside that window or it
+    # becomes unparseable (this truncated BENCH_r05's "parsed" to null).
+    # 57 queries compact-serialize to ~1.6 KB; diagnostics (per-query min,
+    # per-iteration totals) go only to the durable BENCH.json file.
+    slim = {
+        "metric": "total_query_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_val,
+        "n": n_iter,
+    }
+    result = json.dumps(slim, separators=(",", ":"))
+    verbose = json.dumps(
         {
-            "metric": "total_query_seconds",
-            "value": total,
-            "unit": "sec",
-            "queries": timings,
+            **slim,
             "queries_min": timings_min,
-            "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            "n": n_iter,
             "iterations": [
                 round(sum(ts[i] for ts in samples.values() if len(ts) > i), 3)
                 for i in range(n_iter)
@@ -99,7 +109,7 @@ def main() -> None:
             os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH.json"),
             "w",
         ) as fh:
-            fh.write(result + "\n")
+            fh.write(verbose + "\n")
     except OSError:
         pass
     # Stop Spark BEFORE the JSON line so no executor/JVM shutdown chatter

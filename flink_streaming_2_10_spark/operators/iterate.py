@@ -85,6 +85,7 @@ def iterate(
     stats: dict | None = None,
     strict: bool = True,
     resume_dir: str | None = None,
+    stop_when: Callable[[Any], bool] | None = None,
 ) -> DataFrame:
     """Apply ``step`` repeatedly until a fixed point (or ``max_rounds``).
 
@@ -94,11 +95,18 @@ def iterate(
     ``metric(state)`` is the convergence probe: a cheap driver-side
     scalar (or tuple) computed once per round — the loop CONVERGES when
     it equals the previous round's value. Design the metric so equality
-    implies a fixed point (components uses Σlabel — labels only ever
-    decrease; BFS uses (count, Σdist) — distances only decrease, nodes
-    only appear). In local mode the metric's aggregation job doubles as
-    the materializing action for the lazy checkpoint, so each round runs
-    exactly ONE job.
+    implies a fixed point (BFS uses (count, Σdist) — distances only
+    decrease, nodes only appear). In local mode the metric's aggregation
+    job doubles as the materializing action for the lazy checkpoint, so
+    each round runs exactly ONE job.
+
+    ``stop_when(metric_value)``, when given, REPLACES the
+    equality-with-previous test: the loop stops the round the predicate
+    turns true. Use it when the state itself tracks its own motion
+    (components carries a ``changed`` flag, so ``changed-count == 0``
+    detects the fixed point IN the round it happens) — this saves the
+    extra confirm round equality-testing needs, plus the up-front
+    baseline metric job (no previous value is ever compared).
 
     With ``metric=None`` the loop runs exactly ``max_rounds`` rounds
     (Flink's fixed-iteration shape). With a metric, ``strict=True``
@@ -128,15 +136,31 @@ def iterate(
     if resume_dir is not None:
         last = _last_completed_round(resume_dir)
         if last is not None:
-            start_round = min(last, max_rounds)
-            state = initial.sparkSession.read.parquet(
-                _round_dir(resume_dir, start_round)
-            )
+            # Read the state from the round that actually exists on disk
+            # (older dirs are deleted as rounds supersede them). If a
+            # relaunch passes a smaller max_rounds than the last completed
+            # round, the loop range below is simply empty and the durable
+            # state is returned as-is — clamping the READ would point at a
+            # deleted dir.
+            start_round = last
+            state = initial.sparkSession.read.parquet(_round_dir(resume_dir, last))
             if stats is not None:
-                stats["resumed_from"] = start_round
+                stats["resumed_from"] = last
     if state is None:
         state = truncate_lineage(initial, checkpoint, eager=True)
-    prev = metric(state) if metric is not None else None
+    # With stop_when the baseline metric is pointless for fresh runs (no
+    # equality test will ever use it) — but a RESUMED durable state may
+    # already be a fixed point, so probe it before paying any rounds.
+    if stop_when is not None and metric is not None and start_round > 0:
+        if stop_when(metric(state)):
+            if stats is not None:
+                stats["rounds"] = start_round
+            return state
+    prev = (
+        metric(state)
+        if metric is not None and stop_when is None
+        else None
+    )
 
     def _advance(new_state: DataFrame, round_no: int) -> DataFrame:
         if resume_dir is None:
@@ -156,13 +180,16 @@ def iterate(
         if metric is None:
             continue
         cur = metric(state)
-        if cur == prev:
+        done = stop_when(cur) if stop_when is not None else cur == prev
+        if done:
             if stats is not None:
                 stats["rounds"] = round_no
             return state
         prev = cur
     if stats is not None:
-        stats["rounds"] = max_rounds
+        # max(): a resume whose durable state is already past max_rounds
+        # runs zero new rounds — report the rounds that actually ran.
+        stats["rounds"] = max(max_rounds, start_round)
     if metric is not None and strict and max_rounds > 0 and start_round < max_rounds:
         raise RuntimeError(
             f"iterate: state still moving after {max_rounds} rounds"

@@ -253,14 +253,17 @@ def sessionize(
     tie_cols: list[str] | None = None,
 ) -> DataFrame:
     """Inactivity-gap sessionization: assign every event a per-key
-    ``session_idx`` (1-based), where a new session starts when the gap
-    from the key's previous event reaches ``gap`` (same numeric units as
-    ``time_col``; a delta of exactly ``gap`` STARTS a new session —
-    Flink's ``EventTimeSessionWindows.withGap`` merges the [t, t+gap)
-    windows only when the delta is strictly less than gap, and
-    operators/windows.py ``session_window_agg`` via Spark
-    ``session_window`` behaves identically, so all three faces agree at
-    the boundary).
+    ``session_idx`` (1-based), where a new session starts only when the
+    gap from the key's previous event EXCEEDS ``gap`` (same numeric
+    units as ``time_col``). A delta of exactly ``gap`` stays in-session:
+    Flink's ``EventTimeSessionWindows.withGap`` assigns [t, t+gap) per
+    event and ``TimeWindow.intersects`` is INCLUSIVE
+    (``start <= other.end && end >= other.start``), so abutting windows
+    merge — reference parity. NOTE this differs from Spark's built-in
+    ``session_window`` (used by operators/windows.py
+    ``session_window_agg``), which starts a new session at a delta of
+    exactly ``gap``; that divergence is documented there, not claimed
+    away here.
 
     The event-level face of session windows (operators/windows.py
     ``session_window_agg`` aggregates; this LABELS, so downstream can
@@ -280,7 +283,7 @@ def sessionize(
     wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     prev = F.lag(F.col(time_col).cast("long")).over(w)
     is_new = F.when(
-        prev.isNull() | (F.col(time_col).cast("long") - prev >= F.lit(gap)),
+        prev.isNull() | (F.col(time_col).cast("long") - prev > F.lit(gap)),
         F.lit(1),
     ).otherwise(F.lit(0))
     return df.withColumn("session_idx", F.sum(is_new).over(wrun))

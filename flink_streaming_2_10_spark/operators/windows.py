@@ -79,8 +79,17 @@ def session_window_agg(
     delay: str = "0 seconds",
 ) -> DataFrame:
     """A9 (stretch, pom-implied): session windows with a fixed inactivity
-    gap; window end = last event + gap (Spark ``session_window`` semantics,
-    which match Flink's ``EventTimeSessionWindows.withGap``)."""
+    gap; window end = last event + gap (Spark ``session_window``
+    semantics). BOUNDARY DIVERGENCE from Flink: Spark's session window
+    is half-open [start, last+gap), so an event arriving at a delta of
+    exactly ``gap`` starts a NEW session; Flink's
+    ``EventTimeSessionWindows.withGap`` merges abutting windows
+    (``TimeWindow.intersects`` is inclusive), keeping it in-session.
+    The event-labeling faces (``operators.temporal.sessionize``,
+    ``streaming.runners.sessionize_stream``) implement the Flink
+    semantics; this aggregation face keeps Spark-native semantics for
+    watermark/merge support, with the exact-gap boundary difference
+    stated here rather than claimed away."""
     agged = (
         with_event_time(df, ts_col, delay)
         .groupBy(F.session_window(F.col(ts_col), gap), *[F.col(k) for k in keys])

@@ -24,9 +24,10 @@ Algorithm: distributed min-label propagation with pointer jumping.
   graphs (the same contraction idea as the large-star/small-star
   MapReduce algorithm of Kiveris et al., "Connected Components in
   MapReduce and Beyond", SoCC'14).
-* Per round the driver runs one ``localCheckpoint(eager=True)`` (truncate
-  the growing lineage — an iterative plan otherwise re-executes every
-  prior round) and one convergence count. Both label and edge tables
+* Per round the driver runs ONE job: a lazy ``localCheckpoint`` whose
+  materializing action is the convergence probe (count of the round's
+  own ``changed`` flags; zero ⇒ fixed point, detected IN the converged
+  round — no extra confirm round). Both label and edge tables
   carry only 8-byte ids: at 100 TB of documents the edge list is the
   near-dup pair set (≪ corpus) and the label table is 16 bytes × nodes —
   the document bodies never enter the loop. On a real cluster pass
@@ -96,16 +97,18 @@ def connected_components(
         )
     )
 
-    # Convergence detection: labels only ever DECREASE (min-folds of node
-    # ids), so the label table changed iff Σlabel dropped. Tracking the
-    # sum costs ONE aggregation job per round on the checkpointed table —
-    # no join back to the previous round's labels, no extra shuffle.
-    # decimal(38,0) keeps the sum exact for any realistic id domain
-    # (10^38 ≫ 2^63 · nodes).
-    def _label_sum(lbls: DataFrame):
+    # Convergence detection: every round already computes a per-node
+    # ``changed`` flag (post-jump label < prior label), and a round with
+    # ZERO changed nodes IS the fixed point — labels are min-folds, so an
+    # unchanged round can never be followed by a changing one. Counting
+    # the flags costs ONE aggregation job per round on the checkpointed
+    # table (it doubles as the lazy checkpoint's materializing action),
+    # and `stop_when == 0` stops the loop IN the converged round — no
+    # extra confirm round re-testing equality, no up-front baseline job.
+    def _changed_count(lbls: DataFrame):
         return lbls.agg(
-            F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
-        ).collect()[0]["s"]
+            F.sum(F.col("changed").cast("long")).alias("n")
+        ).collect()[0]["n"]
 
     def _step(labels: DataFrame, _round_no: int) -> DataFrame:
         # Neighbor step, FRONTIER-optimized: only nodes whose label
@@ -158,7 +161,8 @@ def connected_components(
         labels0,
         _step,
         max_rounds=max_rounds,
-        metric=_label_sum,
+        metric=_changed_count,
+        stop_when=lambda n: n == 0,
         checkpoint=checkpoint,
         stats=stats,
         resume_dir=resume_dir,

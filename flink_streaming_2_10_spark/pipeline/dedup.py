@@ -213,6 +213,13 @@ def exact_dedup(
 #: same absolute cap from the corpus count.
 DEFAULT_MAX_DF_FRAC = 0.2
 
+#: Corpus-size ceiling for ``max_df=None`` (pruning disabled). Above this
+#: the Σdf² posting self-join has no bound at all — one boilerplate gram
+#: shared by every document is a full cross product — so the unpruned
+#: mode is refused rather than silently launched. Exact-over-all-grams is
+#: an oracle-replay/small-corpus tool, not a scale path.
+MAX_UNPRUNED_DOCS = 1_000_000
+
 
 def ngram_jaccard_pairs(
     df: DataFrame,
@@ -235,7 +242,10 @@ def ngram_jaccard_pairs(
     (0, 1) is a corpus FRACTION (resolved via one cheap count job —
     ``ceil(frac · n_docs)`` — the scale-safe default); an int is an
     absolute cap; ``None`` disables pruning (exact over ALL grams, with
-    Σdf² shuffle risk — small corpora / oracle replay only).
+    Σdf² shuffle risk — small corpora / oracle replay only; refused with
+    ``ValueError`` above ``MAX_UNPRUNED_DOCS`` documents, since one
+    corpus-wide boilerplate gram would make the posting self-join a full
+    cross product).
 
     Jaccard is emitted as exact integer fields (inter, size_a, size_b) plus
     a derived double — division of exact longs, deterministic for oracles.
@@ -257,6 +267,17 @@ def ngram_jaccard_pairs(
         if not 0.0 < max_df < 1.0:
             raise ValueError("fractional max_df must be in (0, 1)")
         max_df = int(math.ceil(max_df * df.count()))
+    elif max_df is None:
+        n_docs = df.count()
+        if n_docs > MAX_UNPRUNED_DOCS:
+            raise ValueError(
+                f"max_df=None (no stop-gram pruning) on {n_docs} documents: "
+                f"the posting self-join is unbounded (Σdf² rows; a single "
+                f"corpus-wide gram is a full cross product). Pass a "
+                f"fractional max_df (default {DEFAULT_MAX_DF_FRAC}) or an "
+                f"absolute cap; None is supported only below "
+                f"{MAX_UNPRUNED_DOCS} documents (oracle replay)."
+            )
     if max_df is not None:
         frequent = (
             posts.groupBy("h")

@@ -20,9 +20,9 @@ Algorithm: distributed parallel BFS as min-distance propagation.
   neighbors, so the edge join — the O(E) term — touches just the
   frontier's adjacency, not the whole reached set; the min-fold merge
   (one union + hash agg with map-side partials) then recomputes the
-  frontier for the next round. Distances only decrease and nodes only
-  appear, so the (count, Σhops) pair is a sound one-scalar convergence
-  metric: equal ⇒ fixed point (an empty frontier makes no offers).
+  frontier for the next round. The fold's own `changed` flags detect
+  convergence: a zero-changed round empties the frontier, so the loop
+  stops in that round (``stop_when``) — no confirm round.
 * Rounds = eccentricity of the seed set (near-dup clusters are
   near-cliques, so 2-3 in practice). Per-round cost: one exchange of
   ids+distances — document bodies never enter the loop.
@@ -80,16 +80,16 @@ def shortest_path_hops(
         )
     )
 
-    # (count, Σhops) as an exact tuple: nodes only appear, distances only
-    # decrease, so the pair is unchanged iff the state is a fixed point
-    # (`changed` is derived from the same fold and empties with it).
-    # decimal(38,0) keeps the sum exact for any id/diameter domain.
-    def _probe(d: DataFrame):
-        row = d.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum(F.col("hops").cast("decimal(38,0)")).alias("s"),
-        ).collect()[0]
-        return (row["n"], row["s"])
+    # Each round's fold already derives a per-node `changed` flag, and a
+    # round with zero changed nodes IS the fixed point (the next frontier
+    # is empty, so no offer can ever improve anything). Counting the
+    # flags is one agg job per round (doubling as the lazy checkpoint's
+    # materializing action), and `stop_when == 0` stops IN the converged
+    # round — no equality confirm round, no baseline probe.
+    def _changed_count(d: DataFrame):
+        return d.agg(F.sum(F.col("changed").cast("long")).alias("n")).collect()[
+            0
+        ]["n"]
 
     def _step(dist: DataFrame, _round_no: int) -> DataFrame:
         # Only the frontier (nodes improved last round) makes offers —
@@ -123,7 +123,8 @@ def shortest_path_hops(
         dist0,
         _step,
         max_rounds=max_rounds,
-        metric=_probe,
+        metric=_changed_count,
+        stop_when=lambda n: n == 0,
         checkpoint=checkpoint,
         stats=stats,
         resume_dir=resume_dir,

@@ -37,6 +37,36 @@ RUNTIME_CONF: dict[str, str] = {
 }
 
 
+#: Provider class for RocksDB-backed streaming state (ships with Spark
+#: since 3.2; rocksdbjni is in $SPARK_HOME/jars). Heap state — the
+#: default, and the Flink-1.1 weakness the reference inherits (SURVEY.md
+#: §4.2) — holds every key's state in executor memory; RocksDB spills to
+#: local disk, which is what an unbounded-key stateful stream (exact
+#: dedup over all fingerprints ever seen, per-user sessionization) needs
+#: at 100×. Opt-in because local heap is faster for the bounded-key
+#: test/bench workloads.
+ROCKSDB_STATE_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+
+
+def enable_rocksdb_state(spark: SparkSession) -> SparkSession:
+    """Switch this session's NEW streaming queries to RocksDB state.
+
+    Runtime-settable (the provider is read at query start). Changelog
+    checkpointing keeps commit latency flat as state grows: checkpoints
+    upload per-batch deltas instead of full SST snapshots.
+    """
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass", ROCKSDB_STATE_PROVIDER
+    )
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+        "true",
+    )
+    return spark
+
+
 def configure(spark: SparkSession) -> SparkSession:
     """Apply runtime-settable engine conf to an existing session."""
     for key, value in RUNTIME_CONF.items():
@@ -45,6 +75,12 @@ def configure(spark: SparkSession) -> SparkSession:
         except Exception:
             # Non-settable on this build — keep going; individual loaders
             # degrade gracefully.
+            pass
+    # Opt-in RocksDB streaming state (unbounded-key deployments).
+    if os.environ.get("SPARK_GRAFT_ROCKSDB_STATE", "").lower() in ("1", "true"):
+        try:
+            enable_rocksdb_state(spark)
+        except Exception:
             pass
     return spark
 
@@ -95,8 +131,25 @@ def get_spark(
     from flink_streaming_2_10_spark.sources.kafka import find_kafka_jars
 
     kafka_jars = find_kafka_jars()
-    if kafka_jars:
-        builder = builder.config("spark.jars", ",".join(kafka_jars))
+    extra = [
+        j
+        for j in os.environ.get("SPARK_GRAFT_EXTRA_JARS", "").split(",")
+        if j.strip()
+    ]
+    if kafka_jars or extra:
+        # MERGE with any spark.jars already on the builder (or supplied via
+        # $SPARK_GRAFT_EXTRA_JARS) — plain assignment would make kafka
+        # auto-enable and user jars mutually exclusive.
+        try:
+            current = builder._options.get("spark.jars", "")  # noqa: SLF001
+        except Exception:
+            current = ""
+        merged: list[str] = []
+        for jar in [*current.split(","), *extra, *kafka_jars]:
+            jar = jar.strip()
+            if jar and jar not in merged:
+                merged.append(jar)
+        builder = builder.config("spark.jars", ",".join(merged))
     for key, value in RUNTIME_CONF.items():
         builder = builder.config(key, value)
     return configure(builder.getOrCreate())

@@ -95,7 +95,7 @@ def score_with_models(
     event_time: str,
     value_units_col: str,
     right_prefix: str = "m_",
-    broadcast: bool = False,
+    broadcast: bool | None = None,
 ) -> DataFrame:
     """Batch scorer: every event with its newest applicable model's
     columns (``{prefix}model_t``/``sum_units``/``n_samples``, NULL before
@@ -103,16 +103,22 @@ def score_with_models(
     at or above the model mean. The skeleton's predictor, reformulated on
     event time.
 
-    ``broadcast=True`` scores via the broadcast model-history probe
+    ``broadcast`` defaults to the broadcast model-history probe
     (:func:`streaming.runners.asof_enrich_stream`'s machinery on a
-    bounded frame) instead of the union+sort-window merge-asof. The
-    model table is TINY by construction (keys × training windows), while
-    the key domain is often low-cardinality (event types, sources) — the
-    sort-window path would shuffle every event into |keys| partitions,
-    a parallelism collapse at scale, where the broadcast probe is a
-    narrow map: events never shuffle at all. Results are identical
-    (model_t is unique per key, so tie semantics never engage).
+    bounded frame): the model table is TINY by construction — one row
+    per (key, training window), so its size is keys × windows regardless
+    of event volume — while the key domain is often low-cardinality
+    (event types, sources). The alternative union+sort-window merge-asof
+    (``broadcast=False``) would shuffle EVERY event into |keys|
+    partitions — a parallelism collapse at scale — and exists only as a
+    cross-validation path for tests (both faces must agree; results are
+    identical since model_t is unique per key, so tie semantics never
+    engage). Pass ``broadcast=False`` outside tests only if the model
+    table genuinely outgrows executor memory (more distinct keys ×
+    windows than a broadcast can hold), which inverts the trade.
     """
+    if broadcast is None:
+        broadcast = True  # models are keys x windows — broadcast-sized
     join = asof_enrich_stream if broadcast else asof_join
     enriched = join(
         events,

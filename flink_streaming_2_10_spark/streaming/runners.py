@@ -284,8 +284,10 @@ def sessionize_stream(
     """Continuous inactivity-gap sessionization: label every event of an
     unbounded stream with its per-key ``session_idx`` — the live face of
     ``operators.temporal.sessionize`` (same boundary semantics: a delta
-    of exactly ``gap`` STARTS a new session, matching Flink's
-    ``EventTimeSessionWindows.withGap``).
+    of exactly ``gap`` stays IN-session — Flink's
+    ``TimeWindow.intersects`` is inclusive, so abutting [t, t+gap)
+    windows merge; only a delta strictly greater than ``gap`` starts a
+    new session).
 
     State per key is TWO numbers — (last event time, current session
     index) — carried across micro-batches by ``applyInPandasWithState``;
@@ -318,7 +320,7 @@ def sessionize_stream(
         pdf = pdf.sort_values([time_col], kind="mergesort")
         out_idx = []
         for t in pdf[time_col].astype("int64"):
-            if last_t is None or t - last_t >= gap:
+            if last_t is None or t - last_t > gap:
                 idx += 1
             last_t = int(t)
             out_idx.append(idx)

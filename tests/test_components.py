@@ -61,7 +61,10 @@ def test_long_path_round_count_is_logarithmic(spark):
         for r in connected_components(df, stats=stats).collect()
     }
     assert set(got.values()) == {0} and len(got) == n + 1
-    assert stats["rounds"] <= 11, stats
+    # stop_when(changed == 0) detects the fixed point IN the converged
+    # round (no equality confirm round), so the bound is one tighter
+    # than the round-5 pin of 11.
+    assert stats["rounds"] <= 10, stats
 
 
 def test_reliable_checkpoint_mode(spark, tmp_path):

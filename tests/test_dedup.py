@@ -191,3 +191,19 @@ def test_minhash_banding_mismatch_fails_fast(corpus):
         Exception, match="signature length|ArrayIndexOutOfBounds|INVALID_ARRAY_INDEX"
     ):
         minhash_lsh_candidates(sigs, bands=16, rows=4).collect()
+
+
+def test_ngram_jaccard_unpruned_refused_at_scale(spark, monkeypatch):
+    """max_df=None (no stop-gram pruning) must refuse above the corpus
+    ceiling instead of launching an unbounded Σdf² self-join."""
+    from flink_streaming_2_10_spark.pipeline import dedup as dd
+
+    df = spark.createDataFrame(
+        [(i, "the same text") for i in range(10)], ["doc_id", "text"]
+    )
+    monkeypatch.setattr(dd, "MAX_UNPRUNED_DOCS", 5)
+    with pytest.raises(ValueError, match="max_df=None"):
+        dd.ngram_jaccard_pairs(df, n=1, threshold=0.0, max_df=None)
+    # below the ceiling None still works (oracle-replay path)
+    monkeypatch.setattr(dd, "MAX_UNPRUNED_DOCS", 100)
+    assert dd.ngram_jaccard_pairs(df, n=1, threshold=0.0, max_df=None).count() == 45

@@ -83,8 +83,10 @@ def test_broadcast_and_sortwindow_scorers_agree(spark):
             for r in df.collect()
         )
 
-    assert snap(score_with_models(ev, models, **kw)) == snap(
-        score_with_models(ev, models, broadcast=True, **kw)
+    # broadcast=False is the test-only sort-window cross-validation path;
+    # it must agree with the broadcast default exactly.
+    assert snap(score_with_models(ev, models, broadcast=False, **kw)) == snap(
+        score_with_models(ev, models, **kw)
     )
 
 

@@ -154,6 +154,28 @@ def test_iterate_resumes_after_driver_loss(spark, tmp_path):
     assert fresh.collect()[0]["x"] == out.collect()[0]["x"]
 
 
+def test_iterate_resume_with_smaller_max_rounds_returns_durable_state(
+    spark, tmp_path
+):
+    """A relaunch that passes a smaller max_rounds than the last completed
+    round must return the durable state (only round_{last} exists on
+    disk — older dirs were deleted), not fail on a missing path."""
+    resume = str(tmp_path / "it")
+    df = spark.createDataFrame([(64,)], ["x"])
+
+    def metric(d):
+        return d.agg(F.sum("x")).collect()[0][0]
+
+    iterate(df, _halve_to_zero, max_rounds=5, metric=metric,
+            strict=False, resume_dir=resume)
+    stats: dict = {}
+    out = iterate(df, _halve_to_zero, max_rounds=3, metric=metric,
+                  strict=False, resume_dir=resume, stats=stats)
+    assert stats["resumed_from"] == 5
+    assert stats["rounds"] == 5  # zero new rounds ran
+    assert out.collect()[0]["x"] == 2  # 64 -> 32 -> 16 -> 8 -> 4 -> 2
+
+
 def test_components_with_resume_dir_matches_plain(spark, tmp_path):
     from flink_streaming_2_10_spark.pipeline.components import (
         connected_components,

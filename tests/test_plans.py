@@ -70,8 +70,12 @@ def test_topk_queries_avoid_global_sort(spark):
     for name in ("similarity_cosine_topk", "top_ngrams", "collocations"):
         plan = _plan(entrymod.queries()[name](spark, SF_SMALL))
         assert "TakeOrderedAndProject" in plan, name
-        # no full exchange-then-sort for the cut
-        assert "GlobalLimit" not in plan or "TakeOrderedAndProject" in plan
+        # the cut must not fall back to sort-the-world + limit: no global
+        # range-partitioned sort, no single-partition exchange, no
+        # GlobalLimit node anywhere in the plan
+        assert "GlobalLimit" not in plan, name
+        assert "Exchange rangepartitioning" not in plan, name
+        assert "Exchange SinglePartition" not in plan, name
 
 
 def test_revenue_by_region_broadcasts_small_dims(spark):
@@ -89,17 +93,26 @@ def test_decontamination_corpus_text_never_shuffles(spark):
     broadcast probe — no Exchange of document text. Exchanges in the
     plan may only carry ids/hashes (the benchmark gram set is built
     broadcast-side)."""
+    import re
+
     import __spark_entry__ as entrymod
 
     plan = _plan(entrymod.queries()["decontamination"](spark, SF_SMALL))
-    for section in plan.split("\n\n"):
-        if section.strip().startswith("(") or "Exchange" not in section:
-            continue
-    # formatted explain lists Exchange nodes with their output columns:
-    # assert no exchange carries the text column
-    for line in plan.splitlines():
-        if "Exchange" in line and "text" in line:
-            raise AssertionError(f"text column in an exchange: {line}")
+    blocks = re.split(r"\n(?=\(\d+\) )", plan)
+    exchanges = [
+        b for b in blocks
+        if b.startswith("(") and "Exchange" in b.split("\n")[0]
+    ]
+    assert exchanges, plan  # the probe aggregation does exchange ids/counts
+    for block in exchanges:
+        # each Exchange detail block lists its carried columns on the
+        # "Input [...]" line — none may carry the document text
+        input_lines = [
+            line for line in block.splitlines() if line.startswith("Input")
+        ]
+        assert input_lines, block
+        for line in input_lines:
+            assert "text#" not in line, f"text column in an exchange: {block}"
 
 
 def test_incremental_scoring_events_never_shuffle(spark):

@@ -183,7 +183,9 @@ def test_sessionize_matches_sequential_reference(spark, seed):
         evs.sort()
         idx, prev = 0, None
         for t, eid in evs:
-            if prev is None or t - prev >= gap:
+            # Flink boundary: only a delta strictly greater than the gap
+            # starts a new session (TimeWindow.intersects is inclusive).
+            if prev is None or t - prev > gap:
                 idx += 1
             want[eid] = (k, idx)
             prev = t

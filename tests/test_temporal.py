@@ -318,8 +318,10 @@ def test_sessionize_gap_edges_and_indices(spark):
     from flink_streaming_2_10_spark.operators.temporal import sessionize
 
     rows = [
-        # user a: Flink session_window semantics — a delta of exactly the
-        # gap (10) STARTS a new session; 9 stays in-session.
+        # user a: Flink EventTimeSessionWindows semantics — a delta of
+        # exactly the gap (10) stays IN-session (abutting [t, t+gap)
+        # windows merge: TimeWindow.intersects is inclusive); a delta of
+        # 11 starts a new session.
         (1, "a", 0), (2, "a", 10), (3, "a", 19), (4, "a", 30),
         # user b: single event
         (5, "b", 1000),
@@ -331,7 +333,7 @@ def test_sessionize_gap_edges_and_indices(spark):
             df, on=["k"], time_col="t", gap=10, tie_cols=["event_id"]
         ).collect()
     }
-    assert got == {1: 1, 2: 2, 3: 2, 4: 3, 5: 1}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 2, 5: 1}
 
 
 def test_sessionize_simultaneous_events_share_session(spark):
