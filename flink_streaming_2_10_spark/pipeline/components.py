@@ -8,7 +8,13 @@ all-but-one document per *transitive* duplicate cluster (A~B and B~C must
 collapse A,B,C even when A~C was never emitted). That closure is connected
 components over the pair graph.
 
-Algorithm: distributed min-label propagation with pointer jumping.
+Algorithm: size-adaptive. At or below ``DRIVER_SOLVE_MAX_EDGES`` edges the
+components are solved by a one-pass driver-side union-find over a single
+Arrow collect (near-dup pair graphs are ≪ corpus by construction, so this
+is the common case; the per-round scheduling cost of a distributed loop
+dwarfs a linear sweep at that size — the same cost-model reasoning behind
+broadcast joins). Above the cap: distributed min-label propagation with
+pointer jumping.
 
 * State is one ``(node, label)`` row per distinct node in the edge list;
   labels start as the node's own id and only ever decrease, so the fixed
@@ -50,6 +56,47 @@ from pyspark.sql import DataFrame, functions as F
 from flink_streaming_2_10_spark.operators.iterate import iterate, truncate_lineage
 
 
+#: Default edge cap for the driver-side union-find shortcut: below this
+#: many (symmetrized) edges the component structure is solved on the
+#: driver in one pass instead of launching the iterative loop. 1M edges
+#: is ~16 MB over Arrow — the same order as a broadcast-join side — and
+#: pure-Python union-find with path compression handles it in well under
+#: a second, versus one multi-stage distributed job PER ROUND. Duplicate
+#: pair graphs are tiny relative to their corpus by construction (pairs
+#: are the near-dup set), so this is the common case even at large SF;
+#: the distributed loop remains the unbounded-scale path.
+DRIVER_SOLVE_MAX_EDGES = 1_000_000
+
+
+def _driver_union_find(src, dst) -> dict[int, int]:
+    """Min-id union-find over edge arrays: attach the larger root under
+    the smaller, so every root IS its component's minimum id — the same
+    fixed point the distributed loop converges to. Path compression
+    keeps it effectively linear."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:  # compress
+            parent[x], x = root, parent[x]
+        return root
+
+    for s, d in zip(src, dst):
+        if s not in parent:
+            parent[s] = s
+        if d not in parent:
+            parent[d] = d
+        rs, rd = find(s), find(d)
+        if rs != rd:
+            if rs < rd:
+                parent[rd] = rs
+            else:
+                parent[rs] = rd
+    return {n: find(n) for n in parent}
+
+
 def connected_components(
     pairs: DataFrame,
     a_col: str = "doc_a",
@@ -58,6 +105,7 @@ def connected_components(
     checkpoint: str = "local",
     stats: dict | None = None,
     resume_dir: str | None = None,
+    driver_solve_max_edges: int = DRIVER_SOLVE_MAX_EDGES,
 ) -> DataFrame:
     """``(node, component)`` for every node appearing in ``pairs``;
     ``component`` is the minimum node id reachable through the pair graph.
@@ -75,6 +123,17 @@ def connected_components(
     have called ``spark.sparkContext.setCheckpointDir`` first, which is
     the cluster-mode deployment step). ``stats``, when a dict, receives
     ``{"rounds": N}`` on return — observability for convergence tests.
+
+    ``driver_solve_max_edges``: edge sets at or below this cap (after
+    symmetrize+distinct) are solved by a single driver-side union-find
+    over one Arrow collect — the iterative loop's per-round job overhead
+    dwarfs a one-pass solve on small graphs, the same size-based
+    operator choice Spark's planner makes for broadcast joins. The cap
+    bounds driver memory (16 bytes/edge over Arrow at the default 1M).
+    ``0`` disables the shortcut; it is also skipped when ``resume_dir``
+    is set (durability implies the long-running distributed path).
+    ``stats["rounds"]`` is 0 and ``stats["driver_solved"]`` True when it
+    engages.
     """
     e = pairs.select(
         F.col(a_col).cast("long").alias("src"),
@@ -87,6 +146,33 @@ def connected_components(
         .distinct(),
         checkpoint,
     )
+    if resume_dir is None and driver_solve_max_edges > 0:
+        # One cheap count on the checkpointed 16-byte rows decides the
+        # strategy (the loop would scan them every round anyway).
+        if edges.limit(driver_solve_max_edges + 1).count() <= driver_solve_max_edges:
+            import pandas as pd
+
+            pdf = edges.toPandas()
+            labels = _driver_union_find(
+                pdf["src"].to_numpy().tolist(), pdf["dst"].to_numpy().tolist()
+            )
+            if stats is not None:
+                stats["rounds"] = 0
+                stats["driver_solved"] = True
+            out = pairs.sparkSession.createDataFrame(
+                pd.DataFrame(
+                    {
+                        "node": pd.Series(list(labels.keys()), dtype="int64"),
+                        "component": pd.Series(
+                            list(labels.values()), dtype="int64"
+                        ),
+                    }
+                )
+            )
+            # The result re-enters corpus-sized joins downstream
+            # (dedup_canonical): broadcast-sized by construction here.
+            return F.broadcast(out)
+
     labels0 = (
         edges.select("src")
         .distinct()
@@ -184,12 +270,23 @@ def dedup_canonical(
 
     ``canonical_id`` is the minimum doc id of the document's duplicate
     cluster (its own id when unpaired); keep rows where ``doc_id ==
-    canonical_id`` to materialize the deduplicated corpus. The component
-    table covers only paired docs (≪ corpus at scale), so the left join
-    back to ``df`` broadcasts under AQE whenever the dup set is small;
-    cluster sizes come from one hash agg on the 8-byte canonical id.
+    canonical_id`` to materialize the deduplicated corpus.
+
+    Scale shape: the component table covers only PAIRED docs (≪ corpus),
+    so cluster sizes are an aggregation over that small table alone —
+    every unpaired doc has size 1 by construction, and a cluster's
+    canonical can never collide with an unpaired doc's id (the canonical
+    is a cluster member, hence paired). The corpus therefore never
+    shuffles here: both probes broadcast whenever the dup set is
+    broadcast-sized (the driver-solved component table carries the hint;
+    otherwise AQE decides from real sizes). The former corpus-wide
+    groupBy(canonical_id) + join computed the same sizes with two full
+    corpus exchanges.
     """
     comp = connected_components(pairs, a_col=a_col, b_col=b_col)
+    sizes = comp.groupBy("component").agg(
+        F.count(F.lit(1)).alias("__csize")
+    )
     canon = (
         df.select(F.col(id_col))
         .join(comp, F.col(id_col) == comp["node"], "left")
@@ -198,9 +295,10 @@ def dedup_canonical(
             F.coalesce(F.col("component"), F.col(id_col)).alias("canonical_id"),
         )
     )
-    sizes = canon.groupBy("canonical_id").agg(
-        F.count(F.lit(1)).alias("cluster_size")
-    )
-    return canon.join(sizes, "canonical_id").select(
-        id_col, "canonical_id", "cluster_size"
+    return canon.join(
+        sizes, canon["canonical_id"] == sizes["component"], "left"
+    ).select(
+        id_col,
+        "canonical_id",
+        F.coalesce(F.col("__csize"), F.lit(1).cast("long")).alias("cluster_size"),
     )

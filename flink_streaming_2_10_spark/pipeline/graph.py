@@ -33,6 +33,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from flink_streaming_2_10_spark.operators.iterate import iterate, truncate_lineage
+from flink_streaming_2_10_spark.pipeline.components import DRIVER_SOLVE_MAX_EDGES
 
 
 def shortest_path_hops(
@@ -45,6 +46,7 @@ def shortest_path_hops(
     checkpoint: str = "local",
     stats: dict | None = None,
     resume_dir: str | None = None,
+    driver_solve_max_edges: int = DRIVER_SOLVE_MAX_EDGES,
 ) -> DataFrame:
     """``(node, hops)`` — minimum number of edges from any ``seeds`` row
     to each reachable node of the undirected ``pairs`` graph.
@@ -58,7 +60,13 @@ def shortest_path_hops(
     ``max_rounds`` bounds the driver loop at the graph's true
     seed-eccentricity; ``RuntimeError`` if distances are still moving
     after that many rounds (a path graph of N nodes needs N-1). Same
-    ``checkpoint``/``stats`` contract as ``connected_components``.
+    ``checkpoint``/``stats`` contract as ``connected_components``,
+    including the ``driver_solve_max_edges`` shortcut: at or below the
+    cap the BFS runs as a one-pass driver-side sweep over one Arrow
+    collect instead of one distributed job per hop (near-dup pair graphs
+    are ≪ corpus by construction — the same size-based strategy choice
+    Spark's planner makes for broadcast joins); ``0`` disables, and a
+    set ``resume_dir`` always takes the distributed path.
     """
     sc = seed_col or seeds.columns[0]
     e = pairs.select(
@@ -70,14 +78,48 @@ def shortest_path_hops(
         .distinct(),
         checkpoint,
     )
-    dist0 = (
-        seeds.select(F.col(sc).cast("long").alias("node"))
-        .distinct()
-        .select(
-            "node",
-            F.lit(0).cast("long").alias("hops"),
-            F.lit(True).alias("changed"),
-        )
+    seed_nodes = seeds.select(F.col(sc).cast("long").alias("node")).distinct()
+
+    if resume_dir is None and driver_solve_max_edges > 0:
+        if edges.limit(driver_solve_max_edges + 1).count() <= driver_solve_max_edges:
+            from collections import deque
+
+            import pandas as pd
+
+            pdf = edges.toPandas()
+            adj: dict[int, list[int]] = {}
+            for s, d in zip(
+                pdf["src"].to_numpy().tolist(), pdf["dst"].to_numpy().tolist()
+            ):
+                adj.setdefault(s, []).append(d)
+            hops = {
+                int(r["node"]): 0 for r in seed_nodes.collect()
+            }
+            queue = deque(hops)
+            while queue:
+                n = queue.popleft()
+                for m in adj.get(n, ()):
+                    if m not in hops:
+                        hops[m] = hops[n] + 1
+                        queue.append(m)
+            if stats is not None:
+                stats["rounds"] = 0
+                stats["driver_solved"] = True
+            return F.broadcast(
+                pairs.sparkSession.createDataFrame(
+                    pd.DataFrame(
+                        {
+                            "node": pd.Series(list(hops.keys()), dtype="int64"),
+                            "hops": pd.Series(list(hops.values()), dtype="int64"),
+                        }
+                    )
+                )
+            )
+
+    dist0 = seed_nodes.select(
+        "node",
+        F.lit(0).cast("long").alias("hops"),
+        F.lit(True).alias("changed"),
     )
 
     # Each round's fold already derives a per-node `changed` flag, and a

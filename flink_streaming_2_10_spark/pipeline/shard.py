@@ -267,6 +267,14 @@ def curate_corpus_neardup(
         hasher=hasher,
     )
     comp = connected_components(pairs, a_col="doc_a", b_col="doc_b")
+    # Cluster sizes come from the (small) component table alone: every
+    # unpaired survivor has size 1 by construction, and a cluster's
+    # canonical is itself a paired node, so the ids can't collide. The
+    # gated corpus flows through probe joins only — no corpus-wide
+    # groupBy(canonical_id) exchange (see components.dedup_canonical).
+    comp_sizes = comp.groupBy("component").agg(
+        F.count(F.lit(1)).alias("__csize")
+    )
     canon = (
         kept.join(comp, kept[id_col] == comp["node"], "left")
         .withColumn(
@@ -274,11 +282,18 @@ def curate_corpus_neardup(
         )
         .drop("node", "component")
     )
-    sizes = canon.groupBy("canonical_id").agg(
-        F.count(F.lit(1)).alias("cluster_size")
-    )
-    surv = canon.filter(F.col(id_col) == F.col("canonical_id")).join(
-        sizes, "canonical_id"
+    surv = (
+        canon.filter(F.col(id_col) == F.col("canonical_id"))
+        .join(
+            comp_sizes,
+            F.col("canonical_id") == comp_sizes["component"],
+            "left",
+        )
+        .withColumn(
+            "cluster_size",
+            F.coalesce(F.col("__csize"), F.lit(1).cast("long")),
+        )
+        .drop("component", "__csize")
     )
     contaminated = _contaminated_ids(
         surv, benchmark, id_col, text_col, decontam_n, hasher

@@ -23,14 +23,21 @@ def _labels(spark, edges, **kw):
     return {r["node"]: r["component"] for r in out.collect()}
 
 
-def test_transitive_closure(spark):
+# Both execution strategies must agree everywhere: 0 forces the
+# distributed loop, the default engages the driver-side union-find.
+BOTH_PATHS = pytest.mark.parametrize("dsme", [0, 1_000_000])
+
+
+@BOTH_PATHS
+def test_transitive_closure(spark, dsme):
     # A~B, B~C must put C in A's component even though A~C was never a pair.
-    got = _labels(spark, [(1, 2), (2, 3), (10, 11)])
+    got = _labels(spark, [(1, 2), (2, 3), (10, 11)], driver_solve_max_edges=dsme)
     assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
 
 
-def test_component_is_min_id_regardless_of_edge_order(spark):
-    got = _labels(spark, [(9, 5), (5, 7), (7, 2), (8, 9)])
+@BOTH_PATHS
+def test_component_is_min_id_regardless_of_edge_order(spark, dsme):
+    got = _labels(spark, [(9, 5), (5, 7), (7, 2), (8, 9)], driver_solve_max_edges=dsme)
     assert set(got.values()) == {2}
     assert set(got) == {2, 5, 7, 8, 9}
 
@@ -39,7 +46,7 @@ def test_path_graph_converges_via_pointer_jumping(spark):
     # A 24-node path has diameter 23; pure neighbor propagation would need
     # 23 rounds. With the jump step it must finish well inside 10.
     edges = [(i, i + 1) for i in range(24)]
-    got = _labels(spark, edges, max_rounds=10)
+    got = _labels(spark, edges, max_rounds=10, driver_solve_max_edges=0)
     assert set(got.values()) == {0}
     assert len(got) == 25
 
@@ -58,7 +65,9 @@ def test_long_path_round_count_is_logarithmic(spark):
     stats: dict = {}
     got = {
         r["node"]: r["component"]
-        for r in connected_components(df, stats=stats).collect()
+        for r in connected_components(
+            df, stats=stats, driver_solve_max_edges=0
+        ).collect()
     }
     assert set(got.values()) == {0} and len(got) == n + 1
     # stop_when(changed == 0) detects the fixed point IN the converged
@@ -76,7 +85,9 @@ def test_reliable_checkpoint_mode(spark, tmp_path):
     )
     got = {
         r["node"]: r["component"]
-        for r in connected_components(df, checkpoint="reliable").collect()
+        for r in connected_components(
+            df, checkpoint="reliable", driver_solve_max_edges=0
+        ).collect()
     }
     assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
 
@@ -87,19 +98,21 @@ def test_unknown_checkpoint_mode_raises(spark):
         connected_components(df, checkpoint="hdfs")
 
 
-def test_duplicate_and_reversed_edges_collapse(spark):
-    got = _labels(spark, [(1, 2), (2, 1), (1, 2), (3, 2)])
+@BOTH_PATHS
+def test_duplicate_and_reversed_edges_collapse(spark, dsme):
+    got = _labels(spark, [(1, 2), (2, 1), (1, 2), (3, 2)], driver_solve_max_edges=dsme)
     assert got == {1: 1, 2: 1, 3: 1}
 
 
 def test_max_rounds_guard_raises(spark):
     df = spark.createDataFrame([(i, i + 1) for i in range(24)], ["doc_a", "doc_b"])
     with pytest.raises(RuntimeError, match="still moving"):
-        connected_components(df, max_rounds=1)
+        connected_components(df, max_rounds=1, driver_solve_max_edges=0)
 
 
+@BOTH_PATHS
 @pytest.mark.parametrize("seed", [7, 23, 91])
-def test_random_graph_matches_union_find(spark, seed):
+def test_random_graph_matches_union_find(spark, seed, dsme):
     """Random multigraphs vs a sequential union-find: stresses the
     frontier bookkeeping (settled nodes must still receive late offers
     through their neighbors) and the jump/frontier interplay on whatever
@@ -109,7 +122,7 @@ def test_random_graph_matches_union_find(spark, seed):
     rng = random.Random(seed)
     n = 60
     edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(50)]
-    got = _labels(spark, edges)
+    got = _labels(spark, edges, driver_solve_max_edges=dsme)
 
     parent = list(range(n))
 

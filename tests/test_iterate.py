@@ -198,7 +198,13 @@ def test_components_with_resume_dir_matches_plain(spark, tmp_path):
     assert durable == plain and stats["rounds"] >= 1
 
 
-def test_bfs_path_graph_exact_hops(spark):
+# Both BFS strategies must agree: 0 forces the distributed loop, the
+# default engages the driver-side sweep on small graphs.
+BFS_BOTH = pytest.mark.parametrize("dsme", [0, 1_000_000])
+
+
+@BFS_BOTH
+def test_bfs_path_graph_exact_hops(spark, dsme):
     # path 1-2-3-4-5, seed 1 -> hops == position; needs 4 rounds (worst
     # case for the loop, unlike near-clique dedup graphs)
     pairs = spark.createDataFrame(
@@ -208,30 +214,40 @@ def test_bfs_path_graph_exact_hops(spark):
     stats: dict = {}
     got = {
         r["node"]: r["hops"]
-        for r in shortest_path_hops(pairs, seeds, stats=stats).collect()
+        for r in shortest_path_hops(
+            pairs, seeds, stats=stats, driver_solve_max_edges=dsme
+        ).collect()
     }
     assert got == {1: 0, 2: 1, 3: 2, 4: 3, 5: 4}
-    assert stats["rounds"] >= 4
+    assert stats["rounds"] >= 4 if dsme == 0 else stats["driver_solved"]
 
 
-def test_bfs_unreachable_nodes_absent_and_seed_not_in_graph(spark):
+@BFS_BOTH
+def test_bfs_unreachable_nodes_absent_and_seed_not_in_graph(spark, dsme):
     pairs = spark.createDataFrame([(1, 2), (10, 11)], ["doc_a", "doc_b"])
     # seed 99 touches nothing; seed 1 reaches only its own component
     seeds = spark.createDataFrame([(1,), (99,)], ["node"])
     got = {
-        r["node"]: r["hops"] for r in shortest_path_hops(pairs, seeds).collect()
+        r["node"]: r["hops"]
+        for r in shortest_path_hops(
+            pairs, seeds, driver_solve_max_edges=dsme
+        ).collect()
     }
     assert got == {1: 0, 2: 1, 99: 0}
 
 
-def test_bfs_multi_seed_takes_nearest(spark):
+@BFS_BOTH
+def test_bfs_multi_seed_takes_nearest(spark, dsme):
     # path 1-2-3-4-5 with seeds at both ends: 3 is 2 hops from either
     pairs = spark.createDataFrame(
         [(1, 2), (2, 3), (3, 4), (4, 5)], ["doc_a", "doc_b"]
     )
     seeds = spark.createDataFrame([(1,), (5,)], ["node"])
     got = {
-        r["node"]: r["hops"] for r in shortest_path_hops(pairs, seeds).collect()
+        r["node"]: r["hops"]
+        for r in shortest_path_hops(
+            pairs, seeds, driver_solve_max_edges=dsme
+        ).collect()
     }
     assert got == {1: 0, 2: 1, 3: 2, 4: 1, 5: 0}
 
@@ -242,7 +258,7 @@ def test_bfs_max_rounds_too_small_raises(spark):
     )
     seeds = spark.createDataFrame([(1,)], ["node"])
     with pytest.raises(RuntimeError, match="still moving"):
-        shortest_path_hops(pairs, seeds, max_rounds=2)
+        shortest_path_hops(pairs, seeds, max_rounds=2, driver_solve_max_edges=0)
 
 
 def test_graph_hops_query_matches_oracle(spark, duck):
