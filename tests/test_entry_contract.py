@@ -28,6 +28,39 @@ def test_oracle_keys_subset_of_queries():
     assert set(ORACLES) <= set(QUERIES)
 
 
+def test_staleness_rotation_orders_unverified_first(tmp_path):
+    """The self-rotating registry puts least-recently-driver-verified
+    keys first so the 50-row correctness window covers every key at
+    most one round stale; unreadable files degrade gracefully."""
+    import json
+
+    base = dict.fromkeys(["a", "b", "c", "d"], object())
+    # r1 recorded a,b,c,d; r2 recorded only b,c -> staleness: a,d then b,c
+    (tmp_path / "CORRECTNESS_r01.json").write_text(
+        json.dumps(dict.fromkeys(["a", "b", "c", "d"], {}))
+    )
+    (tmp_path / "CORRECTNESS_r02.json").write_text(
+        json.dumps(dict.fromkeys(["b", "c"], {}))
+    )
+    (tmp_path / "CORRECTNESS_r03.json").write_text("{not json")  # ignored
+    got = list(entrymod._staleness_rotated(base, evidence_dir=str(tmp_path)))
+    assert got == ["a", "d", "b", "c"]
+    # never-recorded keys sort before everything
+    base2 = {"zz_new": object(), **base}
+    assert (
+        list(entrymod._staleness_rotated(base2, evidence_dir=str(tmp_path)))[0]
+        == "zz_new"
+    )
+    # empty evidence dir degrades to canonical order
+    empty = tmp_path / "none"
+    empty.mkdir()
+    assert list(
+        entrymod._staleness_rotated(base, evidence_dir=str(empty))
+    ) == list(base)
+    # real registry invariant: rotation is a permutation of the canon
+    assert set(entrymod.queries()) == set(QUERIES)
+
+
 @pytest.mark.parametrize("name", sorted(QUERIES))
 def test_query_matches_oracle(spark, duck, name):
     df = QUERIES[name](spark, SF_SMALL)
