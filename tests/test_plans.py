@@ -131,6 +131,27 @@ def test_incremental_scoring_events_never_shuffle(spark):
     assert "Window" not in plan
 
 
+def test_dedup_canonical_corpus_never_shuffles(spark):
+    """dedup_canonical's corpus side reaches both its joins (component
+    lookup, cluster size) by BROADCAST probe: cluster sizes come from the
+    small component table alone, so the only hash exchange in the
+    canonicalization tail is the sizes aggregation over components —
+    never a corpus-wide groupBy(canonical_id)."""
+    import re
+
+    import __spark_entry__ as entrymod
+
+    plan = _plan(entrymod.queries()["dedup_components"](spark, SF_SMALL))
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    blocks = re.split(r"\n(?=\(\d+\) )", plan)
+    for block in blocks:
+        head = block.split("\n")[0]
+        if "Exchange" not in head or "BroadcastExchange" in head:
+            continue
+        args = [l for l in block.splitlines() if l.startswith("Arguments")]
+        assert args and "hashpartitioning(component" in args[0], block
+
+
 def test_exact_dedup_single_shuffle_on_fingerprint(spark):
     """dedup_exact is one fingerprint-keyed exchange — the canonical
     shape. More exchanges means the plan regressed."""
