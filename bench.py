@@ -16,6 +16,11 @@ worker spin-up, which otherwise inflates the first sample systematically.
 Queries are isolated: operator-internal caches are released between
 queries (release_cached), so a query's time never depends on an earlier
 query having materialized an identical sub-plan.
+
+``calib`` in the output is a fixed host-speed probe (best-of-3 of an
+identical hash-aggregate job): the calib ratio between two rounds
+measures container drift, so cross-round query deltas should be
+normalized by it before being read as regressions.
 """
 
 from __future__ import annotations
@@ -44,6 +49,28 @@ def main() -> None:
         entrymod.entry(spark).write.format("noop").mode("overwrite").save()
     except Exception:
         pass
+
+    # Host-speed calibration: a fixed, data-independent JVM-side job
+    # (hash-aggregate over a generated range). Identical code across
+    # rounds, so the ratio of two rounds' `calib` values measures
+    # CONTAINER drift — this host has shown sustained ~1.5-1.7× speed
+    # swings between rounds on unchanged code; divide query deltas by
+    # the calib ratio before calling them regressions. Best-of-3.
+    from pyspark.sql import functions as _F
+
+    def _calib_once() -> float:
+        t0 = time.time()
+        (
+            spark.range(100_000_000)
+            # pmod keeps the sum < 3e13 — raw hash sums overflow long
+            # under ANSI mode
+            .select(_F.pmod(_F.xxhash64("id"), _F.lit(1_000_003)).alias("h"))
+            .agg(_F.sum("h")).collect()
+        )
+        return time.time() - t0
+
+    _calib_once()  # JIT warm
+    calib = round(min(_calib_once() for _ in range(3)), 3)
 
     warmup = max(0, int(os.environ.get("SPARK_GRAFT_BENCH_WARMUP", "1")))
     samples: dict[str, list[float]] = {name: [] for name in queries}
@@ -90,6 +117,7 @@ def main() -> None:
         "queries": timings,
         "sf": sf_val,
         "n": n_iter,
+        "calib": calib,
     }
     result = json.dumps(slim, separators=(",", ":"))
     verbose = json.dumps(
