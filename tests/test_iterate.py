@@ -99,6 +99,32 @@ def test_iterate_per_row_exit_fibonacci(spark):
     assert all(r["done"] for r in out.collect())
 
 
+def test_iterate_stop_when_stops_in_converged_round(spark):
+    """stop_when replaces the equality test: the loop ends the round the
+    predicate fires — no confirm round — and a plateaued (but nonzero)
+    metric does NOT stop it."""
+    df = spark.createDataFrame([(8,)], ["x"])
+    stats: dict = {}
+
+    def metric(d):
+        return d.agg(F.sum("x")).collect()[0][0]
+
+    out = iterate(df, _halve_to_zero, max_rounds=10, metric=metric,
+                  stats=stats, stop_when=lambda s: s == 0)
+    assert out.collect()[0]["x"] == 0
+    # 8 -> 4 -> 2 -> 1 -> 0: stops at round 4, not 5 (no confirm round)
+    assert stats["rounds"] == 4
+
+    # plateau at 3 (metric equal two rounds running) must NOT stop when
+    # stop_when is the criterion; strict raises at the bound instead
+    def plateau(d, _r):
+        return d.select(F.greatest(F.col("x") - 1, F.lit(3)).alias("x"))
+
+    with pytest.raises(RuntimeError, match="still moving"):
+        iterate(df, plateau, max_rounds=6, metric=metric,
+                stop_when=lambda s: s == 0)
+
+
 def test_iterate_rejects_bad_checkpoint_mode(spark):
     df = spark.createDataFrame([(1,)], ["x"])
     with pytest.raises(ValueError, match="local|reliable"):
