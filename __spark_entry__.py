@@ -66,6 +66,7 @@ from flink_streaming_2_10_spark.pipeline.similarity import (
     cosine_topk,
     hyperplane_weights,
     ivf_topk,
+    quantized_cosine_topk,
 )
 from flink_streaming_2_10_spark.pipeline.packing import (
     pack_chunks_oracle,
@@ -389,6 +390,17 @@ def q_similarity_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force exact cosine top-100 against vec_id=0 — the ANN baseline
     (TakeOrderedAndProject: per-partition heap, no global sort)."""
     return cosine_topk(load_table(spark, sf_dir, "embeddings"), query_id=0, k=100)
+
+
+def q_similarity_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cosine top-100 against vec_id=0 over int8-QUANTIZED vectors: the
+    compact-storage face of the brute-force baseline (4× less scan and
+    shuffle bandwidth at 100 TB; scales cancel in cosine so ranking runs
+    on exact integer dot products — pipeline/similarity.py
+    quantize_embeddings / quantized_cosine_topk)."""
+    return quantized_cosine_topk(
+        load_table(spark, sf_dir, "embeddings"), query_id=0, k=100
+    )
 
 
 def q_similarity_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -858,7 +870,7 @@ def _staleness_rotated(base: dict, evidence_dir: str | None = None) -> dict:
     """Reorder the query registry least-recently-driver-verified FIRST.
 
     The driver's correctness run records only the first 50 dict entries
-    per round, but the registry has 57. Reading which round each key
+    per round, but the registry has 58. Reading which round each key
     last appeared in (the repo's ``CORRECTNESS_r*.json`` files) and
     sorting stalest-first guarantees every key lands inside the verified
     window at least every other round — the rotation maintains itself,
@@ -897,7 +909,7 @@ def _staleness_rotated(base: dict, evidence_dir: str | None = None) -> dict:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Query registry, self-rotated under the driver's 50-row
     correctness cap: least-recently-driver-verified keys first (see
-    ``_staleness_rotated``), so all 57 queries carry a driver-green row
+    ``_staleness_rotated``), so all 58 queries carry a driver-green row
     at most one round old even though only 50 are checked per round."""
     return _staleness_rotated({
         "wordcount_rolling_sum": q_wordcount,
@@ -927,6 +939,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "decontamination": q_decontamination,
         "similarity_cosine_topk": q_similarity_cosine_topk,
+        "similarity_quantized_topk": q_similarity_quantized_topk,
         "similarity_ann_topk": q_similarity_ann_topk,
         "similarity_ivf_topk": q_similarity_ivf_topk,
         "similarity_cosine_neardup": q_similarity_cosine_neardup,
@@ -1334,6 +1347,42 @@ def _bucket_sql(t: int, num_planes: int, vec: str = "embedding") -> str:
         for p in range(num_planes)
     )
     return f"({cases})"
+
+
+def _quantized_topk_oracle(query_id: int, k: int, dim: int = _DIM) -> str:
+    """Mirror of similarity.quantize_embeddings + quantized_cosine_topk:
+    same half-up int8 quantization (x·127/max association order is part
+    of the determinism contract) and the same exact-BIGINT dot folds."""
+    qdot = (
+        lambda a, b: f"list_reduce(list_transform(range(1, {dim + 1}), "
+        f"i -> CAST({a}[i] AS BIGINT) * CAST({b}[i] AS BIGINT)), "
+        f"(acc, x) -> acc + x)"
+    )
+    return f"""
+        WITH vd AS (SELECT vec_id, label,
+                           list_transform(embedding,
+                                          x -> CAST(x AS DOUBLE)) AS v
+                    FROM embeddings),
+        ma AS (SELECT *, list_max(list_transform(v, x -> abs(x))) AS m
+               FROM vd),
+        qt AS (SELECT vec_id, label,
+                      CASE WHEN m = 0 THEN list_transform(v, x -> 0)
+                           ELSE list_transform(v,
+                               x -> CAST(floor(x * 127.0 / m + 0.5) AS INT))
+                      END AS qvec
+               FROM ma),
+        n AS (SELECT *, {qdot("qvec", "qvec")} AS qnorm2 FROM qt),
+        q AS (SELECT qvec AS qq, qnorm2 AS qn2 FROM n
+              WHERE vec_id = {query_id})
+        SELECT n.vec_id, n.label,
+               CASE WHEN n.qnorm2 = 0 OR q.qn2 = 0 THEN 0.0
+                    ELSE CAST({qdot("n.qvec", "q.qq")} AS DOUBLE) /
+                         (sqrt(CAST(n.qnorm2 AS DOUBLE)) *
+                          sqrt(CAST(q.qn2 AS DOUBLE)))
+               END AS qcosine
+        FROM n CROSS JOIN q
+        ORDER BY qcosine DESC, n.vec_id ASC
+        LIMIT {k}"""
 
 
 def _cosine_topk_oracle(query_id: int, k: int) -> str:
@@ -2243,6 +2292,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "decontamination": _decontamination_oracle(n=5, min_hits=1, modulo=20),
         "similarity_cosine_topk": _cosine_topk_oracle(query_id=0, k=100),
+        "similarity_quantized_topk": _quantized_topk_oracle(query_id=0, k=100),
         "similarity_ann_topk": _ann_topk_oracle(
             query_id=0, k=50, num_tables=8, num_planes=6
         ),

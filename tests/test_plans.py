@@ -67,7 +67,12 @@ def test_training_shard_scan_is_column_pruned(spark):
 def test_topk_queries_avoid_global_sort(spark):
     import __spark_entry__ as entrymod
 
-    for name in ("similarity_cosine_topk", "top_ngrams", "collocations"):
+    for name in (
+        "similarity_cosine_topk",
+        "similarity_quantized_topk",
+        "top_ngrams",
+        "collocations",
+    ):
         plan = _plan(entrymod.queries()[name](spark, SF_SMALL))
         assert "TakeOrderedAndProject" in plan, name
         # the cut must not fall back to sort-the-world + limit: no global

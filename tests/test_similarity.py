@@ -186,3 +186,64 @@ def test_neardup_candidates_bounded_on_skewed_fixture(spark):
     cands = obs.get["candidate_pairs"]
     assert cands <= 60 * n  # near-linear, not n²/2 = 184k
     assert cands >= len(out)  # sanity: candidates superset of survivors
+
+
+def test_quantize_embeddings_properties(spark):
+    from flink_streaming_2_10_spark.pipeline.similarity import (
+        quantize_embeddings,
+    )
+
+    rows = [
+        (1, [1.0, -2.0, 0.5, 4.0]),
+        (2, [0.0, 0.0, 0.0, 0.0]),   # all-zero: qvec zeros, scale 0
+        (3, [-127.0, 127.0, 63.5, -63.5]),
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"]).withColumn(
+        "embedding", F.col("embedding").cast("array<float>")
+    )
+    got = {
+        r["vec_id"]: (r["scale"], list(r["qvec"]), r["qnorm2"])
+        for r in quantize_embeddings(df, extra_cols=()).collect()
+    }
+    # v1: max|v|=4 -> q = floor(v*127/4 + .5) = [32, -63, 16, 127]
+    assert got[1][1] == [32, -63, 16, 127]
+    assert got[1][0] == pytest.approx(4.0 / 127.0)
+    assert got[1][2] == 32**2 + 63**2 + 16**2 + 127**2
+    assert got[2] == (0.0, [0, 0, 0, 0], 0)
+    # extremes land exactly on ±127, |q| never exceeds 127
+    assert got[3][1] == [-127, 127, 64, -63]  # floor(-63.5+.5) = -63
+    assert all(abs(x) <= 127 for qs in got.values() for x in qs[1])
+    # dequantize roundtrip: q*scale within half a quant step of v
+    for vid, vec in [(1, rows[0][1]), (3, rows[2][1])]:
+        scale, q, _ = got[vid]
+        for orig, qi in zip(vec, q):
+            assert abs(qi * scale - orig) <= scale / 2 + 1e-12
+
+
+def test_quantized_topk_recall_vs_exact(emb):
+    from flink_streaming_2_10_spark.pipeline.similarity import (
+        quantized_cosine_topk,
+    )
+
+    k = 50
+    exact = [r["vec_id"] for r in cosine_topk(emb, query_id=0, k=k).collect()]
+    quant = [
+        r["vec_id"]
+        for r in quantized_cosine_topk(emb, query_id=0, k=k).collect()
+    ]
+    # the query itself ranks first (self-cosine is exactly 1.0 in both)
+    assert quant[0] == 0
+    # int8 quantization error is ~1e-2 per cosine at d=64: the top-k sets
+    # must overlap heavily even if the tail order shuffles
+    overlap = len(set(exact) & set(quant)) / k
+    assert overlap >= 0.8, (overlap, exact, quant)
+
+
+def test_quantized_topk_matches_oracle(spark, duck):
+    import __spark_entry__ as entrymod
+    from tests.conftest import SF_SMALL, assert_df_matches_oracle
+
+    df = entrymod.queries()["similarity_quantized_topk"](spark, SF_SMALL)
+    assert_df_matches_oracle(
+        df, duck, entrymod.oracle_sql()["similarity_quantized_topk"]
+    )
