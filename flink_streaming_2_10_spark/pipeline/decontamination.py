@@ -33,6 +33,7 @@ def decontaminate(
     n: int = 5,
     min_hits: int = 1,
     hasher: str = "xxhash64",
+    broadcast: bool = True,
 ) -> DataFrame:
     """Per-document contamination audit against ``benchmark``.
 
@@ -49,6 +50,14 @@ def decontaminate(
     the audit to have power (tune to your corpus). ``hasher="md5"`` makes
     the whole audit DuckDB-reproducible (oracle parity); ``xxhash64`` is
     the cluster fast path — identical plan.
+
+    ``broadcast=False`` is the escape hatch for a benchmark SUITE whose
+    distinct gram set outgrows executor memory (hundreds of evals × many
+    templates): the probe becomes a shuffled hash join in which the
+    corpus side exchanges only ``(doc_id, 8-byte gram hash)`` rows —
+    document text still never shuffles, and Spark's runtime bloom-filter
+    join pruning (on by default) prefilters the corpus side before the
+    exchange. Identical results either way (tested).
     """
     bench_grams = (
         _shingles(benchmark, id_col, text_col, n)
@@ -64,8 +73,9 @@ def decontaminate(
     totals = doc_grams.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("total_ngrams")
     )
+    probe = F.broadcast(bench_grams) if broadcast else bench_grams
     hits = (
-        doc_grams.join(F.broadcast(bench_grams), "h")
+        doc_grams.join(probe, "h")
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("contaminated_ngrams"))
     )

@@ -70,3 +70,17 @@ def test_driver_query_matches_oracle(spark, duck):
         & ~F.col("is_contaminated")
     ).count()
     assert bad == 0
+
+
+def test_shuffled_probe_equals_broadcast(spark):
+    """broadcast=False (the giant-benchmark escape hatch: shuffled
+    hash-only join) must return exactly the broadcast probe's audit."""
+    docs = [
+        (1, EVAL_Q + " extra tail words here"),
+        (2, "a perfectly clean training document about rivers"),
+        (3, "what is the capital city of france and nothing else"),
+    ]
+    bench = [(100, EVAL_Q)]
+    a = _audit(spark, docs, bench, n=5)
+    b = _audit(spark, docs, bench, n=5, broadcast=False)
+    assert a == b and a[1][2] and not a[2][2]
