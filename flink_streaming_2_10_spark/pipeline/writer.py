@@ -75,6 +75,45 @@ def shard_manifest(
     )
 
 
+def write_bucketed_table(
+    df: DataFrame,
+    table: str,
+    path: str,
+    bucket_col: str = "doc_id",
+    num_buckets: int = 64,
+    sort_col: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Persist ``df`` as a Spark BUCKETED parquet table (external, at
+    ``path``): rows are hash-partitioned into ``num_buckets`` files by
+    ``bucket_col`` and optionally sorted within each bucket.
+
+    The co-located-join primitive for a corpus that is joined or
+    aggregated on the same key repeatedly (dedup reruns, incremental
+    ingestion diffs, per-doc feature joins): two tables bucketed the same
+    way join with ZERO exchanges — the scan's bucket layout satisfies the
+    join's partitioning requirement outright, so at 100 TB each rerun
+    saves a full corpus shuffle for a one-time write-side cost. Pinned by
+    ``tests/test_writer.py::test_bucketed_tables_join_without_exchange``.
+
+    Bucket metadata lives in the session catalog (``saveAsTable`` is
+    required — plain ``.parquet()`` writes no bucket spec, and a reader
+    that doesn't know the layout can't exploit it); ``path`` keeps the
+    data external so the table is re-registerable in a fresh session.
+    """
+    if num_buckets < 1:
+        raise ValueError(f"num_buckets must be >= 1, got {num_buckets}")
+    writer = (
+        df.write.mode(mode)
+        .format("parquet")
+        .option("path", path)
+        .bucketBy(num_buckets, bucket_col)
+    )
+    if sort_col is not None:
+        writer = writer.sortBy(sort_col)
+    writer.saveAsTable(table)
+
+
 def write_training_shards(
     df: DataFrame,
     out_dir: str,

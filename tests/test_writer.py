@@ -91,3 +91,49 @@ def test_num_shards_validation(spark):
     docs = load_table(spark, SF_DIR, "documents")
     with pytest.raises(ValueError, match="num_shards"):
         assign_shards(docs, 0)
+
+
+def test_bucketed_tables_join_without_exchange(spark, tmp_path):
+    """Two tables bucketed identically on the join key must join with
+    ZERO exchanges — the scan's bucket layout satisfies the join's
+    partitioning requirement, which is the entire point of paying the
+    bucketed write (repeated 100 TB joins become shuffle-free)."""
+    import contextlib
+    import io
+
+    from flink_streaming_2_10_spark.pipeline.writer import (
+        write_bucketed_table,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"text {i}") for i in range(500)], ["doc_id", "text"]
+    )
+    feats = spark.createDataFrame(
+        [(i, i * 10) for i in range(0, 500, 2)], ["doc_id", "score"]
+    )
+    thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        write_bucketed_table(
+            docs, "bt_docs", str(tmp_path / "d"), "doc_id", 4, sort_col="doc_id"
+        )
+        write_bucketed_table(feats, "bt_feats", str(tmp_path / "f"), "doc_id", 4)
+        # Disable auto-broadcast: these test tables are KBs, so the planner
+        # would broadcast and hide the property under test — at the scale
+        # bucketing targets, neither side is broadcastable by definition.
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table("bt_docs").join(spark.table("bt_feats"), "doc_id")
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            joined.explain("formatted")
+        plan = buf.getvalue()
+        assert "Exchange" not in plan, plan  # bucket layout == join layout
+        assert "Bucketed: true" in plan, plan
+        rows = {r["doc_id"]: r["score"] for r in joined.collect()}
+        assert len(rows) == 250 and rows[4] == 40
+        # validation: bad bucket count refuses
+        with pytest.raises(ValueError, match="num_buckets"):
+            write_bucketed_table(docs, "bt_bad", str(tmp_path / "x"), "doc_id", 0)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+        spark.sql("DROP TABLE IF EXISTS bt_docs")
+        spark.sql("DROP TABLE IF EXISTS bt_feats")
