@@ -11,6 +11,7 @@ flink_streaming_2_10_spark/functions/money.py).
 
 from __future__ import annotations
 
+import functools
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
@@ -876,34 +877,45 @@ def _staleness_rotated(base: dict, evidence_dir: str | None = None) -> dict:
     window at least every other round — the rotation maintains itself,
     no manual reordering per round (COVERAGE.md "Rotation"). Keys never
     recorded sort first; ties keep the canonical (registry) order. Any
-    read failure degrades to the canonical order.
+    read failure degrades to the canonical order. The evidence scan is
+    memoized per directory (it cannot change within a process, and
+    ``queries()`` is called from dozens of test/bench sites).
     """
+    import os
+
+    try:
+        here = evidence_dir or os.path.dirname(os.path.abspath(__file__))
+        last_seen = dict(_evidence_last_seen(here))
+    except Exception:
+        return base
+    order = sorted(base, key=lambda k: last_seen.get(k, -1))
+    return {k: base[k] for k in order}
+
+
+@functools.lru_cache(maxsize=8)
+def _evidence_last_seen(here: str) -> tuple[tuple[str, int], ...]:
+    """(key, latest round recorded) pairs from CORRECTNESS_r*.json."""
     import glob
     import json
     import os
     import re
 
     last_seen: dict[str, int] = {}
-    try:
-        here = evidence_dir or os.path.dirname(os.path.abspath(__file__))
-        for path in glob.glob(os.path.join(here, "CORRECTNESS_r*.json")):
-            m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
-            if not m:
-                continue
-            rnd = int(m.group(1))
-            try:
-                with open(path) as fh:
-                    recorded = json.load(fh)
-            except (OSError, ValueError):
-                continue
-            if not isinstance(recorded, dict):
-                continue
-            for key in recorded:
-                last_seen[key] = max(last_seen.get(key, -1), rnd)
-    except Exception:
-        return base
-    order = sorted(base, key=lambda k: last_seen.get(k, -1))
-    return {k: base[k] for k in order}
+    for path in glob.glob(os.path.join(here, "CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            with open(path) as fh:
+                recorded = json.load(fh)
+        except (OSError, ValueError):
+            continue
+        if not isinstance(recorded, dict):
+            continue
+        for key in recorded:
+            last_seen[key] = max(last_seen.get(key, -1), rnd)
+    return tuple(last_seen.items())
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -131,6 +131,10 @@ def iterate(
     """
     if max_rounds < 0:
         raise ValueError(f"max_rounds must be >= 0, got {max_rounds}")
+    if stop_when is not None and metric is None:
+        # Without a metric there is nothing to feed the predicate; the
+        # loop would silently run fixed rounds as if converged.
+        raise ValueError("stop_when requires a metric")
     start_round = 0
     state = None
     if resume_dir is not None:

@@ -97,6 +97,23 @@ def _driver_union_find(src, dst) -> dict[int, int]:
     return {n: find(n) for n in parent}
 
 
+def _small_result_df(session, mapping: dict[int, int], schema: str):
+    """Broadcast-hinted DataFrame from a driver-solved {key: value} map.
+    The EXPLICIT schema matters: an empty mapping (clean corpus, no
+    pairs; no reachable nodes) must yield an empty frame, and schema
+    inference on an empty pandas frame raises CANNOT_INFER_EMPTY_SCHEMA."""
+    import pandas as pd
+
+    cols = [c.split()[0] for c in schema.split(",")]
+    pdf = pd.DataFrame(
+        {
+            cols[0]: pd.Series(list(mapping.keys()), dtype="int64"),
+            cols[1]: pd.Series(list(mapping.values()), dtype="int64"),
+        }
+    )
+    return F.broadcast(session.createDataFrame(pdf, schema=schema))
+
+
 def connected_components(
     pairs: DataFrame,
     a_col: str = "doc_a",
@@ -150,8 +167,6 @@ def connected_components(
         # One cheap count on the checkpointed 16-byte rows decides the
         # strategy (the loop would scan them every round anyway).
         if edges.limit(driver_solve_max_edges + 1).count() <= driver_solve_max_edges:
-            import pandas as pd
-
             pdf = edges.toPandas()
             labels = _driver_union_find(
                 pdf["src"].to_numpy().tolist(), pdf["dst"].to_numpy().tolist()
@@ -159,19 +174,11 @@ def connected_components(
             if stats is not None:
                 stats["rounds"] = 0
                 stats["driver_solved"] = True
-            out = pairs.sparkSession.createDataFrame(
-                pd.DataFrame(
-                    {
-                        "node": pd.Series(list(labels.keys()), dtype="int64"),
-                        "component": pd.Series(
-                            list(labels.values()), dtype="int64"
-                        ),
-                    }
-                )
-            )
             # The result re-enters corpus-sized joins downstream
             # (dedup_canonical): broadcast-sized by construction here.
-            return F.broadcast(out)
+            return _small_result_df(
+                pairs.sparkSession, labels, "node long, component long"
+            )
 
     labels0 = (
         edges.select("src")
@@ -192,9 +199,14 @@ def connected_components(
     # and `stop_when == 0` stops the loop IN the converged round — no
     # extra confirm round re-testing equality, no up-front baseline job.
     def _changed_count(lbls: DataFrame):
-        return lbls.agg(
-            F.sum(F.col("changed").cast("long")).alias("n")
-        ).collect()[0]["n"]
+        # `or 0`: F.sum over an EMPTY table is NULL/None, and
+        # stop_when(None) would never fire — an empty label table is a
+        # (trivially) converged one.
+        return (
+            lbls.agg(F.sum(F.col("changed").cast("long")).alias("n"))
+            .collect()[0]["n"]
+            or 0
+        )
 
     def _step(labels: DataFrame, _round_no: int) -> DataFrame:
         # Neighbor step, FRONTIER-optimized: only nodes whose label
@@ -271,6 +283,13 @@ def dedup_canonical(
     ``canonical_id`` is the minimum doc id of the document's duplicate
     cluster (its own id when unpaired); keep rows where ``doc_id ==
     canonical_id`` to materialize the deduplicated corpus.
+
+    CONTRACT: ``pairs`` must reference only ids present in ``df`` and
+    ``id_col`` must be unique in ``df`` (both hold whenever the pairs
+    were produced from ``df`` by a dedup detector, which is every caller
+    here) — cluster sizes count GRAPH NODES, so an id in ``pairs`` that
+    is missing from (or duplicated in) ``df`` would over/under-count
+    relative to counting corpus rows.
 
     Scale shape: the component table covers only PAIRED docs (≪ corpus),
     so cluster sizes are an aggregation over that small table alone —

@@ -84,7 +84,9 @@ def shortest_path_hops(
         if edges.limit(driver_solve_max_edges + 1).count() <= driver_solve_max_edges:
             from collections import deque
 
-            import pandas as pd
+            from flink_streaming_2_10_spark.pipeline.components import (
+                _small_result_df,
+            )
 
             pdf = edges.toPandas()
             adj: dict[int, list[int]] = {}
@@ -105,15 +107,8 @@ def shortest_path_hops(
             if stats is not None:
                 stats["rounds"] = 0
                 stats["driver_solved"] = True
-            return F.broadcast(
-                pairs.sparkSession.createDataFrame(
-                    pd.DataFrame(
-                        {
-                            "node": pd.Series(list(hops.keys()), dtype="int64"),
-                            "hops": pd.Series(list(hops.values()), dtype="int64"),
-                        }
-                    )
-                )
+            return _small_result_df(
+                pairs.sparkSession, hops, "node long, hops long"
             )
 
     dist0 = seed_nodes.select(
@@ -129,9 +124,14 @@ def shortest_path_hops(
     # materializing action), and `stop_when == 0` stops IN the converged
     # round — no equality confirm round, no baseline probe.
     def _changed_count(d: DataFrame):
-        return d.agg(F.sum(F.col("changed").cast("long")).alias("n")).collect()[
-            0
-        ]["n"]
+        # `or 0`: F.sum over an EMPTY table (no seeds reached anything,
+        # or an empty seed set) is None — trivially converged.
+        return (
+            d.agg(F.sum(F.col("changed").cast("long")).alias("n")).collect()[0][
+                "n"
+            ]
+            or 0
+        )
 
     def _step(dist: DataFrame, _round_no: int) -> DataFrame:
         # Only the frontier (nodes improved last round) makes offers —

@@ -95,7 +95,7 @@ def score_with_models(
     event_time: str,
     value_units_col: str,
     right_prefix: str = "m_",
-    broadcast: bool | None = None,
+    broadcast: bool = True,
 ) -> DataFrame:
     """Batch scorer: every event with its newest applicable model's
     columns (``{prefix}model_t``/``sum_units``/``n_samples``, NULL before
@@ -117,8 +117,6 @@ def score_with_models(
     table genuinely outgrows executor memory (more distinct keys ×
     windows than a broadcast can hold), which inverts the trade.
     """
-    if broadcast is None:
-        broadcast = True  # models are keys x windows — broadcast-sized
     join = asof_enrich_stream if broadcast else asof_join
     enriched = join(
         events,

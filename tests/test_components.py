@@ -179,3 +179,24 @@ def test_dedup_components_query_matches_oracle(spark, duck):
         .collect()[0]["s"]
     )
     assert total == got.count()
+
+
+@BOTH_PATHS
+def test_empty_pairs_yield_empty_components(spark, dsme):
+    """A clean corpus (zero near-dup pairs) is the HAPPY PATH: both
+    strategies must return an empty frame, not crash on empty-schema
+    inference (driver path) or spin max_rounds then raise (loop path)."""
+    empty = spark.createDataFrame([], "doc_a long, doc_b long")
+    out = connected_components(empty, driver_solve_max_edges=dsme)
+    assert out.collect() == []
+    assert [f.name for f in out.schema.fields] == ["node", "component"]
+
+
+def test_dedup_canonical_with_no_pairs_is_identity(spark):
+    docs = spark.createDataFrame([(i,) for i in (1, 2, 3)], ["doc_id"])
+    empty = spark.createDataFrame([], "doc_a long, doc_b long")
+    rows = {
+        r["doc_id"]: (r["canonical_id"], r["cluster_size"])
+        for r in dedup_canonical(docs, empty).collect()
+    }
+    assert rows == {1: (1, 1), 2: (2, 1), 3: (3, 1)}

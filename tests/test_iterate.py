@@ -295,3 +295,18 @@ def test_graph_hops_query_matches_oracle(spark, duck):
     assert_df_matches_oracle(
         df, duck, entrymod.oracle_sql()["graph_shortest_hops"]
     )
+
+
+@BFS_BOTH
+def test_bfs_empty_seeds_return_empty(spark, dsme):
+    pairs = spark.createDataFrame([(1, 2)], ["doc_a", "doc_b"])
+    no_seeds = spark.createDataFrame([], "node long")
+    out = shortest_path_hops(pairs, no_seeds, driver_solve_max_edges=dsme)
+    assert out.collect() == []
+    assert [f.name for f in out.schema.fields] == ["node", "hops"]
+
+
+def test_iterate_stop_when_without_metric_rejected(spark):
+    df = spark.createDataFrame([(1,)], ["x"])
+    with pytest.raises(ValueError, match="stop_when requires a metric"):
+        iterate(df, _halve_to_zero, max_rounds=1, stop_when=lambda s: True)
