@@ -403,6 +403,12 @@ def collocations(
     marginal joins key on single words against the vocabulary-sized
     unigram table; totals attach via broadcast; the final cut is
     TakeOrderedAndProject on (lift DESC, w1, w2) — no global sort.
+    The count tables are NOT persisted, deliberately: although the
+    static plan shows each feeding two consumers (its total and the
+    scoring join — five corpus scans on paper), Spark's ReusedExchange
+    dedupes the identical agg subtrees at runtime, and an explicit cache
+    measured ~1.7× SLOWER at sf0.1 (materialization cost, no recompute
+    saved).
     """
     from flink_streaming_2_10_spark.pipeline.dedup import _words_sql
 
