@@ -401,9 +401,13 @@ def minhash_lsh_candidates(
         sig_guard.isNull().cast("int") * F.lit(0) if validate else F.lit(0)
     )
 
-    # One row per doc — cache so the bucket self-join doesn't recompute the
-    # signature aggregation for each side.
-    signatures = tracked_persist(signatures)
+    # NOT persisted, deliberately: the signature aggregation ends in an
+    # exchange, and the bucket self-join's two sides are the identical
+    # subtree — ReusedExchange computes it once at runtime; an explicit
+    # cache measured ~15% slower at sf0.1 (materialization for no saved
+    # recompute). Contrast the POSTINGS persist in the callers, which is
+    # a narrow map with no exchange to reuse and measures 2× faster
+    # cached.
     banded = (
         signatures.select(
             "doc_id",
