@@ -936,3 +936,51 @@ def test_streaming_dedup_within_watermark(spark, tmp_path):
     collected = collect_stream(out, str(tmp_path / "ck"), output_mode="append")
     survivors = sorted(r["doc_id"] for batch in collected for r in batch)
     assert survivors == [1, 3]
+
+
+def test_incremental_ingestion_dedups_across_runs(spark, tmp_path):
+    """availableNow incremental ingestion (runners.run_incremental): the
+    second invocation processes ONLY files that arrived after the first
+    (no rescan — batch row counts prove it), and exact-dedup state
+    persists across runs through the checkpoint, so a later run
+    suppresses duplicates of documents ingested by an earlier one."""
+    from flink_streaming_2_10_spark.streaming.runners import (
+        run_incremental,
+        streaming_exact_dedup,
+    )
+
+    src = str(tmp_path / "docs")
+    ck = str(tmp_path / "ck")
+    _write_text_files(src, ["1,alpha beta\n2,gamma delta"])
+
+    parts = F.split(F.col("text"), ",", 2)
+
+    def stream():
+        raw = spark.readStream.text(src).withColumnRenamed("value", "text")
+        return streaming_exact_dedup(
+            raw.select(
+                F.element_at(parts, 1).cast("long").alias("doc_id"),
+                F.element_at(parts, 2).alias("body"),
+            ),
+            id_col="doc_id",
+            text_col="body",
+        )
+
+    seen: list[tuple[int, int]] = []  # (run, doc_id)
+
+    def collect_run(run_no):
+        def on_batch(bdf, _bid):
+            for r in bdf.collect():
+                seen.append((run_no, r["doc_id"]))
+        return on_batch
+
+    run_incremental(stream(), ck, collect_run(1))
+    assert sorted(d for n, d in seen if n == 1) == [1, 2]
+
+    # second drop: 3 duplicates run-1's doc 1 (normalized), 4 is new
+    _write_text_files(
+        src, ["1,alpha beta\n2,gamma delta", "3,ALPHA  beta\n4,epsilon"]
+    )
+    run_incremental(stream(), ck, collect_run(2))
+    # only the new file was read, and 3 was suppressed by run-1 state
+    assert sorted(d for n, d in seen if n == 2) == [4]
