@@ -169,3 +169,47 @@ def test_session_window_agg_parity_under_rocksdb(rocksdb_spark, tmp_path):
         for batch in batches for r in batch
     }
     assert got == expected
+
+
+def test_incremental_ingestion_dedup_under_rocksdb(rocksdb_spark, tmp_path):
+    """The production composition: availableNow incremental passes with
+    exact-dedup state in RocksDB — fingerprints persist across RUNS via
+    the checkpoint and across KEYS via disk-backed state, so a later
+    pass suppresses an earlier pass's documents without heap growth."""
+    from pyspark.sql import functions as F
+
+    from flink_streaming_2_10_spark.streaming.runners import (
+        run_incremental,
+        streaming_exact_dedup,
+    )
+
+    spark = rocksdb_spark
+    src = str(tmp_path / "docs")
+    ck = str(tmp_path / "ck")
+    _write_text_files(src, ["1,alpha beta\n2,gamma delta"])
+    parts = F.split(F.col("text"), ",", 2)
+
+    def stream():
+        raw = spark.readStream.text(src).withColumnRenamed("value", "text")
+        return streaming_exact_dedup(
+            raw.select(
+                F.element_at(parts, 1).cast("long").alias("doc_id"),
+                F.element_at(parts, 2).alias("body"),
+            ),
+            id_col="doc_id",
+            text_col="body",
+        )
+
+    out: list[int] = []
+
+    def on_batch(bdf, _bid):
+        out.extend(r["doc_id"] for r in bdf.collect())
+
+    run_incremental(stream(), ck, on_batch)
+    assert sorted(out) == [1, 2]
+    out.clear()
+    _write_text_files(
+        src, ["1,alpha beta\n2,gamma delta", "3,alpha BETA\n4,epsilon"]
+    )
+    run_incremental(stream(), ck, on_batch)
+    assert sorted(out) == [4]  # 3 suppressed by run-1 RocksDB state
