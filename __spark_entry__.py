@@ -82,6 +82,8 @@ from flink_streaming_2_10_spark.pipeline.redaction import (
 from flink_streaming_2_10_spark.pipeline.sampling import (
     domain_mixture,
     domain_mixture_oracle,
+    holdout_split,
+    holdout_split_oracle,
     priority_sample,
     priority_sample_oracle,
     source_quality_cap,
@@ -814,6 +816,19 @@ def q_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
 SAMPLE_RATES = {"en": 0.5, "de": 0.25, "es": 0.1}
 
 
+HOLDOUT_FRACTIONS = {"train": 0.9, "val": 0.05, "test": 0.05}
+
+
+def q_holdout_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic disjoint train/val/test assignment by cumulative
+    hash-threshold bands — one narrow projection, zero shuffle, and a
+    document can never migrate between train and a held-out set across
+    reruns (pipeline/sampling.py holdout_split)."""
+    return holdout_split(
+        load_table(spark, sf_dir, "documents"), HOLDOUT_FRACTIONS
+    )
+
+
 def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic per-language hash-threshold sampling — a pure
     scan-side filter, no shuffle (pipeline/sampling.py)."""
@@ -871,7 +886,7 @@ def _staleness_rotated(base: dict, evidence_dir: str | None = None) -> dict:
     """Reorder the query registry least-recently-driver-verified FIRST.
 
     The driver's correctness run records only the first 50 dict entries
-    per round, but the registry has 58. Reading which round each key
+    per round, but the registry has 59. Reading which round each key
     last appeared in (the repo's ``CORRECTNESS_r*.json`` files) and
     sorting stalest-first guarantees every key lands inside the verified
     window at least every other round — the rotation maintains itself,
@@ -921,7 +936,7 @@ def _evidence_last_seen(here: str) -> tuple[tuple[str, int], ...]:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Query registry, self-rotated under the driver's 50-row
     correctness cap: least-recently-driver-verified keys first (see
-    ``_staleness_rotated``), so all 58 queries carry a driver-green row
+    ``_staleness_rotated``), so all 59 queries carry a driver-green row
     at most one round old even though only 50 are checked per round."""
     return _staleness_rotated({
         "wordcount_rolling_sum": q_wordcount,
@@ -970,6 +985,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shard_manifest": q_shard_manifest,
         "sketch_distinct_ngrams": q_sketch_distinct_ngrams,
         "stratified_sample": q_stratified_sample,
+        "holdout_split": q_holdout_split,
         "priority_sample": q_priority_sample,
         "domain_mixture": q_domain_mixture,
         "pii_redaction": q_pii_redaction,
@@ -2365,6 +2381,7 @@ def oracle_sql() -> dict[str, str]:
         "stratified_sample": stratified_sample_oracle(
             SAMPLE_RATES, default_rate=0.05
         ),
+        "holdout_split": holdout_split_oracle(HOLDOUT_FRACTIONS),
         "priority_sample": priority_sample_oracle(k=40),
         "domain_mixture": domain_mixture_oracle(
             f"len(regexp_extract_all(text, '{BPE_PATTERN}'))"

@@ -94,6 +94,69 @@ def stratified_sample_oracle(
     """
 
 
+def holdout_split(
+    df: DataFrame,
+    fractions: dict[str, float],
+    id_col: str = "doc_id",
+    salt: str = "split",
+) -> DataFrame:
+    """Deterministic disjoint train/val/test assignment: each row gets
+    the ``split`` label of the hash-threshold band its
+    ``hash(salt, id) / 2^60`` value falls in — cumulative fractions over
+    alphabetically-sorted split names, remainder to the LAST name.
+
+    Scan-side (one narrow projection, zero shuffle, no sampling pass),
+    reproducible (re-running assigns identically — the property a
+    training pipeline needs so a document can never migrate between
+    train and a held-out set across reruns), and monotone-stable:
+    growing one split's fraction only moves rows across the ONE adjacent
+    boundary. Exactly mirrored in DuckDB (:func:`holdout_split_oracle`),
+    same IEEE-double band arithmetic as :func:`stratified_sample`.
+    """
+    names = sorted(fractions)
+    if not names:
+        raise ValueError("fractions must not be empty")
+    total = sum(float(fractions[n]) for n in names)
+    if not 0.999999 <= total <= 1.000001:
+        raise ValueError(f"fractions must sum to 1, got {total}")
+    key = _sample_key(F.col(id_col), salt).cast("double")
+    # First-match-wins when-chain over cumulative band edges — the exact
+    # CASE shape the oracle emits.
+    label: Column | None = None
+    cum = 0.0
+    for name in names[:-1]:
+        cum += float(fractions[name])
+        cond = key < F.lit(cum) * F.lit(_TWO_POW_60)
+        label = F.when(cond, name) if label is None else label.when(cond, name)
+    label = F.lit(names[-1]) if label is None else label.otherwise(names[-1])
+    return df.select(id_col, label.alias("split"))
+
+
+def holdout_split_oracle(
+    fractions: dict[str, float],
+    table: str = "documents",
+    id_col: str = "doc_id",
+    salt: str = "split",
+) -> str:
+    """DuckDB mirror of :func:`holdout_split` — same cumulative bands,
+    same double arithmetic, same remainder-to-last rule."""
+    names = sorted(fractions)
+    key = sample_key_sql(id_col, salt)
+    whens, cum = [], 0.0
+    for name in names[:-1]:
+        cum += float(fractions[name])
+        whens.append(
+            f"WHEN CAST({key} AS DOUBLE) < {cum!r} * {_TWO_POW_60!r} "
+            f"THEN '{name}'"
+        )
+    case = " ".join(whens)
+    return f"""
+        SELECT {id_col},
+               CASE {case} ELSE '{names[-1]}' END AS split
+        FROM {table}
+    """
+
+
 def domain_mixture(
     df: DataFrame,
     token_col_expr: Column,

@@ -150,3 +150,60 @@ def test_source_quality_cap_caps_and_ranks(spark):
         assert [r["rank_in_source"] for r in grp] == list(range(1, len(grp) + 1))
         qs = [r["quality"] for r in grp]
         assert qs == sorted(qs, reverse=True)
+
+
+def test_holdout_split_partitions_exactly(docs):
+    """Every doc gets exactly one split label; labels are the requested
+    set; rough fraction sanity at sf0.001."""
+    from flink_streaming_2_10_spark.pipeline.sampling import holdout_split
+
+    out = holdout_split(docs, {"train": 0.8, "val": 0.1, "test": 0.1})
+    rows = out.collect()
+    assert len(rows) == docs.count()  # one label per doc, none dropped
+    counts: dict[str, int] = {}
+    for r in rows:
+        counts[r["split"]] = counts.get(r["split"], 0) + 1
+    assert set(counts) <= {"train", "val", "test"}
+    n = len(rows)
+    assert counts["train"] / n > 0.7  # ~0.8 with hash noise at 500 docs
+
+
+def test_holdout_split_deterministic_and_stable_under_growth(docs):
+    """Rerun ⇒ identical labels. Growing train's fraction (shrinking
+    val) only MOVES val rows into train — no doc ever crosses from a
+    held-out set into a different held-out set, and no train doc leaves:
+    the no-migration guarantee a training pipeline needs."""
+    from flink_streaming_2_10_spark.pipeline.sampling import holdout_split
+
+    a = {r["doc_id"]: r["split"]
+         for r in holdout_split(docs, {"train": 0.8, "val": 0.1, "test": 0.1}).collect()}
+    b = {r["doc_id"]: r["split"]
+         for r in holdout_split(docs, {"train": 0.8, "val": 0.1, "test": 0.1}).collect()}
+    assert a == b
+    grown = {r["doc_id"]: r["split"]
+             for r in holdout_split(docs, {"train": 0.85, "val": 0.05, "test": 0.1}).collect()}
+    for doc, was in a.items():
+        now = grown[doc]
+        if was == "train":
+            assert now == "train"
+        if was == "test":
+            assert now == "test"
+        if was == "val":
+            assert now in ("train", "val")
+
+
+def test_holdout_split_validation(docs):
+    from flink_streaming_2_10_spark.pipeline.sampling import holdout_split
+
+    with pytest.raises(ValueError, match="sum to 1"):
+        holdout_split(docs, {"train": 0.5, "val": 0.1})
+    with pytest.raises(ValueError, match="not be empty"):
+        holdout_split(docs, {})
+
+
+def test_holdout_split_matches_oracle(spark, duck):
+    import __spark_entry__ as entrymod
+    from tests.conftest import assert_df_matches_oracle
+
+    df = entrymod.queries()["holdout_split"](spark, SF_SMALL)
+    assert_df_matches_oracle(df, duck, entrymod.oracle_sql()["holdout_split"])
