@@ -28,6 +28,7 @@ from flink_streaming_2_10_spark.operators.relational import (
     forecast_revenue,
     pricing_cube,
     pricing_summary,
+    priority_order_check,
     revenue_by_region,
     shipping_priority,
 )
@@ -707,6 +708,16 @@ def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
     return forecast_revenue(load_table(spark, sf_dir, "lineitem"))
 
 
+def q_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4-shaped priority check: EXISTS-pattern LEFT SEMI join
+    (orders with any post-orderdate shipment in the quarter) + count per
+    priority (operators/relational.priority_order_check)."""
+    return priority_order_check(
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "lineitem"),
+    )
+
+
 def q_token_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language token-count percentiles with percentile_cont
     semantics via the value histogram — no per-group value buffer
@@ -886,7 +897,7 @@ def _staleness_rotated(base: dict, evidence_dir: str | None = None) -> dict:
     """Reorder the query registry least-recently-driver-verified FIRST.
 
     The driver's correctness run records only the first 50 dict entries
-    per round, but the registry has 59. Reading which round each key
+    per round, but the registry has 60. Reading which round each key
     last appeared in (the repo's ``CORRECTNESS_r*.json`` files) and
     sorting stalest-first guarantees every key lands inside the verified
     window at least every other round — the rotation maintains itself,
@@ -936,13 +947,14 @@ def _evidence_last_seen(here: str) -> tuple[tuple[str, int], ...]:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Query registry, self-rotated under the driver's 50-row
     correctness cap: least-recently-driver-verified keys first (see
-    ``_staleness_rotated``), so all 59 queries carry a driver-green row
+    ``_staleness_rotated``), so all 60 queries carry a driver-green row
     at most one round old even though only 50 are checked per round."""
     return _staleness_rotated({
         "wordcount_rolling_sum": q_wordcount,
         "pojo_wordcount_sum": q_pojo_wordcount,
         "tpch_q1_pricing_summary": q_tpch_q1,
         "tpch_q6_forecast_revenue": q_tpch_q6,
+        "tpch_q4_priority_check": q_tpch_q4,
         "tpch_q3_shipping_priority": q_tpch_q3,
         "pricing_cube": q_pricing_cube,
         "revenue_by_region": q_revenue_by_region,
@@ -2443,6 +2455,16 @@ def oracle_sql() -> dict[str, str]:
                         * CAST(8000 + (doc_id % 4) * 4000 AS BIGINT) / 1000
                         AS BIGINT) * 2 AS pcm16_bytes
             FROM documents WHERE doc_id % 3 = 1
+        """,
+        "tpch_q4_priority_check": """
+            SELECT o_orderpriority, count(*) AS order_count
+            FROM orders o
+            WHERE o.o_orderdate >= TIMESTAMP '1994-01-01 00:00:00'
+              AND o.o_orderdate < TIMESTAMP '1994-04-01 00:00:00'
+              AND EXISTS (SELECT 1 FROM lineitem l
+                          WHERE l.l_orderkey = o.o_orderkey
+                            AND l.l_shipdate > o.o_orderdate)
+            GROUP BY o_orderpriority
         """,
         "tpch_q6_forecast_revenue": """
             WITH pre AS (

@@ -232,3 +232,39 @@ def forecast_revenue(
             F.sum(F.col("price_c") * F.col("disc_pc")), 4
         ).alias("revenue")
     )
+
+
+def priority_order_check(
+    orders: DataFrame,
+    lineitem: DataFrame,
+    start: str = "1994-01-01",
+    end: str = "1994-04-01",
+) -> DataFrame:
+    """TPC-H Q4-shaped order-priority check: count orders per priority in
+    a quarter that have at least one lineitem shipped AFTER the order
+    date — the EXISTS subquery pattern, planned as a LEFT SEMI join with
+    a non-equi conjunct (the one relational join strategy the other
+    queries don't exercise; the driver testdata lacks
+    l_commitdate/l_receiptdate, so ship-after-order stands in for the
+    upstream commit-before-receipt predicate).
+
+    Scale shape: the quarter filter is pushed to the orders scan; the
+    semi join carries only (orderkey, orderdate) against (orderkey,
+    shipdate) — neither side's payload columns move — and dedups
+    per-order matches inside the join operator (no distinct needed);
+    the final agg is one exchange on the 5-value priority key.
+    """
+    o = orders.filter(
+        (F.col("o_orderdate") >= F.lit(start).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(end).cast("timestamp"))
+    ).select("o_orderkey", "o_orderdate", "o_orderpriority")
+    li = lineitem.select("l_orderkey", "l_shipdate")
+    hit = o.join(
+        li,
+        (o["o_orderkey"] == li["l_orderkey"])
+        & (li["l_shipdate"] > o["o_orderdate"]),
+        "left_semi",
+    )
+    return hit.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("order_count")
+    )

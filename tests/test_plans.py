@@ -83,6 +83,20 @@ def test_topk_queries_avoid_global_sort(spark):
         assert "Exchange SinglePartition" not in plan, name
 
 
+def test_tpch_q4_is_semi_join_with_pushed_quarter(spark):
+    """The EXISTS pattern must plan as a LEFT SEMI join (per-order match
+    dedup inside the join operator — no distinct stage) with the quarter
+    filter pushed into the orders scan."""
+    import __spark_entry__ as entrymod
+
+    plan = _plan(entrymod.queries()["tpch_q4_priority_check"](spark, SF_SMALL))
+    assert "LeftSemi" in plan, plan
+    orders_scans = [s for s in _scan_sections(plan) if "orders" in s]
+    assert orders_scans, plan
+    pushed = orders_scans[0].split("PushedFilters:")[1].split("\n")[0]
+    assert "o_orderdate" in pushed, pushed
+
+
 def test_revenue_by_region_broadcasts_small_dims(spark):
     import __spark_entry__ as entrymod
 
