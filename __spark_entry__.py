@@ -49,6 +49,7 @@ from flink_streaming_2_10_spark.operators.wordcount import (
     word_count_pojo,
 )
 from flink_streaming_2_10_spark.pipeline.dedup import (
+    DEFAULT_MAX_BUCKET_SIZE,
     DEFAULT_MAX_DF_FRAC,
     duckdb_hash60_sql,
     exact_dedup,
@@ -1048,15 +1049,20 @@ def _md5_hash64_sql(expr: str, seed: int) -> str:
 def _ngram_jaccard_oracle(
     n: int, threshold: float, max_df_frac: float | None = None
 ) -> str:
-    """Mirror of ngram_jaccard_pairs. ``max_df_frac`` reproduces the
-    fractional stop-gram prune: Spark resolves the cap driver-side as
-    ``ceil(frac * count)``; here the identical IEEE product goes through
-    CEIL in-query, so both engines prune exactly the same grams."""
+    """Mirror of ngram_jaccard_pairs (default ``collapse_exact=True``):
+    exact duplicates pre-collapse to one representative per distinct
+    normalized text, the inverted index and the document-frequency prune
+    run over representatives, and identical classes re-expand as star
+    edges carrying the rep's post-prune set size. ``max_df_frac``
+    reproduces the fractional stop-gram prune: Spark resolves the cap
+    driver-side as ``ceil(frac * n_reps)``; here the identical IEEE
+    product goes through CEIL in-query, so both engines prune exactly
+    the same grams."""
     if max_df_frac is None:
         prune = ""
     else:
         prune = f"""
-        cap AS (SELECT CEIL({max_df_frac!r} * count(*)) AS cap FROM documents),
+        cap AS (SELECT CEIL({max_df_frac!r} * count(*)) AS cap FROM reps),
         freq AS (SELECT h FROM hh0 GROUP BY h
                  HAVING count(*) > (SELECT cap FROM cap)),"""
     hh_src = (
@@ -1065,7 +1071,15 @@ def _ngram_jaccard_oracle(
         else "SELECT * FROM hh0"
     )
     return f"""
-        WITH {_shingle_ctes(n)},
+        WITH nrm AS (SELECT doc_id, text,
+                     md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS nfp
+              FROM documents),
+        cls AS (SELECT nfp, min(doc_id) AS rep,
+                       arg_min(text, doc_id) AS rep_text,
+                       count(*) AS m
+                FROM nrm GROUP BY nfp),
+        reps AS (SELECT rep AS doc_id, rep_text AS text FROM cls),
+        {_shingle_ctes(n, "reps")},
         hh0 AS (SELECT doc_id, {duckdb_hash60_sql("shingle")} AS h FROM sh),{prune}
         hh AS ({hh_src}),
         sizes AS (SELECT doc_id, count(*) AS sz FROM hh GROUP BY doc_id),
@@ -1083,7 +1097,17 @@ def _ngram_jaccard_oracle(
         JOIN sizes sa ON i.doc_a = sa.doc_id
         JOIN sizes sb ON i.doc_b = sb.doc_id
         WHERE CAST(i.inter AS DOUBLE) / CAST(sa.sz + sb.sz - i.inter AS DOUBLE)
-              >= CAST({threshold} AS DOUBLE)"""
+              >= CAST({threshold} AS DOUBLE)
+        UNION ALL
+        SELECT c.rep AS doc_a, n2.doc_id AS doc_b,
+               CAST(s.sz AS BIGINT) AS inter,
+               CAST(s.sz AS BIGINT) AS size_a,
+               CAST(s.sz AS BIGINT) AS size_b,
+               CAST(1.0 AS DOUBLE) AS jaccard
+        FROM nrm n2
+        JOIN cls c ON n2.nfp = c.nfp
+        JOIN sizes s ON s.doc_id = c.rep
+        WHERE n2.doc_id <> c.rep"""
 
 
 def _minhash_pairs_ctes(
@@ -1093,11 +1117,20 @@ def _minhash_pairs_ctes(
     shingle_n: int,
     threshold: float,
     source: str = "documents",
+    max_bucket_size: int = DEFAULT_MAX_BUCKET_SIZE,
 ) -> str:
     """CTE chain ending in ``pairs(doc_a, doc_b, jaccard)`` — the verified
     MinHash-LSH near-dup pair set, shared by the pairs oracle, the
     connected-components oracle, and (with ``source`` = the gated CTE)
-    the composed curation oracle."""
+    the composed curation oracle.
+
+    Mirrors ``minhash_dedup_pairs``'s scale hardening exactly: exact
+    duplicates pre-collapse to one representative per distinct normalized
+    text (``nrm``/``cls``/``reps``), identical classes re-expand as star
+    edges with jaccard 1.0 (``star``), and (band, bucket) groups larger
+    than ``max_bucket_size`` are dropped whole before the self-join
+    (``hot``/``bandf`` — the identical deterministic HAVING cap, so both
+    engines drop exactly the same buckets if one ever fills)."""
     p = 2**31 - 1
     mins = ",\n               ".join(
         f"min(({a} * h + {b}) % {p}) AS g{i}"
@@ -1109,7 +1142,19 @@ def _minhash_pairs_ctes(
         )
         for b in range(bands)
     )
-    return f"""{_shingle_ctes(shingle_n, source)},
+    rep_words = (
+        "list_filter(regexp_split_to_array(lower(rep_text), '\\W+'), "
+        "x -> length(x) > 0)"
+    )
+    return f"""nrm AS (SELECT doc_id, text,
+                     md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS nfp
+              FROM {source}),
+        cls AS (SELECT nfp, min(doc_id) AS rep,
+                       arg_min(text, doc_id) AS rep_text,
+                       count(*) AS m
+                FROM nrm GROUP BY nfp),
+        reps AS (SELECT rep AS doc_id, rep_text AS text FROM cls),
+        {_shingle_ctes(shingle_n, "reps")},
         hh AS (SELECT doc_id, h60, h60 % {p} AS h
                FROM (SELECT doc_id, {duckdb_hash60_sql("shingle")} AS h60
                      FROM sh)),
@@ -1117,8 +1162,13 @@ def _minhash_pairs_ctes(
                {mins}
                 FROM hh GROUP BY doc_id),
         band AS ({band_selects}),
+        hot AS (SELECT band, bucket FROM band GROUP BY band, bucket
+                HAVING count(*) > {max_bucket_size}),
+        bandf AS (SELECT bd.* FROM band bd
+                  LEFT JOIN hot ON bd.band = hot.band AND bd.bucket = hot.bucket
+                  WHERE hot.band IS NULL),
         cands AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-                  FROM band a JOIN band b
+                  FROM bandf a JOIN bandf b
                     ON a.band = b.band AND a.bucket = b.bucket
                        AND a.doc_id < b.doc_id),
         sizes AS (SELECT doc_id, count(*) AS sz FROM hh GROUP BY doc_id),
@@ -1127,14 +1177,22 @@ def _minhash_pairs_ctes(
                   JOIN hh a ON a.doc_id = c.doc_a
                   JOIN hh b ON b.doc_id = c.doc_b AND b.h60 = a.h60
                   GROUP BY 1, 2),
-        pairs AS (SELECT i.doc_a, i.doc_b,
+        vpairs AS (SELECT i.doc_a, i.doc_b,
                CAST(i.inter AS DOUBLE) / CAST(sa.sz + sb.sz - i.inter AS DOUBLE)
                  AS jaccard
         FROM inter i
         JOIN sizes sa ON i.doc_a = sa.doc_id
         JOIN sizes sb ON i.doc_b = sb.doc_id
         WHERE CAST(i.inter AS DOUBLE) / CAST(sa.sz + sb.sz - i.inter AS DOUBLE)
-              >= CAST({threshold} AS DOUBLE))"""
+              >= CAST({threshold} AS DOUBLE)),
+        star AS (SELECT c.rep AS doc_a, n.doc_id AS doc_b,
+                        CAST(1.0 AS DOUBLE) AS jaccard
+                 FROM nrm n JOIN cls c ON n.nfp = c.nfp
+                 WHERE n.doc_id <> c.rep AND c.m > 1
+                   AND len({rep_words}) >= {shingle_n}),
+        pairs AS (SELECT doc_a, doc_b, jaccard FROM vpairs
+                  UNION ALL
+                  SELECT doc_a, doc_b, jaccard FROM star)"""
 
 
 def _minhash_lsh_oracle(
@@ -1315,6 +1373,11 @@ def _decontamination_oracle(n: int, min_hits: int, modulo: int) -> str:
 def _simhash_oracle(
     bits: int, max_hamming: int, chunks: int, shingle_n: int
 ) -> str:
+    """Mirror of simhash_fingerprints + simhash_neardup_pairs, including
+    the identical-fingerprint pre-collapse (``scls``/``rfp``/``star``):
+    the chunk join runs over one representative per distinct fingerprint
+    and identical classes re-expand as (rep, member, hamming 0) star
+    edges — the engine's scale-hardened default semantics."""
     votes = ",\n             ".join(
         f"sum(CASE WHEN h & {1 << b} != 0 THEN 1 ELSE -1 END) AS v{b}"
         for b in range(bits)
@@ -1326,7 +1389,7 @@ def _simhash_oracle(
     mask = (1 << width) - 1
     chunk_selects = "\n            UNION ALL ".join(
         f"SELECT doc_id, simhash, {c} AS c, (simhash >> {c * width}) & {mask} AS v "
-        "FROM fp"
+        "FROM rfp"
         for c in range(chunks)
     )
     return f"""
@@ -1338,15 +1401,22 @@ def _simhash_oracle(
         fp AS (SELECT doc_id,
                       CAST({fp} AS BIGINT) AS simhash
                FROM v),
+        scls AS (SELECT simhash, min(doc_id) AS rep, count(*) AS m
+                 FROM fp GROUP BY simhash),
+        rfp AS (SELECT rep AS doc_id, simhash FROM scls),
         ch AS ({chunk_selects}),
-        pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        vpairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
                          a.simhash AS sh_a, b.simhash AS sh_b
                   FROM ch a JOIN ch b
                     ON a.c = b.c AND a.v = b.v AND a.doc_id < b.doc_id)
         SELECT doc_a, doc_b,
                CAST(bit_count(xor(sh_a, sh_b)) AS INTEGER) AS hamming
-        FROM pairs
-        WHERE bit_count(xor(sh_a, sh_b)) <= {max_hamming}"""
+        FROM vpairs
+        WHERE bit_count(xor(sh_a, sh_b)) <= {max_hamming}
+        UNION ALL
+        SELECT s.rep AS doc_a, f.doc_id AS doc_b, CAST(0 AS INTEGER) AS hamming
+        FROM fp f JOIN scls s ON f.simhash = s.simhash
+        WHERE f.doc_id <> s.rep"""
 
 
 # ---------------------------------------------------------------------------

@@ -91,16 +91,22 @@ def main() -> None:
                 # blocks across runs.
                 release_cached()
 
+    # Canonical SORTED key order in every emitted artifact: execution
+    # order rotates with driver-verification staleness (see
+    # __spark_entry__._staleness_rotated), but artifact key order must
+    # not — sorted keys keep BENCH.json/stdout diffs stable across
+    # rounds and checkouts for order-sensitive consumers.
     timings = {
-        name: (round(statistics.median(ts), 3) if ts else -1.0)
-        for name, ts in samples.items()
+        name: (round(statistics.median(samples[name]), 3) if samples[name] else -1.0)
+        for name in sorted(samples)
     }
     # Per-query MIN alongside the median: the min is the best observed
     # cold-cache execution, so a median/min gap flags host jitter or
     # codegen/JIT warmup rather than a real plan change — regression calls
     # should compare both before blaming the code.
     timings_min = {
-        name: (round(min(ts), 3) if ts else -1.0) for name, ts in samples.items()
+        name: (round(min(samples[name]), 3) if samples[name] else -1.0)
+        for name in sorted(samples)
     }
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -120,6 +126,21 @@ def main() -> None:
         "calib": calib,
     }
     result = json.dumps(slim, separators=(",", ":"))
+    # The driver retains only the last ~2000 stdout chars; a line that
+    # outgrows the window silently truncates into unparseable JSON (the
+    # BENCH_r05 failure). Degrade DETERMINISTICALLY instead: first drop
+    # timing precision to 2 decimals, and if the registry has grown past
+    # even that, fail LOUDLY — the durable BENCH.json still has
+    # everything, and a visible error beats a silently null record.
+    _STDOUT_BUDGET = 1950  # headroom under the 2000-char retention window
+    if len(result) > _STDOUT_BUDGET:
+        slim["queries"] = {k: round(v, 2) for k, v in timings.items()}
+        result = json.dumps(slim, separators=(",", ":"))
+    assert len(result) <= _STDOUT_BUDGET, (
+        f"bench stdout JSON is {len(result)} chars > {_STDOUT_BUDGET}: "
+        f"the driver's stdout window would truncate it — shrink the "
+        f"per-query payload (full data is in BENCH.json)"
+    )
     verbose = json.dumps(
         {
             **slim,

@@ -13,10 +13,16 @@ so every stage is a hash exchange Catalyst can plan at 100 TB:
   scale.
 * MinHash+LSH: per-doc K minhashes (one aggregation), banded bucket join
   (b bands × r rows), candidate pairs from same-bucket collisions, exact
-  Jaccard verification of candidates only.
+  Jaccard verification of candidates only. Identical-text hardening:
+  exact duplicates PRE-COLLAPSE to one representative per distinct
+  normalized text before shingling, re-expanding as linear star edges —
+  a million-copy boilerplate cluster can never make the band self-join
+  quadratic — plus a deterministic per-(band, bucket) size cap
+  (``DEFAULT_MAX_BUCKET_SIZE``) as defense in depth.
 * SimHash: 64-bit fingerprint from token-hash bit votes; near-dup pairs by
   pigeonholed chunk join (hamming ≤ k pairs must share one of k+1 chunks)
-  verified with bit_count(xor).
+  verified with bit_count(xor). Same pre-collapse (on equal fingerprints)
+  and optional per-chunk-bucket cap.
 
 Hashing: ``hasher="xxhash64"`` (default) keeps everything JVM-side and
 fast — the right choice on a cluster. ``hasher="md5"`` derives a 60-bit
@@ -220,6 +226,58 @@ DEFAULT_MAX_DF_FRAC = 0.2
 #: an oracle-replay/small-corpus tool, not a scale path.
 MAX_UNPRUNED_DOCS = 1_000_000
 
+#: Default per-(band, bucket) membership cap for the LSH band self-join
+#: (``minhash_dedup_pairs``). A bucket of m REPRESENTATIVES costs m²
+#: join rows on a single key; with exact duplicates pre-collapsed a
+#: bucket this hot can only be pathological templated boilerplate, and
+#: dropping it (deterministically, whole-bucket) is the same
+#: scale/precision trade as the n-gram path's ``max_df`` stop-gram
+#: prune. 5000² = 2.5e7 rows is the worst single-key join any bucket
+#: can contribute. The DuckDB oracle applies the identical HAVING cap,
+#: so both engines drop exactly the same buckets if one ever fills.
+DEFAULT_MAX_BUCKET_SIZE = 5_000
+
+
+def _exact_classes(
+    df: DataFrame, id_col: str, text_col: str
+) -> tuple[DataFrame, DataFrame]:
+    """Pre-collapse exact duplicates ahead of a near-dup detector.
+
+    Returns ``(nrm, cls)``: ``nrm`` is the corpus with the exact-dedup
+    fingerprint ``__nfp`` (md5 of case/whitespace-normalized text — the
+    same key :func:`exact_dedup` groups on), and ``cls`` is one
+    PERSISTED row per distinct normalized text: ``(__nfp, __rep,
+    __rep_text, __m)`` with ``__rep`` = min member id.
+
+    Why: identical texts collide in EVERY LSH band, so an m-member
+    identical class makes the band self-join emit m² rows per band on
+    one skewed key — 10¹³ rows for a million templated boilerplate
+    pages, a dead job at 100 TB. Running the detector over class
+    representatives bounds the join at one row per class, and class
+    membership re-expands afterwards as m−1 star edges.
+
+    The groupBy shuffles ``min_by(text, id)`` partials: map-side combine
+    keeps ONE text per class per partition, so the hotter a duplicate
+    class, the less it shuffles — the exact inverse of the band join's
+    failure mode. For a mostly-unique corpus the volume matches the
+    posting shuffle that follows anyway.
+    """
+    nrm = df.select(
+        F.col(id_col),
+        F.col(text_col),
+        F.md5(
+            F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")
+        ).alias("__nfp"),
+    )
+    cls = tracked_persist(
+        nrm.groupBy("__nfp").agg(
+            F.min(id_col).alias("__rep"),
+            F.min_by(text_col, F.col(id_col)).alias("__rep_text"),
+            F.count(F.lit(1)).alias("__m"),
+        )
+    )
+    return nrm, cls
+
 
 def ngram_jaccard_pairs(
     df: DataFrame,
@@ -229,6 +287,7 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
     max_df: int | float | None = DEFAULT_MAX_DF_FRAC,
     hasher: str = "md5",
+    collapse_exact: bool = True,
 ) -> DataFrame:
     """All document pairs with n-gram-set Jaccard ≥ threshold — exact
     over the (optionally stop-gram-pruned) gram sets.
@@ -240,17 +299,38 @@ def ngram_jaccard_pairs(
     tiny by definition) — pairs sharing ONLY ultra-common grams can be
     missed, the standard scale/precision trade. A float ``max_df`` in
     (0, 1) is a corpus FRACTION (resolved via one cheap count job —
-    ``ceil(frac · n_docs)`` — the scale-safe default); an int is an
-    absolute cap; ``None`` disables pruning (exact over ALL grams, with
+    ``ceil(frac · n_distinct_texts)`` — the scale-safe default); an int is
+    an absolute cap; ``None`` disables pruning (exact over ALL grams, with
     Σdf² shuffle risk — small corpora / oracle replay only; refused with
     ``ValueError`` above ``MAX_UNPRUNED_DOCS`` documents, since one
     corpus-wide boilerplate gram would make the posting self-join a full
     cross product).
 
+    ``collapse_exact`` (default, the 100 TB-safe mode — the same
+    hardening as ``minhash_dedup_pairs``): the inverted index is built
+    over one REPRESENTATIVE per distinct normalized text, and each
+    m-member identical class re-expands as m−1 star edges ``(rep,
+    member, sz, sz, sz, 1.0)`` with ``sz`` the rep's post-prune gram-set
+    size — an identical-text class shares EVERY gram, so uncollapsed it
+    costs m² posting-join rows per gram AND inflates every shared gram's
+    document frequency by m (pruning grams real near-dup pairs needed).
+    Document-frequency counts and the fractional cap resolve over
+    DISTINCT texts (duplicate-robust IDF semantics). Same transitive
+    closure as the exhaustive output; classes whose post-prune gram set
+    is empty emit no edges, matching the no-shared-grams behavior.
+    ``collapse_exact=False`` restores the exhaustive all-pairs form.
+
     Jaccard is emitted as exact integer fields (inter, size_a, size_b) plus
     a derived double — division of exact longs, deterministic for oracles.
     """
-    grams = _shingles(df, id_col, text_col, n)
+    nrm = cls = None
+    work = df
+    if collapse_exact:
+        nrm, cls = _exact_classes(df, id_col, text_col)
+        work = cls.select(
+            F.col("__rep").alias(id_col), F.col("__rep_text").alias(text_col)
+        )
+    grams = _shingles(work, id_col, text_col, n)
     # Postings carry the 60-bit hash, not the string (see _hash60): the
     # self-join and pair-count shuffles move 8-byte longs.
     # Persist the RAW postings before anything consumes them: the prune's
@@ -266,9 +346,9 @@ def ngram_jaccard_pairs(
     if isinstance(max_df, float):
         if not 0.0 < max_df < 1.0:
             raise ValueError("fractional max_df must be in (0, 1)")
-        max_df = int(math.ceil(max_df * df.count()))
+        max_df = int(math.ceil(max_df * work.count()))
     elif max_df is None:
-        n_docs = df.count()
+        n_docs = work.count()
         if n_docs > MAX_UNPRUNED_DOCS:
             raise ValueError(
                 f"max_df=None (no stop-gram pruning) on {n_docs} documents: "
@@ -300,13 +380,43 @@ def ngram_jaccard_pairs(
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("set_size").alias("size_a"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("set_size").alias("size_b"))
     union = F.col("size_a") + F.col("size_b") - F.col("inter")
-    return (
+    result = (
         inter.join(sa, ["doc_a"])
         .join(sb, ["doc_b"])
         .withColumn("jaccard", F.col("inter").cast("double") / union.cast("double"))
         .filter(F.col("jaccard") >= F.lit(threshold))
         .select("doc_a", "doc_b", "inter", "size_a", "size_b", "jaccard")
     )
+    if cls is not None:
+        # Star edges carry the rep's post-prune set size as inter and
+        # both sizes (identical gram sets); the inner sizes join drops
+        # classes whose gram set is empty after pruning — those docs
+        # share no grams, so the exhaustive form emits no pair either.
+        star = (
+            nrm.select(F.col(id_col), "__nfp")
+            .join(
+                cls.filter(F.col("__m") > 1).select("__nfp", "__rep"),
+                "__nfp",
+            )
+            .filter(F.col(id_col) != F.col("__rep"))
+            .join(
+                sizes.select(
+                    F.col("doc_id").alias("__rep"),
+                    F.col("set_size").alias("__sz"),
+                ),
+                "__rep",
+            )
+            .select(
+                F.col("__rep").alias("doc_a"),
+                F.col(id_col).alias("doc_b"),
+                F.col("__sz").alias("inter"),
+                F.col("__sz").alias("size_a"),
+                F.col("__sz").alias("size_b"),
+                F.lit(1.0).cast("double").alias("jaccard"),
+            )
+        )
+        result = result.unionByName(star)
+    return result
 
 
 # ---------------------------------------------------------------------------
@@ -353,6 +463,7 @@ def minhash_lsh_candidates(
     rows: int = 4,
     hash_buckets: bool = True,
     validate: bool = True,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """LSH banding: docs whose signature agrees on ALL rows of at least one
     band become a candidate pair. bands×rows must equal signature length —
@@ -371,6 +482,15 @@ def minhash_lsh_candidates(
     length (``minhash_dedup_pairs`` builds it as an ``array()`` of exactly
     ``num_hashes`` elements, so the check is provable at plan time and the
     runtime expression would be dead weight in the banding stage).
+
+    ``max_bucket_size`` is the hot-bucket guard: buckets whose
+    membership exceeds the cap are dropped WHOLE (a broadcast anti-join
+    on the — by definition tiny — oversized-bucket list) before the
+    self-join, bounding any single join key at cap² output rows. The
+    drop is deterministic, so an oracle applying the same HAVING cap
+    stays in lockstep; pairs living only in dropped buckets are missed,
+    the same recall trade ``max_df`` makes for stop grams. ``None``
+    disables the guard (exhaustive small-corpus mode).
     """
     # Fail fast on a banding mismatch. Array length isn't in the schema,
     # so guard inside the bucket expression: assert_true evaluates per row
@@ -427,6 +547,17 @@ def minhash_lsh_candidates(
         )
         .select("doc_id", "bb.band", "bb.bucket")
     )
+    if max_bucket_size is not None:
+        # The oversized-bucket list is small by construction (≤ n/cap
+        # entries), so it broadcasts; banded's exchange is reused across
+        # this aggregation and both join sides (ReusedExchange).
+        hot = (
+            banded.groupBy("band", "bucket")
+            .agg(F.count(F.lit(1)).alias("__bs"))
+            .filter(F.col("__bs") > max_bucket_size)
+            .select("band", "bucket")
+        )
+        banded = banded.join(F.broadcast(hot), ["band", "bucket"], "left_anti")
     left = banded.select("band", "bucket", F.col("doc_id").alias("doc_a"))
     right = banded.select("band", "bucket", F.col("doc_id").alias("doc_b"))
     return (
@@ -447,22 +578,63 @@ def minhash_dedup_pairs(
     shingle_n: int = 3,
     threshold: float = 0.7,
     hasher: str = "xxhash64",
+    collapse_exact: bool = True,
+    max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
 ) -> DataFrame:
     """End-to-end MinHash-LSH near-dup detection: signatures → banded
     candidates → verify candidates with the exact n-gram Jaccard (computed
     only for the candidate set — the LSH is the scale filter, the verify
     step restores precision). Returns pairs with exact jaccard ≥ threshold
-    that the LSH surfaced (recall < 1 by design; measured in tests)."""
+    that the LSH surfaced (recall < 1 by design; measured in tests).
+
+    ``collapse_exact`` (default, the 100 TB-safe mode) pre-collapses
+    exact duplicates before shingling (:func:`_exact_classes`): the
+    signature/band/verify pipeline runs over one REPRESENTATIVE per
+    distinct normalized text, and each m-member identical class
+    re-expands as m−1 star edges ``(rep, member, jaccard=1.0)`` instead
+    of all C(m,2) pairs — the band self-join stays linear in class size
+    where it was quadratic. The pair GRAPH keeps the same transitive
+    closure as the full pair set (every member connects to its rep, reps
+    carry the cross-class near-dup edges), so connected components,
+    canonicalization, and cluster sizes downstream are unchanged; only
+    the explicit pair list is the sparser star form. Classes whose text
+    has fewer than ``shingle_n`` words emit no edges, matching the
+    empty-shingle-set behavior of the uncollapsed pipeline.
+    ``collapse_exact=False`` restores the exhaustive all-pairs output
+    (small corpora / property tests). ``max_bucket_size`` is the
+    defense-in-depth hot-bucket cap (see :func:`minhash_lsh_candidates`).
+    """
     if bands * rows != num_hashes:
         raise ValueError(
             f"bands*rows ({bands}*{rows}={bands * rows}) must equal "
             f"num_hashes ({num_hashes})"
         )
+    star: DataFrame | None = None
+    work = df
+    if collapse_exact:
+        nrm, cls = _exact_classes(df, id_col, text_col)
+        work = cls.select(
+            F.col("__rep").alias(id_col), F.col("__rep_text").alias(text_col)
+        )
+        multi = cls.filter(
+            (F.col("__m") > 1)
+            & (F.expr(f"size({_words_sql('__rep_text')})") >= shingle_n)
+        ).select("__nfp", "__rep")
+        star = (
+            nrm.select(F.col(id_col), "__nfp")
+            .join(multi, "__nfp")
+            .filter(F.col(id_col) != F.col("__rep"))
+            .select(
+                F.col("__rep").alias("doc_a"),
+                F.col(id_col).alias("doc_b"),
+                F.lit(1.0).cast("double").alias("jaccard"),
+            )
+        )
     # One digest per posting: the 60-bit hash is BOTH the verify-join key
     # (8-byte shuffles instead of shingle strings) and, reduced mod p, the
     # MinHash base value the K affine permutations act on.
     posts = tracked_persist(
-        _shingles(df, id_col, text_col, shingle_n)
+        _shingles(work, id_col, text_col, shingle_n)
         .select("doc_id", _hash60(F.col("shingle"), hasher).alias("h"))
     )
     base = F.pmod(F.col("h"), F.lit(_MERSENNE_31))
@@ -484,7 +656,12 @@ def minhash_dedup_pairs(
     # and bands*rows == num_hashes was checked above — plan-time proof, no
     # per-row guard expression in the banding stage.
     cands = minhash_lsh_candidates(
-        sigs, bands, rows, hash_buckets=hasher == "xxhash64", validate=False
+        sigs,
+        bands,
+        rows,
+        hash_buckets=hasher == "xxhash64",
+        validate=False,
+        max_bucket_size=max_bucket_size,
     )
     sizes = posts.groupBy("doc_id").agg(F.count(F.lit(1)).alias("set_size"))
     a = posts.select(F.col("doc_id").alias("doc_a"), "h")
@@ -501,13 +678,14 @@ def minhash_dedup_pairs(
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("set_size").alias("size_a"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("set_size").alias("size_b"))
     union = F.col("size_a") + F.col("size_b") - F.col("inter")
-    return (
+    verified = (
         inter.join(sa, ["doc_a"])
         .join(sb, ["doc_b"])
         .withColumn("jaccard", F.col("inter").cast("double") / union.cast("double"))
         .filter(F.col("jaccard") >= F.lit(threshold))
         .select("doc_a", "doc_b", "jaccard")
     )
+    return verified if star is None else verified.unionByName(star)
 
 
 # ---------------------------------------------------------------------------
@@ -586,13 +764,28 @@ def simhash_neardup_pairs(
     max_hamming: int = 3,
     chunks: int = 4,
     bits: int = 64,
+    collapse_identical: bool = True,
+    max_chunk_df: int | None = None,
 ) -> DataFrame:
     """Pairs with hamming(simhash_a, simhash_b) ≤ max_hamming.
 
     Pigeonhole join: with ``chunks`` equal-width chunks and max_hamming <
     chunks, any qualifying pair agrees exactly on ≥1 chunk — join on
     (chunk_index, chunk_value), verify with bit_count(xor). The chunk join
-    keeps the self-join near-linear instead of O(n²)."""
+    keeps the self-join near-linear instead of O(n²).
+
+    ``collapse_identical`` (default, the 100 TB-safe mode) groups docs by
+    EQUAL fingerprint first: the chunk join runs over one representative
+    per distinct fingerprint, and an m-member identical-fingerprint class
+    (exact duplicates, or texts SimHash can't tell apart) re-expands as
+    m−1 star edges ``(rep, member, hamming=0)`` instead of all C(m,2)
+    pairs — the chunk join, where identical docs share every one of the
+    k+1 chunks, stays linear in class size. Same transitive closure as
+    the full pair set; ``False`` restores the exhaustive all-pairs output.
+    ``max_chunk_df`` optionally drops (chunk, value) buckets hotter than
+    the cap (deterministic whole-bucket drop, broadcast anti-join) —
+    defense in depth against templated near-identical boilerplate, the
+    same trade as ``minhash_lsh_candidates(max_bucket_size=...)``."""
     if max_hamming >= chunks:
         raise ValueError("pigeonhole requires max_hamming < chunks")
     width = bits // chunks
@@ -600,6 +793,27 @@ def simhash_neardup_pairs(
     # One row per doc — cache so the self-join doesn't recompute the whole
     # vote aggregation for each side.
     fingerprints = tracked_persist(fingerprints)
+    star: DataFrame | None = None
+    if collapse_identical:
+        cls = tracked_persist(
+            fingerprints.groupBy("simhash").agg(
+                F.min("doc_id").alias("__rep"),
+                F.count(F.lit(1)).alias("__m"),
+            )
+        )
+        star = (
+            fingerprints.join(
+                cls.filter(F.col("__m") > 1).select("simhash", "__rep"),
+                "simhash",
+            )
+            .filter(F.col("doc_id") != F.col("__rep"))
+            .select(
+                F.col("__rep").alias("doc_a"),
+                F.col("doc_id").alias("doc_b"),
+                F.lit(0).cast("integer").alias("hamming"),
+            )
+        )
+        fingerprints = cls.select(F.col("__rep").alias("doc_id"), "simhash")
     chunked = fingerprints.select(
         "doc_id",
         "simhash",
@@ -617,13 +831,21 @@ def simhash_neardup_pairs(
             )
         ).alias("ch"),
     ).select("doc_id", "simhash", "ch.c", "ch.v")
+    if max_chunk_df is not None:
+        hot = (
+            chunked.groupBy("c", "v")
+            .agg(F.count(F.lit(1)).alias("__cs"))
+            .filter(F.col("__cs") > max_chunk_df)
+            .select("c", "v")
+        )
+        chunked = chunked.join(F.broadcast(hot), ["c", "v"], "left_anti")
     left = chunked.select(
         "c", "v", F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a")
     )
     right = chunked.select(
         "c", "v", F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sh_b")
     )
-    return (
+    verified = (
         left.join(right, ["c", "v"])
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b", "sh_a", "sh_b")
@@ -632,3 +854,4 @@ def simhash_neardup_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
     )
+    return verified if star is None else verified.unionByName(star)

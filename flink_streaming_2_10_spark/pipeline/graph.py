@@ -61,8 +61,9 @@ def shortest_path_hops(
     seed-eccentricity; ``RuntimeError`` if distances are still moving
     after that many rounds (a path graph of N nodes needs N-1). Same
     ``checkpoint``/``stats`` contract as ``connected_components``,
-    including the ``driver_solve_max_edges`` shortcut: at or below the
-    cap the BFS runs as a one-pass driver-side sweep over one Arrow
+    including the ``driver_solve_max_edges`` shortcut: when BOTH the
+    edge count and the distinct seed count are at or below the cap the
+    BFS runs as a one-pass driver-side sweep over one Arrow
     collect instead of one distributed job per hop (near-dup pair graphs
     are ≪ corpus by construction — the same size-based strategy choice
     Spark's planner makes for broadcast joins); ``0`` disables, and a
@@ -81,7 +82,14 @@ def shortest_path_hops(
     seed_nodes = seeds.select(F.col(sc).cast("long").alias("node")).distinct()
 
     if resume_dir is None and driver_solve_max_edges > 0:
-        if edges.limit(driver_solve_max_edges + 1).count() <= driver_solve_max_edges:
+        # BOTH collects below must be bounded before taking the driver
+        # path: a tiny pair graph combined with a corpus-scale seed set
+        # would otherwise pull every seed id onto the driver.
+        cap = driver_solve_max_edges
+        if (
+            edges.limit(cap + 1).count() <= cap
+            and seed_nodes.limit(cap + 1).count() <= cap
+        ):
             from collections import deque
 
             from flink_streaming_2_10_spark.pipeline.components import (

@@ -94,6 +94,24 @@ def stratified_sample_oracle(
     """
 
 
+def _validate_fractions(fractions: dict[str, float], names: list[str]) -> None:
+    """Shared guard for :func:`holdout_split` / :func:`holdout_split_oracle`:
+    every fraction must lie in (0, 1] AND the set must sum to 1 — a
+    negative or zero fraction would pass a sum-only check and silently
+    yield an empty band with its mass shifted to later splits."""
+    if not names:
+        raise ValueError("fractions must not be empty")
+    for n in names:
+        f = float(fractions[n])
+        if not 0.0 < f <= 1.0:
+            raise ValueError(
+                f"fraction for split '{n}' must be in (0, 1], got {f}"
+            )
+    total = sum(float(fractions[n]) for n in names)
+    if not 0.999999 <= total <= 1.000001:
+        raise ValueError(f"fractions must sum to 1, got {total}")
+
+
 def holdout_split(
     df: DataFrame,
     fractions: dict[str, float],
@@ -114,11 +132,7 @@ def holdout_split(
     same IEEE-double band arithmetic as :func:`stratified_sample`.
     """
     names = sorted(fractions)
-    if not names:
-        raise ValueError("fractions must not be empty")
-    total = sum(float(fractions[n]) for n in names)
-    if not 0.999999 <= total <= 1.000001:
-        raise ValueError(f"fractions must sum to 1, got {total}")
+    _validate_fractions(fractions, names)
     key = _sample_key(F.col(id_col), salt).cast("double")
     # First-match-wins when-chain over cumulative band edges — the exact
     # CASE shape the oracle emits.
@@ -141,6 +155,7 @@ def holdout_split_oracle(
     """DuckDB mirror of :func:`holdout_split` — same cumulative bands,
     same double arithmetic, same remainder-to-last rule."""
     names = sorted(fractions)
+    _validate_fractions(fractions, names)
     key = sample_key_sql(id_col, salt)
     whens, cum = [], 0.0
     for name in names[:-1]:

@@ -224,6 +224,9 @@ def curate_corpus_neardup(
     shingle_n: int = 3,
     threshold: float = 0.7,
     hasher: str = "xxhash64",
+    max_bucket_size: int | None = None,
+    checkpoint: str = "local",
+    resume_dir: str | None = None,
 ) -> DataFrame:
     """The FULL curation DAG in one call — the pipeline a corpus actually
     runs ahead of tokenization, with NEAR-duplicate (not just exact)
@@ -234,8 +237,14 @@ def curate_corpus_neardup(
        leave the scan);
     2. MinHash-LSH pairs over gate SURVIVORS only → transitive clusters
        (``connected_components`` on the ``iterate()`` loop, ids-only
-       state) → keep the min-id doc per cluster. Identical texts collide
-       in every band, so exact dedup is subsumed;
+       state) → keep the min-id doc per cluster. Exact duplicates are
+       PRE-COLLAPSED before shingling (``minhash_dedup_pairs``'s
+       ``collapse_exact``): the band self-join sees one representative
+       per distinct text, and identical-class membership re-enters the
+       pair graph as linear star edges — an identical-text cluster can
+       never make the band join quadratic. The transitive closure (and
+       therefore clusters, canonicals, and sizes) is the same as with
+       the full pair set;
     3. benchmark decontamination of the canonical survivors (broadcast
        gram probe — by this stage the candidate set is smallest);
     4. per-survivor manifest ``(doc_id, cluster_size, ws_tokens,
@@ -246,11 +255,21 @@ def curate_corpus_neardup(
     decontamination probes only canonical survivors. The corpus-scale
     shuffles are the LSH band bucket join and the per-band exchange —
     both on survivor ids.
+
+    ``max_bucket_size`` overrides the LSH hot-bucket cap (``None`` =
+    the library default ``DEFAULT_MAX_BUCKET_SIZE``). ``checkpoint`` /
+    ``resume_dir`` thread through to ``connected_components`` — pass
+    ``checkpoint="reliable"`` plus a ``resume_dir`` on a real cluster so
+    a driver loss mid-component-loop resumes from the last completed
+    round instead of restarting the 100 TB curation run.
     """
     from flink_streaming_2_10_spark.pipeline.components import (
         connected_components,
     )
-    from flink_streaming_2_10_spark.pipeline.dedup import minhash_dedup_pairs
+    from flink_streaming_2_10_spark.pipeline.dedup import (
+        DEFAULT_MAX_BUCKET_SIZE,
+        minhash_dedup_pairs,
+    )
 
     kept = tracked_persist(
         _curation_gate(df, id_col, text_col, lang, min_quality, max_dup_word_frac)
@@ -265,8 +284,18 @@ def curate_corpus_neardup(
         shingle_n=shingle_n,
         threshold=threshold,
         hasher=hasher,
+        collapse_exact=True,
+        max_bucket_size=(
+            DEFAULT_MAX_BUCKET_SIZE if max_bucket_size is None else max_bucket_size
+        ),
     )
-    comp = connected_components(pairs, a_col="doc_a", b_col="doc_b")
+    comp = connected_components(
+        pairs,
+        a_col="doc_a",
+        b_col="doc_b",
+        checkpoint=checkpoint,
+        resume_dir=resume_dir,
+    )
     # Cluster sizes come from the (small) component table alone: every
     # unpaired survivor has size 1 by construction, and a cluster's
     # canonical is itself a paired node, so the ids can't collide. The

@@ -137,15 +137,13 @@ def get_spark(
         if j.strip()
     ]
     if kafka_jars or extra:
-        # MERGE with any spark.jars already on the builder (or supplied via
-        # $SPARK_GRAFT_EXTRA_JARS) — plain assignment would make kafka
-        # auto-enable and user jars mutually exclusive.
-        try:
-            current = builder._options.get("spark.jars", "")  # noqa: SLF001
-        except Exception:
-            current = ""
+        # MERGE user jars ($SPARK_GRAFT_EXTRA_JARS) with the kafka
+        # auto-detected ones — plain assignment of either alone would make
+        # them mutually exclusive. The builder is constructed fresh above
+        # and never sets spark.jars itself, so these two sources are the
+        # complete set (no private builder-state read needed).
         merged: list[str] = []
-        for jar in [*current.split(","), *extra, *kafka_jars]:
+        for jar in [*extra, *kafka_jars]:
             jar = jar.strip()
             if jar and jar not in merged:
                 merged.append(jar)

@@ -134,23 +134,6 @@ def run_incremental(
     return query
 
 
-def collect_stream(
-    df: DataFrame, checkpoint_dir: str, output_mode: str = "update"
-) -> list[list]:
-    """Run a bounded streaming input to exhaustion, returning the list of
-    micro-batch row-lists (the refinement sequence — the streaming analog
-    of TwitterExampleData.STREAMING_COUNTS_AS_TUPLES golden data)."""
-    batches: list[list] = []
-
-    def on_batch(bdf, batch_id: int) -> None:
-        rows = bdf.collect()
-        if rows:
-            batches.append(rows)
-
-    run_update_stream(df, checkpoint_dir, on_batch, output_mode)
-    return batches
-
-
 def interval_join_event_stream(
     left: DataFrame,
     right: DataFrame,

@@ -47,8 +47,13 @@ def test_exact_dedup_keeps_min_id(corpus):
 
 def test_ngram_jaccard_exact_vs_duckdb(corpus):
     # max_df=None: exact over ALL grams (the production default prunes
-    # grams above the 20%-of-corpus document-frequency cap)
-    got = ngram_jaccard_pairs(corpus, n=1, threshold=0.5, max_df=None)
+    # grams above the 20%-of-corpus document-frequency cap);
+    # collapse_exact=False: the EXHAUSTIVE all-pairs form this
+    # independent DuckDB query computes (the star form is covered by
+    # test_ngram_star_form_matches_exhaustive_closure)
+    got = ngram_jaccard_pairs(
+        corpus, n=1, threshold=0.5, max_df=None, collapse_exact=False
+    )
     rows = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in got.collect()}
     pdf = corpus.toPandas()
     con = duckdb.connect()
@@ -76,12 +81,33 @@ def test_ngram_jaccard_shingles_short_doc_ok(corpus):
 
 
 def test_ngram_jaccard_max_df_prunes(corpus):
-    # "the" appears in docs 1,2,3 — with max_df=2 it can't contribute
-    full = ngram_jaccard_pairs(corpus, n=1, threshold=0.0, max_df=None)
-    pruned = ngram_jaccard_pairs(corpus, n=1, threshold=0.0, max_df=2)
+    # "the" appears in docs 1,2,3 — with max_df=2 it can't contribute.
+    # collapse_exact=False so document frequencies count DOCS (the
+    # duplicate-robust default counts distinct texts, under which "the"
+    # has df 2 here and survives a cap of 2 — see the test below).
+    full = ngram_jaccard_pairs(
+        corpus, n=1, threshold=0.0, max_df=None, collapse_exact=False
+    )
+    pruned = ngram_jaccard_pairs(
+        corpus, n=1, threshold=0.0, max_df=2, collapse_exact=False
+    )
     f = {(r["doc_a"], r["doc_b"]): r["inter"] for r in full.collect()}
     p = {(r["doc_a"], r["doc_b"]): r["inter"] for r in pruned.collect()}
     assert p.get((1, 3), 0) < f[(1, 3)]
+
+
+def test_ngram_jaccard_collapsed_df_is_duplicate_robust(corpus):
+    """With the default collapse, document frequency counts DISTINCT
+    texts: docs 1 and 2 are one class, so "the" has df 2 (reps 1, 3) and
+    survives max_df=2 — an identical-text flood can no longer push real
+    grams over the prune cap."""
+    pruned = ngram_jaccard_pairs(corpus, n=1, threshold=0.0, max_df=2)
+    p = {(r["doc_a"], r["doc_b"]): r["inter"] for r in pruned.collect()}
+    full = ngram_jaccard_pairs(corpus, n=1, threshold=0.0, max_df=None,
+                               collapse_exact=False)
+    f = {(r["doc_a"], r["doc_b"]): r["inter"] for r in full.collect()}
+    assert p[(1, 3)] == f[(1, 3)]  # nothing pruned at rep-level df
+    assert p[(1, 2)] == f[(1, 2)]  # star edge carries the full set size
 
 
 @pytest.mark.parametrize("hasher", ["xxhash64", "md5"])
@@ -198,12 +224,163 @@ def test_ngram_jaccard_unpruned_refused_at_scale(spark, monkeypatch):
     ceiling instead of launching an unbounded Σdf² self-join."""
     from flink_streaming_2_10_spark.pipeline import dedup as dd
 
-    df = spark.createDataFrame(
-        [(i, "the same text") for i in range(10)], ["doc_id", "text"]
+    distinct = spark.createDataFrame(
+        [(i, f"distinct text number {i}") for i in range(10)],
+        ["doc_id", "text"],
     )
     monkeypatch.setattr(dd, "MAX_UNPRUNED_DOCS", 5)
     with pytest.raises(ValueError, match="max_df=None"):
-        dd.ngram_jaccard_pairs(df, n=1, threshold=0.0, max_df=None)
-    # below the ceiling None still works (oracle-replay path)
+        dd.ngram_jaccard_pairs(distinct, n=1, threshold=0.0, max_df=None)
+    # an identical-text flood does NOT trip the ceiling under the default
+    # collapse: the join risk scales with DISTINCT texts, and 10 copies
+    # are one representative
+    same = spark.createDataFrame(
+        [(i, "the same text") for i in range(10)], ["doc_id", "text"]
+    )
+    # 9 star edges from the single class — linear, not 45 pairs
+    assert dd.ngram_jaccard_pairs(same, n=1, threshold=0.0, max_df=None).count() == 9
+    # below the ceiling the exhaustive form still works (oracle replay)
     monkeypatch.setattr(dd, "MAX_UNPRUNED_DOCS", 100)
-    assert dd.ngram_jaccard_pairs(df, n=1, threshold=0.0, max_df=None).count() == 45
+    assert dd.ngram_jaccard_pairs(
+        same, n=1, threshold=0.0, max_df=None, collapse_exact=False
+    ).count() == 45
+
+
+# ---------------------------------------------------------------------------
+# hot-bucket hardening: identical-text classes must stay LINEAR
+# ---------------------------------------------------------------------------
+
+
+def test_minhash_identical_class_output_is_linear(spark):
+    """The 100 TB scale guard (VERDICT r6 top item): a planted cluster of
+    m identical documents must produce m−1 star edges, not C(m,2) pairs —
+    the band self-join runs over ONE representative per distinct text, so
+    an identical-text class can never make it quadratic."""
+    m = 10_000
+    rows = [(i, "templated boilerplate page about nothing in particular")
+            for i in range(m)]
+    rows += [(m, "a genuinely different document about spark physical plans"),
+             (m + 1, "a genuinely different document about flink physical plans")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = minhash_dedup_pairs(
+        df, num_hashes=32, bands=16, rows=2, shingle_n=1, threshold=0.7
+    ).collect()
+    star = [(r["doc_a"], r["doc_b"]) for r in out if r["jaccard"] == 1.0
+            and r["doc_a"] == 0]
+    # exactly m−1 star edges from the min-id representative, never m²
+    assert len(star) == m - 1
+    assert {b for _, b in star} == set(range(1, m))
+    # the near-dup rep pair between the two distinct docs still surfaces
+    assert (m, m + 1) in {(r["doc_a"], r["doc_b"]) for r in out}
+    # total output is linear in the class size
+    assert len(out) <= (m - 1) + 5
+
+
+def test_minhash_collapse_preserves_transitive_closure(corpus):
+    """Star-form pairs must resolve to the SAME clusters as the
+    exhaustive all-pairs output — the contract every downstream consumer
+    (connected_components, dedup_canonical, curate_corpus_neardup)
+    relies on."""
+    from flink_streaming_2_10_spark.pipeline.components import (
+        connected_components,
+    )
+
+    kw = dict(num_hashes=32, bands=16, rows=2, shingle_n=1, threshold=0.7)
+    full = minhash_dedup_pairs(corpus, collapse_exact=False, **kw)
+    star = minhash_dedup_pairs(corpus, collapse_exact=True, **kw)
+    comp_of = lambda pairs: {
+        (r["node"], r["component"])
+        for r in connected_components(pairs).collect()
+    }
+    assert comp_of(full) == comp_of(star)
+
+
+def test_minhash_hot_bucket_cap_drops_oversized_buckets(spark):
+    """Deterministic whole-bucket drop: near-identical (NOT exact-equal)
+    templated docs flood the band buckets; with a small cap the flood's
+    pairs vanish while an unrelated well-behaved near-dup pair survives
+    in its own small bucket."""
+    # 40 docs sharing 12 common tokens, each with one unique token:
+    # distinct normalized texts (no exact collapse), near-identical sigs.
+    common = "alpha beta gamma delta epsilon zeta eta theta iota kappa mu nu"
+    rows = [(i, f"{common} unique{i}") for i in range(40)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    kw = dict(num_hashes=32, bands=16, rows=2, shingle_n=1, threshold=0.5)
+    uncapped = minhash_dedup_pairs(df, max_bucket_size=None, **kw).count()
+    capped = minhash_dedup_pairs(df, max_bucket_size=5, **kw).count()
+    assert uncapped > 0
+    assert capped < uncapped
+
+
+def test_simhash_identical_class_output_is_linear(spark):
+    """Same guard for the SimHash pigeonhole join: m identical
+    fingerprints → m−1 star edges with hamming 0, not C(m,2)."""
+    m = 5_000
+    rows = [(i, "templated boilerplate page about nothing in particular")
+            for i in range(m)]
+    rows += [(m, "an unrelated document concerning entirely other matters")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    fps = simhash_fingerprints(df, shingle_n=1)
+    out = simhash_neardup_pairs(fps, max_hamming=3, chunks=4).collect()
+    star = [(r["doc_a"], r["doc_b"]) for r in out if r["hamming"] == 0]
+    assert len(star) == m - 1
+    assert all(a == 0 for a, _ in star)
+
+
+def test_simhash_collapse_matches_exhaustive_closure(corpus):
+    """Star-form SimHash pairs connect exactly the node sets the
+    exhaustive mode connects."""
+    from flink_streaming_2_10_spark.pipeline.components import (
+        connected_components,
+    )
+
+    fps = simhash_fingerprints(corpus)
+    full = simhash_neardup_pairs(fps, max_hamming=3, chunks=4,
+                                 collapse_identical=False)
+    star = simhash_neardup_pairs(fps, max_hamming=3, chunks=4,
+                                 collapse_identical=True)
+    comp_of = lambda pairs: {
+        (r["node"], r["component"])
+        for r in connected_components(pairs).collect()
+    }
+    assert comp_of(full) == comp_of(star)
+
+
+def test_ngram_star_form_matches_exhaustive_closure(corpus):
+    """ngram star-form pairs resolve to the same clusters as the
+    exhaustive all-pairs output, and rep-level pair values are identical."""
+    from flink_streaming_2_10_spark.pipeline.components import (
+        connected_components,
+    )
+
+    kw = dict(n=1, threshold=0.5, max_df=None)
+    full = ngram_jaccard_pairs(corpus, collapse_exact=False, **kw)
+    star = ngram_jaccard_pairs(corpus, collapse_exact=True, **kw)
+    comp_of = lambda pairs: {
+        (r["node"], r["component"])
+        for r in connected_components(pairs).collect()
+    }
+    assert comp_of(full) == comp_of(star)
+    # values on pairs common to both forms are bit-identical
+    f = {(r["doc_a"], r["doc_b"]): (r["inter"], r["size_a"], r["size_b"], r["jaccard"])
+         for r in full.collect()}
+    s = {(r["doc_a"], r["doc_b"]): (r["inter"], r["size_a"], r["size_b"], r["jaccard"])
+         for r in star.collect()}
+    for k in set(f) & set(s):
+        assert f[k] == s[k], k
+
+
+def test_ngram_identical_class_output_is_linear(spark):
+    """The posting self-join guard: m identical docs share EVERY gram —
+    uncollapsed that is m² join rows per gram; collapsed it is m−1 star
+    edges total."""
+    m = 5_000
+    rows = [(i, "templated boilerplate page about nothing in particular")
+            for i in range(m)]
+    rows += [(m, "some entirely different words appear in this one")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = ngram_jaccard_pairs(df, n=1, threshold=0.5, max_df=None).collect()
+    assert len(out) == m - 1
+    assert all(r["doc_a"] == 0 and r["jaccard"] == 1.0 for r in out)
+    # star values carry the true gram-set size
+    assert all(r["inter"] == r["size_a"] == r["size_b"] > 0 for r in out)

@@ -160,7 +160,7 @@ def test_streaming_scorer_parity_bounded_and_streamed(spark, tmp_path):
         F.element_at(parts, 3).cast("long").alias("t"),
         F.element_at(parts, 4).cast("long").alias("vc"),
     )
-    from flink_streaming_2_10_spark.streaming.runners import collect_stream
+    from tests.stream_util import collect_stream
 
     batches = collect_stream(
         score_stream_with_models(stream, models, **kw),

@@ -30,9 +30,9 @@ from flink_streaming_2_10_spark.operators.windows import (
     tumbling_window_agg,
 )
 from flink_streaming_2_10_spark.streaming.runners import (
-    collect_stream,
     interval_join_event_stream,
 )
+from tests.stream_util import collect_stream
 from tests.test_streaming import _stream_lines, _write_text_files
 
 _T0 = 1704067200000  # 2024-01-01 00:00:00 UTC, epoch millis

@@ -22,10 +22,10 @@ from flink_streaming_2_10_spark.session import (
     enable_rocksdb_state,
 )
 from flink_streaming_2_10_spark.streaming.runners import (
-    collect_stream,
     sessionize_stream,
     streaming_exact_dedup,
 )
+from tests.stream_util import collect_stream
 from tests.test_streaming import _stream_lines, _write_text_files
 
 _PROVIDER_KEY = "spark.sql.streaming.stateStore.providerClass"

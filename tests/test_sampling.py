@@ -199,6 +199,18 @@ def test_holdout_split_validation(docs):
         holdout_split(docs, {"train": 0.5, "val": 0.1})
     with pytest.raises(ValueError, match="not be empty"):
         holdout_split(docs, {})
+    # per-fraction range check: a negative band sums to 1 but would
+    # silently yield an empty split with its mass shifted to later bands
+    with pytest.raises(ValueError, match="must be in \\(0, 1\\]"):
+        holdout_split(docs, {"a": -0.1, "b": 0.6, "c": 0.5})
+    with pytest.raises(ValueError, match="must be in \\(0, 1\\]"):
+        holdout_split(docs, {"a": 0.0, "b": 1.0})
+    from flink_streaming_2_10_spark.pipeline.sampling import (
+        holdout_split_oracle,
+    )
+
+    with pytest.raises(ValueError, match="must be in \\(0, 1\\]"):
+        holdout_split_oracle({"a": -0.1, "b": 0.6, "c": 0.5})
 
 
 def test_holdout_split_matches_oracle(spark, duck):

@@ -95,3 +95,68 @@ def test_curated_shard_query_matches_oracle(spark, duck):
     }
     got_ids = {r["doc_id"] for r in got.collect()}
     assert got_ids <= v1_ids
+
+
+def test_curate_neardup_resumes_after_driver_loss(spark, tmp_path, monkeypatch):
+    """Composed-DAG durability (VERDICT r6 #6): a driver loss mid
+    component-loop inside ``curate_corpus_neardup`` must leave durable
+    round state, and a relaunch with the same ``resume_dir`` must resume
+    from the last completed round — producing the same manifest as an
+    undisturbed run."""
+    import os
+
+    from flink_streaming_2_10_spark.pipeline import components as comp_mod
+    from flink_streaming_2_10_spark.pipeline.shard import curate_corpus_neardup
+
+    # A 16-doc sliding-window near-dup CHAIN (windows of 40 tokens over a
+    # 55-token stopword-rich sequence: neighbors at offset k share
+    # (40-k)/(40+k) of their 3-gram sets) -> one transitive cluster the
+    # min-label loop needs several rounds to resolve.
+    stop = ["the", "and", "of", "to", "in", "is", "that", "it"]
+    tokens = []
+    for i in range(56):
+        tokens.append(stop[i % len(stop)])
+        tokens.append(f"word{i:02d}")
+    docs = spark.createDataFrame(
+        [(i, " ".join(tokens[2 * i : 2 * i + 80])) for i in range(16)],
+        ["doc_id", "text"],
+    )
+    bench = spark.createDataFrame(
+        [(999, "benchmark sentence that matches nothing here at all today")],
+        ["doc_id", "text"],
+    )
+
+    # Inject a driver death at round 2 of the component loop, composed-DAG
+    # level: wrap the iterate() components uses, keep everything else real.
+    real_iterate = comp_mod.iterate
+    boom = {"at": 2}
+    captured: dict = {}
+
+    def fragile_iterate(df0, step, **kw):
+        def fragile_step(d, round_no):
+            if round_no == boom["at"]:
+                raise RuntimeError("driver died")
+            return step(d, round_no)
+
+        kw["stats"] = captured
+        return real_iterate(df0, fragile_step, **kw)
+
+    monkeypatch.setattr(comp_mod, "iterate", fragile_iterate)
+
+    rd = str(tmp_path / "cc")
+    with pytest.raises(RuntimeError, match="driver died"):
+        curate_corpus_neardup(docs, bench, resume_dir=rd)
+    # round 1 landed durably before the crash
+    assert any(n.startswith("round_") for n in os.listdir(rd))
+
+    boom["at"] = None  # relaunch
+    resumed = curate_corpus_neardup(docs, bench, resume_dir=rd)
+    assert captured.get("resumed_from", 0) >= 1
+    got = {(r["doc_id"], r["cluster_size"]) for r in resumed.collect()}
+
+    monkeypatch.setattr(comp_mod, "iterate", real_iterate)
+    fresh = curate_corpus_neardup(docs, bench)
+    assert got == {
+        (r["doc_id"], r["cluster_size"]) for r in fresh.collect()
+    }
+    assert got  # the chain produced at least one surviving canonical

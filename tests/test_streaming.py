@@ -22,13 +22,13 @@ from flink_streaming_2_10_spark.operators.windows import windowed_word_count
 from flink_streaming_2_10_spark.operators.wordcount import word_count
 from flink_streaming_2_10_spark.sources.generators import car_event_simulator
 from flink_streaming_2_10_spark.streaming.runners import (
-    collect_stream,
     interval_join_event_stream,
     run_update_stream,
     streaming_word_count,
     twitter_stream,
     window_join_stream,
 )
+from tests.stream_util import collect_stream
 
 
 def _write_text_files(dirpath: str, contents: list[str], ext: str = "txt") -> None:
