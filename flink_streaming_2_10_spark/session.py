@@ -115,13 +115,15 @@ def get_spark(
         .config("spark.driver.extraJavaOptions", "-Djava.net.preferIPv4Stack=true")
         # STATIC conf (must be set before the session exists): the default
         # 100-entry generated-class cache thrashes on a many-query workload
-        # (this engine's surface is 44 queries × several codegen stages
+        # (this engine's surface is 60 queries × several codegen stages
         # each), re-paying Janino compilation of the big aggregate
         # expressions (simhash vote lanes, 64-permutation minhash) on every
-        # run. 2000 entries keeps every distinct stage compiled once per
-        # JVM; entries are generated-class references, so the footprint is
-        # a few MB.
-        .config("spark.sql.codegen.cache.maxEntries", "2000")
+        # run. Sized WELL above the distinct-stage count (r7: the 2000-entry
+        # setting fell behind registry growth and bench medians tripled from
+        # per-iteration recompilation — the cache must lead the registry,
+        # not trail it); entries are generated-class references, so the
+        # footprint is a few MB even at 10k.
+        .config("spark.sql.codegen.cache.maxEntries", "10000")
     )
     # Kafka connector auto-enable: when the deployment drops connector
     # jars into $SPARK_HOME/jars or points $SPARK_GRAFT_KAFKA_JARS at
