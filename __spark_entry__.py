@@ -26,9 +26,12 @@ from flink_streaming_2_10_spark.operators.async_io import (
 from flink_streaming_2_10_spark.operators.join import join_grades_salaries
 from flink_streaming_2_10_spark.operators.relational import (
     forecast_revenue,
+    large_orders,
+    local_supplier_volume,
     pricing_cube,
     pricing_summary,
     priority_order_check,
+    promo_revenue,
     revenue_by_region,
     shipping_priority,
 )
@@ -719,6 +722,41 @@ def q_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full TPC-H Q5 shape: revenue per nation with the same-nation
+    customer/supplier constraint — one fact co-shuffle on orderkey, every
+    dimension broadcast (operators/relational.local_supplier_volume)."""
+    return local_supplier_volume(
+        load_table(spark, sf_dir, "region"),
+        load_table(spark, sf_dir, "nation"),
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "supplier"),
+    )
+
+
+def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 promotion effect: conditional revenue ratio over one
+    month, part broadcast, month filter pushed — the fact never shuffles
+    (operators/relational.promo_revenue)."""
+    return promo_revenue(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "part"),
+    )
+
+
+def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 large-volume customers: fact-scale quantity rollup +
+    HAVING, qualifying set broadcast back, deterministic top-k
+    (operators/relational.large_orders)."""
+    return large_orders(
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "lineitem"),
+    )
+
+
 def q_token_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language token-count percentiles with percentile_cont
     semantics via the value histogram — no per-group value buffer
@@ -957,6 +995,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q6_forecast_revenue": q_tpch_q6,
         "tpch_q4_priority_check": q_tpch_q4,
         "tpch_q3_shipping_priority": q_tpch_q3,
+        "tpch_q5_local_supplier_volume": q_tpch_q5,
+        "tpch_q14_promo_effect": q_tpch_q14,
+        "tpch_q18_large_orders": q_tpch_q18,
         "pricing_cube": q_pricing_cube,
         "revenue_by_region": q_revenue_by_region,
         "multimodal_frame_sample": q_multimodal_frame_sample,
@@ -2622,5 +2663,61 @@ def oracle_sql() -> dict[str, str]:
             JOIN nation n ON c.c_nationkey = n.n_nationkey
             JOIN region r ON n.n_regionkey = r.r_regionkey
             GROUP BY r.r_name
+        """,
+        "tpch_q5_local_supplier_volume": """
+            SELECT n.n_name,
+                   CAST(count(*) AS BIGINT) AS lineitem_count,
+                   CAST(CAST(sum(
+                       CAST(round(l.l_extendedprice*100) AS BIGINT)
+                       * (100 - CAST(round(l.l_discount*100) AS BIGINT))
+                   ) AS BIGINT) AS DOUBLE)/10000.0 AS revenue
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+                           AND s.s_nationkey = c.c_nationkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            JOIN region r ON n.n_regionkey = r.r_regionkey
+            WHERE r.r_name = 'ASIA'
+              AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND o.o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+            GROUP BY n.n_name
+        """,
+        "tpch_q14_promo_effect": """
+            WITH j AS (
+              SELECT p.p_type,
+                     CAST(round(l.l_extendedprice*100) AS BIGINT)
+                       * (100 - CAST(round(l.l_discount*100) AS BIGINT)) AS rev_u
+              FROM lineitem l
+              JOIN part p ON l.l_partkey = p.p_partkey
+              WHERE l.l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
+                AND l.l_shipdate <  TIMESTAMP '1996-10-01 00:00:00'),
+            s AS (SELECT
+                    CAST(sum(CASE WHEN p_type = 'PROMO' THEN rev_u
+                                  ELSE 0 END) AS BIGINT) AS promo_u,
+                    CAST(sum(rev_u) AS BIGINT) AS total_u
+                  FROM j)
+            SELECT CAST(promo_u AS DOUBLE)/10000.0 AS promo_revenue,
+                   CAST(total_u AS DOUBLE)/10000.0 AS total_revenue,
+                   100.0 * CAST(promo_u AS DOUBLE) / CAST(total_u AS DOUBLE)
+                     AS promo_pct
+            FROM s
+        """,
+        "tpch_q18_large_orders": """
+            WITH q AS (
+              SELECT l_orderkey, sum(l_quantity) AS sum_qty
+              FROM lineitem GROUP BY l_orderkey
+              HAVING sum(l_quantity) > 300.0)
+            SELECT c.c_name, c.c_custkey, o.o_orderkey,
+                   epoch_ms(o.o_orderdate) AS o_orderdate_ms,
+                   CAST(CAST(round(o.o_totalprice*100) AS BIGINT) AS DOUBLE)/100.0
+                     AS o_totalprice,
+                   q.sum_qty
+            FROM orders o
+            JOIN q ON o.o_orderkey = q.l_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            ORDER BY CAST(round(o.o_totalprice*100) AS BIGINT) DESC,
+                     epoch_ms(o.o_orderdate) ASC, o.o_orderkey ASC
+            LIMIT 100
         """,
     }

@@ -268,3 +268,183 @@ def priority_order_check(
     return hit.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).alias("order_count")
     )
+
+
+def local_supplier_volume(
+    region: DataFrame,
+    nation: DataFrame,
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    supplier: DataFrame,
+    region_name: str = "ASIA",
+    date_from: str = "1996-01-01",
+    date_to: str = "1997-01-01",
+) -> DataFrame:
+    """Full TPC-H Q5 local-supplier volume: revenue per nation for orders
+    whose customer AND lineitem supplier sit in the same nation of one
+    region, over an order-date year.
+
+    Join strategy at scale: lineitem (the 100 TB fact) co-shuffles with
+    the date-filtered orders on orderkey — the single big exchange; every
+    dimension (supplier, customer+nation+region chain) is BROADCAST, and
+    the same-nation constraint (``s_nationkey == c_nationkey``) is
+    evaluated as a join conjunct on the broadcast sides, so no second
+    fact shuffle. Final agg is a tiny groupBy on ≤25 nations. Revenue is
+    exact integer units (cents × basis points), one terminal division.
+    """
+    cut_lo = F.lit(date_from).cast("timestamp")
+    cut_hi = F.lit(date_to).cast("timestamp")
+    cdim = (
+        customer.select("c_custkey", "c_nationkey")
+        .join(
+            F.broadcast(
+                nation.select("n_nationkey", "n_regionkey", "n_name")
+            ),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(
+                region.filter(F.col("r_name") == region_name).select(
+                    "r_regionkey"
+                )
+            ),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("c_custkey", "c_nationkey", "n_name")
+    )
+    o = orders.filter(
+        (F.col("o_orderdate") >= cut_lo) & (F.col("o_orderdate") < cut_hi)
+    ).select("o_orderkey", "o_custkey")
+    li = lineitem.select(
+        "l_orderkey",
+        "l_suppkey",
+        (
+            to_units("l_extendedprice") * (F.lit(100) - to_units("l_discount"))
+        ).alias("rev_u"),
+    )
+    s = supplier.select("s_suppkey", "s_nationkey")
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(
+            F.broadcast(cdim),
+            (F.col("o_custkey") == cdim["c_custkey"])
+            & (F.col("s_nationkey") == cdim["c_nationkey"]),
+        )
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("lineitem_count"),
+            F.sum("rev_u").alias("rev_u_sum"),
+        )
+        .select(
+            "n_name",
+            "lineitem_count",
+            from_units("rev_u_sum", 4).alias("revenue"),
+        )
+    )
+
+
+def promo_revenue(
+    lineitem: DataFrame,
+    part: DataFrame,
+    date_from: str = "1996-09-01",
+    date_to: str = "1996-10-01",
+    promo_type: str = "PROMO",
+) -> DataFrame:
+    """TPC-H Q14 promotion effect: the percentage of one month's
+    discounted revenue coming from promotional parts — one row.
+
+    The testdata's ``p_type`` is the single TPC-H type class (PROMO,
+    STANDARD, …), so the match is equality rather than upstream's
+    ``LIKE 'PROMO%'`` prefix on the three-word type string. Part is a
+    broadcast dimension; the month filter pushes to the lineitem scan, so
+    the fact never shuffles — the aggregation is a single global sum of
+    exact integer units with map-side partials, and the percentage is one
+    terminal division of two exact longs (deterministic for the oracle).
+    """
+    li = lineitem.filter(
+        (F.col("l_shipdate") >= F.lit(date_from).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(date_to).cast("timestamp"))
+    ).select(
+        "l_partkey",
+        (
+            to_units("l_extendedprice") * (F.lit(100) - to_units("l_discount"))
+        ).alias("rev_u"),
+    )
+    p = part.select("p_partkey", "p_type")
+    joined = li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+    agg = joined.agg(
+        F.sum(
+            F.when(F.col("p_type") == promo_type, F.col("rev_u")).otherwise(
+                F.lit(0)
+            )
+        ).alias("promo_u"),
+        F.sum("rev_u").alias("total_u"),
+    )
+    return agg.select(
+        from_units("promo_u", 4).alias("promo_revenue"),
+        from_units("total_u", 4).alias("total_revenue"),
+        (
+            F.lit(100.0)
+            * F.col("promo_u").cast("double")
+            / F.col("total_u").cast("double")
+        ).alias("promo_pct"),
+    )
+
+
+def large_orders(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    min_quantity: float = 300.0,
+    limit: int = 100,
+) -> DataFrame:
+    """TPC-H Q18 large-volume customers: orders whose total lineitem
+    quantity exceeds ``min_quantity``, with customer identity, ordered by
+    total price desc / order date asc — top ``limit``.
+
+    Scale shape: the quantity rollup is the one fact-scale exchange
+    (groupBy orderkey with map-side partials, carrying a single double);
+    the HAVING cut leaves a tiny qualifying set, which then BROADCASTS to
+    orders — the fact table is never joined at full width. The final cut
+    is a deterministic TakeOrderedAndProject (price desc, date asc,
+    orderkey asc), never a global sort. o_totalprice rides as exact cents
+    for the ordering and hash.
+    """
+    qual = (
+        lineitem.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .filter(F.col("sum_qty") > F.lit(min_quantity))
+    )
+    o = orders.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderdate",
+        to_units("o_totalprice").alias("total_c"),
+    )
+    c = customer.select("c_custkey", "c_name")
+    joined = (
+        o.join(F.broadcast(qual), o["o_orderkey"] == qual["l_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.unix_millis(F.col("o_orderdate").cast("timestamp")).alias(
+                "o_orderdate_ms"
+            ),
+            from_units("total_c").alias("o_totalprice"),
+            "sum_qty",
+            "total_c",
+        )
+    )
+    return (
+        joined.orderBy(
+            F.col("total_c").desc(),
+            F.col("o_orderdate_ms"),
+            F.col("o_orderkey"),
+        )
+        .drop("total_c")
+        .limit(limit)
+    )

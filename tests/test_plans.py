@@ -179,3 +179,56 @@ def test_exact_dedup_single_shuffle_on_fingerprint(spark):
     plan = _plan(entrymod.queries()["dedup_exact"](spark, SF_SMALL))
     n_exchanges = plan.count("Exchange hashpartitioning")
     assert n_exchanges <= 1, plan
+
+
+def test_tpch_q5_broadcasts_dims_and_pushes_year(spark):
+    """Full Q5: the only fact-scale exchange is lineitem⋈orders on
+    orderkey; supplier and the customer→nation→region chain must arrive
+    broadcast, and the order-date year must reach the orders scan."""
+    import __spark_entry__ as entrymod
+
+    plan = _plan(
+        entrymod.queries()["tpch_q5_local_supplier_volume"](spark, SF_SMALL)
+    )
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    orders_scans = [s for s in _scan_sections(plan) if "orders" in s]
+    assert orders_scans, plan
+    pushed = orders_scans[0].split("PushedFilters:")[1].split("\n")[0]
+    assert "o_orderdate" in pushed, pushed
+    # region filter prunes scan-side too ("region" alone also matches the
+    # nation scan via n_regionkey — select by the region table's schema)
+    region_scans = [
+        s for s in _scan_sections(plan) if "r_name:string" in s
+    ]
+    assert region_scans and "r_name" in region_scans[0].split(
+        "PushedFilters:"
+    )[1].split("\n")[0], plan
+
+
+def test_tpch_q14_fact_never_shuffles(spark):
+    """Q14: part broadcasts, the month filter reaches the lineitem scan,
+    and the single-row global agg is the only exchange — the fact table
+    must not hash-shuffle."""
+    import __spark_entry__ as entrymod
+
+    plan = _plan(entrymod.queries()["tpch_q14_promo_effect"](spark, SF_SMALL))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    li_scans = [s for s in _scan_sections(plan) if "lineitem" in s]
+    assert li_scans, plan
+    pushed = li_scans[0].split("PushedFilters:")[1].split("\n")[0]
+    assert "l_shipdate" in pushed, pushed
+    assert "Exchange hashpartitioning" not in plan, plan
+
+
+def test_tpch_q18_topk_and_broadcast_qualifying_set(spark):
+    """Q18: the HAVING-qualified order set joins back by broadcast (the
+    fact never re-joins at width), and the final cut is a deterministic
+    TakeOrderedAndProject — no global sort, no GlobalLimit."""
+    import __spark_entry__ as entrymod
+
+    plan = _plan(entrymod.queries()["tpch_q18_large_orders"](spark, SF_SMALL))
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "GlobalLimit" not in plan, plan
+    assert "Exchange rangepartitioning" not in plan, plan
