@@ -58,6 +58,7 @@ from flink_streaming_2_10_spark.pipeline.dedup import (
     exact_dedup,
     minhash_dedup_pairs,
     minhash_perm_params,
+    ngram_containment_pairs,
     ngram_jaccard_pairs,
     simhash_fingerprints,
     simhash_neardup_pairs,
@@ -301,6 +302,15 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     resolved to the same absolute cap in the oracle's CEIL expression)."""
     return ngram_jaccard_pairs(
         load_table(spark, sf_dir, "documents"), n=3, threshold=0.5
+    )
+
+
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric gram-set containment pairs (|A∩B| / min|A|,|B| ≥ 0.6,
+    3-grams, stop-gram pruned): catches a document verbatim-embedded in
+    a longer one — the boilerplate-wrapping near-dup Jaccard misses."""
+    return ngram_containment_pairs(
+        load_table(spark, sf_dir, "documents"), n=3, threshold=0.6
     )
 
 
@@ -1014,6 +1024,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topspeed_delta_trigger": q_topspeed,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_containment": q_dedup_containment,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_components": q_dedup_components,
         "graph_shortest_hops": q_graph_shortest_hops,
@@ -1090,11 +1101,28 @@ def _md5_hash64_sql(expr: str, seed: int) -> str:
 def _ngram_jaccard_oracle(
     n: int, threshold: float, max_df_frac: float | None = None
 ) -> str:
-    """Mirror of ngram_jaccard_pairs (default ``collapse_exact=True``):
-    exact duplicates pre-collapse to one representative per distinct
-    normalized text, the inverted index and the document-frequency prune
-    run over representatives, and identical classes re-expand as star
-    edges carrying the rep's post-prune set size. ``max_df_frac``
+    return _ngram_pairs_oracle(n, threshold, max_df_frac, score="jaccard")
+
+
+def _ngram_containment_oracle(
+    n: int, threshold: float, max_df_frac: float | None = None
+) -> str:
+    return _ngram_pairs_oracle(n, threshold, max_df_frac, score="containment")
+
+
+def _ngram_pairs_oracle(
+    n: int,
+    threshold: float,
+    max_df_frac: float | None = None,
+    score: str = "jaccard",
+) -> str:
+    """Mirror of ngram_jaccard_pairs / ngram_containment_pairs (default
+    ``collapse_exact=True``): exact duplicates pre-collapse to one
+    representative per distinct normalized text, the inverted index and
+    the document-frequency prune run over representatives, and identical
+    classes re-expand as star edges carrying the rep's post-prune set
+    size (on which either score evaluates to exactly 1.0 — the same
+    expression is applied to star rows, as in the engine). ``max_df_frac``
     reproduces the fractional stop-gram prune: Spark resolves the cap
     driver-side as ``ceil(frac * n_reps)``; here the identical IEEE
     product goes through CEIL in-query, so both engines prune exactly
@@ -1111,6 +1139,14 @@ def _ngram_jaccard_oracle(
         if max_df_frac is not None
         else "SELECT * FROM hh0"
     )
+    if score == "jaccard":
+        score_sql = (
+            "CAST(inter AS DOUBLE) / CAST(size_a + size_b - inter AS DOUBLE)"
+        )
+    elif score == "containment":
+        score_sql = "CAST(inter AS DOUBLE) / CAST(least(size_a, size_b) AS DOUBLE)"
+    else:
+        raise ValueError(f"unknown score: {score}")
     return f"""
         WITH nrm AS (SELECT doc_id, text,
                      md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS nfp
@@ -1128,27 +1164,27 @@ def _ngram_jaccard_oracle(
                          CAST(count(*) AS BIGINT) AS inter
                   FROM hh a JOIN hh b
                     ON a.h = b.h AND a.doc_id < b.doc_id
-                  GROUP BY 1, 2)
-        SELECT i.doc_a, i.doc_b, i.inter,
-               CAST(sa.sz AS BIGINT) AS size_a,
-               CAST(sb.sz AS BIGINT) AS size_b,
-               CAST(i.inter AS DOUBLE) / CAST(sa.sz + sb.sz - i.inter AS DOUBLE)
-                 AS jaccard
-        FROM inter i
-        JOIN sizes sa ON i.doc_a = sa.doc_id
-        JOIN sizes sb ON i.doc_b = sb.doc_id
-        WHERE CAST(i.inter AS DOUBLE) / CAST(sa.sz + sb.sz - i.inter AS DOUBLE)
-              >= CAST({threshold} AS DOUBLE)
-        UNION ALL
-        SELECT c.rep AS doc_a, n2.doc_id AS doc_b,
-               CAST(s.sz AS BIGINT) AS inter,
-               CAST(s.sz AS BIGINT) AS size_a,
-               CAST(s.sz AS BIGINT) AS size_b,
-               CAST(1.0 AS DOUBLE) AS jaccard
-        FROM nrm n2
-        JOIN cls c ON n2.nfp = c.nfp
-        JOIN sizes s ON s.doc_id = c.rep
-        WHERE n2.doc_id <> c.rep"""
+                  GROUP BY 1, 2),
+        pb AS (
+          SELECT i.doc_a, i.doc_b, i.inter,
+                 CAST(sa.sz AS BIGINT) AS size_a,
+                 CAST(sb.sz AS BIGINT) AS size_b
+          FROM inter i
+          JOIN sizes sa ON i.doc_a = sa.doc_id
+          JOIN sizes sb ON i.doc_b = sb.doc_id
+          UNION ALL
+          SELECT c.rep AS doc_a, n2.doc_id AS doc_b,
+                 CAST(s.sz AS BIGINT) AS inter,
+                 CAST(s.sz AS BIGINT) AS size_a,
+                 CAST(s.sz AS BIGINT) AS size_b
+          FROM nrm n2
+          JOIN cls c ON n2.nfp = c.nfp
+          JOIN sizes s ON s.doc_id = c.rep
+          WHERE n2.doc_id <> c.rep)
+        SELECT doc_a, doc_b, inter, size_a, size_b,
+               {score_sql} AS {score}
+        FROM pb
+        WHERE {score_sql} >= CAST({threshold} AS DOUBLE)"""
 
 
 def _minhash_pairs_ctes(
@@ -2427,6 +2463,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dedup_ngram_jaccard": _ngram_jaccard_oracle(
             n=3, threshold=0.5, max_df_frac=DEFAULT_MAX_DF_FRAC
+        ),
+        "dedup_containment": _ngram_containment_oracle(
+            n=3, threshold=0.6, max_df_frac=DEFAULT_MAX_DF_FRAC
         ),
         "dedup_minhash_lsh": _minhash_lsh_oracle(
             num_hashes=32, bands=8, rows=4, shingle_n=3, threshold=0.7

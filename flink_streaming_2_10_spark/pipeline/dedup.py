@@ -323,6 +323,74 @@ def ngram_jaccard_pairs(
     Jaccard is emitted as exact integer fields (inter, size_a, size_b) plus
     a derived double — division of exact longs, deterministic for oracles.
     """
+    base = _ngram_pair_counts(
+        df, id_col, text_col, n, max_df, hasher, collapse_exact
+    )
+    union = F.col("size_a") + F.col("size_b") - F.col("inter")
+    return (
+        base.withColumn(
+            "jaccard", F.col("inter").cast("double") / union.cast("double")
+        )
+        .filter(F.col("jaccard") >= F.lit(threshold))
+        .select("doc_a", "doc_b", "inter", "size_a", "size_b", "jaccard")
+    )
+
+
+def ngram_containment_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.9,
+    max_df: int | float | None = DEFAULT_MAX_DF_FRAC,
+    hasher: str = "md5",
+    collapse_exact: bool = True,
+) -> DataFrame:
+    """All document pairs whose smaller gram set is ≥ ``threshold``
+    CONTAINED in the other: ``|A∩B| / min(|A|, |B|)`` — the asymmetric
+    near-dup relation Jaccard misses when lengths differ.
+
+    Why it exists: a document verbatim-embedded in a larger one
+    (boilerplate wrapping, quote-and-expand reposts, concatenated
+    pages — ubiquitous in web corpora) has Jaccard ≈ |A|/|B|, far below
+    any sane Jaccard threshold, while its containment is ≈ 1. Gram-set
+    containment is the standard scalable approximation of substring
+    dedup for training-data curation.
+
+    Same inverted-index machinery, shuffle shape, ``max_df`` stop-gram
+    prune, and exact-duplicate pre-collapse as
+    :func:`ngram_jaccard_pairs` (star edges score 1.0 here too); the
+    score is one terminal division of exact longs.
+    """
+    base = _ngram_pair_counts(
+        df, id_col, text_col, n, max_df, hasher, collapse_exact
+    )
+    smaller = F.least(F.col("size_a"), F.col("size_b"))
+    return (
+        base.withColumn(
+            "containment",
+            F.col("inter").cast("double") / smaller.cast("double"),
+        )
+        .filter(F.col("containment") >= F.lit(threshold))
+        .select("doc_a", "doc_b", "inter", "size_a", "size_b", "containment")
+    )
+
+
+def _ngram_pair_counts(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int,
+    max_df: int | float | None,
+    hasher: str,
+    collapse_exact: bool,
+) -> DataFrame:
+    """Shared inverted-index pair machinery for the exact n-gram scorers:
+    ``(doc_a, doc_b, inter, size_a, size_b)`` for every pair sharing ≥ 1
+    surviving gram — including the pre-collapse star rows, whose counts
+    are the rep's post-prune set size, so ANY score of the form
+    f(inter, size_a, size_b) evaluates to its identical-set value (1.0
+    for jaccard and containment) without scorer-specific star handling."""
     nrm = cls = None
     work = df
     if collapse_exact:
@@ -379,16 +447,13 @@ def ngram_jaccard_pairs(
     )
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("set_size").alias("size_a"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("set_size").alias("size_b"))
-    union = F.col("size_a") + F.col("size_b") - F.col("inter")
     result = (
         inter.join(sa, ["doc_a"])
         .join(sb, ["doc_b"])
-        .withColumn("jaccard", F.col("inter").cast("double") / union.cast("double"))
-        .filter(F.col("jaccard") >= F.lit(threshold))
-        .select("doc_a", "doc_b", "inter", "size_a", "size_b", "jaccard")
+        .select("doc_a", "doc_b", "inter", "size_a", "size_b")
     )
     if cls is not None:
-        # Star edges carry the rep's post-prune set size as inter and
+        # Star rows carry the rep's post-prune set size as inter and
         # both sizes (identical gram sets); the inner sizes join drops
         # classes whose gram set is empty after pruning — those docs
         # share no grams, so the exhaustive form emits no pair either.
@@ -412,7 +477,6 @@ def ngram_jaccard_pairs(
                 F.col("__sz").alias("inter"),
                 F.col("__sz").alias("size_a"),
                 F.col("__sz").alias("size_b"),
-                F.lit(1.0).cast("double").alias("jaccard"),
             )
         )
         result = result.unionByName(star)

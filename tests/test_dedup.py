@@ -384,3 +384,43 @@ def test_ngram_identical_class_output_is_linear(spark):
     assert all(r["doc_a"] == 0 and r["jaccard"] == 1.0 for r in out)
     # star values carry the true gram-set size
     assert all(r["inter"] == r["size_a"] == r["size_b"] > 0 for r in out)
+
+
+def test_ngram_containment_catches_embedded_doc(spark):
+    """Containment's reason to exist: a short doc verbatim-embedded in a
+    much longer one has low Jaccard but containment 1.0."""
+    from flink_streaming_2_10_spark.pipeline.dedup import (
+        ngram_containment_pairs,
+    )
+
+    core = "the quick brown fox jumps over the lazy dog near the river bank"
+    filler = " ".join(f"filler{i} padding{i} extra{i}" for i in range(30))
+    rows = [
+        (1, core),
+        (2, f"{filler} {core}"),  # core embedded in 10x the text
+        (3, "entirely unrelated content about database query planning"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    cont = {
+        (r["doc_a"], r["doc_b"]): r["containment"]
+        for r in ngram_containment_pairs(
+            df, n=3, threshold=0.9, max_df=None
+        ).collect()
+    }
+    assert cont.get((1, 2)) == 1.0  # every 3-gram of doc 1 is in doc 2
+    assert all(3 not in k for k in cont)
+    # Jaccard at the same threshold misses it entirely
+    jac = ngram_jaccard_pairs(df, n=3, threshold=0.9, max_df=None).collect()
+    assert all((r["doc_a"], r["doc_b"]) != (1, 2) for r in jac)
+
+
+def test_ngram_containment_star_and_oracle(spark, duck):
+    """Exact-dup star rows score containment 1.0, and the registry query
+    hash-matches its DuckDB oracle."""
+    import __spark_entry__ as entrymod
+    from tests.conftest import SF_SMALL, assert_df_matches_oracle
+
+    got = entrymod.queries()["dedup_containment"](spark, SF_SMALL)
+    assert_df_matches_oracle(
+        got, duck, entrymod.oracle_sql()["dedup_containment"]
+    )
