@@ -239,7 +239,7 @@ DEFAULT_MAX_BUCKET_SIZE = 5_000
 
 
 def _exact_classes(
-    df: DataFrame, id_col: str, text_col: str
+    df: DataFrame, id_col: str, text_col: str, fp_col: str | None = None
 ) -> tuple[DataFrame, DataFrame]:
     """Pre-collapse exact duplicates ahead of a near-dup detector.
 
@@ -261,14 +261,17 @@ def _exact_classes(
     class, the less it shuffles — the exact inverse of the band join's
     failure mode. For a mostly-unique corpus the volume matches the
     posting shuffle that follows anyway.
+
+    ``fp_col`` names a column of ``df`` that ALREADY holds this
+    fingerprint (the curation gate computes it scan-side for exact
+    dedup) — passing it skips a second full-corpus lower/regex/md5 pass.
     """
-    nrm = df.select(
-        F.col(id_col),
-        F.col(text_col),
-        F.md5(
-            F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")
-        ).alias("__nfp"),
+    fp = (
+        F.col(fp_col)
+        if fp_col is not None
+        else F.md5(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
     )
+    nrm = df.select(F.col(id_col), F.col(text_col), fp.alias("__nfp"))
     cls = tracked_persist(
         nrm.groupBy("__nfp").agg(
             F.min(id_col).alias("__rep"),
@@ -647,6 +650,7 @@ def minhash_dedup_pairs(
     hasher: str = "xxhash64",
     collapse_exact: bool = True,
     max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
+    fp_col: str | None = None,
 ) -> DataFrame:
     """End-to-end MinHash-LSH near-dup detection: signatures → banded
     candidates → verify candidates with the exact n-gram Jaccard (computed
@@ -670,6 +674,8 @@ def minhash_dedup_pairs(
     ``collapse_exact=False`` restores the exhaustive all-pairs output
     (small corpora / property tests). ``max_bucket_size`` is the
     defense-in-depth hot-bucket cap (see :func:`minhash_lsh_candidates`).
+    ``fp_col`` optionally names a precomputed normalized-text
+    fingerprint column (see :func:`_exact_classes`).
     """
     if bands * rows != num_hashes:
         raise ValueError(
@@ -679,7 +685,7 @@ def minhash_dedup_pairs(
     star: DataFrame | None = None
     work = df
     if collapse_exact:
-        nrm, cls = _exact_classes(df, id_col, text_col)
+        nrm, cls = _exact_classes(df, id_col, text_col, fp_col=fp_col)
         work = cls.select(
             F.col("__rep").alias(id_col), F.col("__rep_text").alias(text_col)
         )

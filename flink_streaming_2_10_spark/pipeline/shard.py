@@ -275,7 +275,9 @@ def curate_corpus_neardup(
         _curation_gate(df, id_col, text_col, lang, min_quality, max_dup_word_frac)
     )
     pairs = minhash_dedup_pairs(
-        kept.select(F.col(id_col), F.col(text_col)),
+        # `fp` is the gate's scan-side exact-dedup fingerprint — passing
+        # it spares the collapse a second full-corpus normalize+md5 pass.
+        kept.select(F.col(id_col), F.col(text_col), F.col("fp")),
         id_col=id_col,
         text_col=text_col,
         num_hashes=num_hashes,
@@ -288,6 +290,7 @@ def curate_corpus_neardup(
         max_bucket_size=(
             DEFAULT_MAX_BUCKET_SIZE if max_bucket_size is None else max_bucket_size
         ),
+        fp_col="fp",
     )
     comp = connected_components(
         pairs,
