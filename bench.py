@@ -124,23 +124,27 @@ def main() -> None:
         "sf": sf_val,
         "n": n_iter,
         "calib": calib,
+        # Total of per-query MINS: the best observed cold-cache pass.
+        # Cross-round min-vs-min at the total level lives in the driver's
+        # stdout artifact (the r7 verdict's accounting gap); the PER-QUERY
+        # mins are in BENCH.json, which is git-TRACKED since r8 so the
+        # driver's own bench run leaves a durable, committed record (a
+        # full second name→value dict can never fit the stdout window:
+        # the median dict alone is ~1.8 KB at 65 queries).
+        "value_min": round(sum(t for t in timings_min.values() if t >= 0), 3),
     }
     result = json.dumps(slim, separators=(",", ":"))
     # The driver retains only the last ~2000 stdout chars; a line that
     # outgrows the window silently truncates into unparseable JSON (the
-    # BENCH_r05 failure). Degrade DETERMINISTICALLY instead: first drop
-    # timing precision to 2 decimals, and if the registry has grown past
-    # even that, fail LOUDLY — the durable BENCH.json still has
-    # everything, and a visible error beats a silently null record.
+    # BENCH_r05 failure). Degrade DETERMINISTICALLY instead: drop timing
+    # precision to 2 decimals, and only if the registry has grown past
+    # even that, fail LOUDLY — the durable BENCH.json (written below
+    # BEFORE the assert) still has everything, and a visible error beats
+    # a silently null record.
     _STDOUT_BUDGET = 1950  # headroom under the 2000-char retention window
     if len(result) > _STDOUT_BUDGET:
         slim["queries"] = {k: round(v, 2) for k, v in timings.items()}
         result = json.dumps(slim, separators=(",", ":"))
-    assert len(result) <= _STDOUT_BUDGET, (
-        f"bench stdout JSON is {len(result)} chars > {_STDOUT_BUDGET}: "
-        f"the driver's stdout window would truncate it — shrink the "
-        f"per-query payload (full data is in BENCH.json)"
-    )
     verbose = json.dumps(
         {
             **slim,
@@ -151,8 +155,11 @@ def main() -> None:
             ],
         }
     )
-    # Durable copy first: if anything clips the stdout tail (progress-bar
-    # races, pipe truncation), the driver — or a human — can read the file.
+    # Durable copy first — BEFORE the stdout-budget assert, so a completed
+    # multi-iteration run always leaves a full record on disk even if the
+    # stdout line can't fit the window (and if anything clips the stdout
+    # tail — progress-bar races, pipe truncation — the driver or a human
+    # can read the file).
     try:
         with open(
             os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH.json"),
@@ -161,6 +168,11 @@ def main() -> None:
             fh.write(verbose + "\n")
     except OSError:
         pass
+    assert len(result) <= _STDOUT_BUDGET, (
+        f"bench stdout JSON is {len(result)} chars > {_STDOUT_BUDGET}: "
+        f"the driver's stdout window would truncate it — shrink the "
+        f"per-query payload (full data is in BENCH.json)"
+    )
     # Stop Spark BEFORE the JSON line so no executor/JVM shutdown chatter
     # can interleave after it — the JSON is the process's final stdout.
     spark.stop()

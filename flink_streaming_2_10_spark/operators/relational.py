@@ -286,12 +286,18 @@ def local_supplier_volume(
     region, over an order-date year.
 
     Join strategy at scale: lineitem (the 100 TB fact) co-shuffles with
-    the date-filtered orders on orderkey — the single big exchange; every
-    dimension (supplier, customer+nation+region chain) is BROADCAST, and
-    the same-nation constraint (``s_nationkey == c_nationkey``) is
-    evaluated as a join conjunct on the broadcast sides, so no second
-    fact shuffle. Final agg is a tiny groupBy on ≤25 nations. Revenue is
-    exact integer units (cents × basis points), one terminal division.
+    the date-filtered orders on orderkey — the big exchange; nation,
+    region, and supplier are genuinely small and carry explicit BROADCAST
+    hints. Customer is NOT hinted: at TPC-H ratios it is ~2% of corpus
+    (~2 TB at the 100 TB point) — far past broadcastable — so the
+    customer side is left to the planner: AQE broadcasts it at
+    small/moderate SF (runtime size stats) and falls back to a shuffle
+    hash join on ``o_custkey`` at scale, where orders-after-year-filter
+    (~15% of orders) is the smaller shuffle side. The same-nation
+    constraint (``s_nationkey == c_nationkey``) rides the customer join
+    as a conjunct. Final agg is a tiny groupBy on ≤25 nations. Revenue
+    is exact integer units (cents × basis points), one terminal
+    division.
     """
     cut_lo = F.lit(date_from).cast("timestamp")
     cut_hi = F.lit(date_to).cast("timestamp")
@@ -327,8 +333,11 @@ def local_supplier_volume(
     return (
         li.join(o, li["l_orderkey"] == o["o_orderkey"])
         .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        # No broadcast hint on the customer chain: customer is ~2% of
+        # corpus (not broadcastable at 100 TB); AQE picks broadcast at
+        # small SF from runtime stats and shuffle-hash at scale.
         .join(
-            F.broadcast(cdim),
+            cdim,
             (F.col("o_custkey") == cdim["c_custkey"])
             & (F.col("s_nationkey") == cdim["c_nationkey"]),
         )

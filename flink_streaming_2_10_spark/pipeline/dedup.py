@@ -551,13 +551,15 @@ def minhash_lsh_candidates(
     runtime expression would be dead weight in the banding stage).
 
     ``max_bucket_size`` is the hot-bucket guard: buckets whose
-    membership exceeds the cap are dropped WHOLE (a broadcast anti-join
-    on the — by definition tiny — oversized-bucket list) before the
-    self-join, bounding any single join key at cap² output rows. The
-    drop is deterministic, so an oracle applying the same HAVING cap
-    stays in lockstep; pairs living only in dropped buckets are missed,
-    the same recall trade ``max_df`` makes for stop grams. ``None``
-    disables the guard (exhaustive small-corpus mode).
+    membership exceeds the cap are dropped WHOLE before the self-join —
+    a window ``count`` over the same (band, bucket) partitioning the
+    self-join shuffles on anyway, so the filter rides the join's own
+    exchange instead of paying a separate aggregation pass (see the
+    inline comment below) — bounding any single join key at cap² output
+    rows. The drop is deterministic, so an oracle applying the same
+    HAVING cap stays in lockstep; pairs living only in dropped buckets
+    are missed, the same recall trade ``max_df`` makes for stop grams.
+    ``None`` disables the guard (exhaustive small-corpus mode).
     """
     # Fail fast on a banding mismatch. Array length isn't in the schema,
     # so guard inside the bucket expression: assert_true evaluates per row
@@ -856,9 +858,12 @@ def simhash_neardup_pairs(
     k+1 chunks, stays linear in class size. Same transitive closure as
     the full pair set; ``False`` restores the exhaustive all-pairs output.
     ``max_chunk_df`` optionally drops (chunk, value) buckets hotter than
-    the cap (deterministic whole-bucket drop, broadcast anti-join) —
+    the cap (deterministic whole-bucket drop, here via a broadcast
+    anti-join on the — by definition tiny — oversized-bucket list) —
     defense in depth against templated near-identical boilerplate, the
-    same trade as ``minhash_lsh_candidates(max_bucket_size=...)``."""
+    same recall trade as ``minhash_lsh_candidates(max_bucket_size=...)``
+    (which implements its drop as a window-count filter riding the band
+    self-join's own exchange)."""
     if max_hamming >= chunks:
         raise ValueError("pigeonhole requires max_hamming < chunks")
     width = bits // chunks

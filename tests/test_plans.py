@@ -183,8 +183,11 @@ def test_exact_dedup_single_shuffle_on_fingerprint(spark):
 
 def test_tpch_q5_broadcasts_dims_and_pushes_year(spark):
     """Full Q5: the only fact-scale exchange is lineitem⋈orders on
-    orderkey; supplier and the customer→nation→region chain must arrive
-    broadcast, and the order-date year must reach the orders scan."""
+    orderkey; supplier, nation and region must arrive broadcast (the
+    customer side is deliberately UNHINTED — ~2% of corpus, not
+    broadcastable at 100 TB; AQE picks broadcast at small SF from
+    runtime stats), and the order-date year must reach the orders
+    scan."""
     import __spark_entry__ as entrymod
 
     plan = _plan(
