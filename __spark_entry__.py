@@ -116,6 +116,7 @@ from flink_streaming_2_10_spark.pipeline.textstats import (
     LANG_ORDER,
     STOPWORDS,
     collocations,
+    despan_repeated,
     doc_fingerprints,
     language_id,
     length_histogram,
@@ -509,6 +510,15 @@ def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     fractions (narrow array math) + most-frequent-bigram character share
     (explode + doc-keyed hash aggs)."""
     return repetition_stats(load_table(spark, sf_dir, "documents"))
+
+
+def q_text_despan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repeated-span removal: adjacent periodic repeats of
+    period ≤ 3 tokens collapse to their leading occurrence — the
+    within-doc counterpart of the dedup family (Lee et al. 2022-style);
+    scan-local array expressions, zero shuffle
+    (pipeline/textstats.despan_repeated)."""
+    return despan_repeated(load_table(spark, sf_dir, "documents"), max_period=3)
 
 
 def q_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1040,6 +1050,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "text_language_id": q_text_language_id,
         "text_repetition": q_text_repetition,
+        "text_despan": q_text_despan,
         "top_ngrams": q_top_ngrams,
         "token_percentiles": q_token_percentiles,
         "collocations": q_collocations,
@@ -1423,6 +1434,39 @@ def _text_repetition_oracle() -> str:
                     ELSE CAST(t.cnt * len(t.gram) AS DOUBLE)
                          / CAST(n.text_len AS DOUBLE) END AS top_bigram_frac
         FROM narrow n LEFT JOIN top t ON n.doc_id = t.doc_id"""
+
+
+def _text_despan_oracle(max_period: int = 3) -> str:
+    """Mirror of pipeline.textstats.despan_repeated: 1-based token
+    positions, token t removed iff some period p ≤ max_period has the
+    p-window ending at t equal to the p-window ending at t−p. DuckDB
+    ``range`` is half-open and empty when start ≥ stop, so the n = 0 case
+    needs no guard; ``array_to_string`` of an empty list is NULL, hence
+    the coalesce (Spark's concat_ws gives '')."""
+    p = int(max_period)
+    return f"""
+        WITH w AS (SELECT doc_id,
+                          list_filter(regexp_split_to_array(lower(text),
+                                                            '\\W+'),
+                                      x -> length(x) > 0) AS words
+                   FROM documents),
+        k AS (SELECT doc_id, len(words) AS n,
+                     list_transform(
+                       list_filter(range(1, len(words) + 1),
+                         t -> len(list_filter(range(1, {p + 1}),
+                                p -> t >= 2*p AND
+                                     list_slice(words, t-2*p+1, t-p) =
+                                     list_slice(words, t-p+1, t))) = 0),
+                       t -> words[t]) AS kept
+              FROM w)
+        SELECT doc_id,
+               n AS n_tokens,
+               n - len(kept) AS n_removed,
+               CASE WHEN n > 0
+                    THEN CAST(n - len(kept) AS DOUBLE) / CAST(n AS DOUBLE)
+                    ELSE 0.0 END AS despan_ratio,
+               coalesce(array_to_string(kept, ' '), '') AS despanned_text
+        FROM k"""
 
 
 def _decontamination_oracle(n: int, min_hits: int, modulo: int) -> str:
@@ -2563,6 +2607,7 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "text_repetition": _text_repetition_oracle(),
+        "text_despan": _text_despan_oracle(max_period=3),
         "top_ngrams": _top_ngrams_oracle(n=3, k=50),
         "length_histogram": _length_histogram_oracle(),
         "token_percentiles": _token_percentiles_oracle(),

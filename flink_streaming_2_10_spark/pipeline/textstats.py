@@ -442,3 +442,78 @@ def collocations(
         .orderBy(F.col("lift").desc(), F.col("w1").asc(), F.col("w2").asc())
         .limit(k)
     )
+
+
+def despan_repeated(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_period: int = 3,
+) -> DataFrame:
+    """INTRA-document repeated-span removal (the within-doc counterpart of
+    the cross-doc dedup family, in the spirit of Lee et al. 2022's exact
+    substring dedup): drop tokens that merely continue an adjacent
+    periodic repeat of period ≤ ``max_period``.
+
+    Rule (single pass, positions 1-based over the filtered lowercase
+    ``\\W+`` token array — the reference's tokenizer surface,
+    WordCount.java:106-122): token ``t`` is REMOVED iff for some period
+    ``p ∈ 1..max_period`` the ``p``-token window ending at ``t`` exactly
+    equals the ``p``-token window ending at ``t−p``. So ``very very
+    very`` (p=1), ``ab ab ab`` (p=2), and boilerplate loops up to
+    ``max_period`` tokens collapse to their leading occurrence; spans
+    repeated at a DISTANCE (not adjacent) are out of scope — that is the
+    cross-doc/suffix-array regime, served by the dedup family. Invariant
+    (pinned in tests): a k-fold adjacent repeat of a ``p``-token unit
+    keeps at most ``2p−1`` tokens REGARDLESS of k.
+
+    Output: ``(doc_id, n_tokens, n_removed, despan_ratio,
+    despanned_text)``; ratio divides exact longs so the double is
+    bit-identical cross-engine.
+
+    Scale shape: pure scan-local array expressions — zero shuffle, zero
+    Python; the token array is projected once (CollapseProject keeps the
+    split from being duplicated: multi-referenced non-cheap alias). Cost
+    per doc is O(n·max_period²) element compares inside one HOF chain —
+    linear in corpus size, embarrassingly scan-parallel at 100 TB.
+    """
+    from flink_streaming_2_10_spark.pipeline.dedup import _words_sql
+
+    p_max = int(max_period)
+    if p_max < 1:
+        raise ValueError("max_period must be >= 1")
+    base = df.select(
+        F.col(id_col).alias("doc_id"), F.expr(_words_sql(text_col)).alias("__ws")
+    )
+    # 1-based window-ending-at-t equality: slice(arr, t-p+1, p) is the
+    # window ending at t; t >= 2*p keeps the earlier window in range.
+    removed = (
+        f"exists(sequence(1, {p_max}), p -> t >= 2*p AND "
+        "slice(__ws, t - 2*p + 1, p) = slice(__ws, t - p + 1, p))"
+    )
+    # sequence(1, 0) would generate a DESCENDING [1, 0] — guard n = 0.
+    kept = (
+        "CASE WHEN size(__ws) = 0 THEN cast(array() as array<string>) "
+        f"ELSE transform(filter(sequence(1, size(__ws)), t -> NOT ({removed})), "
+        "t -> element_at(__ws, t)) END"
+    )
+    out = base.select(
+        "doc_id",
+        F.size("__ws").cast("long").alias("n_tokens"),
+        F.expr(kept).alias("__kept"),
+    )
+    ratio = (
+        F.when(
+            F.col("n_tokens") > 0,
+            (F.col("n_tokens") - F.size("__kept").cast("long")).cast("double")
+            / F.col("n_tokens").cast("double"),
+        )
+        .otherwise(F.lit(0.0))
+    )
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        (F.col("n_tokens") - F.size("__kept").cast("long")).alias("n_removed"),
+        ratio.alias("despan_ratio"),
+        F.concat_ws(" ", F.col("__kept")).alias("despanned_text"),
+    )

@@ -256,3 +256,64 @@ def test_collocations_lift_value_and_order(spark):
     lifts = [(r["w1"], r["w2"], r["lift"]) for r in rows]
     assert lifts[0][:2] == ("new", "york")
     assert got[("new", "york")]["lift"] > got[("of", "the")]["lift"]
+
+
+def test_despan_planted_repeated_spans(spark):
+    """Planted adjacent repeats: exact removal counts and despanned text
+    for periods 1..3; distant (non-adjacent) repeats untouched."""
+    from flink_streaming_2_10_spark.pipeline.textstats import despan_repeated
+
+    docs = spark.createDataFrame(
+        [
+            (1, "very very very very good"),        # p=1 run
+            (2, "ab cd ab cd ab cd"),               # p=2 run
+            (3, "x y z x y z x y z"),               # p=3 run
+            (4, "the cat sat on the mat"),          # distant repeat: kept
+            (5, ""),                                 # empty doc
+            (6, "Spam! spam, SPAM? eggs"),           # case/punct-insensitive p=1
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in despan_repeated(docs, max_period=3).collect()}
+    assert out[1]["despanned_text"] == "very good"
+    assert (out[1]["n_tokens"], out[1]["n_removed"]) == (5, 3)
+    assert out[2]["despanned_text"] == "ab cd ab"
+    assert out[3]["despanned_text"] == "x y z x y"
+    assert out[4]["despanned_text"] == "the cat sat on the mat"
+    assert out[4]["n_removed"] == 0
+    assert (out[5]["n_tokens"], out[5]["despanned_text"]) == (0, "")
+    assert out[5]["despan_ratio"] == 0.0
+    assert out[6]["despanned_text"] == "spam eggs"
+
+
+def test_despan_kfold_repeat_bounded_by_2p_minus_1(spark):
+    """Invariant: a k-fold adjacent repeat of a p-token unit keeps at
+    most 2p-1 tokens regardless of k, for every p <= max_period."""
+    from flink_streaming_2_10_spark.pipeline.textstats import despan_repeated
+
+    rows = []
+    did = 0
+    units = {1: "foo", 2: "foo bar", 3: "foo bar baz"}
+    for p, unit in units.items():
+        for k in (2, 5, 40):
+            did += 1
+            rows.append((did, p, k, " ".join([unit] * k)))
+    docs = spark.createDataFrame(rows, ["doc_id", "p", "k", "text"])
+    out = {r["doc_id"]: r for r in despan_repeated(docs, max_period=3).collect()}
+    for doc_id, p, k, _ in rows:
+        r = out[doc_id]
+        kept = r["n_tokens"] - r["n_removed"]
+        assert kept <= 2 * p - 1, (doc_id, p, k, kept)
+        assert r["n_tokens"] == p * k
+
+
+def test_despan_matches_oracle(spark, duck):
+    """Full despan query vs the DuckDB oracle on the real testdata."""
+    import __spark_entry__ as entrymod
+    from tests.conftest import SF_SMALL, assert_df_matches_oracle
+
+    assert_df_matches_oracle(
+        entrymod.queries()["text_despan"](spark, SF_SMALL),
+        duck,
+        entrymod.oracle_sql()["text_despan"],
+    )
