@@ -297,6 +297,39 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_dedup(load_table(spark, sf_dir, "documents"))
 
 
+def q_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental NEAR-dup (pipeline/neardup_index.py): even-id docs are
+    the already-ingested corpus, persisted as the bucketed MinHash index;
+    odd-id docs are the arrivals, probed against the index WITHOUT
+    rescanning the even half. md5 hasher keeps the signatures — and so
+    the agreement estimate — DuckDB-exact. est_jaccard = matching sig
+    components / 64, a dyadic rational."""
+    import os
+    import re as _re
+
+    from flink_streaming_2_10_spark.pipeline.neardup_index import (
+        build_neardup_index,
+        neardup_against_index,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    tag = _re.sub(r"\W+", "_", os.path.basename(sf_dir.rstrip("/")) or "sf")
+    build_neardup_index(
+        docs.filter(F.col("doc_id") % 2 == 0),
+        f"/tmp/spark_graft_ndx/{tag}",
+        f"ndx_inc_{tag}",
+        hasher="md5",
+        num_buckets=8,
+    )
+    return neardup_against_index(
+        spark,
+        docs.filter(F.col("doc_id") % 2 == 1),
+        f"ndx_inc_{tag}",
+        hasher="md5",
+        threshold=0.5,
+    )
+
+
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-gram Jaccard near-dup pairs (inverted-index join), j ≥ 0.5,
     with the production stop-gram prune (max_df = 20% of the corpus,
@@ -1039,6 +1072,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_components": q_dedup_components,
         "graph_shortest_hops": q_graph_shortest_hops,
         "dedup_simhash": q_dedup_simhash,
+        "incremental_neardup": q_incremental_neardup,
         "decontamination": q_decontamination,
         "similarity_cosine_topk": q_similarity_cosine_topk,
         "similarity_quantized_topk": q_similarity_quantized_topk,
@@ -1290,6 +1324,71 @@ def _minhash_lsh_oracle(
     return f"""
         WITH {chain}
         SELECT doc_a, doc_b, jaccard FROM pairs"""
+
+
+def _incremental_neardup_oracle(
+    num_hashes: int = 64,
+    bands: int = 16,
+    rows: int = 4,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    max_bucket: int = 5_000,
+) -> str:
+    """Mirror of pipeline/neardup_index.py with even docs as the index and
+    odd docs as arrivals: identical md5 signatures, identical banding, the
+    identical bb = hash60('band:bucket') join key, the build-time HAVING
+    cap on index buckets, and the exact integer match-count threshold
+    (matches ≥ ceil(threshold·K)); est_jaccard = matches / K is dyadic so
+    the value hash agrees."""
+    import math as _math
+
+    p = 2**31 - 1
+    mins = ",\n               ".join(
+        f"min(({a} * h + {b}) % {p}) AS g{i}"
+        for i, (a, b) in enumerate(minhash_perm_params(num_hashes))
+    )
+    band_selects = "\n              UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, concat_ws(',', {cols}) AS bucket "
+        "FROM sig".format(
+            b=b, cols=", ".join(f"g{b * rows + r}" for r in range(rows))
+        )
+        for b in range(bands)
+    )
+    match_sum = " + ".join(
+        f"CASE WHEN a.g{i} = e.g{i} THEN 1 ELSE 0 END"
+        for i in range(num_hashes)
+    )
+    min_matches = int(_math.ceil(float(threshold) * num_hashes - 1e-9))
+    return f"""
+        WITH {_shingle_ctes(shingle_n)},
+        hh AS (SELECT doc_id, {duckdb_hash60_sql("shingle")} % {p} AS h
+               FROM sh),
+        sig AS (SELECT doc_id,
+               {mins}
+                FROM hh GROUP BY doc_id),
+        band AS ({band_selects}),
+        bb AS (SELECT doc_id,
+                      {duckdb_hash60_sql("band::VARCHAR || ':' || bucket")}
+                        AS bb
+               FROM band),
+        even_bb AS (SELECT * FROM bb WHERE doc_id % 2 = 0),
+        hot AS (SELECT bb FROM even_bb GROUP BY bb
+                HAVING count(*) > {max_bucket}),
+        even_f AS (SELECT e.* FROM even_bb e
+                   LEFT JOIN hot ON e.bb = hot.bb WHERE hot.bb IS NULL),
+        odd_bb AS (SELECT * FROM bb WHERE doc_id % 2 = 1),
+        cands AS (SELECT DISTINCT o.doc_id AS doc_id,
+                                  e.doc_id AS index_doc_id
+                  FROM odd_bb o JOIN even_f e
+                    ON o.bb = e.bb AND o.doc_id <> e.doc_id),
+        scored AS (SELECT c.doc_id, c.index_doc_id,
+                          ({match_sum}) AS m
+                   FROM cands c
+                   JOIN sig a ON a.doc_id = c.doc_id
+                   JOIN sig e ON e.doc_id = c.index_doc_id)
+        SELECT doc_id, index_doc_id,
+               CAST(m AS DOUBLE) / {float(num_hashes)} AS est_jaccard
+        FROM scored WHERE m >= {min_matches}"""
 
 
 def _dedup_components_oracle(
@@ -2523,6 +2622,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "dedup_simhash": _simhash_oracle(
             bits=60, max_hamming=3, chunks=4, shingle_n=3
+        ),
+        "incremental_neardup": _incremental_neardup_oracle(
+            num_hashes=64, bands=16, rows=4, shingle_n=3, threshold=0.5
         ),
         "decontamination": _decontamination_oracle(n=5, min_hits=1, modulo=20),
         "similarity_cosine_topk": _cosine_topk_oracle(query_id=0, k=100),

@@ -524,6 +524,71 @@ def minhash_signatures(
     )
 
 
+def minhash_banding(
+    signatures: DataFrame,
+    bands: int = 16,
+    rows: int = 4,
+    hash_buckets: bool = True,
+    validate: bool = True,
+) -> DataFrame:
+    """``(doc_id, band, bucket)`` — one row per (doc, band), the LSH
+    banding of a ``(doc_id, sig)`` signature table. Shared by the
+    in-corpus self-join (:func:`minhash_lsh_candidates`) and the
+    persistent incremental index (``pipeline/neardup_index.py``), so
+    both produce IDENTICAL buckets for identical signatures.
+
+    ``validate`` guards bands×rows against the runtime signature length
+    (a mismatch would otherwise read past the array: NULL slots that
+    ``concat_ws`` silently skips, corrupting band buckets)."""
+    # Fail fast on a banding mismatch. Array length isn't in the schema,
+    # so guard inside the bucket expression: assert_true evaluates per row
+    # before any band slice is read, turning silent corruption into an
+    # immediate, explainable job failure.
+    sig_guard = F.assert_true(
+        F.size("sig") == bands * rows,
+        F.concat(
+            F.lit(f"minhash_banding: bands*rows = {bands * rows} "
+                  f"!= signature length "),
+            F.size("sig").cast("string"),
+        ),
+    )
+
+    def band_bucket(b: int) -> Column:
+        key = F.concat_ws(
+            ",",
+            *[
+                F.element_at("sig", b * rows + r + 1).cast("string")
+                for r in range(rows)
+            ],
+        )
+        return F.xxhash64(key).cast("string") if hash_buckets else key
+
+    # The guard must live inside an expression the plan keeps, or column
+    # pruning would drop it — fold it into band 0's index (+0 when valid).
+    guard_zero = (
+        sig_guard.isNull().cast("int") * F.lit(0) if validate else F.lit(0)
+    )
+    return (
+        signatures.select(
+            "doc_id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            (F.lit(b) + (guard_zero if b == 0 else F.lit(0))).alias(
+                                "band"
+                            ),
+                            band_bucket(b).alias("bucket"),
+                        )
+                        for b in range(bands)
+                    ]
+                )
+            ).alias("bb"),
+        )
+        .select("doc_id", "bb.band", "bb.bucket")
+    )
+
+
 def minhash_lsh_candidates(
     signatures: DataFrame,
     bands: int = 16,
@@ -561,35 +626,6 @@ def minhash_lsh_candidates(
     are missed, the same recall trade ``max_df`` makes for stop grams.
     ``None`` disables the guard (exhaustive small-corpus mode).
     """
-    # Fail fast on a banding mismatch. Array length isn't in the schema,
-    # so guard inside the bucket expression: assert_true evaluates per row
-    # before any band slice is read, turning silent corruption into an
-    # immediate, explainable job failure.
-    sig_guard = F.assert_true(
-        F.size("sig") == bands * rows,
-        F.concat(
-            F.lit(f"minhash_lsh_candidates: bands*rows = {bands * rows} "
-                  f"!= signature length "),
-            F.size("sig").cast("string"),
-        ),
-    )
-
-    def band_bucket(b: int) -> Column:
-        key = F.concat_ws(
-            ",",
-            *[
-                F.element_at("sig", b * rows + r + 1).cast("string")
-                for r in range(rows)
-            ],
-        )
-        return F.xxhash64(key).cast("string") if hash_buckets else key
-
-    # The guard must live inside an expression the plan keeps, or column
-    # pruning would drop it — fold it into band 0's index (+0 when valid).
-    guard_zero = (
-        sig_guard.isNull().cast("int") * F.lit(0) if validate else F.lit(0)
-    )
-
     # NOT persisted, deliberately: the signature aggregation ends in an
     # exchange, and the bucket self-join's two sides are the identical
     # subtree — ReusedExchange computes it once at runtime; an explicit
@@ -597,25 +633,7 @@ def minhash_lsh_candidates(
     # recompute). Contrast the POSTINGS persist in the callers, which is
     # a narrow map with no exchange to reuse and measures 2× faster
     # cached.
-    banded = (
-        signatures.select(
-            "doc_id",
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            (F.lit(b) + (guard_zero if b == 0 else F.lit(0))).alias(
-                                "band"
-                            ),
-                            band_bucket(b).alias("bucket"),
-                        )
-                        for b in range(bands)
-                    ]
-                )
-            ).alias("bb"),
-        )
-        .select("doc_id", "bb.band", "bb.bucket")
-    )
+    banded = minhash_banding(signatures, bands, rows, hash_buckets, validate)
     if max_bucket_size is not None:
         # Window count over the SAME (band, bucket) partitioning the
         # self-join needs anyway — the filter rides the join's own

@@ -1,0 +1,201 @@
+"""Persistent MinHash band/bucket index for INCREMENTAL near-dup
+detection — the cross-run counterpart of ``streaming/runners.py``'s
+exact-dedup state (north-star extension; no reference analog — Flink 1.1
+programs rebuild all state per job, pom.xml's connectors notwithstanding).
+
+Problem (r7 verdict): ``run_incremental`` carries EXACT-dedup state
+across passes, but a new arrival that NEAR-duplicates an old document is
+only caught by rescanning the whole corpus. This module persists the
+MinHash banding as two bucketed parquet tables so a later pass joins
+only the arrivals' buckets against the index — the old corpus is never
+rescanned, and the index side of every probe join is EXCHANGE-FREE
+(bucket layout == join partitioning; pinned in tests/test_neardup_index).
+
+Layout (via :func:`pipeline.writer.write_bucketed_table`):
+
+* ``{prefix}_buckets``: ``(bb, doc_id)`` bucketed by ``bb`` — one row
+  per (doc, band); ``bb`` is an 8-byte hash of ``band:bucket``, the
+  single join key (a collision only adds a spurious CANDIDATE, which
+  signature verification then scores honestly).
+* ``{prefix}_sigs``: ``(doc_id, sig)`` bucketed by ``doc_id`` — the
+  K-component MinHash signature used to verify candidates WITHOUT
+  touching document text: est_jaccard = matching components / K (the
+  standard MinHash estimator; se ≈ sqrt(j(1-j)/K), ~0.06 at K=64).
+
+Scale shape: build cost is one signature aggregation + one banding
+explode + bucketed writes — rides the ingest. A probe shuffles ONLY the
+arrivals (both probe joins' index sides are satisfied by bucket layout),
+so a daily pass over D arrivals against an N-doc corpus moves O(D·bands)
+rows, never O(N). Hot-bucket defense happens at BUILD time
+(``max_bucket_size``): oversized (band, bucket) groups are dropped WHOLE
+before the write — deterministic, mirrored by the oracle's HAVING cap,
+and it bounds any probe join key's fan-out at the cap.
+
+Reference parity note: the banding is :func:`pipeline.dedup.
+minhash_banding` — the SAME expression the in-corpus self-join uses —
+so index buckets agree bit-for-bit with ``minhash_dedup_pairs``'s.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window
+
+from flink_streaming_2_10_spark.pipeline.dedup import (
+    _hash60,
+    minhash_banding,
+    minhash_signatures,
+)
+from flink_streaming_2_10_spark.pipeline.writer import write_bucketed_table
+
+#: Build-time hot-bucket cap — same trade as dedup.DEFAULT_MAX_BUCKET_SIZE.
+DEFAULT_INDEX_MAX_BUCKET = 5_000
+
+
+def _bb(hasher: str) -> Column:
+    """8-byte (band, bucket) join key: hash of 'band:bucket'."""
+    return _hash60(
+        F.concat_ws(":", F.col("band").cast("string"), F.col("bucket")), hasher
+    )
+
+
+def _banded_with_key(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int,
+    bands: int,
+    rows: int,
+    shingle_n: int,
+    hasher: str,
+) -> tuple[DataFrame, DataFrame]:
+    """(signatures, banded-with-bb) for a document set. ``hash_buckets``
+    is False so the raw concat bucket feeds the bb hash — required for
+    the md5/DuckDB-exact path and harmless for xxhash64."""
+    sigs = minhash_signatures(
+        docs, id_col=id_col, text_col=text_col,
+        num_hashes=num_hashes, shingle_n=shingle_n, hasher=hasher,
+    )
+    banded = minhash_banding(
+        sigs, bands=bands, rows=rows, hash_buckets=False, validate=False
+    ).select(F.col("doc_id"), _bb(hasher).alias("bb"))
+    return sigs, banded
+
+
+def build_neardup_index(
+    docs: DataFrame,
+    path: str,
+    prefix: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 64,
+    bands: int = 16,
+    rows: int = 4,
+    shingle_n: int = 3,
+    hasher: str = "xxhash64",
+    num_buckets: int = 64,
+    max_bucket_size: int | None = DEFAULT_INDEX_MAX_BUCKET,
+    mode: str = "overwrite",
+) -> None:
+    """Persist the MinHash index of ``docs`` as the two bucketed tables
+    ``{prefix}_buckets`` / ``{prefix}_sigs`` rooted at ``path``.
+
+    ``mode="append"`` is the incremental-ingest face: after a pass
+    flags (and the caller filters) near-dups, appending the SURVIVORS
+    keeps the index covering the whole corpus without rewriting it —
+    ``saveAsTable`` append preserves the bucket spec, so probe joins
+    stay exchange-free across any number of appends.
+    """
+    if num_hashes != bands * rows:
+        raise ValueError(
+            f"num_hashes {num_hashes} != bands {bands} * rows {rows}"
+        )
+    sigs, banded = _banded_with_key(
+        docs, id_col, text_col, num_hashes, bands, rows, shingle_n, hasher
+    )
+    if max_bucket_size is not None:
+        # Deterministic build-time whole-bucket drop: rides the write's
+        # own shuffle (window over bb), so a boilerplate mega-bucket can
+        # never make a future probe join quadratic.
+        w = Window.partitionBy("bb")
+        banded = (
+            banded.withColumn("__bs", F.count(F.lit(1)).over(w))
+            .filter(F.col("__bs") <= max_bucket_size)
+            .drop("__bs")
+        )
+    write_bucketed_table(
+        banded, f"{prefix}_buckets", f"{path}/buckets",
+        bucket_col="bb", num_buckets=num_buckets, mode=mode,
+    )
+    write_bucketed_table(
+        sigs, f"{prefix}_sigs", f"{path}/sigs",
+        bucket_col="doc_id", num_buckets=num_buckets, mode=mode,
+    )
+
+
+def neardup_against_index(
+    spark: SparkSession,
+    arrivals: DataFrame,
+    prefix: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 64,
+    bands: int = 16,
+    rows: int = 4,
+    shingle_n: int = 3,
+    hasher: str = "xxhash64",
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Flag arrivals that near-duplicate an INDEXED document:
+    ``(doc_id, index_doc_id, est_jaccard)`` for every (arrival, old)
+    pair sharing ≥1 LSH bucket whose signature-agreement estimate
+    reaches ``threshold`` — without scanning the old corpus.
+
+    The threshold compares exact integers (``matches ≥
+    ceil(threshold·K)``) and the returned estimate is ``matches / K``,
+    a dyadic rational — bit-identical in any engine, so the DuckDB
+    oracle hash-matches. Self-pairs (an arrival already present in the
+    index under the same id) are excluded.
+
+    Plan: arrivals' banding shuffles on bb against the bucket table
+    (index side exchange-FREE: bucketed on bb); the candidate set joins
+    the signature table on the index doc id (index side exchange-free:
+    bucketed on doc_id); the arrivals' signatures re-attach via their
+    own aggregation subtree. Total movement is O(arrivals·bands +
+    candidates), independent of index size.
+    """
+    a_sigs, a_banded = _banded_with_key(
+        arrivals, id_col, text_col, num_hashes, bands, rows, shingle_n, hasher
+    )
+    idx_buckets = spark.table(f"{prefix}_buckets").select(
+        "bb", F.col("doc_id").alias("index_doc_id")
+    )
+    idx_sigs = spark.table(f"{prefix}_sigs").select(
+        F.col("doc_id").alias("index_doc_id"), F.col("sig").alias("sig_idx")
+    )
+    cands = (
+        a_banded.join(idx_buckets, "bb")
+        .filter(F.col("doc_id") != F.col("index_doc_id"))
+        .select("doc_id", "index_doc_id")
+        .distinct()
+    )
+    min_matches = int(math.ceil(float(threshold) * num_hashes - 1e-9))
+    matches = F.expr(
+        "aggregate(zip_with(sig, sig_idx, (x, y) -> "
+        "CASE WHEN x = y THEN 1 ELSE 0 END), 0, (acc, v) -> acc + v)"
+    )
+    return (
+        cands.join(idx_sigs, "index_doc_id")
+        .join(a_sigs, "doc_id")
+        .withColumn("__m", matches)
+        .filter(F.col("__m") >= F.lit(min_matches))
+        .select(
+            "doc_id",
+            "index_doc_id",
+            (F.col("__m").cast("double") / F.lit(float(num_hashes))).alias(
+                "est_jaccard"
+            ),
+        )
+    )

@@ -1,0 +1,189 @@
+"""Incremental near-dup: the persisted MinHash band/bucket index.
+
+Pins the r8 contract: a pass-2 arrival that NEAR-duplicates a pass-1
+document is flagged by joining only the arrivals' buckets against the
+persisted index — no pass-1 rescan — and the index side of the probe
+joins is exchange-free (bucket layout == join partitioning).
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+
+from flink_streaming_2_10_spark.pipeline.neardup_index import (
+    build_neardup_index,
+    neardup_against_index,
+)
+
+
+def _pass1_docs(spark):
+    # 40 distinct docs with enough tokens for 3-shingles.
+    rows = [
+        (i, f"document number {i} talks about topic {i % 7} in long form "
+            f"with unique trailing words alpha{i} beta{i} gamma{i}")
+        for i in range(40)
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def _plan(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+@pytest.fixture()
+def no_broadcast(spark):
+    """Disable auto-broadcast so the exchange-free property is actually
+    exercised (at index scale neither side broadcasts by definition)."""
+    thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    yield
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+
+
+def test_two_pass_ingest_flags_neardup_without_rescan(spark, tmp_path):
+    docs1 = _pass1_docs(spark)
+    build_neardup_index(docs1, str(tmp_path / "idx"), "ndx1", num_buckets=4)
+
+    # Pass 2: doc 100 near-duplicates pass-1 doc 3 (one word changed),
+    # doc 101 is fresh content.
+    base = docs1.where("doc_id = 3").collect()[0]["text"]
+    near = base.replace("long form", "short form")
+    arrivals = spark.createDataFrame(
+        [(100, near), (101, "entirely different content about nothing "
+                           "shared with any earlier document at all")],
+        ["doc_id", "text"],
+    )
+    got = neardup_against_index(
+        spark, arrivals, "ndx1", threshold=0.5
+    ).collect()
+    flagged = {(r["doc_id"], r["index_doc_id"]) for r in got}
+    assert (100, 3) in flagged
+    assert all(d != 101 for d, _ in flagged)
+    est = {p: r["est_jaccard"] for p, r in zip(flagged, got)}
+    for r in got:
+        assert 0.5 <= r["est_jaccard"] <= 1.0
+
+    # No pass-1 rescan: the probe plan reads ONLY the index tables (and
+    # the arrivals' in-memory relation) — no parquet scan outside the
+    # index path, and no reference to a pass-1 documents relation.
+    plan = _plan(neardup_against_index(spark, arrivals, "ndx1", threshold=0.5))
+    import re
+
+    for scan_loc in re.findall(r"Location:.*\n", plan):
+        assert "idx" in scan_loc, plan
+
+
+def test_probe_index_side_is_exchange_free(spark, tmp_path, no_broadcast):
+    build_neardup_index(
+        _pass1_docs(spark), str(tmp_path / "idx"), "ndx2", num_buckets=4
+    )
+    arrivals = spark.createDataFrame(
+        [(200, "document number 5 talks about topic 5 in long form with "
+               "unique trailing words alpha5 beta5 gamma5")],
+        ["doc_id", "text"],
+    )
+    plan = _plan(neardup_against_index(spark, arrivals, "ndx2"))
+    assert "Bucketed: true" in plan, plan
+    # Both index scans appear with bucketed output; no Exchange may sit
+    # between an index table scan and its join (the arrivals side DOES
+    # shuffle). Structure check: every Exchange block's subtree must not
+    # contain a parquet scan of the index tables.
+    import re
+
+    blocks = re.split(r"\n(?=\(\d+\) )", plan)
+    scan_ids = [
+        re.match(r"\((\d+)\) Scan parquet", b).group(1)
+        for b in blocks
+        if re.match(r"\(\d+\) Scan parquet", b) and "idx" in b
+    ]
+    assert len(scan_ids) == 2, plan  # buckets + sigs
+    # In the formatted tree, an exchange-free bucketed scan feeds its
+    # join via (optional) Filter/Project/Sort only. Assert no line of
+    # the tree shows an Exchange directly consuming an index scan's
+    # column lineage: cheap proxy — the plan has exactly as many
+    # "Exchange" nodes as the arrivals side needs (banding + distinct +
+    # two join-side repartitions), and removing bucketing would add 2.
+    n_exchanges = len(re.findall(r"\(\d+\) Exchange\b", plan))
+    # Re-plan with bucketing information hidden (read parquet directly,
+    # no table metadata): the same join DAG must cost MORE exchanges.
+    from pyspark.sql import functions as F
+
+    from flink_streaming_2_10_spark.pipeline.neardup_index import (
+        _banded_with_key,
+    )
+
+    a_sigs, a_banded = _banded_with_key(
+        arrivals, "doc_id", "text", 64, 16, 4, 3, "xxhash64"
+    )
+    raw_buckets = spark.read.parquet(str(tmp_path / "idx" / "buckets")).select(
+        "bb", F.col("doc_id").alias("index_doc_id")
+    )
+    raw_sigs = spark.read.parquet(str(tmp_path / "idx" / "sigs")).select(
+        F.col("doc_id").alias("index_doc_id"), F.col("sig").alias("sig_idx")
+    )
+    cands = (
+        a_banded.join(raw_buckets, "bb")
+        .filter(F.col("doc_id") != F.col("index_doc_id"))
+        .select("doc_id", "index_doc_id")
+        .distinct()
+    )
+    unbucketed = cands.join(raw_sigs, "index_doc_id").join(a_sigs, "doc_id")
+    assert (
+        len(re.findall(r"\(\d+\) Exchange\b", _plan(unbucketed))) > n_exchanges
+    )
+
+
+def test_append_extends_index_without_rewrite(spark, tmp_path):
+    docs1 = _pass1_docs(spark)
+    build_neardup_index(docs1, str(tmp_path / "idx"), "ndx3", num_buckets=4)
+    # Pass 2 survivors appended.
+    pass2 = spark.createDataFrame(
+        [(300, "completely novel second pass content words flowing here "
+               "with trailing tokens delta epsilon zeta")],
+        ["doc_id", "text"],
+    )
+    build_neardup_index(
+        pass2, str(tmp_path / "idx"), "ndx3", num_buckets=4, mode="append"
+    )
+    # Pass 3 near-duplicates the PASS-2 doc.
+    arrivals = spark.createDataFrame(
+        [(400, "completely novel second pass content words flowing here "
+               "with trailing tokens delta epsilon eta")],
+        ["doc_id", "text"],
+    )
+    got = neardup_against_index(
+        spark, arrivals, "ndx3", threshold=0.5
+    ).collect()
+    assert {(r["doc_id"], r["index_doc_id"]) for r in got} == {(400, 300)}
+    # Appends preserve the bucket layout (probe still exchange-free on
+    # the index side → "Bucketed: true" still in the plan).
+    assert "Bucketed: true" in _plan(
+        neardup_against_index(spark, arrivals, "ndx3")
+    )
+
+
+def test_identical_doc_estimates_jaccard_one(spark, tmp_path):
+    docs1 = _pass1_docs(spark)
+    build_neardup_index(docs1, str(tmp_path / "idx"), "ndx4", num_buckets=4)
+    dup = docs1.where("doc_id = 7").collect()[0]["text"]
+    got = neardup_against_index(
+        spark,
+        spark.createDataFrame([(500, dup)], ["doc_id", "text"]),
+        "ndx4",
+        threshold=0.9,
+    ).collect()
+    assert [(r["doc_id"], r["index_doc_id"], r["est_jaccard"]) for r in got] \
+        == [(500, 7, 1.0)]
+
+
+def test_build_validates_banding_arithmetic(spark, tmp_path):
+    with pytest.raises(ValueError, match="num_hashes"):
+        build_neardup_index(
+            _pass1_docs(spark), str(tmp_path / "idx"), "ndx5", num_hashes=60
+        )

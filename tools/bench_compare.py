@@ -1,6 +1,12 @@
 """Compare two bench outputs per query, host-drift-normalized.
 
-Usage: python tools/bench_compare.py OLD.json NEW.json [--md]
+Usage: python tools/bench_compare.py [OLD.json] [NEW.json] [--md]
+
+Defaults (the r7 lesson: regression calls MUST anchor on DRIVER
+artifacts, not a pre-driver local run): OLD defaults to the highest-
+numbered BENCH_r{N}.json in the repo root — the last driver-recorded
+bench — and NEW defaults to BENCH.json, the durable record of the most
+recent local bench.py run. Pass paths explicitly to override.
 
 Accepts either bench.py's raw one-line JSON or the driver's BENCH_r{N}.json
 wrapper (which nests the line under "parsed"). For each query it prints
@@ -45,9 +51,31 @@ def pick_series(old: dict, new: dict) -> tuple[dict, dict, str]:
     return old["queries"], new["queries"], "median-of-n"
 
 
+def latest_driver_bench() -> str:
+    """Highest-numbered BENCH_r{N}.json next to the repo root."""
+    import glob
+    import os
+    import re
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    cands = glob.glob(os.path.join(root, "BENCH_r*.json"))
+    num = lambda p: int(re.search(r"BENCH_r(\d+)", p).group(1))
+    if not cands:
+        raise SystemExit("no BENCH_r*.json driver artifact found")
+    return max(cands, key=num)
+
+
 def main() -> None:
+    import os
+
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     md = "--md" in sys.argv
+    if len(args) == 0:
+        root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        args = [latest_driver_bench(), os.path.join(root, "BENCH.json")]
+    elif len(args) == 1:
+        args = [latest_driver_bench(), args[0]]
+    print(f"old={args[0]}  new={args[1]}", file=sys.stderr)
     old, new = load(args[0]), load(args[1])
     oq, nq, series = pick_series(old, new)
     co, cn = old.get("calib"), new.get("calib")
