@@ -1792,11 +1792,16 @@ def _ivf_topk_oracle(
 
 
 def _cosine_pairs_ctes(
-    threshold: float, num_tables: int, num_planes: int, seed: int = 42
+    threshold: float, num_tables: int, num_planes: int, seed: int = 42,
+    max_bucket: int = 5_000,
 ) -> str:
     """CTE chain ending in ``pairs (id_a, id_b, cosine)`` — the LSH
     bucket self-join + exact-cosine verify shared by the neardup and
-    semantic-cluster oracles."""
+    semantic-cluster oracles. Mirrors cosine_neardup_pairs' r8
+    hardening exactly: identical embeddings collapse to min-id
+    representatives via a window over the embedding VALUE (bit-exact
+    list grouping, no hash), re-expanding as (rep, member, 1.0) star
+    edges, and (t, bkt) groups over ``max_bucket`` drop whole."""
     w = _weights_literal_sql(hyperplane_weights(num_tables, num_planes, _DIM, seed))
     buckets = ",\n               ".join(
         f"{_bucket_sql(t, num_planes)} AS b{t}" for t in range(num_tables)
@@ -1805,12 +1810,25 @@ def _cosine_pairs_ctes(
         f"SELECT vec_id, {t} AS t, b{t} AS bkt FROM bk" for t in range(num_tables)
     )
     return f"""wt AS (SELECT CAST({w} AS DOUBLE[][][]) AS w),
+        ecls AS (SELECT vec_id, embedding,
+                        min(vec_id) OVER (PARTITION BY embedding) AS rep,
+                        count(*) OVER (PARTITION BY embedding) AS m
+                 FROM embeddings),
+        ereps AS (SELECT vec_id, embedding FROM ecls WHERE vec_id = rep),
+        estar AS (SELECT rep AS id_a, vec_id AS id_b,
+                         CAST(1.0 AS DOUBLE) AS cosine
+                  FROM ecls WHERE m > 1 AND vec_id <> rep),
         bk AS (SELECT vec_id, embedding,
                {buckets}
-               FROM embeddings, wt),
+               FROM ereps, wt),
         banded AS ({per_table}),
+        ehot AS (SELECT t, bkt FROM banded GROUP BY t, bkt
+                 HAVING count(*) > {max_bucket}),
+        bandf AS (SELECT bd.* FROM banded bd
+                  LEFT JOIN ehot ON bd.t = ehot.t AND bd.bkt = ehot.bkt
+                  WHERE ehot.t IS NULL),
         cands AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
-                  FROM banded a JOIN banded b
+                  FROM bandf a JOIN bandf b
                     ON a.t = b.t AND a.bkt = b.bkt AND a.vec_id < b.vec_id),
         scored AS (SELECT c.id_a, c.id_b,
                           {_cosine_sql("ea.embedding", "eb.embedding")} AS cosine
@@ -1818,7 +1836,9 @@ def _cosine_pairs_ctes(
                    JOIN embeddings ea ON ea.vec_id = c.id_a
                    JOIN embeddings eb ON eb.vec_id = c.id_b),
         pairs AS (SELECT id_a, id_b, cosine FROM scored
-                  WHERE cosine >= CAST({threshold} AS DOUBLE))"""
+                  WHERE cosine >= CAST({threshold} AS DOUBLE)
+                  UNION ALL
+                  SELECT id_a, id_b, cosine FROM estar)"""
 
 
 def _cosine_neardup_oracle(

@@ -575,6 +575,13 @@ def auto_num_planes(
     return min(hi, max(lo, math.ceil(math.log2(max(n_rows / target_occupancy, 2.0)))))
 
 
+#: Per-(table, bucket) membership cap for the embedding bucket self-join
+#: — same defense-in-depth trade as dedup.DEFAULT_MAX_BUCKET_SIZE: a
+#: bucket the collapse can't shrink (near-identical but not bit-equal
+#: template embeddings) is dropped whole rather than squared.
+DEFAULT_EMB_MAX_BUCKET = 5_000
+
+
 def cosine_neardup_pairs(
     df: DataFrame,
     threshold: float = 0.4,
@@ -585,6 +592,8 @@ def cosine_neardup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     observation=None,
+    collapse_identical: bool = True,
+    max_bucket_size: int | None = DEFAULT_EMB_MAX_BUCKET,
 ) -> DataFrame:
     """All-pairs embedding near-dups: LSH bucket self-join per table →
     distinct candidate pairs → exact-cosine verify ≥ threshold.
@@ -599,14 +608,51 @@ def cosine_neardup_pairs(
     (16 bytes/row, not two embeddings); vectors and precomputed norms
     re-attach by joining the cached bucketed table afterwards.
 
+    Identical-embedding hardening (r8, mirroring the text family —
+    auto_num_planes can do NOTHING about bit-equal vectors, which share
+    every bucket in every table and square the self-join):
+
+    * ``collapse_identical`` (default): one window pass partitioned by
+      the embedding VALUE (bit-exact grouping — no hash, so the DuckDB
+      oracle mirrors it verbatim) picks min-id representatives; only
+      reps enter the LSH, and each m-member identical class re-expands
+      as m−1 star edges ``(rep, member, cosine=1.0)`` — linear in class
+      size, same transitive closure.
+    * ``max_bucket_size``: deterministic whole-bucket drop of (t, bkt)
+      groups over the cap — a window count riding the self-join's own
+      exchange; the recall trade is mirrored by the oracle's HAVING.
+
     Pass a ``pyspark.sql.Observation`` as ``observation`` to measure the
     surviving candidate-pair count of the run (the blowup signal): after
     the caller's action completes, ``observation.get["candidate_pairs"]``
     holds it — tests assert candidate:output stays bounded.
     Returns (id_a, id_b, cosine) with id_a < id_b.
     """
+    from pyspark.sql.window import Window
+
+    base = df.select(id_col, vec_col)
+    star: DataFrame | None = None
+    if collapse_identical:
+        wv = Window.partitionBy(vec_col)
+        marked = tracked_persist(
+            base.withColumn("__rep", F.min(id_col).over(wv)).withColumn(
+                "__m", F.count(F.lit(1)).over(wv)
+            )
+        )
+        star = (
+            marked.filter(
+                (F.col("__m") > 1) & (F.col(id_col) != F.col("__rep"))
+            ).select(
+                F.col("__rep").alias("id_a"),
+                F.col(id_col).alias("id_b"),
+                F.lit(1.0).alias("cosine"),
+            )
+        )
+        base = marked.filter(F.col(id_col) == F.col("__rep")).select(
+            id_col, vec_col
+        )
     if num_planes is None:
-        n_rows = df.count()
+        n_rows = base.count()
         num_planes = auto_num_planes(n_rows)
         _LOG.info(
             "cosine_neardup_pairs: n=%d -> num_planes=%d (%d tables, "
@@ -615,7 +661,7 @@ def cosine_neardup_pairs(
         )
     weights = hyperplane_weights(num_tables, num_planes, dim, seed)
     data = assign_buckets_arrow(
-        df.select(id_col, vec_col), weights, dim, vec_col
+        base.select(id_col, vec_col), weights, dim, vec_col
     )
     data = tracked_persist(data)
     banded = data.select(
@@ -629,6 +675,18 @@ def cosine_neardup_pairs(
             )
         ).alias("tb"),
     ).select(id_col, "tb.t", "tb.bkt")
+    if max_bucket_size is not None:
+        # Same mechanism as minhash_lsh_candidates: the count window
+        # partitions by the exact keys the self-join shuffles on, so the
+        # filter rides the join's own exchange.
+        from pyspark.sql.window import Window as _W
+
+        wb = _W.partitionBy("t", "bkt")
+        banded = (
+            banded.withColumn("__bs", F.count(F.lit(1)).over(wb))
+            .filter(F.col("__bs") <= max_bucket_size)
+            .drop("__bs")
+        )
     left = banded.select("t", "bkt", F.col(id_col).alias("id_a"))
     right = banded.select("t", "bkt", F.col(id_col).alias("id_b"))
     cands = (
@@ -648,8 +706,9 @@ def cosine_neardup_pairs(
         F.col(id_col).alias("id_b"), F.col(_VD).alias("vb"), F.col("__n").alias("nb")
     )
     paired = cands.join(va, ["id_a"]).join(vb, ["id_b"])
-    return (
+    verified = (
         cosine_pairs_arrow(paired, dim)
         .filter(F.col("cosine") >= F.lit(threshold))
         .select("id_a", "id_b", "cosine")
     )
+    return verified if star is None else verified.unionByName(star)

@@ -247,3 +247,91 @@ def test_quantized_topk_matches_oracle(spark, duck):
     assert_df_matches_oracle(
         df, duck, entrymod.oracle_sql()["similarity_quantized_topk"]
     )
+
+
+def _planted_emb(spark, n=40, m=6, identical=True, dim=64):
+    """n distinct vectors + an m-member planted class on vec 0: identical
+    (bit-equal) or near-identical (1e-9-perturbed, collapse-immune)."""
+    import math
+
+    rows = []
+    for i in range(n):
+        # i+1: keeps vec 0 NONZERO (a zero vector has undefined cosine
+        # and would vacuously pass the star-edge assertions)
+        rows.append((i, [math.sin(0.1 * (i + 1) * (d + 1)) for d in range(dim)]))
+    base = rows[0][1]
+    for k in range(m):
+        vec = list(base) if identical else [x + 1e-9 * (k + 1) for x in base]
+        rows.append((1000 + k, vec))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_cosine_neardup_identical_collapse_star_edges(spark):
+    """An identical-embedding class emits m-1 star edges from the min-id
+    rep (here vec 0), never member-member pairs — linear in class size —
+    and the pair graph keeps the same transitive closure as the
+    uncollapsed all-pairs output."""
+    from flink_streaming_2_10_spark.pipeline.similarity import (
+        cosine_neardup_pairs,
+    )
+
+    df = _planted_emb(spark, n=20, m=5)
+    got = cosine_neardup_pairs(
+        df, threshold=0.99, num_tables=4, num_planes=6
+    ).collect()
+    stars = {(r["id_a"], r["id_b"]): r["cosine"] for r in got
+             if r["id_a"] == 0 and r["id_b"] >= 1000}
+    assert set(stars) == {(0, 1000 + k) for k in range(5)}
+    assert all(c == 1.0 for c in stars.values())
+    # no member-member pair survives (they collapsed)
+    assert not [r for r in got if r["id_a"] >= 1000 and r["id_b"] >= 1000]
+
+    # closure equivalence vs the uncollapsed path
+    def closure(pairs):
+        import itertools
+
+        parent = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in pairs:
+            parent[find(a)] = find(b)
+        groups = {}
+        for node in list(parent):
+            groups.setdefault(find(node), set()).add(node)
+        return {frozenset(g) for g in groups.values() if len(g) > 1}
+
+    un = cosine_neardup_pairs(
+        df, threshold=0.99, num_tables=4, num_planes=6,
+        collapse_identical=False,
+    ).collect()
+    assert closure([(r["id_a"], r["id_b"]) for r in got]) == closure(
+        [(r["id_a"], r["id_b"]) for r in un]
+    )
+
+
+def test_cosine_neardup_bucket_cap_drops_whole_bucket(spark):
+    """Near-identical (collapse-immune) floods: with the cap the
+    flooded bucket drops WHOLE (no intra-flood pairs, other pairs
+    untouched); uncapped, the flood pairs quadratically."""
+    from flink_streaming_2_10_spark.pipeline.similarity import (
+        cosine_neardup_pairs,
+    )
+
+    df = _planted_emb(spark, n=20, m=8, identical=False)
+    capped = cosine_neardup_pairs(
+        df, threshold=0.99, num_tables=4, num_planes=6, max_bucket_size=5
+    ).collect()
+    assert not [r for r in capped if r["id_a"] >= 1000], capped
+    uncapped = cosine_neardup_pairs(
+        df, threshold=0.99, num_tables=4, num_planes=6, max_bucket_size=None
+    ).collect()
+    flood_pairs = [
+        r for r in uncapped if r["id_a"] >= 1000 and r["id_b"] >= 1000
+    ]
+    assert len(flood_pairs) == 8 * 7 // 2  # the quadratic the cap removes
