@@ -25,6 +25,7 @@ from flink_streaming_2_10_spark.operators.async_io import (
 )
 from flink_streaming_2_10_spark.operators.join import join_grades_salaries
 from flink_streaming_2_10_spark.operators.relational import (
+    bracket_revenue,
     forecast_revenue,
     large_orders,
     local_supplier_volume,
@@ -32,8 +33,10 @@ from flink_streaming_2_10_spark.operators.relational import (
     pricing_summary,
     priority_order_check,
     promo_revenue,
+    returned_item_report,
     revenue_by_region,
     shipping_priority,
+    volume_shipping,
 )
 from flink_streaming_2_10_spark.operators.temporal import (
     asof_join,
@@ -810,6 +813,42 @@ def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 volume shipping between two nations by ship year: the
+    two-nation filter lands at broadcast dims BEFORE the fact co-shuffle
+    (operators/relational.volume_shipping)."""
+    return volume_shipping(
+        load_table(spark, sf_dir, "supplier"),
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "nation"),
+    )
+
+
+def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 returned-item reporting: top 20 customers by returned
+    revenue in a quarter; per-customer agg rides the customer join's
+    exchange, deterministic TakeOrderedAndProject cut
+    (operators/relational.returned_item_report)."""
+    return returned_item_report(
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "nation"),
+    )
+
+
+def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19-style disjunctive bracket revenue: the OR's per-side
+    envelopes push to both scans, exact disjunction post-join
+    (operators/relational.bracket_revenue)."""
+    return bracket_revenue(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "part"),
+    )
+
+
 def q_token_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language token-count percentiles with percentile_cont
     semantics via the value histogram — no per-group value buffer
@@ -1051,6 +1090,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q5_local_supplier_volume": q_tpch_q5,
         "tpch_q14_promo_effect": q_tpch_q14,
         "tpch_q18_large_orders": q_tpch_q18,
+        "tpch_q7_volume_shipping": q_tpch_q7,
+        "tpch_q10_returned_items": q_tpch_q10,
+        "tpch_q19_bracket_revenue": q_tpch_q19,
         "pricing_cube": q_pricing_cube,
         "revenue_by_region": q_revenue_by_region,
         "multimodal_frame_sample": q_multimodal_frame_sample,
@@ -2858,6 +2900,62 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY o.o_orderkey, o.o_orderdate, o.o_orderpriority
             ORDER BY CAST(sum(l.rev_u) AS BIGINT) DESC, o.o_orderkey
             LIMIT 10
+        """,
+        "tpch_q7_volume_shipping": """
+            SELECT n1.n_name AS supp_nation,
+                   n2.n_name AS cust_nation,
+                   year(l.l_shipdate) AS l_year,
+                   CAST(count(*) AS BIGINT) AS lineitem_count,
+                   CAST(CAST(sum(
+                       CAST(round(l.l_extendedprice*100) AS BIGINT)
+                       * (100 - CAST(round(l.l_discount*100) AS BIGINT))
+                   ) AS BIGINT) AS DOUBLE)/10000.0 AS revenue
+            FROM lineitem l
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+            JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+            WHERE l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND l.l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+              AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+                OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+            GROUP BY 1, 2, 3
+        """,
+        "tpch_q10_returned_items": """
+            SELECT c.c_custkey, c.c_name,
+                   CAST(CAST(sum(
+                       CAST(round(l.l_extendedprice*100) AS BIGINT)
+                       * (100 - CAST(round(l.l_discount*100) AS BIGINT))
+                   ) AS BIGINT) AS DOUBLE)/10000.0 AS revenue,
+                   c.c_acctbal, n.n_name
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            WHERE l.l_returnflag = 'R'
+              AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND o.o_orderdate <  TIMESTAMP '1996-04-01 00:00:00'
+            GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+            ORDER BY CAST(sum(
+                       CAST(round(l.l_extendedprice*100) AS BIGINT)
+                       * (100 - CAST(round(l.l_discount*100) AS BIGINT))
+                     ) AS BIGINT) DESC, c.c_custkey
+            LIMIT 20
+        """,
+        "tpch_q19_bracket_revenue": """
+            SELECT CAST(CAST(sum(
+                       CAST(round(l.l_extendedprice*100) AS BIGINT)
+                       * (100 - CAST(round(l.l_discount*100) AS BIGINT))
+                   ) AS BIGINT) AS DOUBLE)/10000.0 AS revenue
+            FROM lineitem l
+            JOIN part p ON l.l_partkey = p.p_partkey
+            WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
+                   AND l.l_quantity BETWEEN 1 AND 11)
+               OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 10
+                   AND l.l_quantity BETWEEN 10 AND 20)
+               OR (p.p_brand = 'Brand#14' AND p.p_size BETWEEN 1 AND 15
+                   AND l.l_quantity BETWEEN 20 AND 30)
         """,
         "revenue_by_region": """
             SELECT r.r_name,

@@ -457,3 +457,197 @@ def large_orders(
         .drop("total_c")
         .limit(limit)
     )
+
+
+def volume_shipping(
+    supplier: DataFrame,
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    nation: DataFrame,
+    nation_a: str = "NATION_1",
+    nation_b: str = "NATION_2",
+    date_from: str = "1996-01-01",
+    date_to: str = "1998-01-01",
+) -> DataFrame:
+    """TPC-H Q7-style volume shipping: revenue flowing between two
+    nations per (supplier nation, customer nation, ship year), both
+    directions.
+
+    Join strategy at scale: the two-nation filter lands EARLY — supplier
+    and customer each pre-join their (broadcast, 25-row) nation dim
+    filtered to the two names, so lineitem rows from uninvolved supplier
+    nations drop at the first broadcast join and order rows from
+    uninvolved customer nations drop before the fact co-shuffle. The
+    cross-pair constraint (a→b or b→a) is a post-join filter on two
+    tiny dictionary columns. lineitem⋈orders co-shuffles on orderkey;
+    the customer side is unhinted for the same reason as Q5 (~2% of
+    corpus — AQE broadcasts at small SF, shuffles at scale). Final agg
+    keys on (nation, nation, year) — ≤ 2·years groups.
+    """
+    cut_lo = F.lit(date_from).cast("timestamp")
+    cut_hi = F.lit(date_to).cast("timestamp")
+    nd = nation.filter(
+        F.col("n_name").isin(nation_a, nation_b)
+    ).select("n_nationkey", "n_name")
+    s = supplier.join(
+        F.broadcast(nd.withColumnRenamed("n_name", "supp_nation")),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    ).select("s_suppkey", "supp_nation")
+    c = customer.join(
+        F.broadcast(nd.withColumnRenamed("n_name", "cust_nation")),
+        F.col("c_nationkey") == F.col("n_nationkey"),
+    ).select("c_custkey", "cust_nation")
+    li = lineitem.filter(
+        (F.col("l_shipdate") >= cut_lo) & (F.col("l_shipdate") < cut_hi)
+    ).select(
+        "l_orderkey",
+        "l_suppkey",
+        F.year(F.col("l_shipdate").cast("timestamp")).alias("l_year"),
+        (
+            to_units("l_extendedprice") * (F.lit(100) - to_units("l_discount"))
+        ).alias("rev_u"),
+    )
+    o = orders.select("o_orderkey", "o_custkey")
+    return (
+        li.join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .filter(
+            ((F.col("supp_nation") == nation_a) & (F.col("cust_nation") == nation_b))
+            | ((F.col("supp_nation") == nation_b) & (F.col("cust_nation") == nation_a))
+        )
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(
+            F.count(F.lit(1)).alias("lineitem_count"),
+            F.sum("rev_u").alias("rev_u_sum"),
+        )
+        .select(
+            "supp_nation",
+            "cust_nation",
+            "l_year",
+            "lineitem_count",
+            from_units("rev_u_sum", 4).alias("revenue"),
+        )
+    )
+
+
+def returned_item_report(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    nation: DataFrame,
+    date_from: str = "1996-01-01",
+    date_to: str = "1996-04-01",
+    limit: int = 20,
+) -> DataFrame:
+    """TPC-H Q10-style returned-item reporting: top customers by revenue
+    lost to returned lineitems ('R' flag) for orders placed in one
+    quarter.
+
+    Join strategy at scale: the quarter filter pushes to the orders
+    scan and the return flag to the lineitem scan; lineitem⋈orders
+    co-shuffles on orderkey; the customer attach keys on custkey — the
+    per-customer aggregation keys on c_custkey too, so the agg rides
+    the customer join's exchange instead of adding one. Nation is
+    broadcast. The top-k is a deterministic (revenue DESC, custkey)
+    TakeOrderedAndProject — no global sort.
+    """
+    o = orders.filter(
+        (F.col("o_orderdate") >= F.lit(date_from).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(date_to).cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    li = lineitem.filter(F.col("l_returnflag") == "R").select(
+        "l_orderkey",
+        (
+            to_units("l_extendedprice") * (F.lit(100) - to_units("l_discount"))
+        ).alias("rev_u"),
+    )
+    c = customer.select("c_custkey", "c_name", "c_acctbal", "c_nationkey")
+    joined = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(
+            F.broadcast(nation.select("n_nationkey", "n_name")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(F.sum("rev_u").alias("rev_u_sum"))
+    )
+    return (
+        joined.select(
+            "c_custkey",
+            "c_name",
+            from_units("rev_u_sum", 4).alias("revenue"),
+            "c_acctbal",
+            "n_name",
+            "rev_u_sum",
+        )
+        .orderBy(F.col("rev_u_sum").desc(), F.col("c_custkey"))
+        .drop("rev_u_sum")
+        .limit(limit)
+    )
+
+
+#: Q19-style promotion brackets: (brand, size_lo, size_hi, qty_lo, qty_hi).
+DEFAULT_BRACKETS: list[tuple[str, int, int, int, int]] = [
+    ("Brand#12", 1, 5, 1, 11),
+    ("Brand#23", 1, 10, 10, 20),
+    ("Brand#14", 1, 15, 20, 30),
+]
+
+
+def bracket_revenue(
+    lineitem: DataFrame,
+    part: DataFrame,
+    brackets: list[tuple[str, int, int, int, int]] | None = None,
+) -> DataFrame:
+    """TPC-H Q19-style disjunctive bracket revenue: one row — the
+    discounted revenue of lineitems whose (part brand, part size,
+    quantity) satisfies ANY of the brackets.
+
+    The point of this shape is pushdown of a DISJUNCTION: the exact OR
+    can only be evaluated after the join, but its per-side envelopes
+    push to the scans — lineitem reads only quantities within the union
+    of the qty ranges, part only the bracket brands within the union of
+    the size ranges (both visible in PushedFilters, pinned in
+    test_plans). The filtered part side is left unhinted: at TPC-H
+    ratios part is ~1% of corpus — broadcastable only at moderate SF —
+    so AQE decides from runtime sizes (Q5 reasoning).
+    """
+    brackets = DEFAULT_BRACKETS if brackets is None else brackets
+    qty_lo = min(b[3] for b in brackets)
+    qty_hi = max(b[4] for b in brackets)
+    size_lo = min(b[1] for b in brackets)
+    size_hi = max(b[2] for b in brackets)
+    brands = sorted({b[0] for b in brackets})
+    li = lineitem.filter(
+        (F.col("l_quantity") >= qty_lo) & (F.col("l_quantity") <= qty_hi)
+    ).select(
+        "l_partkey",
+        "l_quantity",
+        (
+            to_units("l_extendedprice") * (F.lit(100) - to_units("l_discount"))
+        ).alias("rev_u"),
+    )
+    p = part.filter(
+        F.col("p_brand").isin(*brands)
+        & (F.col("p_size") >= size_lo)
+        & (F.col("p_size") <= size_hi)
+    ).select("p_partkey", "p_brand", "p_size")
+    disj = None
+    for brand, s_lo, s_hi, q_lo, q_hi in brackets:
+        term = (
+            (F.col("p_brand") == brand)
+            & (F.col("p_size") >= s_lo)
+            & (F.col("p_size") <= s_hi)
+            & (F.col("l_quantity") >= q_lo)
+            & (F.col("l_quantity") <= q_hi)
+        )
+        disj = term if disj is None else (disj | term)
+    return (
+        li.join(p, li["l_partkey"] == p["p_partkey"])
+        .filter(disj)
+        .agg(F.sum("rev_u").alias("rev_u_sum"))
+        .select(from_units("rev_u_sum", 4).alias("revenue"))
+    )

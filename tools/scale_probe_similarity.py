@@ -79,17 +79,29 @@ def main() -> None:
         return base.unionByName(copies)
 
     def replicate(r: int):
-        """R disjoint copies: replica k shifts every component by
-        0.05·k, so no two replicas share a vector and the internal
-        near-dup structure of each replica is preserved."""
+        """R disjoint copies: replica k ROTATES the component order by k
+        positions. A rotation is an isometry — every replica keeps the
+        base corpus's internal pairwise-cosine structure exactly — while
+        cross-replica vectors decorrelate (cos(x, rot_k(x)) is small for
+        generic x). A first probe draft instead ADDED 0.05·k to every
+        component; that concentrates all of replica k's vectors around
+        the ones-vector (cosine → 1 as k grows), manufacturing an
+        all-pairs clique — an adversarial-data property, not an engine
+        property (R=8 measured 83 s on output volume alone)."""
+        dim = 64
         reps = []
         for k in range(r):
+            if k == 0:
+                vec = F.col("embedding")
+            else:
+                vec = F.expr(
+                    f"concat(slice(embedding, {k + 1}, {dim - k}), "
+                    f"slice(embedding, 1, {k}))"
+                )
             reps.append(
                 base.select(
                     (F.col("vec_id") + k * 1_000_000).alias("vec_id"),
-                    F.expr(
-                        f"transform(embedding, x -> x + {0.05 * k})"
-                    ).alias("embedding"),
+                    vec.alias("embedding"),
                 )
             )
         out = reps[0]
@@ -106,11 +118,17 @@ def main() -> None:
         release_cached()
         return dt
 
+    # Untimed warmup: absorbs JVM JIT / codegen / python-worker spin-up
+    # so the first timed row isn't systematically inflated (the first
+    # probe draft's m=500 row read ~2× its steady-state value).
+    timed(base)
+
     lines = [
         "# SCALE probe — round 8 (embedding similarity family)",
         "",
         f"Base corpus: sf0.1 embeddings ({n_base} rows, dim 64). local[32].",
-        "Probe: `tools/scale_probe_similarity.py`.",
+        "Probe: `tools/scale_probe_similarity.py` (one untimed warmup pass "
+        "first).",
         "",
         "## Hot identical-embedding cluster (m bit-equal planted copies)",
         "",
@@ -133,7 +151,7 @@ def main() -> None:
         "| m | path | seconds |",
         "|---:|---|---:|",
     ]
-    for m in (1000, 2000):
+    for m in (1000, 2000, 4000):
         dt = timed(with_near_identical(m), max_bucket_size=None)
         lines.append(f"| {m} | UNCAPPED (quadratic) | {dt:.2f} |")
         print(lines[-1], flush=True)
