@@ -235,3 +235,48 @@ def test_tpch_q18_topk_and_broadcast_qualifying_set(spark):
     assert "TakeOrderedAndProject" in plan, plan
     assert "GlobalLimit" not in plan, plan
     assert "Exchange rangepartitioning" not in plan, plan
+
+
+def test_tpch_q10_pushdown_and_topk(spark):
+    """Q10: return flag reaches the lineitem scan, the quarter reaches
+    the orders scan, and the top-20 cut is TakeOrderedAndProject (no
+    materialized global sort)."""
+    import __spark_entry__ as entrymod
+
+    plan = _plan(entrymod.queries()["tpch_q10_returned_items"](spark, SF_SMALL))
+    assert "TakeOrderedAndProject" in plan, plan
+    li = [s for s in _scan_sections(plan) if "lineitem" in s]
+    assert li and "l_returnflag" in li[0].split("PushedFilters:")[1].split("\n")[0]
+    o = [s for s in _scan_sections(plan) if "orders" in s]
+    assert o and "o_orderdate" in o[0].split("PushedFilters:")[1].split("\n")[0]
+
+
+def test_tpch_q19_disjunction_envelopes_reach_both_scans(spark):
+    """Q19 shape: the OR itself is post-join, but its per-side envelopes
+    must push — quantity range to lineitem, brand/size to part."""
+    import __spark_entry__ as entrymod
+
+    plan = _plan(entrymod.queries()["tpch_q19_bracket_revenue"](spark, SF_SMALL))
+    li = [s for s in _scan_sections(plan) if "lineitem" in s]
+    pushed_li = li[0].split("PushedFilters:")[1].split("\n")[0]
+    assert "l_quantity" in pushed_li, pushed_li
+    p = [s for s in _scan_sections(plan) if "p_brand" in s]
+    pushed_p = p[0].split("PushedFilters:")[1].split("\n")[0]
+    assert "p_brand" in pushed_p and "p_size" in pushed_p, pushed_p
+
+
+def test_tpch_q7_nation_filter_lands_before_fact_shuffle(spark):
+    """Q7: the two-nation name filter reaches the nation scans and the
+    ship-date range reaches lineitem — the fact never carries uninvolved
+    nations through the orderkey exchange."""
+    import __spark_entry__ as entrymod
+
+    plan = _plan(
+        entrymod.queries()["tpch_q7_volume_shipping"](spark, SF_SMALL)
+    )
+    li = [s for s in _scan_sections(plan) if "lineitem" in s]
+    assert li and "l_shipdate" in li[0].split("PushedFilters:")[1].split("\n")[0]
+    n = [s for s in _scan_sections(plan) if "n_name" in s]
+    assert n and "n_name" in n[0].split("PushedFilters:")[1].split("\n")[0]
+    # supplier side arrives broadcast (tiny, two-nation filtered)
+    assert plan.count("BroadcastHashJoin") >= 2, plan
