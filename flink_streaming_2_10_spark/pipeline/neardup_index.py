@@ -135,6 +135,84 @@ def build_neardup_index(
     )
 
 
+def neardup_ingest_batch(
+    spark: SparkSession,
+    path: str,
+    prefix: str,
+    flagged_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.7,
+    **index_params,
+):
+    """``foreachBatch`` callback for NEAR-dup-aware incremental ingestion
+    — compose with :func:`streaming.runners.run_incremental`:
+
+    each arriving micro-batch is (1) probed against the persisted index
+    (old corpus never rescanned), (2) its flagged pairs appended to
+    ``flagged_dir`` parquet, and (3) its SURVIVORS (arrivals that
+    near-duplicate nothing indexed) appended to the index, so the next
+    pass — today's or next month's — probes against the grown corpus.
+    The first batch ever creates the index. This closes the gap
+    ``run_incremental`` + ``streaming_exact_dedup`` leave open: a new
+    arrival near- (not exact-) duplicating an OLD document is now caught
+    without a full-corpus rescan.
+
+    Scope: arrivals are probed against the INDEX, not against each other
+    — two near-dup documents arriving in the same batch both survive
+    (run a batch-local ``minhash_dedup_pairs`` first if intra-batch
+    dedup matters; at daily-arrival scale the index probe is the 100 TB
+    cost that matters). Survivor appends preserve the bucket spec, so
+    every probe join stays exchange-free on the index side.
+
+    ``index_params`` forward to build/probe (num_hashes, bands, rows,
+    shingle_n, hasher, max_bucket_size, num_buckets — keep them
+    IDENTICAL across passes; banding parameters are baked into the
+    persisted buckets).
+    """
+    build_keys = (
+        "num_hashes", "bands", "rows", "shingle_n", "hasher",
+        "num_buckets", "max_bucket_size",
+    )
+    probe_keys = ("num_hashes", "bands", "rows", "shingle_n", "hasher")
+    bad = set(index_params) - set(build_keys)
+    if bad:
+        raise ValueError(f"unknown index_params: {sorted(bad)}")
+
+    def on_batch(batch_df: DataFrame, _batch_id: int) -> None:
+        batch_df = batch_df.persist()
+        flags: DataFrame | None = None
+        try:
+            if spark.catalog.tableExists(f"{prefix}_buckets"):
+                flags = neardup_against_index(
+                    spark, batch_df, prefix,
+                    id_col=id_col, text_col=text_col, threshold=threshold,
+                    **{k: v for k, v in index_params.items() if k in probe_keys},
+                ).persist()
+                flags.write.mode("append").parquet(flagged_dir)
+                survivors = batch_df.join(
+                    flags.select("doc_id").distinct()
+                    .withColumnRenamed("doc_id", id_col),
+                    id_col,
+                    "left_anti",
+                )
+                mode = "append"
+            else:
+                survivors = batch_df
+                mode = "overwrite"
+            build_neardup_index(
+                survivors, path, prefix,
+                id_col=id_col, text_col=text_col, mode=mode,
+                **{k: v for k, v in index_params.items() if k in build_keys},
+            )
+        finally:
+            if flags is not None:
+                flags.unpersist()
+            batch_df.unpersist()
+
+    return on_batch
+
+
 def neardup_against_index(
     spark: SparkSession,
     arrivals: DataFrame,

@@ -187,3 +187,72 @@ def test_build_validates_banding_arithmetic(spark, tmp_path):
         build_neardup_index(
             _pass1_docs(spark), str(tmp_path / "idx"), "ndx5", num_hashes=60
         )
+
+
+def test_incremental_ingest_flags_neardups_across_passes(spark, tmp_path):
+    """run_incremental + neardup_ingest_batch: pass 1 seeds the index;
+    pass 2 reads ONLY the new file, its near-dup of a pass-1 doc is
+    flagged via the index (no pass-1 rescan), and its fresh doc joins
+    the index so pass 3 near-dups of IT are flagged too."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from flink_streaming_2_10_spark.pipeline.neardup_index import (
+        neardup_ingest_batch,
+    )
+    from flink_streaming_2_10_spark.streaming.runners import run_incremental
+
+    src = str(tmp_path / "docs")
+    os.makedirs(src)
+    ck = str(tmp_path / "ck")
+    flagged = str(tmp_path / "flagged")
+    idx = str(tmp_path / "idx")
+
+    def write_file(name, lines):
+        with open(os.path.join(src, name), "w") as fh:
+            fh.write("\n".join(lines))
+
+    doc_a = "the quick brown fox jumps over the lazy dog near the river bank"
+    doc_b = "completely unrelated second document about cooking pasta daily"
+    write_file("p1.txt", [f"1,{doc_a}", f"2,{doc_b}"])
+
+    parts = F.split(F.col("value"), ",", 2)
+
+    def stream():
+        return spark.readStream.text(src).select(
+            F.element_at(parts, 1).cast("long").alias("doc_id"),
+            F.element_at(parts, 2).alias("text"),
+        )
+
+    on_batch = neardup_ingest_batch(
+        spark, idx, "ndx_ing", flagged, threshold=0.5, num_buckets=4
+    )
+    run_incremental(stream(), ck, on_batch)
+    assert not os.path.exists(flagged) or not [
+        f for f in os.listdir(flagged) if f.endswith(".parquet")
+    ]
+
+    # pass 2: 10 near-dups doc 1; 11 is fresh
+    near_a = doc_a.replace("river bank", "water edge")
+    doc_c = "a third topic entirely focused on mountain hiking trails today"
+    write_file("p2.txt", [f"10,{near_a}", f"11,{doc_c}"])
+    run_incremental(stream(), ck, on_batch)
+    got = {
+        (r["doc_id"], r["index_doc_id"])
+        for r in spark.read.parquet(flagged).collect()
+    }
+    assert (10, 1) in got
+    assert all(d != 11 for d, _ in got)
+
+    # pass 3: 20 near-dups the PASS-2 fresh doc 11 (survivor appended)
+    near_c = doc_c.replace("trails today", "trails tomorrow")
+    write_file("p3.txt", [f"20,{near_c}"])
+    run_incremental(stream(), ck, on_batch)
+    got3 = {
+        (r["doc_id"], r["index_doc_id"])
+        for r in spark.read.parquet(flagged).collect()
+    }
+    assert (20, 11) in got3
+    # flagged docs were never appended: 20's probe found 11, not 10's dup
+    assert all(i in (1, 2, 11) for _, i in got3)
