@@ -633,6 +633,14 @@ def cosine_neardup_pairs(
     from pyspark.sql.window import Window
 
     base = df.select(id_col, vec_col)
+    # One cheap count up front (parquet count-star — metadata-only) does
+    # double duty: auto-plane sizing AND the provable cap skip below.
+    # Sizing P from the RAW count (not the collapsed rep count) keeps the
+    # plane grid independent of how many duplicates the corpus happens to
+    # contain — the oracle pins the same static P — and avoids a count
+    # JOB over the collapse pipeline (measured ~1 s of fixed overhead at
+    # sf0.1 for zero benefit: P only shrinks with fewer rows).
+    n_rows = df.count() if (num_planes is None or max_bucket_size is not None) else 0
     star: DataFrame | None = None
     if collapse_identical:
         wv = Window.partitionBy(vec_col)
@@ -653,8 +661,13 @@ def cosine_neardup_pairs(
         base = marked.filter(F.col(id_col) == F.col("__rep")).select(
             id_col, vec_col
         )
+    if max_bucket_size is not None and n_rows <= max_bucket_size:
+        # Provably inert: a (t, bkt) group can only exceed the cap if the
+        # corpus has more rows than the cap. Skipping the anti-join here
+        # changes NOTHING about the output (the oracle keeps its HAVING —
+        # equally inert) and saves two fixed jobs per run.
+        max_bucket_size = None
     if num_planes is None:
-        n_rows = base.count()
         num_planes = auto_num_planes(n_rows)
         _LOG.info(
             "cosine_neardup_pairs: n=%d -> num_planes=%d (%d tables, "
