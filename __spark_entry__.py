@@ -26,7 +26,9 @@ from flink_streaming_2_10_spark.operators.async_io import (
 from flink_streaming_2_10_spark.operators.join import join_grades_salaries
 from flink_streaming_2_10_spark.operators.relational import (
     bracket_revenue,
+    customer_distribution,
     forecast_revenue,
+    global_sales_opportunity,
     large_orders,
     local_supplier_volume,
     pricing_cube,
@@ -849,6 +851,28 @@ def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 customer order-count distribution: LEFT OUTER join with
+    the exclusion as a join conjunct (a WHERE would drop the zero-order
+    customers), custkey agg riding the join exchange, tiny histogram agg
+    (operators/relational.customer_distribution)."""
+    return customer_distribution(
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "orders"),
+    )
+
+
+def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 sales opportunity: above-average-balance never-ordered
+    customers per nation — exact INTEGER above-average gate (bal·n >
+    total), broadcast scalar, LEFT ANTI against orders
+    (operators/relational.global_sales_opportunity)."""
+    return global_sales_opportunity(
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "orders"),
+    )
+
+
 def q_token_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language token-count percentiles with percentile_cont
     semantics via the value histogram — no per-group value buffer
@@ -1092,7 +1116,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q18_large_orders": q_tpch_q18,
         "tpch_q7_volume_shipping": q_tpch_q7,
         "tpch_q10_returned_items": q_tpch_q10,
+        "tpch_q13_customer_distribution": q_tpch_q13,
         "tpch_q19_bracket_revenue": q_tpch_q19,
+        "tpch_q22_sales_opportunity": q_tpch_q22,
         "pricing_cube": q_pricing_cube,
         "revenue_by_region": q_revenue_by_region,
         "multimodal_frame_sample": q_multimodal_frame_sample,
@@ -2942,6 +2968,38 @@ def oracle_sql() -> dict[str, str]:
                        * (100 - CAST(round(l.l_discount*100) AS BIGINT))
                      ) AS BIGINT) DESC, c.c_custkey
             LIMIT 20
+        """,
+        "tpch_q13_customer_distribution": """
+            WITH per_cust AS (
+              SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+              FROM customer c
+              LEFT OUTER JOIN orders o
+                ON c.c_custkey = o.o_custkey
+               AND o.o_orderpriority <> '1-URGENT'
+              GROUP BY c.c_custkey)
+            SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+            FROM per_cust GROUP BY c_count
+        """,
+        "tpch_q22_sales_opportunity": """
+            WITH cust AS (
+              SELECT c_custkey, c_nationkey,
+                     CAST(round(c_acctbal*100) AS BIGINT) AS bal_u
+              FROM customer
+              WHERE c_nationkey IN (1, 2, 3, 4, 5, 6, 7)),
+            pos AS (SELECT CAST(sum(bal_u) AS BIGINT) AS pos_total_u,
+                           CAST(count(*) AS BIGINT) AS pos_n
+                    FROM cust WHERE bal_u > 0),
+            q AS (SELECT c.* FROM cust c, pos
+                  WHERE c.bal_u * pos.pos_n > pos.pos_total_u),
+            no_ord AS (SELECT q.* FROM q
+                       LEFT JOIN (SELECT DISTINCT o_custkey FROM orders) o
+                         ON q.c_custkey = o.o_custkey
+                       WHERE o.o_custkey IS NULL)
+            SELECT c_nationkey,
+                   CAST(count(*) AS BIGINT) AS numcust,
+                   CAST(CAST(sum(bal_u) AS BIGINT) AS DOUBLE)/100.0
+                     AS totacctbal
+            FROM no_ord GROUP BY c_nationkey
         """,
         "tpch_q19_bracket_revenue": """
             SELECT CAST(CAST(sum(

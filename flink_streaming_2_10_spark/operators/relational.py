@@ -651,3 +651,83 @@ def bracket_revenue(
         .agg(F.sum("rev_u").alias("rev_u_sum"))
         .select(from_units("rev_u_sum", 4).alias("revenue"))
     )
+
+
+def customer_distribution(
+    customer: DataFrame,
+    orders: DataFrame,
+    exclude_priority: str = "1-URGENT",
+) -> DataFrame:
+    """TPC-H Q13-style customer order-count distribution: how many
+    customers placed exactly k (counted) orders — INCLUDING k = 0, which
+    is why the join must be LEFT OUTER (an inner join silently drops the
+    no-order customers, the population Q13 exists to expose).
+
+    The per-side filter (upstream's comment NOT LIKE; this schema's
+    priority exclusion) belongs in the JOIN CONDITION, not a WHERE —
+    a WHERE would turn the outer join back into an inner one.
+
+    Scale shape: the non-equi exclusion rides the orderkey/custkey
+    equi-join as a conjunct; count(o_orderkey) counts only matched rows
+    (NULL-skipping, the outer-join contract); first agg keys on custkey
+    (co-partitioned with the join's own exchange), second agg reduces to
+    the tiny distinct-count histogram.
+    """
+    o = orders.filter(F.col("o_orderpriority") != exclude_priority).select(
+        "o_orderkey", "o_custkey"
+    )
+    c = customer.select("c_custkey")
+    per_cust = (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count(F.lit(1)).alias("custdist")
+    )
+
+
+def global_sales_opportunity(
+    customer: DataFrame,
+    orders: DataFrame,
+    nationkeys: tuple[int, ...] = (1, 2, 3, 4, 5, 6, 7),
+) -> DataFrame:
+    """TPC-H Q22-style sales opportunity: per nation (upstream: phone
+    country code; this schema keys nations directly), the count and
+    total balance of ABOVE-AVERAGE-balance customers who have never
+    placed an order.
+
+    Exactness: the above-average gate compares INTEGERS —
+    ``acctbal_units · n_positive > total_positive_units`` — instead of
+    dividing out a double average, so the cut is bit-identical in any
+    engine (a double `avg` differs in the last ulp across partial-agg
+    orders and would flip borderline customers).
+
+    Scale shape: the average is a broadcast 1-row aggregate (crossJoin
+    of a scalar); never-ordered customers are a LEFT ANTI join against
+    the orders keys (no payload moves, per-order dedup inside the join
+    operator); final agg keys on the ≤25-value nation key.
+    """
+    cust = customer.filter(F.col("c_nationkey").isin(*nationkeys)).select(
+        "c_custkey",
+        "c_nationkey",
+        to_units("c_acctbal").alias("bal_u"),
+    )
+    pos = cust.filter(F.col("bal_u") > 0).agg(
+        F.sum("bal_u").alias("pos_total_u"),
+        F.count(F.lit(1)).alias("pos_n"),
+    )
+    qualified = (
+        cust.crossJoin(F.broadcast(pos))
+        .filter(F.col("bal_u") * F.col("pos_n") > F.col("pos_total_u"))
+        .select("c_custkey", "c_nationkey", "bal_u")
+    )
+    never_ordered = qualified.join(
+        orders.select("o_custkey"),
+        qualified["c_custkey"] == F.col("o_custkey"),
+        "left_anti",
+    )
+    return never_ordered.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("numcust"),
+        from_units(F.sum("bal_u")).alias("totacctbal"),
+    )

@@ -280,3 +280,30 @@ def test_tpch_q7_nation_filter_lands_before_fact_shuffle(spark):
     assert n and "n_name" in n[0].split("PushedFilters:")[1].split("\n")[0]
     # supplier side arrives broadcast (tiny, two-nation filtered)
     assert plan.count("BroadcastHashJoin") >= 2, plan
+
+
+def test_tpch_q13_outer_join_with_conjunct_exclusion(spark):
+    """Q13: the priority exclusion must ride the LEFT OUTER join as a
+    conjunct (a WHERE would silently drop the zero-order customers the
+    query exists to count)."""
+    import __spark_entry__ as entrymod
+
+    q = entrymod.queries()["tpch_q13_customer_distribution"](spark, SF_SMALL)
+    plan = _plan(q)
+    assert "LeftOuter" in plan, plan
+    # the zero-order bucket exists in the output (outer-join contract)
+    counts = {r["c_count"]: r["custdist"] for r in q.collect()}
+    assert 0 in counts or min(counts) == 0 or len(counts) > 1
+
+
+def test_tpch_q22_anti_join_and_broadcast_scalar(spark):
+    """Q22: never-ordered customers arrive via LEFT ANTI (no payload
+    moves, dedup inside the join); the positive-balance average is a
+    broadcast 1-row scalar."""
+    import __spark_entry__ as entrymod
+
+    plan = _plan(entrymod.queries()["tpch_q22_sales_opportunity"](spark, SF_SMALL))
+    assert "LeftAnti" in plan, plan
+    assert "Broadcast" in plan, plan
+    c = [s for s in _scan_sections(plan) if "c_acctbal" in s]
+    assert c and "c_nationkey" in c[0].split("PushedFilters:")[1].split("\n")[0]
