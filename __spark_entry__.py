@@ -550,6 +550,16 @@ def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repetition_stats(load_table(spark, sf_dir, "documents"))
 
 
+def q_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyword search: top 20 documents by exact-rational tf·(N/df)
+    relevance over a fixed 3-term query — one corpus scan (scan-local
+    regexp term counts), one broadcast totals row, TakeOrderedAndProject
+    (pipeline/search.keyword_search)."""
+    from flink_streaming_2_10_spark.pipeline.search import keyword_search
+
+    return keyword_search(load_table(spark, sf_dir, "documents"), k=20)
+
+
 def q_text_despan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Intra-document repeated-span removal: adjacent periodic repeats of
     period ≤ 3 tokens collapse to their leading occurrence — the
@@ -1153,6 +1163,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_language_id": q_text_language_id,
         "text_repetition": q_text_repetition,
         "text_despan": q_text_despan,
+        "keyword_search": q_keyword_search,
         "top_ngrams": q_top_ngrams,
         "token_percentiles": q_token_percentiles,
         "collocations": q_collocations,
@@ -1634,6 +1645,43 @@ def _text_despan_oracle(max_period: int = 3) -> str:
                     ELSE 0.0 END AS despan_ratio,
                coalesce(array_to_string(kept, ' '), '') AS despanned_text
         FROM k"""
+
+
+def _keyword_search_oracle(terms: tuple[str, ...], k: int) -> str:
+    """Mirror of pipeline/search.keyword_search: scan-local whole-token
+    regexp counts, one totals row, and the score as the same FIXED
+    left-associated expression chain (0.0 + c0 + c1 + …) of exact-long
+    divisions — bit-identical doubles, so the top-k hash-matches."""
+    tfs = ",\n                      ".join(
+        f"len(regexp_extract_all(lower(text), '\\b{t}\\b')) AS tf{i}"
+        for i, t in enumerate(terms)
+    )
+    dfs = ",\n                       ".join(
+        f"sum(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS df{i}"
+        for i in range(len(terms))
+    )
+    contribs = " + ".join(
+        f"CASE WHEN df{i} > 0 THEN CAST(tf{i} AS DOUBLE) * CAST(N AS DOUBLE)"
+        f" / CAST(df{i} AS DOUBLE) ELSE 0.0 END"
+        for i in range(len(terms))
+    )
+    hits = " + ".join(
+        f"CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END" for i in range(len(terms))
+    )
+    return f"""
+        WITH s AS (SELECT doc_id,
+                      {tfs}
+                   FROM documents),
+        tot AS (SELECT count(*) AS N,
+                       {dfs}
+                FROM s)
+        SELECT doc_id,
+               CAST({hits} AS INT) AS n_hits,
+               0.0 + {contribs} AS score
+        FROM s, tot
+        WHERE ({hits}) > 0
+        ORDER BY score DESC, doc_id
+        LIMIT {k}"""
 
 
 def _decontamination_oracle(n: int, min_hits: int, modulo: int) -> str:
@@ -2798,6 +2846,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "text_repetition": _text_repetition_oracle(),
         "text_despan": _text_despan_oracle(max_period=3),
+        "keyword_search": _keyword_search_oracle(
+            terms=("vector", "hash", "stream"), k=20
+        ),
         "top_ngrams": _top_ngrams_oracle(n=3, k=50),
         "length_histogram": _length_histogram_oracle(),
         "token_percentiles": _token_percentiles_oracle(),
