@@ -1,0 +1,132 @@
+"""Fixed-point k-means over embedding columns — Lloyd's iterations with
+EXACT cross-engine arithmetic (north-star extension: topic-style corpus
+clustering, the grouping face of the similarity family).
+
+Why fixed-point: textbook k-means is float means + float distances, and
+neither survives a value-hash comparison across engines (partial-sum
+order, last-ulp division). Here everything after one deterministic
+quantization is integer or floor-exact:
+
+* points quantize once: ``q_i = round(x_i · SCALE)`` as longs (the same
+  half-up convention as ``functions/money.py``);
+* distances are exact integer ``Σ (q_i − c_i)²``;
+* assignment is argmin with a smallest-cluster-id tie-break (a struct
+  min — total order, no float comparison);
+* centroid updates are ``floor(sum / count)`` per component — the
+  double quotient of two exact longs is correctly rounded in IEEE, so
+  its floor is bit-identical in any engine; empty clusters keep their
+  previous centroid;
+* initialization is the k lowest-id vectors; round count is FIXED
+  (no convergence test), so an oracle can unroll the same rounds.
+
+Scale shape (the MLlib KMeans shape): centroids are DRIVER state by
+design — k·dim longs per round, bounded and tiny — so each round is ONE
+corpus scan (assignment as a literal expression — no join, no shuffle
+of points) plus one k-group aggregation with map-side partials. At
+100 TB that is rounds × (scan + k×dim-cell agg); points never move.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+#: Fixed-point scale: testdata embeddings are unit-ish (|x| < 1), so
+#: SCALE=10⁴ keeps per-component diffs < ~2·10⁴ and the 64-dim squared
+#: distance < ~10¹⁰ — exact in longs with huge headroom.
+SCALE = 10_000
+
+
+def quantize_fixed(df: DataFrame, vec_col: str = "embedding") -> Column:
+    """``round(x · SCALE)`` per component, as an ``array<long>``.
+    ``df`` is accepted only for symmetry with the callers — the
+    expression references the column by name."""
+    del df
+    return F.expr(
+        f"transform(`{vec_col}`, x -> cast(round(x * {SCALE}, 0) as long))"
+    )
+
+
+def _dist2(q_col: str, centroid: list[int]) -> Column:
+    lits = ", ".join(str(v) for v in centroid)
+    return F.expr(
+        f"aggregate(zip_with({q_col}, array({lits}L), "
+        f"(x, y) -> (x - y) * (x - y)), 0L, (a, v) -> a + v)"
+    )
+
+
+def _assign(q_col: str, centroids: list[list[int]]) -> Column:
+    """argmin over the centroid literals — struct min gives the exact
+    (distance, cluster-id) total order, so ties break on the id."""
+    return F.array_min(
+        F.array(
+            *[
+                F.struct(
+                    _dist2(q_col, c).alias("d"),
+                    F.lit(j).alias("j"),
+                )
+                for j, c in enumerate(centroids)
+            ]
+        )
+    )
+
+
+def kmeans_fixed_point(
+    df: DataFrame,
+    k: int = 8,
+    rounds: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """``(vec_id, cluster, dist2)`` after ``rounds`` Lloyd iterations.
+
+    ``dist2`` is the exact quantized squared distance to the point's
+    final centroid — the within-cluster tightness signal. Driver state
+    is k·dim longs (the centroids); every other byte stays distributed.
+    """
+    import math
+
+    from flink_streaming_2_10_spark.pipeline.caching import tracked_persist
+
+    if k < 1 or rounds < 1:
+        raise ValueError("k and rounds must be >= 1")
+    # Persisted: every round's assignment scan and the final output read
+    # the same quantized projection (released by the caller via
+    # pipeline.caching.release_cached, as with the dedup intermediates).
+    pts = tracked_persist(
+        df.select(
+            F.col(id_col).alias("vec_id"), quantize_fixed(df, vec_col).alias("q")
+        )
+    )
+    # Deterministic init: the k lowest-id vectors.
+    init = pts.orderBy("vec_id").limit(k).collect()
+    if len(init) < k:
+        raise ValueError(f"k={k} exceeds corpus size {len(init)}")
+    centroids = [list(r["q"]) for r in init]
+    dim = len(centroids[0])
+    for _ in range(rounds):
+        assigned = pts.select(
+            "vec_id", "q", _assign("q", centroids)["j"].alias("cluster")
+        )
+        # k×dim-cell aggregation: component sums + counts per cluster.
+        agg = assigned.groupBy("cluster").agg(
+            F.count(F.lit(1)).alias("n"),
+            *[
+                F.sum(F.element_at("q", i + 1)).alias(f"s{i}")
+                for i in range(dim)
+            ],
+        )
+        new = {
+            r["cluster"]: [
+                # floor of a correctly-rounded double quotient of two
+                # exact longs — bit-identical across engines.
+                int(math.floor(r[f"s{i}"] / r["n"]))
+                for i in range(dim)
+            ]
+            for r in agg.collect()
+        }
+        centroids = [new.get(j, centroids[j]) for j in range(k)]
+    return pts.select("vec_id", _assign("q", centroids).alias("a")).select(
+        "vec_id",
+        F.col("a")["j"].alias("cluster"),
+        F.col("a")["d"].alias("dist2"),
+    )
