@@ -523,6 +523,21 @@ def q_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_semantic_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-point Lloyd's k-means over the embedding corpus
+    (pipeline/clustering.py): k=4 topic-style clusters, 2 exact
+    integer-arithmetic rounds, deterministic lowest-id init. Centroids
+    are driver state (k·dim longs); each round is one scan + one k-group
+    aggregation — points never shuffle."""
+    from flink_streaming_2_10_spark.pipeline.clustering import (
+        kmeans_fixed_point,
+    )
+
+    return kmeans_fixed_point(
+        load_table(spark, sf_dir, "embeddings"), k=4, rounds=2
+    )
+
+
 def q_text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Whitespace + BPE-ish token counting per document (scan-local)."""
     return token_counts(load_table(spark, sf_dir, "documents"))
@@ -1158,6 +1173,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_ivf_topk": q_similarity_ivf_topk,
         "similarity_cosine_neardup": q_similarity_cosine_neardup,
         "semantic_clusters": q_semantic_clusters,
+        "semantic_kmeans": q_semantic_kmeans,
         "text_token_stats": q_text_token_stats,
         "text_quality": q_text_quality,
         "text_language_id": q_text_language_id,
@@ -1829,6 +1845,63 @@ def _quantized_topk_oracle(query_id: int, k: int, dim: int = _DIM) -> str:
         FROM n CROSS JOIN q
         ORDER BY qcosine DESC, n.vec_id ASC
         LIMIT {k}"""
+
+
+def _kmeans_oracle(
+    k: int, rounds: int, dim: int = _DIM, scale: int = 10_000
+) -> str:
+    """Mirror of pipeline.clustering.kmeans_fixed_point, rounds unrolled
+    as CTE blocks: identical half-up double quantization, identical
+    exact-integer distances with (distance, cluster-id) lexicographic
+    argmin, and the identical floor(s/n) centroid update — DuckDB's
+    ``//`` truncates toward zero, so negative non-divisible sums are
+    adjusted by one to match Python's floor division exactly."""
+
+    def dist2(q: str, c: str) -> str:
+        return (
+            f"list_reduce(list_transform(range(1, {dim + 1}), "
+            f"i -> ({q}[i] - {c}[i]) * ({q}[i] - {c}[i])), "
+            f"(a, v) -> a + v)"
+        )
+
+    blocks = []
+    prev = "c0"
+    for r in range(1, rounds + 1):
+        d = dist2("p.q", "c.c")
+        blocks.append(f"""
+        a{r} AS (SELECT p.vec_id, p.q,
+                        arg_min(c.j, ({d}) * {k} + c.j) AS cluster
+                 FROM pts p CROSS JOIN {prev} c
+                 GROUP BY p.vec_id, p.q),
+        s{r} AS (SELECT a.cluster AS j, x.i AS i,
+                        SUM(a.q[x.i]) AS s, COUNT(*) AS n
+                 FROM a{r} a CROSS JOIN idx x
+                 GROUP BY a.cluster, x.i),
+        u{r} AS (SELECT j,
+                        list(CASE WHEN s >= 0 OR s % n = 0 THEN s // n
+                                  ELSE s // n - 1 END ORDER BY i) AS c
+                 FROM s{r} GROUP BY j),
+        c{r} AS (SELECT p.j, COALESCE(u.c, p.c) AS c
+                 FROM {prev} p LEFT JOIN u{r} u ON p.j = u.j)""")
+        prev = f"c{r}"
+    d_final = dist2("p.q", "c.c")
+    return f"""
+        WITH pts AS (SELECT vec_id,
+                            list_transform(embedding, x ->
+                              CAST(floor(CAST(x AS DOUBLE) * {scale}.0 + 0.5)
+                                   AS BIGINT)) AS q
+                     FROM embeddings),
+        idx AS (SELECT unnest(range(1, {dim + 1})) AS i),
+        c0 AS (SELECT j, c FROM
+                 (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS j,
+                         q AS c
+                  FROM pts)
+               WHERE j < {k}),{",".join(blocks)}
+        SELECT p.vec_id,
+               CAST(arg_min(c.j, ({d_final}) * {k} + c.j) AS INT) AS cluster,
+               CAST(min(({d_final}) * {k} + c.j) // {k} AS BIGINT) AS dist2
+        FROM pts p CROSS JOIN {prev} c
+        GROUP BY p.vec_id, p.q"""
 
 
 def _cosine_topk_oracle(query_id: int, k: int) -> str:
@@ -2777,6 +2850,7 @@ def oracle_sql() -> dict[str, str]:
         "semantic_clusters": _semantic_clusters_oracle(
             threshold=0.4, num_tables=8, num_planes=6
         ),
+        "semantic_kmeans": _kmeans_oracle(k=4, rounds=2),
         "text_token_stats": f"""
             SELECT doc_id,
                    CAST(len(list_filter(regexp_split_to_array(text, '\\s+'),

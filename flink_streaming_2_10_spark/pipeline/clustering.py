@@ -12,10 +12,11 @@ quantization is integer or floor-exact:
 * distances are exact integer ``Σ (q_i − c_i)²``;
 * assignment is argmin with a smallest-cluster-id tie-break (a struct
   min — total order, no float comparison);
-* centroid updates are ``floor(sum / count)`` per component — the
-  double quotient of two exact longs is correctly rounded in IEEE, so
-  its floor is bit-identical in any engine; empty clusters keep their
-  previous centroid;
+* centroid updates are ``floor(sum / count)`` per component, computed
+  with Python INTEGER floor division (``s // n``, exact at any
+  magnitude — a double quotient would be correctly rounded but its
+  floor can be off by one once |s| crosses 2⁵³, which 100 TB-scale
+  component sums can); empty clusters keep their previous centroid;
 * initialization is the k lowest-id vectors; round count is FIXED
   (no convergence test), so an oracle can unroll the same rounds.
 
@@ -37,12 +38,17 @@ SCALE = 10_000
 
 
 def quantize_fixed(df: DataFrame, vec_col: str = "embedding") -> Column:
-    """``round(x · SCALE)`` per component, as an ``array<long>``.
+    """``floor(x · SCALE + 0.5)`` per component (half-up — the same
+    convention as ``similarity.quantize_embeddings``), as an
+    ``array<long>``. The float components are cast to double FIRST so
+    the product is a double product in every engine (float×int lane
+    width is engine-dependent; double is the determinism contract).
     ``df`` is accepted only for symmetry with the callers — the
     expression references the column by name."""
     del df
     return F.expr(
-        f"transform(`{vec_col}`, x -> cast(round(x * {SCALE}, 0) as long))"
+        f"transform(`{vec_col}`, x -> "
+        f"cast(floor(cast(x as double) * {SCALE}.0D + 0.5D) as long))"
     )
 
 
@@ -83,8 +89,6 @@ def kmeans_fixed_point(
     final centroid — the within-cluster tightness signal. Driver state
     is k·dim longs (the centroids); every other byte stays distributed.
     """
-    import math
-
     from flink_streaming_2_10_spark.pipeline.caching import tracked_persist
 
     if k < 1 or rounds < 1:
@@ -117,9 +121,10 @@ def kmeans_fixed_point(
         )
         new = {
             r["cluster"]: [
-                # floor of a correctly-rounded double quotient of two
-                # exact longs — bit-identical across engines.
-                int(math.floor(r[f"s{i}"] / r["n"]))
+                # Python integer floor division: exact floor(s/n) at any
+                # magnitude (floors toward -inf for negative sums, the
+                # same convention any engine's FLOOR reproduces).
+                r[f"s{i}"] // r["n"]
                 for i in range(dim)
             ]
             for r in agg.collect()

@@ -26,10 +26,14 @@ Scale shape: build cost is one signature aggregation + one banding
 explode + bucketed writes — rides the ingest. A probe shuffles ONLY the
 arrivals (both probe joins' index sides are satisfied by bucket layout),
 so a daily pass over D arrivals against an N-doc corpus moves O(D·bands)
-rows, never O(N). Hot-bucket defense happens at BUILD time
-(``max_bucket_size``): oversized (band, bucket) groups are dropped WHOLE
-before the write — deterministic, mirrored by the oracle's HAVING cap,
-and it bounds any probe join key's fan-out at the cap.
+rows, never O(N). Hot-bucket defense is TWO-layer: at BUILD time
+(``max_bucket_size``) oversized (band, bucket) groups are dropped WHOLE
+before the write — deterministic, mirrored by the oracle's HAVING cap —
+but that window sees only ONE build/append batch, so k appends could
+still grow a boilerplate bucket to k·cap. The PROBE therefore re-caps
+over the read index (an exchange-free count on the bucketed layout, see
+:func:`neardup_against_index`), so cumulative growth across appends can
+never make a probe join key's fan-out exceed the cap.
 
 Reference parity note: the banding is :func:`pipeline.dedup.
 minhash_banding` — the SAME expression the in-corpus self-join uses —
@@ -117,8 +121,10 @@ def build_neardup_index(
     )
     if max_bucket_size is not None:
         # Deterministic build-time whole-bucket drop: rides the write's
-        # own shuffle (window over bb), so a boilerplate mega-bucket can
-        # never make a future probe join quadratic.
+        # own shuffle (window over bb). Scope: THIS batch only — the
+        # window cannot see rows already in the table under
+        # mode="append", so the probe applies the cap again over the
+        # read index (cumulative-growth defense).
         w = Window.partitionBy("bb")
         banded = (
             banded.withColumn("__bs", F.count(F.lit(1)).over(w))
@@ -174,28 +180,43 @@ def neardup_ingest_batch(
         "num_hashes", "bands", "rows", "shingle_n", "hasher",
         "num_buckets", "max_bucket_size",
     )
-    probe_keys = ("num_hashes", "bands", "rows", "shingle_n", "hasher")
+    probe_keys = (
+        "num_hashes", "bands", "rows", "shingle_n", "hasher",
+        "max_bucket_size",
+    )
     bad = set(index_params) - set(build_keys)
     if bad:
         raise ValueError(f"unknown index_params: {sorted(bad)}")
 
     def on_batch(batch_df: DataFrame, _batch_id: int) -> None:
         batch_df = batch_df.persist()
-        flags: DataFrame | None = None
         try:
             if spark.catalog.tableExists(f"{prefix}_buckets"):
                 flags = neardup_against_index(
                     spark, batch_df, prefix,
                     id_col=id_col, text_col=text_col, threshold=threshold,
                     **{k: v for k, v in index_params.items() if k in probe_keys},
-                ).persist()
-                flags.write.mode("append").parquet(flagged_dir)
-                survivors = batch_df.join(
-                    flags.select("doc_id").distinct()
-                    .withColumnRenamed("doc_id", id_col),
-                    id_col,
-                    "left_anti",
                 )
+                flags.write.mode("append").parquet(flagged_dir)
+                # DURABILITY: derive survivors from the just-WRITTEN
+                # flagged parquet, not from the in-memory `flags` plan.
+                # `flags`'s lineage reads the very index tables the two
+                # appends below grow, and persist() is best-effort — if
+                # cached partitions were lost between the appends, a
+                # recomputation would probe a half-updated index and the
+                # survivor set could differ between the buckets and sigs
+                # writes, desynchronizing the two tables. Re-reading the
+                # parquet severs that lineage with a durable artifact.
+                # The historical flags accumulated from earlier batches
+                # are harmless in the anti-join: arrival ids are unique
+                # per batch, and a re-arriving already-flagged id SHOULD
+                # stay out of the index either way.
+                flagged_ids = (
+                    spark.read.parquet(flagged_dir)
+                    .select(F.col("doc_id").alias(id_col))
+                    .distinct()
+                )
+                survivors = batch_df.join(flagged_ids, id_col, "left_anti")
                 mode = "append"
             else:
                 survivors = batch_df
@@ -205,9 +226,14 @@ def neardup_ingest_batch(
                 id_col=id_col, text_col=text_col, mode=mode,
                 **{k: v for k, v in index_params.items() if k in build_keys},
             )
+            # The append executes in the micro-batch's CLONED session;
+            # severing the survivors' lineage from the index tables
+            # (above) also means the insert no longer refreshes the
+            # caller session's cached file listing for them — refresh
+            # explicitly so the next pass's probe sees this append.
+            spark.catalog.refreshTable(f"{prefix}_buckets")
+            spark.catalog.refreshTable(f"{prefix}_sigs")
         finally:
-            if flags is not None:
-                flags.unpersist()
             batch_df.unpersist()
 
     return on_batch
@@ -225,11 +251,21 @@ def neardup_against_index(
     shingle_n: int = 3,
     hasher: str = "xxhash64",
     threshold: float = 0.7,
+    max_bucket_size: int | None = DEFAULT_INDEX_MAX_BUCKET,
 ) -> DataFrame:
     """Flag arrivals that near-duplicate an INDEXED document:
     ``(doc_id, index_doc_id, est_jaccard)`` for every (arrival, old)
     pair sharing ≥1 LSH bucket whose signature-agreement estimate
     reaches ``threshold`` — without scanning the old corpus.
+
+    ``max_bucket_size`` re-applies the build-time hot-bucket cap over
+    the READ index: the build cap's window sees one append batch only,
+    so k appends could cumulatively grow a boilerplate bucket to k·cap
+    — this probe-side cap (count + semi-join, BOTH exchange-free on the
+    bucketed-by-bb layout, so it adds no shuffle and no asymptotic
+    cost beyond the scan the probe join already does) deterministically
+    drops any bucket whose CURRENT size exceeds the cap, restoring the
+    bounded-fan-out guarantee for every probe join key.
 
     The threshold compares exact integers (``matches ≥
     ceil(threshold·K)``) and the returned estimate is ``matches / K``,
@@ -250,6 +286,16 @@ def neardup_against_index(
     idx_buckets = spark.table(f"{prefix}_buckets").select(
         "bb", F.col("doc_id").alias("index_doc_id")
     )
+    if max_bucket_size is not None:
+        # Same single scan: the window's ClusteredDistribution(bb) is
+        # satisfied by the bucketed layout (no Exchange) and its sort is
+        # the one the bb join needs anyway (no extra Sort either).
+        w = Window.partitionBy("bb")
+        idx_buckets = (
+            idx_buckets.withColumn("__bs", F.count(F.lit(1)).over(w))
+            .filter(F.col("__bs") <= max_bucket_size)
+            .drop("__bs")
+        )
     idx_sigs = spark.table(f"{prefix}_sigs").select(
         F.col("doc_id").alias("index_doc_id"), F.col("sig").alias("sig_idx")
     )

@@ -1,0 +1,116 @@
+"""Fixed-point k-means (pipeline/clustering.py): exactness against an
+independent pure-Python replay of the contract (quantize → assign with
+struct-min tie-break → integer-floor centroid update → fixed rounds),
+plus the negative-sum floor case the r8 ADVICE flagged and the
+empty-cluster retention rule."""
+
+from __future__ import annotations
+
+import pytest
+
+from flink_streaming_2_10_spark.pipeline.caching import release_cached
+from flink_streaming_2_10_spark.pipeline.clustering import (
+    SCALE,
+    kmeans_fixed_point,
+)
+
+
+def _py_quantize(vec):
+    import math
+
+    return [int(math.floor(float(x) * SCALE + 0.5)) for x in vec]
+
+
+def _py_kmeans(rows, k, rounds):
+    """Independent replay: rows = [(vec_id, [float...])]."""
+    pts = sorted((vid, _py_quantize(v)) for vid, v in rows)
+    centroids = [list(q) for _, q in pts[:k]]
+
+    def dist2(q, c):
+        return sum((a - b) * (a - b) for a, b in zip(q, c))
+
+    def assign(q):
+        return min((dist2(q, c), j) for j, c in enumerate(centroids))
+
+    for _ in range(rounds):
+        sums = {}
+        for _, q in pts:
+            _, j = assign(q)
+            s, n = sums.get(j, ([0] * len(q), 0))
+            sums[j] = ([a + b for a, b in zip(s, q)], n + 1)
+        centroids = [
+            [s // n for s in sums[j][0]] if j in sums else centroids[j]
+            for j, (s, n) in ((j, sums.get(j, (None, 0))) for j in range(k))
+        ]
+    return {vid: assign(q) for vid, q in pts}
+
+
+@pytest.fixture()
+def vectors(spark):
+    # 3 tight groups around distinct corners plus stragglers; negative
+    # components exercise the floor-toward--inf centroid path.
+    base = {0: [0.9, 0.9, -0.9], 1: [-0.9, 0.8, 0.9], 2: [0.1, -0.9, 0.3]}
+    rows = []
+    for vid in range(30):
+        g = vid % 3
+        rows.append(
+            (
+                vid,
+                [
+                    v + ((vid * 7 + i * 3) % 5 - 2) * 0.013
+                    for i, v in enumerate(base[g])
+                ],
+            )
+        )
+    return rows
+
+
+def test_matches_pure_python_replay(spark, vectors):
+    df = spark.createDataFrame(vectors, ["vec_id", "embedding"])
+    got = {
+        r["vec_id"]: (r["dist2"], r["cluster"])
+        for r in kmeans_fixed_point(df, k=3, rounds=3).collect()
+    }
+    release_cached()
+    want = _py_kmeans(vectors, k=3, rounds=3)
+    assert got == want
+
+
+def test_negative_sums_floor_toward_negative_infinity(spark):
+    # Cluster whose component sum is negative and not divisible by its
+    # count: floor(-7/2) = -4, NOT the truncated -3. Two points at
+    # q = [-3] and [-4] (after SCALE quantization) land in one cluster.
+    rows = [(0, [-0.00035]), (1, [-0.00045]), (2, [0.9])]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    got = {
+        r["vec_id"]: r["cluster"]
+        for r in kmeans_fixed_point(df, k=2, rounds=2).collect()
+    }
+    release_cached()
+    want = {vid: c for vid, (_, c) in _py_kmeans(rows, k=2, rounds=2).items()}
+    assert got == want
+    # And the replay itself pins the floor: centroid of {-3.5} is -4, so
+    # both negative points stay distance ≤ 1 from it while 9000 is far.
+    assert got[0] == got[1] != got[2]
+
+
+def test_empty_cluster_keeps_previous_centroid(spark):
+    # k=3 over 3 identical-ish points: after round 1 every point assigns
+    # to cluster 0 (tie-break on smallest id), clusters 1-2 go empty and
+    # must RETAIN their init centroids — the final assignment still
+    # prefers cluster 0 for all points (exact tie broken by id).
+    rows = [(0, [0.5, 0.5]), (1, [0.5, 0.5]), (2, [0.5, 0.5])]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = kmeans_fixed_point(df, k=3, rounds=2).collect()
+    release_cached()
+    assert {r["cluster"] for r in out} == {0}
+    assert all(r["dist2"] == 0 for r in out)
+
+
+def test_validates_parameters(spark):
+    df = spark.createDataFrame([(0, [0.1])], ["vec_id", "embedding"])
+    with pytest.raises(ValueError, match="k and rounds"):
+        kmeans_fixed_point(df, k=0)
+    with pytest.raises(ValueError, match="exceeds corpus size"):
+        kmeans_fixed_point(df, k=5)
+    release_cached()

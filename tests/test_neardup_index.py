@@ -65,7 +65,6 @@ def test_two_pass_ingest_flags_neardup_without_rescan(spark, tmp_path):
     flagged = {(r["doc_id"], r["index_doc_id"]) for r in got}
     assert (100, 3) in flagged
     assert all(d != 101 for d, _ in flagged)
-    est = {p: r["est_jaccard"] for p, r in zip(flagged, got)}
     for r in got:
         assert 0.5 <= r["est_jaccard"] <= 1.0
 
@@ -256,3 +255,36 @@ def test_incremental_ingest_flags_neardups_across_passes(spark, tmp_path):
     assert (20, 11) in got3
     # flagged docs were never appended: 20's probe found 11, not 10's dup
     assert all(i in (1, 2, 11) for _, i in got3)
+
+
+def test_probe_time_cap_bounds_cumulative_bucket_growth(spark, tmp_path):
+    """The build-time cap windows over ONE append batch, so k appends can
+    grow a boilerplate bucket to k·cap; the probe's max_bucket_size must
+    re-cap over the READ index (ADVICE r8). Grow an identical-text bucket
+    to 6 members across three 2-member appends under a build cap of 3
+    (each append individually passes), then probe: capped probe drops the
+    hot bucket entirely; uncapped probe still matches through it."""
+    boiler = (
+        "the very same boilerplate paragraph repeated across mirror sites "
+        "word for word with no variation at all whatsoever in any copy"
+    )
+    idx = str(tmp_path / "idx")
+    for k in range(3):
+        batch = spark.createDataFrame(
+            [(100 * k + j, boiler) for j in range(2)], ["doc_id", "text"]
+        )
+        build_neardup_index(
+            batch, idx, "ndx_cap", num_buckets=4, max_bucket_size=3,
+            mode="overwrite" if k == 0 else "append",
+        )
+    # Cumulative bucket size is 6 > 3 even though every append passed the
+    # build cap. An arrival with the same text probes that bucket:
+    arrival = spark.createDataFrame([(999, boiler)], ["doc_id", "text"])
+    uncapped = neardup_against_index(
+        spark, arrival, "ndx_cap", threshold=0.5, max_bucket_size=None
+    )
+    assert uncapped.count() == 6
+    capped = neardup_against_index(
+        spark, arrival, "ndx_cap", threshold=0.5, max_bucket_size=3
+    )
+    assert capped.count() == 0
