@@ -1074,16 +1074,27 @@ def q_revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _staleness_rotated(base: dict, evidence_dir: str | None = None) -> dict:
-    """Reorder the query registry least-recently-driver-verified FIRST.
+    """Reorder the query registry CHANGE-AWARE, then stalest-first.
 
     The driver's correctness run records only the first 50 dict entries
-    per round, but the registry has 60. Reading which round each key
-    last appeared in (the repo's ``CORRECTNESS_r*.json`` files) and
-    sorting stalest-first guarantees every key lands inside the verified
-    window at least every other round — the rotation maintains itself,
-    no manual reordering per round (COVERAGE.md "Rotation"). Keys never
-    recorded sort first; ties keep the canonical (registry) order. Any
-    read failure degrades to the canonical order. The evidence scan is
+    per round, but the registry is larger. Sort key per query (the r8
+    verdict's rotation fix — staleness alone deferred exactly the
+    queries whose implementations round 8 had just modified):
+
+    1. **implementation-changed-since-last-driver-green first** — the
+       query's current source fingerprint (hash of its implementing
+       package modules + entry-local helpers, see
+       ``_query_fingerprint``) differs from the one recorded in
+       ``QUERY_FINGERPRINTS.json``, which ``tools/update_fingerprints.
+       py`` refreshes only for keys inside the driver window, so a
+       deferred-and-edited key stays flagged until a driver run
+       actually re-verifies the new code;
+    2. **staleness** — which round each key last appeared in
+       (``CORRECTNESS_r*.json``), never-recorded keys first;
+    3. canonical (registry) order as the tie-break.
+
+    Any read failure degrades to the canonical order; a missing
+    fingerprint file degrades to pure staleness. The evidence scan is
     memoized per directory (it cannot change within a process, and
     ``queries()`` is called from dozens of test/bench sites).
     """
@@ -1092,10 +1103,153 @@ def _staleness_rotated(base: dict, evidence_dir: str | None = None) -> dict:
     try:
         here = evidence_dir or os.path.dirname(os.path.abspath(__file__))
         last_seen = dict(_evidence_last_seen(here))
+        stored = dict(_stored_fingerprints(here))
     except Exception:
         return base
-    order = sorted(base, key=lambda k: last_seen.get(k, -1))
-    return {k: base[k] for k in order}
+    canon = {k: i for i, k in enumerate(base)}
+
+    def sort_key(k: str):
+        changed = 1
+        if stored:
+            rec = stored.get(k)
+            cur = _query_fingerprint(k) if rec is not None else None
+            if rec is not None and cur is not None and cur != rec:
+                changed = 0
+        return (changed, last_seen.get(k, -1), canon[k])
+
+    return {k: base[k] for k in sorted(base, key=sort_key)}
+
+
+@functools.lru_cache(maxsize=8)
+def _stored_fingerprints(here: str) -> tuple[tuple[str, str], ...]:
+    """(key, fingerprint-at-last-driver-verification) pairs from
+    ``QUERY_FINGERPRINTS.json`` (written by tools/update_fingerprints.py
+    at each round's end); empty if the file is missing/unreadable."""
+    import json
+    import os
+
+    path = os.path.join(here, "QUERY_FINGERPRINTS.json")
+    try:
+        with open(path) as fh:
+            data = json.load(fh)
+    except (OSError, ValueError):
+        return ()
+    if not isinstance(data, dict):
+        return ()
+    return tuple(
+        (k, v["fp"] if isinstance(v, dict) else v) for k, v in data.items()
+    )
+
+
+_PKG_NAME = "flink_streaming_2_10_spark"
+
+
+def _impl_closure(fn, seen, mods, local_srcs) -> None:
+    """Collect the package modules and entry-local helper functions a
+    query implementation transitively references, by walking code-object
+    ``co_names`` (covers both module-level imports resolved through
+    ``__globals__`` and in-function ``import`` statements, whose dotted
+    module paths the compiler interns into ``co_names``)."""
+    import types
+
+    if fn in seen:
+        return
+    seen.add(fn)
+    code = getattr(fn, "__code__", None)
+    if code is None:
+        return
+    names: set[str] = set()
+    stack = [code]
+    while stack:
+        c = stack.pop()
+        names.update(c.co_names)
+        for const in c.co_consts:
+            if hasattr(const, "co_names"):
+                stack.append(const)
+    for name in names:
+        if name.startswith(_PKG_NAME):
+            mods.add(name)
+            continue
+        obj = fn.__globals__.get(name)
+        if obj is None:
+            continue
+        if isinstance(obj, types.ModuleType):
+            if obj.__name__.startswith(_PKG_NAME):
+                mods.add(obj.__name__)
+        elif callable(obj):
+            m = getattr(obj, "__module__", None)
+            if isinstance(m, str) and m.startswith(_PKG_NAME):
+                mods.add(m)
+            elif m == __name__ and getattr(obj, "__code__", None) is not None:
+                local_srcs.append(obj)
+                _impl_closure(obj, seen, mods, local_srcs)
+
+
+@functools.lru_cache(maxsize=None)
+def _module_file_hash(mod_name: str) -> str:
+    import hashlib
+    import importlib
+
+    try:
+        mod = importlib.import_module(mod_name)
+        with open(mod.__file__, "rb") as fh:
+            return hashlib.sha256(fh.read()).hexdigest()
+    except Exception:
+        return f"unreadable:{mod_name}"
+
+
+@functools.lru_cache(maxsize=None)
+def _query_fingerprint(key: str) -> str | None:
+    """Source fingerprint of everything implementing query ``key``: the
+    transitive closure of package modules it references (module files
+    hashed whole — module granularity errs toward re-verifying more,
+    never less) plus the entry-local sources (its own q_* wrapper and
+    any entry helpers it calls). Returns None if the key is unknown or
+    any source is unavailable."""
+    import hashlib
+    import importlib
+    import inspect
+    import types
+
+    fn = _base_queries().get(key)
+    if fn is None:
+        return None
+    seen: set = set()
+    mods: set[str] = set()
+    local_fns: list = []
+    _impl_closure(fn, seen, mods, local_fns)
+    # Transitive closure over package modules: a module's globals name
+    # the other package modules/functions it uses.
+    frontier = list(mods)
+    while frontier:
+        m = frontier.pop()
+        try:
+            module = importlib.import_module(m)
+        except Exception:
+            continue
+        for obj in vars(module).values():
+            mn = None
+            if isinstance(obj, types.ModuleType):
+                mn = obj.__name__
+            elif callable(obj):
+                mn = getattr(obj, "__module__", None)
+            if (
+                isinstance(mn, str)
+                and mn.startswith(_PKG_NAME)
+                and mn not in mods
+            ):
+                mods.add(mn)
+                frontier.append(mn)
+    h = hashlib.sha256()
+    for m in sorted(mods):
+        h.update(m.encode())
+        h.update(_module_file_hash(m).encode())
+    try:
+        for lf in sorted({fn, *local_fns}, key=lambda f: f.__qualname__):
+            h.update(inspect.getsource(lf).encode())
+    except (OSError, TypeError):
+        return None
+    return h.hexdigest()
 
 
 @functools.lru_cache(maxsize=8)
@@ -1126,10 +1280,17 @@ def _evidence_last_seen(here: str) -> tuple[tuple[str, int], ...]:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Query registry, self-rotated under the driver's 50-row
-    correctness cap: least-recently-driver-verified keys first (see
-    ``_staleness_rotated``), so all 60 queries carry a driver-green row
-    at most one round old even though only 50 are checked per round."""
-    return _staleness_rotated({
+    correctness cap: implementation-changed-since-last-driver-green keys
+    first, then least-recently-driver-verified (see
+    ``_staleness_rotated``), so every key carries a driver-green row at
+    most one round old — and a key whose code just changed re-verifies
+    the SAME round — even though only 50 are checked per round."""
+    return _staleness_rotated(_base_queries())
+
+
+def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """The registry in canonical order (rotation applied by queries())."""
+    return {
         "wordcount_rolling_sum": q_wordcount,
         "pojo_wordcount_sum": q_pojo_wordcount,
         "tpch_q1_pricing_summary": q_tpch_q1,
@@ -1203,7 +1364,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "async_ordered_identity": q_async_ordered_identity,
         "text_fingerprint": q_text_fingerprint,
         "length_histogram": q_length_histogram,
-    })
+    }
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,85 @@
+"""Change-aware registry rotation (__spark_entry__._staleness_rotated):
+implementation-changed-since-last-driver-green keys sort FIRST, then
+least-recently-verified, then canonical order — the r8 verdict's fix
+for staleness-only rotation deferring exactly the queries whose code
+had just changed."""
+
+from __future__ import annotations
+
+import json
+import subprocess
+import sys
+
+import __spark_entry__ as em
+
+
+def _write_evidence(tmp_path, rounds: dict[int, list[str]]):
+    for rnd, keys in rounds.items():
+        (tmp_path / f"CORRECTNESS_r{rnd:02d}.json").write_text(
+            json.dumps({k: {"hash_match": True} for k in keys})
+        )
+
+
+def test_ordering_changed_then_stalest_then_canonical(tmp_path, monkeypatch):
+    base = dict(em._base_queries())
+    keys = list(base)
+    a, b, c, d, e = keys[:5]
+    # a,b seen r8; c,d seen r7; e never seen. d's implementation changed.
+    _write_evidence(tmp_path, {7: [c, d], 8: [a, b]})
+    fps = {k: em._query_fingerprint(k) for k in (a, b, c, d)}
+    fps[d] = "<changed-since-last-driver-verification>"
+    (tmp_path / "QUERY_FINGERPRINTS.json").write_text(json.dumps(fps))
+    order = list(em._staleness_rotated(base, evidence_dir=str(tmp_path)))
+    # d (changed) first; e (never recorded) before the r7 pair; c before
+    # other r7 keys only by canonical order; a,b last among these five.
+    assert order[0] == d
+    assert order.index(e) < order.index(c)
+    assert order.index(c) < order.index(a)
+    assert order.index(c) < order.index(b)
+    # Canonical tie-break within the same (changed, round) bucket:
+    assert order.index(a) < order.index(b)
+    assert set(order) == set(keys)
+
+
+def test_missing_fingerprint_file_degrades_to_staleness(tmp_path):
+    base = dict(em._base_queries())
+    keys = list(base)
+    a, b = keys[0], keys[1]
+    _write_evidence(tmp_path, {8: [a]})  # a verified, everything else never
+    order = list(em._staleness_rotated(base, evidence_dir=str(tmp_path)))
+    assert order[-1] == a
+    assert order[0] == b
+
+
+def test_fingerprints_are_stable_and_module_sensitive():
+    fp1 = em._query_fingerprint("keyword_search")
+    fp2 = em._query_fingerprint("keyword_search")
+    assert fp1 == fp2 and fp1 is not None
+    # Different implementing modules ⇒ different fingerprints.
+    assert fp1 != em._query_fingerprint("tpch_q1_pricing_summary")
+    assert em._query_fingerprint("not_a_query") is None
+
+
+def test_closure_finds_implementing_modules():
+    fn = em._base_queries()["incremental_neardup"]
+    seen, mods, lf = set(), set(), []
+    em._impl_closure(fn, seen, mods, lf)
+    assert "flink_streaming_2_10_spark.pipeline.neardup_index" in mods
+
+
+def test_update_tool_refreshes_only_driver_verified_keys(tmp_path):
+    out = tmp_path / "fps.json"
+    res = subprocess.run(
+        [sys.executable, "tools/update_fingerprints.py", "--out", str(out)],
+        capture_output=True, text=True, cwd=em.__file__.rsplit("/", 1)[0],
+    )
+    assert res.returncode == 0, res.stderr
+    got = json.loads(out.read_text())
+    # Only keys recorded in the repo's LATEST CORRECTNESS round appear.
+    last = dict(em._evidence_last_seen(em.__file__.rsplit("/", 1)[0]))
+    latest = max(last.values())
+    expect = {k for k, r in last.items() if r == latest}
+    expect &= set(em._base_queries())
+    assert set(got) == expect
+    for k, fp in got.items():
+        assert fp == em._query_fingerprint(k)
