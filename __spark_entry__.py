@@ -523,6 +523,23 @@ def q_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_cross_despan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document exact substring dedup (pipeline/crossdoc.py):
+    maximal verbatim 15-token-plus spans shared by ≥2 documents —
+    shingle inverted index over exact-dup class representatives, star
+    re-expanded; md5 hasher keeps the window keys DuckDB-exact."""
+    from flink_streaming_2_10_spark.pipeline.crossdoc import (
+        cross_doc_shared_spans,
+    )
+
+    return cross_doc_shared_spans(
+        load_table(spark, sf_dir, "documents"),
+        window=15,
+        min_sharers=2,
+        hasher="md5",
+    )
+
+
 def q_semantic_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-point Lloyd's k-means over the embedding corpus
     (pipeline/clustering.py): k=4 topic-style clusters, 2 exact
@@ -1327,6 +1344,7 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_shortest_hops": q_graph_shortest_hops,
         "dedup_simhash": q_dedup_simhash,
         "incremental_neardup": q_incremental_neardup,
+        "text_cross_despan": q_text_cross_despan,
         "decontamination": q_decontamination,
         "similarity_cosine_topk": q_similarity_cosine_topk,
         "similarity_quantized_topk": q_similarity_quantized_topk,
@@ -1645,6 +1663,53 @@ def _incremental_neardup_oracle(
         SELECT doc_id, index_doc_id,
                CAST(m AS DOUBLE) / {float(num_hashes)} AS est_jaccard
         FROM scored WHERE m >= {min_matches}"""
+
+
+def _cross_despan_oracle(window: int = 15, min_sharers: int = 2) -> str:
+    """Mirror of pipeline.crossdoc.cross_doc_shared_spans: identical
+    exact-class pre-collapse (md5 of normalized text, min-id rep,
+    multiplicity m), identical L-token window keys (the md5-derived
+    60-bit hash over the space-joined window — bit-equal to the engine's
+    hasher='md5'), sharer counts as Σm over distinct (key, class), and
+    the same gaps-and-islands maximal-span merge with MIN sharers."""
+    L = int(window)
+    gram = " || ' ' || ".join(
+        f"words[i+{j}]" if j else "words[i]" for j in range(L)
+    )
+    h = duckdb_hash60_sql(f"({gram})")
+    return f"""
+        WITH nrm AS (SELECT doc_id,
+                            md5(regexp_replace(lower(text), '\\s+', ' ', 'g'))
+                              AS fp
+                     FROM documents),
+        cls AS (SELECT fp, min(doc_id) AS rep, count(*) AS m
+                FROM nrm GROUP BY fp),
+        w AS (SELECT doc_id,
+                     list_filter(regexp_split_to_array(lower(text), '\\W+'),
+                                 x -> length(x) > 0) AS words
+              FROM documents),
+        rw AS (SELECT c.fp, c.m, w.words
+               FROM cls c JOIN w ON w.doc_id = c.rep
+               WHERE len(w.words) >= {L}),
+        win AS (SELECT fp, m,
+                       unnest(list_transform(range(1, len(words) - {L} + 2),
+                              i -> {{'t': i, 'h': {h}}})) AS s
+                FROM rw),
+        ww AS (SELECT fp, m, s.t AS t, s.h AS h FROM win),
+        sh AS (SELECT h, SUM(m) AS n_sh
+               FROM (SELECT DISTINCT h, fp, m FROM ww) GROUP BY h
+               HAVING SUM(m) >= {int(min_sharers)}),
+        mt AS (SELECT ww.fp, ww.t, sh.n_sh FROM ww JOIN sh USING (h)),
+        isl AS (SELECT fp, t, n_sh,
+                       t - ROW_NUMBER() OVER (PARTITION BY fp ORDER BY t)
+                         AS g
+                FROM mt),
+        sp AS (SELECT fp, CAST(MIN(t) AS BIGINT) AS span_start,
+                      CAST(MAX(t) - MIN(t) + {L} AS BIGINT) AS span_len,
+                      CAST(MIN(n_sh) AS BIGINT) AS n_sharers
+               FROM isl GROUP BY fp, g)
+        SELECT n.doc_id, s.span_start, s.span_len, s.n_sharers
+        FROM nrm n JOIN sp s ON n.fp = s.fp"""
 
 
 def _dedup_components_oracle(
@@ -2996,6 +3061,7 @@ def oracle_sql() -> dict[str, str]:
         "incremental_neardup": _incremental_neardup_oracle(
             num_hashes=64, bands=16, rows=4, shingle_n=3, threshold=0.5
         ),
+        "text_cross_despan": _cross_despan_oracle(window=15, min_sharers=2),
         "decontamination": _decontamination_oracle(n=5, min_hits=1, modulo=20),
         "similarity_cosine_topk": _cosine_topk_oracle(query_id=0, k=100),
         "similarity_quantized_topk": _quantized_topk_oracle(query_id=0, k=100),
