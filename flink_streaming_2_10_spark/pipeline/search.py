@@ -14,13 +14,17 @@ hash-matches. Ranking quality is the idf family's (rarer term ⇒ bigger
 N/df lift), the scale behavior is what matters here.
 
 Scale shape (the 100 TB path): term frequencies are SCAN-LOCAL
-``regexp_count`` expressions (one corpus scan, no explode, no shuffle —
-a whole-token match ``\\b(term)\\b`` equals token equality under the
-``\\W+`` tokenizer, same identity ``textstats.quality_scores`` pins);
-the document frequencies reduce to ONE broadcast row (a single partial
-aggregate); the final cut is a deterministic (score DESC, doc_id)
-TakeOrderedAndProject. Query cost is one scan + one 1-row broadcast —
-independent of the number of query terms moving through any exchange.
+``regexp_count`` expressions (no explode, no shuffle — a whole-token
+match ``\\b(term)\\b`` equals token equality under the ``\\W+``
+tokenizer, same identity ``textstats.quality_scores`` pins); the tf
+projection (doc_id + one small int per term — a sliver of the corpus
+bytes) is PERSISTED so the text is scanned and regexp'd exactly ONCE,
+feeding both the document-frequency totals (ONE broadcast row from a
+single partial aggregate) and the ranking; the final cut is a
+deterministic (score DESC, doc_id) TakeOrderedAndProject. Query cost is
+one scan + one 1-row broadcast — independent of the number of query
+terms moving through any exchange. (Caller releases the cache via
+``pipeline.caching.release_cached``, as with the dedup intermediates.)
 """
 
 from __future__ import annotations
@@ -28,6 +32,8 @@ from __future__ import annotations
 import re
 
 from pyspark.sql import DataFrame, functions as F
+
+from flink_streaming_2_10_spark.pipeline.caching import tracked_persist
 
 #: Default query — mid-frequency corpus terms (so df spread is real).
 DEFAULT_QUERY = ("vector", "hash", "stream")
@@ -60,8 +66,11 @@ def keyword_search(
         f"__tf{i}": F.regexp_count(lowered, F.lit(rf"\b{t}\b"))
         for i, t in enumerate(terms)
     }
-    scored = df.select(
-        F.col(id_col).alias("doc_id"), *(c.alias(n) for n, c in tf_cols.items())
+    scored = tracked_persist(
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            *(c.alias(n) for n, c in tf_cols.items()),
+        )
     )
     # One broadcast row: every df_i and N from a single partial agg.
     totals = F.broadcast(

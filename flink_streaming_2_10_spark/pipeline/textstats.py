@@ -449,6 +449,7 @@ def despan_repeated(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_period: int = 3,
+    strategy: str = "auto",
 ) -> DataFrame:
     """INTRA-document repeated-span removal (the within-doc counterpart of
     the cross-doc dedup family, in the spirit of Lee et al. 2022's exact
@@ -463,25 +464,45 @@ def despan_repeated(
     very`` (p=1), ``ab ab ab`` (p=2), and boilerplate loops up to
     ``max_period`` tokens collapse to their leading occurrence; spans
     repeated at a DISTANCE (not adjacent) are out of scope — that is the
-    cross-doc/suffix-array regime, served by the dedup family. Invariant
-    (pinned in tests): a k-fold adjacent repeat of a ``p``-token unit
-    keeps at most ``2p−1`` tokens REGARDLESS of k.
+    cross-doc/suffix-array regime, served by ``pipeline/crossdoc.py``
+    and the dedup family. Invariant (pinned in tests): a k-fold adjacent
+    repeat of a ``p``-token unit keeps at most ``2p−1`` tokens
+    REGARDLESS of k.
 
     Output: ``(doc_id, n_tokens, n_removed, despan_ratio,
     despanned_text)``; ratio divides exact longs so the double is
     bit-identical cross-engine.
 
-    Scale shape: pure scan-local array expressions — zero shuffle, zero
-    Python; the token array is projected once (CollapseProject keeps the
-    split from being duplicated: multi-referenced non-cheap alias). Cost
-    per doc is O(n·max_period²) element compares inside one HOF chain —
-    linear in corpus size, embarrassingly scan-parallel at 100 TB.
+    Two EXACT execution strategies (identical output, pinned by a
+    parity test):
+
+    * ``"hof"`` — scan-local array expressions: zero shuffle, zero
+      Python, O(n·max_period²) element compares per doc. The right
+      shape for small periods (the production default 3 costs ≤ 9
+      compares per token, rides the scan).
+    * ``"window"`` — the r8-verdict generalization for long-period
+      boilerplate loops: posexplode tokens once, and per period p
+      compute ``match_p(t) = token(t) == lag(token, p)`` (O(1) — no
+      window slices) plus a RUNNING max of the last mismatch position;
+      ``t − last_mismatch ≥ p`` is exactly "the p-window ending at t
+      equals the one ending at t−p". O(n·max_period) total, ONE
+      exchange+sort on doc_id shared by all 2·max_period window
+      expressions, aggregation back rides the same partitioning. The
+      right shape for max_period ≈ 20: at p=20 the HOF path would pay
+      400 compares/token; this pays 20 lags + 20 running maxes.
+    * ``"auto"`` — hof for ``max_period ≤ 4``, window beyond.
     """
     from flink_streaming_2_10_spark.pipeline.dedup import _words_sql
 
     p_max = int(max_period)
     if p_max < 1:
         raise ValueError("max_period must be >= 1")
+    if strategy == "auto":
+        strategy = "hof" if p_max <= 4 else "window"
+    if strategy == "window":
+        return _despan_window(df, id_col, text_col, p_max)
+    if strategy != "hof":
+        raise ValueError(f"unknown strategy {strategy!r}")
     base = df.select(
         F.col(id_col).alias("doc_id"), F.expr(_words_sql(text_col)).alias("__ws")
     )
@@ -516,4 +537,70 @@ def despan_repeated(
         (F.col("n_tokens") - F.size("__kept").cast("long")).alias("n_removed"),
         ratio.alias("despan_ratio"),
         F.concat_ws(" ", F.col("__kept")).alias("despanned_text"),
+    )
+
+
+def _despan_window(
+    df: DataFrame, id_col: str, text_col: str, p_max: int
+) -> DataFrame:
+    """``despan_repeated`` strategy="window" (see its docstring): exact
+    long-period variant via lag + running-max over exploded tokens.
+
+    Per period p, "the p-window ending at t equals the p-window ending
+    at t−p" ⟺ every position j in (t−p, t] has token(j) == token(j−p)
+    ⟺ the LAST position where that per-element match fails (counting
+    every j ≤ p as a failure — the window would run off the front) is
+    at most t−p. The running max of failure positions makes that an
+    O(1)-per-row test, so the whole operator is O(n·p_max) with one
+    shuffle; all lag/max expressions share the (doc_id, t) sort."""
+    from pyspark.sql.window import Window
+
+    from flink_streaming_2_10_spark.pipeline.dedup import _words_sql
+
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.expr(_words_sql(text_col)).alias("__ws"),
+    )
+    toks = base.select(
+        "doc_id",
+        F.size("__ws").cast("long").alias("n_tokens"),
+        F.posexplode_outer("__ws").alias("p0", "__tok"),
+    ).select(
+        "doc_id", "n_tokens", (F.col("p0") + 1).alias("t"), "__tok"
+    )
+    w = Window.partitionBy("doc_id").orderBy("t")
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    removed = F.lit(False)
+    for p in range(1, p_max + 1):
+        match_p = F.col("__tok") == F.lag("__tok", p).over(w)
+        fail = F.when(~F.coalesce(match_p, F.lit(False)), F.col("t"))
+        removed = removed | (F.col("t") - F.max(fail).over(wrun) >= p)
+    kept = F.when(
+        F.col("__tok").isNotNull() & ~removed,
+        F.struct(F.col("t").alias("t"), F.col("__tok").alias("tok")),
+    )
+    agg = (
+        toks.withColumn("__kp", kept)
+        .groupBy("doc_id")
+        .agg(
+            F.max("n_tokens").alias("n_tokens"),
+            F.array_sort(F.collect_list("__kp")).alias("__ks"),
+        )
+    )
+    ratio = (
+        F.when(
+            F.col("n_tokens") > 0,
+            (F.col("n_tokens") - F.size("__ks").cast("long")).cast("double")
+            / F.col("n_tokens").cast("double"),
+        )
+        .otherwise(F.lit(0.0))
+    )
+    return agg.select(
+        "doc_id",
+        "n_tokens",
+        (F.col("n_tokens") - F.size("__ks").cast("long")).alias("n_removed"),
+        ratio.alias("despan_ratio"),
+        F.concat_ws(
+            " ", F.expr("transform(__ks, s -> s.tok)")
+        ).alias("despanned_text"),
     )

@@ -58,12 +58,14 @@ def test_term_validation(corpus):
 
 
 def test_one_scan_no_explode_topk(spark):
-    """The 100 TB shape: one corpus scan, no Generate (explode), the cut
-    is TakeOrderedAndProject, and the only exchange feeds the 1-row
-    totals aggregate."""
+    """The 100 TB shape: ONE corpus scan (the persisted tf projection
+    feeds both the totals aggregate and the ranking as InMemory scans),
+    no Generate (explode), the cut is TakeOrderedAndProject, and the
+    only exchange feeds the 1-row totals aggregate."""
     import re
 
     import __spark_entry__ as entrymod
+    from flink_streaming_2_10_spark.pipeline.caching import release_cached
     from tests.conftest import SF_SMALL
 
     df = entrymod.queries()["keyword_search"](spark, SF_SMALL)
@@ -71,10 +73,12 @@ def test_one_scan_no_explode_topk(spark):
     with contextlib.redirect_stdout(buf):
         df.explain("formatted")
     plan = buf.getvalue()
+    release_cached()
     assert "TakeOrderedAndProject" in plan
     assert "Generate" not in plan  # no explode — scan-local term counts
     scans = len(re.findall(r"\(\d+\) Scan parquet", plan))
-    assert scans <= 2, plan  # corpus scan (+ its reuse for totals)
+    assert scans <= 1, plan  # the single corpus scan behind the persist
+    assert "InMemoryTableScan" in plan  # both consumers read the cache
     assert "Exchange rangepartitioning" not in plan
 
 

@@ -317,3 +317,95 @@ def test_despan_matches_oracle(spark, duck):
         duck,
         entrymod.oracle_sql()["text_despan"],
     )
+
+
+def test_despan_window_strategy_parity_with_hof(spark):
+    """The two exact strategies are the same function: identical output
+    on planted fixtures AND real testdata docs, for several periods."""
+    from flink_streaming_2_10_spark.pipeline.textstats import despan_repeated
+
+    planted = spark.createDataFrame(
+        [
+            (1, "very very very very good"),
+            (2, "ab cd ab cd ab cd"),
+            (3, "x y z x y z x y z"),
+            (4, "the cat sat on the mat"),
+            (5, ""),
+            (6, "Spam! spam, SPAM? eggs"),
+            (7, "a b a b a b a b c a a a"),
+        ],
+        ["doc_id", "text"],
+    )
+    real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    for docs in (planted, real):
+        for p in (1, 3, 5):
+            hof = despan_repeated(docs, max_period=p, strategy="hof")
+            win = despan_repeated(docs, max_period=p, strategy="window")
+            a = sorted(map(tuple, hof.collect()))
+            b = sorted(map(tuple, win.collect()))
+            assert a == b, (p, a[:3], b[:3])
+
+
+def test_despan_long_period_boilerplate_p20(spark):
+    """The r8-verdict gap: a 20-token boilerplate unit repeated k-fold is
+    invisible at max_period=3 but collapses under the window strategy at
+    max_period=20, honoring the k-fold <= 2p-1 invariant."""
+    from flink_streaming_2_10_spark.pipeline.textstats import despan_repeated
+
+    unit = " ".join(f"tok{i}" for i in range(20))
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join([unit] * 6)),               # 6-fold p=20 loop
+            (2, f"head words {' '.join([unit] * 3)} tail"),
+            (3, "entirely unrepetitive text body"),
+        ],
+        ["doc_id", "text"],
+    )
+    small = {
+        r["doc_id"]: r for r in despan_repeated(docs, max_period=3).collect()
+    }
+    assert small[1]["n_removed"] == 0  # out of reach for p<=3
+    out = {
+        r["doc_id"]: r
+        for r in despan_repeated(docs, max_period=20).collect()
+    }
+    # Removal starts at t = 2p: a k-fold p-unit loop keeps exactly
+    # 2p-1 tokens (unit + all but the last token of its second copy).
+    head39 = " ".join([unit, " ".join(f"tok{i}" for i in range(19))])
+    assert out[1]["n_tokens"] == 120
+    assert out[1]["despanned_text"] == head39
+    assert out[1]["n_removed"] == 120 - 39
+    assert out[2]["n_removed"] == 60 - 39
+    assert out[2]["despanned_text"] == f"head words {head39} tail"
+    assert out[3]["n_removed"] == 0
+
+
+def test_despan_p20_matches_duckdb_oracle(spark, duck):
+    """Window-strategy despan at max_period=20 vs the parametric DuckDB
+    oracle over real testdata plus a planted long-period fixture."""
+    import __spark_entry__ as entrymod
+    from tests.conftest import SF_SMALL, assert_df_matches_oracle
+    from flink_streaming_2_10_spark.catalog import load_table
+    from flink_streaming_2_10_spark.pipeline.textstats import despan_repeated
+
+    unit = " ".join(f"w{i}" for i in range(17))
+    planted = [
+        (9001, " ".join([unit] * 5)),
+        (9002, f"intro {' '.join([unit] * 2)} outro"),
+    ]
+    docs = load_table(spark, SF_SMALL, "documents").select(
+        "doc_id", "text"
+    ).union(spark.createDataFrame(planted, ["doc_id", "text"]))
+    duck.execute(
+        "CREATE OR REPLACE TEMP VIEW despan20_docs AS "
+        f"SELECT doc_id, text FROM read_parquet('{SF_SMALL}/documents.parquet') "
+        "UNION ALL SELECT * FROM (VALUES "
+        + ", ".join(f"({i}, '{t}')" for i, t in planted)
+        + ") v(doc_id, text)"
+    )
+    sql = entrymod._text_despan_oracle(max_period=20).replace(
+        "FROM documents", "FROM despan20_docs"
+    )
+    assert_df_matches_oracle(
+        despan_repeated(docs, max_period=20), duck, sql
+    )
