@@ -38,7 +38,10 @@ from flink_streaming_2_10_spark.operators.relational import (
     returned_item_report,
     revenue_by_region,
     shipping_priority,
+    small_quantity_revenue,
+    top_revenue_suppliers,
     volume_shipping,
+    waiting_orders_by_supplier,
 )
 from flink_streaming_2_10_spark.operators.temporal import (
     asof_join,
@@ -927,6 +930,38 @@ def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pricing_summary(load_table(spark, sf_dir, "lineitem"))
 
 
+def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 top supplier: quarterly per-supplier revenue, max as a
+    1-row broadcast, exact-integer tie semantics
+    (operators/relational.top_revenue_suppliers)."""
+    return top_revenue_suppliers(
+        load_table(spark, sf_dir, "supplier"),
+        load_table(spark, sf_dir, "lineitem"),
+    )
+
+
+def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 small-quantity-order revenue: correlated per-part
+    average rewritten as broadcast stats join; integer 5·qty·n < Σqty
+    gate (operators/relational.small_quantity_revenue)."""
+    return small_quantity_revenue(
+        load_table(spark, sf_dir, "part"),
+        load_table(spark, sf_dir, "lineitem"),
+    )
+
+
+def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 waiting-orders shape: EXISTS/NOT-EXISTS over the fact
+    rewritten as per-(order,supplier) + per-order aggregates — one fact
+    shuffle (operators/relational.waiting_orders_by_supplier)."""
+    return waiting_orders_by_supplier(
+        load_table(spark, sf_dir, "supplier"),
+        load_table(spark, sf_dir, "nation"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "lineitem"),
+    )
+
+
 def q_pricing_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q1 aggregate at every grouping level of (returnflag, linestatus)
     via cube — one Expand + one hash agg, subtotals in the same pass."""
@@ -1322,6 +1357,9 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q13_customer_distribution": q_tpch_q13,
         "tpch_q19_bracket_revenue": q_tpch_q19,
         "tpch_q22_sales_opportunity": q_tpch_q22,
+        "tpch_q15_top_supplier": q_tpch_q15,
+        "tpch_q17_small_quantity": q_tpch_q17,
+        "tpch_q21_waiting_orders": q_tpch_q21,
         "pricing_cube": q_pricing_cube,
         "revenue_by_region": q_revenue_by_region,
         "multimodal_frame_sample": q_multimodal_frame_sample,
@@ -3331,6 +3369,62 @@ def oracle_sql() -> dict[str, str]:
               GROUP BY c.c_custkey)
             SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
             FROM per_cust GROUP BY c_count
+        """,
+        "tpch_q15_top_supplier": """
+            WITH rev AS (
+              SELECT l_suppkey,
+                     SUM(CAST(round(l_extendedprice*100) AS BIGINT)
+                         * (100 - CAST(round(l_discount*100) AS BIGINT)))
+                       AS total_u
+              FROM lineitem
+              WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+                AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+              GROUP BY l_suppkey),
+            mx AS (SELECT MAX(total_u) AS max_u FROM rev)
+            SELECT s.s_suppkey, s.s_name,
+                   CAST(r.total_u AS DOUBLE)/10000.0 AS total_revenue
+            FROM rev r CROSS JOIN mx
+            JOIN supplier s ON s.s_suppkey = r.l_suppkey
+            WHERE r.total_u = mx.max_u
+        """,
+        "tpch_q17_small_quantity": """
+            WITH pk AS (SELECT p_partkey FROM part
+                        WHERE p_brand = 'Brand#23'),
+            li AS (SELECT l_partkey,
+                          CAST(l_quantity AS BIGINT) AS qty,
+                          CAST(round(l_extendedprice*100) AS BIGINT)
+                            AS price_u
+                   FROM lineitem JOIN pk ON l_partkey = p_partkey),
+            st AS (SELECT l_partkey AS sp, SUM(qty) AS sum_qty,
+                          COUNT(*) AS n_li
+                   FROM li GROUP BY l_partkey)
+            SELECT CAST(coalesce(SUM(price_u), 0) AS DOUBLE) / 7.0 / 100.0
+                     AS avg_yearly
+            FROM li JOIN st ON li.l_partkey = st.sp
+            WHERE 5 * qty * n_li < sum_qty
+        """,
+        "tpch_q21_waiting_orders": """
+            WITH fo AS (SELECT o_orderkey FROM orders
+                        WHERE o_orderstatus = 'F'),
+            li AS (SELECT l_orderkey, l_suppkey, l_shipdate
+                   FROM lineitem JOIN fo ON l_orderkey = o_orderkey),
+            pos AS (SELECT l_orderkey, l_suppkey,
+                           MAX(l_shipdate) AS sup_max
+                    FROM li GROUP BY l_orderkey, l_suppkey),
+            po AS (SELECT l_orderkey AS ok, MAX(sup_max) AS order_max,
+                          COUNT(*) AS n_sup
+                   FROM pos GROUP BY l_orderkey),
+            w AS (SELECT p.l_suppkey
+                  FROM pos p JOIN po ON p.l_orderkey = po.ok
+                  WHERE po.n_sup >= 2 AND p.sup_max = po.order_max),
+            sup AS (SELECT s_suppkey, s_name
+                    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+                    WHERE n_name = 'NATION_1')
+            SELECT s.s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+            FROM w JOIN sup s ON w.l_suppkey = s.s_suppkey
+            GROUP BY s.s_name
+            ORDER BY numwait DESC, s.s_name
+            LIMIT 20
         """,
         "tpch_q22_sales_opportunity": """
             WITH cust AS (

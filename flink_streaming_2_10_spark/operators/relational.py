@@ -731,3 +731,171 @@ def global_sales_opportunity(
         F.count(F.lit(1)).alias("numcust"),
         from_units(F.sum("bal_u")).alias("totacctbal"),
     )
+
+
+def top_revenue_suppliers(
+    supplier: DataFrame,
+    lineitem: DataFrame,
+    date_from: str = "1996-01-01",
+    date_to: str = "1996-04-01",
+) -> DataFrame:
+    """TPC-H Q15-style top supplier: per-supplier revenue over a
+    quarter, returning the supplier(s) whose revenue equals the
+    maximum (upstream phrases this as a view + scalar subquery).
+
+    Exactness: revenue is the exact integer unit product
+    (``price_u · (100 − disc_u)``), so the max and the equality against
+    it compare longs — no double ties to flip. The displayed revenue
+    divides out the units once at the end.
+
+    Scale shape: one fact scan with the date filter pushed down, one
+    map-side-combined agg keyed on suppkey (|suppliers| groups), the
+    scalar max as a 1-row broadcast crossJoin, and the supplier dim
+    broadcast onto the ≤|suppliers| survivors. Nothing order-sized
+    shuffles more than once.
+    """
+    cut_lo = F.lit(date_from).cast("timestamp")
+    cut_hi = F.lit(date_to).cast("timestamp")
+    rev = (
+        lineitem.filter(
+            (F.col("l_shipdate") >= cut_lo) & (F.col("l_shipdate") < cut_hi)
+        )
+        .select(
+            "l_suppkey",
+            (
+                to_units("l_extendedprice")
+                * (F.lit(100) - to_units("l_discount"))
+            ).alias("rev_u"),
+        )
+        .groupBy("l_suppkey")
+        .agg(F.sum("rev_u").alias("total_u"))
+    )
+    mx = rev.agg(F.max("total_u").alias("max_u"))
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_u") == F.col("max_u"))
+        .join(
+            F.broadcast(supplier.select("s_suppkey", "s_name")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .select(
+            "s_suppkey",
+            "s_name",
+            from_units("total_u", 4).alias("total_revenue"),
+        )
+    )
+
+
+def small_quantity_revenue(
+    part: DataFrame,
+    lineitem: DataFrame,
+    brand: str = "Brand#23",
+) -> DataFrame:
+    """TPC-H Q17-style small-quantity-order revenue: average yearly
+    revenue lost if small orders (quantity below 20% of the part's
+    average order quantity) of one brand's parts were no longer taken.
+
+    Exactness: the correlated-average gate compares integers —
+    ``5 · qty · n_part < Σqty_part`` is exactly ``qty < 0.2 · avg`` for
+    positive counts — so borderline lineitems cut identically in every
+    engine; the single final division of two exact longs (Σprice_u / 7)
+    is one correctly-rounded double op.
+
+    Scale shape: the brand's parts are a broadcast filter onto the fact
+    scan (partkey pruning before anything shuffles); the per-part
+    quantity statistics aggregate the FILTERED fact with map-side
+    partials (|brand parts| groups) and broadcast back onto the same
+    filtered fact — the full lineitem never shuffles. This is the
+    Spark rewrite of upstream's correlated scalar subquery.
+    """
+    pk = F.broadcast(
+        part.filter(F.col("p_brand") == brand).select("p_partkey")
+    )
+    li = (
+        lineitem.join(pk, F.col("l_partkey") == F.col("p_partkey"))
+        .select(
+            "l_partkey",
+            F.col("l_quantity").cast("long").alias("qty"),
+            to_units("l_extendedprice").alias("price_u"),
+        )
+    )
+    stats = li.groupBy(F.col("l_partkey").alias("sp_partkey")).agg(
+        F.sum("qty").alias("sum_qty"),
+        F.count(F.lit(1)).alias("n_li"),
+    )
+    small = li.join(
+        F.broadcast(stats), F.col("l_partkey") == F.col("sp_partkey")
+    ).filter(
+        F.lit(5) * F.col("qty") * F.col("n_li") < F.col("sum_qty")
+    )
+    return small.agg(
+        (
+            F.coalesce(F.sum("price_u"), F.lit(0)).cast("double")
+            / F.lit(7.0)
+            / F.lit(100.0)
+        ).alias("avg_yearly")
+    )
+
+
+def waiting_orders_by_supplier(
+    supplier: DataFrame,
+    nation: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    nation_name: str = "NATION_1",
+    k: int = 20,
+) -> DataFrame:
+    """TPC-H Q21-style suppliers who kept orders waiting: for finished
+    ('F') multi-supplier orders, count per supplier (of one nation) the
+    orders where that supplier shipped LAST — some other supplier exists
+    on the order (upstream's EXISTS) and none shipped strictly later
+    (upstream's NOT EXISTS; this schema has no receiptdate, so shipdate
+    is the lateness signal). Ties at the latest date count for every
+    tied supplier, exactly like upstream's strict-inequality NOT EXISTS.
+
+    Scale shape — the Spark rewrite of the double correlated self-join:
+    instead of EXISTS + NOT EXISTS scans of lineitem per row (two extra
+    fact joins and a duplicated fact subtree), ONE aggregation per
+    (orderkey, suppkey) followed by per-orderkey WINDOW functions over
+    its (already aggregated, one-row-per-supplier) output derive every
+    predicate: supplier's max shipdate, order's max shipdate, and the
+    order's distinct-supplier count — the fact is scanned once and
+    nothing rejoins it. Both exists-conditions become timestamp/
+    integer comparisons on the aggregated rows. Deterministic top-k via
+    (numwait DESC, s_name) TakeOrderedAndProject.
+    """
+    from pyspark.sql.window import Window
+
+    nk = nation.filter(F.col("n_name") == nation_name).select("n_nationkey")
+    sup = (
+        supplier.join(
+            F.broadcast(nk),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "s_name")
+    )
+    fo = orders.filter(F.col("o_orderstatus") == "F").select("o_orderkey")
+    li = lineitem.join(
+        fo, F.col("l_orderkey") == F.col("o_orderkey")
+    ).select("l_orderkey", "l_suppkey", "l_shipdate")
+    per_os = li.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max("l_shipdate").alias("sup_max")
+    )
+    w_ok = Window.partitionBy("l_orderkey")
+    waited = (
+        per_os.withColumn("order_max", F.max("sup_max").over(w_ok))
+        .withColumn("n_sup", F.count(F.lit(1)).over(w_ok))
+        .filter(
+            (F.col("n_sup") >= 2) & (F.col("sup_max") == F.col("order_max"))
+        )
+        .select("l_suppkey")
+    )
+    return (
+        waited.join(
+            F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey")
+        )
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("s_name"))
+        .limit(k)
+    )

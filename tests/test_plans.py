@@ -307,3 +307,54 @@ def test_tpch_q22_anti_join_and_broadcast_scalar(spark):
     assert "Broadcast" in plan, plan
     c = [s for s in _scan_sections(plan) if "c_acctbal" in s]
     assert c and "c_nationkey" in c[0].split("PushedFilters:")[1].split("\n")[0]
+
+
+def test_tpch_q15_broadcast_scalar_max_and_pushed_dates(spark):
+    """Q15: the scalar max is a broadcast 1-row crossJoin (no global
+    sort, no second fact scan in an exchange); the quarter filter is
+    pushed into the lineitem scan."""
+    import __spark_entry__ as entrymod
+
+    plan = _plan(entrymod.queries()["tpch_q15_top_supplier"](spark, SF_SMALL))
+    assert "Broadcast" in plan, plan
+    assert "Sort " not in plan.split("AdaptiveSparkPlan")[0], plan
+    li = [s for s in _scan_sections(plan) if "l_shipdate" in s]
+    assert li, plan
+    pushed = li[0].split("PushedFilters:")[1].split("\n")[0]
+    assert "l_shipdate" in pushed, plan
+
+
+def test_tpch_q17_brand_filter_prunes_fact_before_shuffle(spark):
+    """Q17: the brand's partkeys broadcast onto the lineitem scan (the
+    fact never hash-shuffles) and the per-part stats join is also a
+    broadcast — zero hash exchanges carrying lineitem rows."""
+    import re
+
+    import __spark_entry__ as entrymod
+
+    plan = _plan(entrymod.queries()["tpch_q17_small_quantity"](spark, SF_SMALL))
+    assert len(re.findall(r"BroadcastHashJoin", plan)) >= 2, plan
+    # hash exchanges exist only above aggregates over the broadcast-
+    # filtered fact, never repartitioning raw lineitem: every Exchange
+    # is hashpartitioning on a partkey or a 1-row single partition.
+    for m in re.finditer(r"Exchange hashpartitioning\(([^,]+),", plan):
+        assert "partkey" in m.group(1), plan
+
+
+def test_tpch_q21_single_fact_shuffle_replaces_double_self_join(spark):
+    """Q21 shape: the EXISTS/NOT-EXISTS pair is served by per-(order,
+    supplier) and per-order aggregates — lineitem is scanned ONCE and
+    hash-shuffles only on the orderkey family; the cut is a
+    deterministic TakeOrderedAndProject, not a global sort."""
+    import re
+
+    import __spark_entry__ as entrymod
+
+    plan = _plan(
+        entrymod.queries()["tpch_q21_waiting_orders"](spark, SF_SMALL)
+    )
+    assert "TakeOrderedAndProject" in plan, plan
+    scans = [s for s in _scan_sections(plan) if "l_suppkey" in s]
+    assert len(scans) == 1, plan  # one lineitem scan, no self-join rescan
+    for m in re.finditer(r"Exchange hashpartitioning\(([^,)]+)", plan):
+        assert "orderkey" in m.group(1) or "s_name" in m.group(1), plan
