@@ -543,6 +543,22 @@ def q_text_cross_despan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_cross_despan_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The strip face of cross-document substring dedup: remove every
+    token covered by a >=15-token span shared across documents
+    (aggressive boilerplate stripping; pipeline/crossdoc.py)."""
+    from flink_streaming_2_10_spark.pipeline.crossdoc import (
+        strip_shared_spans,
+    )
+
+    return strip_shared_spans(
+        load_table(spark, sf_dir, "documents"),
+        window=15,
+        min_sharers=2,
+        hasher="md5",
+    )
+
+
 def q_semantic_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-point Lloyd's k-means over the embedding corpus
     (pipeline/clustering.py): k=4 topic-style clusters, 2 exact
@@ -1383,6 +1399,7 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "incremental_neardup": q_incremental_neardup,
         "text_cross_despan": q_text_cross_despan,
+        "text_cross_despan_strip": q_text_cross_despan_strip,
         "decontamination": q_decontamination,
         "similarity_cosine_topk": q_similarity_cosine_topk,
         "similarity_quantized_topk": q_similarity_quantized_topk,
@@ -1703,20 +1720,20 @@ def _incremental_neardup_oracle(
         FROM scored WHERE m >= {min_matches}"""
 
 
-def _cross_despan_oracle(window: int = 15, min_sharers: int = 2) -> str:
-    """Mirror of pipeline.crossdoc.cross_doc_shared_spans: identical
+def _cross_despan_ctes(window: int, min_sharers: int) -> str:
+    """Shared CTE chain for the cross-doc span oracles: identical
     exact-class pre-collapse (md5 of normalized text, min-id rep,
     multiplicity m), identical L-token window keys (the md5-derived
     60-bit hash over the space-joined window — bit-equal to the engine's
     hasher='md5'), sharer counts as Σm over distinct (key, class), and
-    the same gaps-and-islands maximal-span merge with MIN sharers."""
+    the same gaps-and-islands maximal-span merge with MIN sharers.
+    Ends at ``sp`` = (fp, span_start, span_len, n_sharers)."""
     L = int(window)
     gram = " || ' ' || ".join(
         f"words[i+{j}]" if j else "words[i]" for j in range(L)
     )
     h = duckdb_hash60_sql(f"({gram})")
-    return f"""
-        WITH nrm AS (SELECT doc_id,
+    return f"""nrm AS (SELECT doc_id,
                             md5(regexp_replace(lower(text), '\\s+', ' ', 'g'))
                               AS fp
                      FROM documents),
@@ -1745,9 +1762,47 @@ def _cross_despan_oracle(window: int = 15, min_sharers: int = 2) -> str:
         sp AS (SELECT fp, CAST(MIN(t) AS BIGINT) AS span_start,
                       CAST(MAX(t) - MIN(t) + {L} AS BIGINT) AS span_len,
                       CAST(MIN(n_sh) AS BIGINT) AS n_sharers
-               FROM isl GROUP BY fp, g)
+               FROM isl GROUP BY fp, g)"""
+
+
+def _cross_despan_oracle(window: int = 15, min_sharers: int = 2) -> str:
+    """Mirror of pipeline.crossdoc.cross_doc_shared_spans — the flag
+    face: spans re-expanded to every member document."""
+    return f"""
+        WITH {_cross_despan_ctes(window, min_sharers)}
         SELECT n.doc_id, s.span_start, s.span_len, s.n_sharers
         FROM nrm n JOIN sp s ON n.fp = s.fp"""
+
+
+def _cross_despan_strip_oracle(window: int = 15, min_sharers: int = 2) -> str:
+    """Mirror of pipeline.crossdoc.strip_shared_spans — the strip face:
+    per document, drop every token position covered by one of its
+    class's shared-span intervals (aggressive removal in ALL sharers);
+    documents without spans pass through with n_removed = 0."""
+    return f"""
+        WITH {_cross_despan_ctes(window, min_sharers)},
+        iv AS (SELECT fp,
+                      list([span_start, span_start + span_len - 1]
+                           ORDER BY span_start) AS ivl
+               FROM sp GROUP BY fp),
+        stripped AS (
+          SELECT n.doc_id,
+                 w.words,
+                 list_filter(range(1, len(w.words) + 1),
+                             t -> len(list_filter(
+                                    coalesce(iv.ivl, []),
+                                    v -> t >= v[1] AND t <= v[2])) = 0)
+                   AS kept
+          FROM nrm n
+          JOIN w ON w.doc_id = n.doc_id
+          LEFT JOIN iv ON iv.fp = n.fp)
+        SELECT doc_id,
+               CAST(len(words) AS BIGINT) AS n_tokens,
+               CAST(len(words) - len(kept) AS BIGINT) AS n_removed,
+               coalesce(array_to_string(
+                   list_transform(kept, t -> words[t]), ' '), '')
+                 AS stripped_text
+        FROM stripped"""
 
 
 def _dedup_components_oracle(
@@ -3100,6 +3155,9 @@ def oracle_sql() -> dict[str, str]:
             num_hashes=64, bands=16, rows=4, shingle_n=3, threshold=0.5
         ),
         "text_cross_despan": _cross_despan_oracle(window=15, min_sharers=2),
+        "text_cross_despan_strip": _cross_despan_strip_oracle(
+            window=15, min_sharers=2
+        ),
         "decontamination": _decontamination_oracle(n=5, min_hits=1, modulo=20),
         "similarity_cosine_topk": _cosine_topk_oracle(query_id=0, k=100),
         "similarity_quantized_topk": _quantized_topk_oracle(query_id=0, k=100),
