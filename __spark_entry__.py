@@ -574,6 +574,16 @@ def q_semantic_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_lm_bigram_typicality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram LM typicality scores (pipeline/lm.py): the CCNet-style
+    perplexity-filter face with log-free exact arithmetic — mean
+    conditional bigram probability under the corpus-trained model,
+    position-ordered fold so the double is bit-identical cross-engine."""
+    from flink_streaming_2_10_spark.pipeline.lm import bigram_lm_scores
+
+    return bigram_lm_scores(load_table(spark, sf_dir, "documents"))
+
+
 def q_text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Whitespace + BPE-ish token counting per document (scan-local)."""
     return token_counts(load_table(spark, sf_dir, "documents"))
@@ -1409,6 +1419,7 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_clusters": q_semantic_clusters,
         "semantic_kmeans": q_semantic_kmeans,
         "text_token_stats": q_text_token_stats,
+        "lm_bigram_typicality": q_lm_bigram_typicality,
         "text_quality": q_text_quality,
         "text_language_id": q_text_language_id,
         "text_repetition": q_text_repetition,
@@ -3174,6 +3185,37 @@ def oracle_sql() -> dict[str, str]:
             threshold=0.4, num_tables=8, num_planes=6
         ),
         "semantic_kmeans": _kmeans_oracle(k=4, rounds=2),
+        "lm_bigram_typicality": """
+            WITH w AS (SELECT doc_id,
+                              list_filter(regexp_split_to_array(lower(text),
+                                                                '\\W+'),
+                                          x -> length(x) > 0) AS words
+                       FROM documents),
+            bg AS (SELECT doc_id, s.pos AS pos, s.w1 AS w1, s.w2 AS w2
+                   FROM (SELECT doc_id,
+                                unnest(list_transform(range(1, len(words)),
+                                       i -> {'pos': i, 'w1': words[i],
+                                             'w2': words[i+1]})) AS s
+                         FROM w WHERE len(words) >= 2)),
+            big AS (SELECT w1, w2, COUNT(*) AS cb FROM bg GROUP BY w1, w2),
+            uni AS (SELECT w1, COUNT(*) AS cu FROM bg GROUP BY w1),
+            p AS (SELECT bg.doc_id, bg.pos,
+                         CAST(big.cb AS DOUBLE) / CAST(uni.cu AS DOUBLE) AS p
+                  FROM bg
+                  JOIN big ON bg.w1 = big.w1 AND bg.w2 = big.w2
+                  JOIN uni ON bg.w1 = uni.w1),
+            f AS (SELECT doc_id,
+                         list_reduce(
+                             list_prepend(CAST(0.0 AS DOUBLE),
+                                          list(p ORDER BY pos)),
+                             (acc, x) -> acc + x) AS sum_p,
+                         COUNT(*) AS nb
+                  FROM p GROUP BY doc_id)
+            SELECT d.doc_id,
+                   CAST(coalesce(f.nb, 0) AS BIGINT) AS n_bigrams,
+                   coalesce(f.sum_p / CAST(f.nb AS DOUBLE), 0.0) AS lm_score
+            FROM documents d LEFT JOIN f ON d.doc_id = f.doc_id
+        """,
         "text_token_stats": f"""
             SELECT doc_id,
                    CAST(len(list_filter(regexp_split_to_array(text, '\\s+'),
