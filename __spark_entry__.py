@@ -35,6 +35,7 @@ from flink_streaming_2_10_spark.operators.relational import (
     pricing_summary,
     priority_order_check,
     promo_revenue,
+    national_market_share,
     returned_item_report,
     revenue_by_region,
     shipping_priority,
@@ -956,6 +957,22 @@ def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pricing_summary(load_table(spark, sf_dir, "lineitem"))
 
 
+def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 national market share: per order year, one nation's
+    share of one part type's revenue within one region's market —
+    exact-integer numerator/denominator, one division per year
+    (operators/relational.national_market_share)."""
+    return national_market_share(
+        load_table(spark, sf_dir, "region"),
+        load_table(spark, sf_dir, "nation"),
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "supplier"),
+        load_table(spark, sf_dir, "part"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "lineitem"),
+    )
+
+
 def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q15 top supplier: quarterly per-supplier revenue, max as a
     1-row broadcast, exact-integer tie semantics
@@ -1383,6 +1400,7 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q13_customer_distribution": q_tpch_q13,
         "tpch_q19_bracket_revenue": q_tpch_q19,
         "tpch_q22_sales_opportunity": q_tpch_q22,
+        "tpch_q8_market_share": q_tpch_q8,
         "tpch_q15_top_supplier": q_tpch_q15,
         "tpch_q17_small_quantity": q_tpch_q17,
         "tpch_q21_waiting_orders": q_tpch_q21,
@@ -3469,6 +3487,40 @@ def oracle_sql() -> dict[str, str]:
               GROUP BY c.c_custkey)
             SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
             FROM per_cust GROUP BY c_count
+        """,
+        "tpch_q8_market_share": """
+            WITH mkt AS (SELECT n_nationkey FROM nation
+                         JOIN region ON n_regionkey = r_regionkey
+                         WHERE r_name = 'ASIA'),
+            c AS (SELECT c_custkey FROM customer
+                  JOIN mkt ON c_nationkey = n_nationkey),
+            tgt AS (SELECT n_nationkey FROM nation
+                    WHERE n_name = 'NATION_1'),
+            s AS (SELECT s_suppkey,
+                         s_nationkey IN (SELECT n_nationkey FROM tgt)
+                           AS is_target
+                  FROM supplier),
+            pk AS (SELECT p_partkey FROM part WHERE p_type = 'ECONOMY'),
+            li AS (SELECT l_orderkey, s.is_target,
+                          CAST(round(l_extendedprice*100) AS BIGINT)
+                            * (100 - CAST(round(l_discount*100) AS BIGINT))
+                            AS rev_u
+                   FROM lineitem
+                   JOIN pk ON l_partkey = p_partkey
+                   JOIN s ON l_suppkey = s_suppkey),
+            o AS (SELECT o_orderkey, o_custkey,
+                         CAST(year(o_orderdate) AS INT) AS o_year
+                  FROM orders
+                  WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+                    AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00')
+            SELECT o.o_year,
+                   CAST(SUM(CASE WHEN li.is_target THEN li.rev_u
+                                 ELSE 0 END) AS DOUBLE)
+                     / CAST(SUM(li.rev_u) AS DOUBLE) AS mkt_share
+            FROM li
+            JOIN o ON li.l_orderkey = o.o_orderkey
+            JOIN c ON o.o_custkey = c.c_custkey
+            GROUP BY o.o_year
         """,
         "tpch_q15_top_supplier": """
             WITH rev AS (

