@@ -575,6 +575,18 @@ def q_semantic_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_corpus_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-scan corpus health rollup (pipeline/textstats.corpus_summary):
+    doc/token counts, mean length, quality-gate and English counts, and
+    the KMV distinct-text estimate — all through a single projection +
+    one global aggregate; md5 hasher keeps the KMV minima DuckDB-exact."""
+    from flink_streaming_2_10_spark.pipeline.textstats import corpus_summary
+
+    return corpus_summary(
+        load_table(spark, sf_dir, "documents"), hasher="md5"
+    )
+
+
 def q_lm_bigram_typicality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bigram LM typicality scores (pipeline/lm.py): the CCNet-style
     perplexity-filter face with log-free exact arithmetic — mean
@@ -1438,6 +1450,7 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_kmeans": q_semantic_kmeans,
         "text_token_stats": q_text_token_stats,
         "lm_bigram_typicality": q_lm_bigram_typicality,
+        "corpus_summary": q_corpus_summary,
         "text_quality": q_text_quality,
         "text_language_id": q_text_language_id,
         "text_repetition": q_text_repetition,
@@ -2609,6 +2622,53 @@ def _token_percentiles_oracle(ps: tuple[float, ...] = (0.5, 0.9, 0.99)) -> str:
         FROM g"""
 
 
+def _corpus_summary_oracle(k: int = 64) -> str:
+    """Mirror of pipeline.textstats.corpus_summary: embeds the quality
+    and language per-doc oracles as subqueries (bit-identical doubles ⇒
+    identical >= 0.5 and == 'en' gates), the exact-dedup text
+    normalization for the KMV hash, and the sketch oracle's affine
+    minima + pooled-sum estimate. Counts are exact; the two doubles are
+    each one terminal division."""
+    p = 2**31 - 1
+    mins = ",\n                     ".join(
+        f"min(({a} * h + {b}) % {p}) AS m{i}"
+        for i, (a, b) in enumerate(minhash_perm_params(k))
+    )
+    pooled = " + ".join(f"(m{i} + 1)" for i in range(k))
+    scale = float(k) * (p + 1)
+    norm_hash = duckdb_hash60_sql(
+        "regexp_replace(lower(text), '\\s+', ' ', 'g')"
+    )
+    return f"""
+        WITH qv AS ({_text_quality_oracle()}),
+        lv AS ({_text_language_id_oracle()}),
+        hh AS (SELECT doc_id, {norm_hash} % {p} AS h
+               FROM documents),
+        j AS (SELECT qv.n_words, qv.quality, lv.lang_pred, hh.h
+              FROM qv
+              JOIN lv ON qv.doc_id = lv.doc_id
+              JOIN hh ON qv.doc_id = hh.doc_id),
+        m AS (SELECT count(*) AS n_docs,
+                     coalesce(sum(CAST(n_words AS BIGINT)), 0) AS n_tokens,
+                     coalesce(sum(CASE WHEN quality >= 0.5 THEN 1
+                                       ELSE 0 END), 0) AS okq,
+                     coalesce(sum(CASE WHEN lang_pred = 'en' THEN 1
+                                       ELSE 0 END), 0) AS en,
+                     {mins}
+              FROM j)
+        SELECT CAST(n_docs AS BIGINT) AS n_docs,
+               CAST(n_tokens AS BIGINT) AS n_tokens,
+               CASE WHEN n_docs > 0
+                    THEN CAST(n_tokens AS DOUBLE) / CAST(n_docs AS DOUBLE)
+                    ELSE 0.0 END AS mean_doc_tokens,
+               CAST(okq AS BIGINT) AS n_quality_ge_half,
+               CAST(en AS BIGINT) AS n_english,
+               CASE WHEN n_docs > 0
+                    THEN {scale!r} / CAST({pooled} AS DOUBLE) - 1.0
+                    ELSE 0.0 END AS est_distinct_texts
+        FROM m"""
+
+
 def _text_language_id_oracle() -> str:
     score_cols = ",\n                     ".join(
         f"CAST({_stop_hits_sql(STOPWORDS[lang])} AS INT) AS s_{lang}"
@@ -3245,6 +3305,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "text_quality": _text_quality_oracle(),
         "text_language_id": _text_language_id_oracle(),
+        "corpus_summary": _corpus_summary_oracle(k=64),
         "training_shard": _training_shard_oracle(lang="en", min_quality=0.5),
         "shard_manifest": f"""
             WITH a AS (SELECT doc_id, text,

@@ -604,3 +604,76 @@ def _despan_window(
             " ", F.expr("transform(__ks, s -> s.tok)")
         ).alias("despanned_text"),
     )
+
+
+def corpus_summary(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 64,
+    hasher: str = "xxhash64",
+) -> DataFrame:
+    """Corpus health dashboard in ONE scan + ONE global aggregation:
+    ``(n_docs, n_tokens, mean_doc_tokens, n_quality_ge_half, n_english,
+    est_distinct_texts)``.
+
+    Composes the per-document quality composite (:func:`quality_exprs`),
+    the language arbiter (:func:`language_pred_expr`), and the KMV
+    distinct sketch's K permutation minima (pipeline/sketches.py) into a
+    single projection, so the corpus is read once and everything reduces
+    through one map-side-combined aggregate — the operational "how is my
+    corpus doing" query a 100 TB pipeline runs after every ingest, at
+    the cost of one pass. Counts are exact longs; the two doubles are
+    one terminal division each (mean, KMV estimate), so the whole row
+    hash-matches the DuckDB oracle.
+    """
+    from flink_streaming_2_10_spark.pipeline.dedup import (
+        _MERSENNE_31,
+        _base_hash,
+        minhash_perm_params,
+    )
+
+    text = F.col(text_col)
+    q = quality_exprs(text)
+    lang = language_pred_expr(text)
+    norm = F.regexp_replace(F.lower(text), r"\s+", " ")
+    p = _MERSENNE_31
+    proj = df.select(
+        q["n_words"].cast("long").alias("nw"),
+        (q["quality"] >= F.lit(0.5)).cast("long").alias("okq"),
+        (lang == F.lit("en")).cast("long").alias("en"),
+        _base_hash(norm, hasher).alias("h"),
+    )
+    mins = [
+        F.min(
+            F.pmod(F.lit(a) * F.col("h") + F.lit(b), F.lit(p))
+        ).alias(f"m{i}")
+        for i, (a, b) in enumerate(minhash_perm_params(int(k)))
+    ]
+    agg = proj.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.coalesce(F.sum("nw"), F.lit(0)).alias("n_tokens"),
+        F.coalesce(F.sum("okq"), F.lit(0)).alias("n_quality_ge_half"),
+        F.coalesce(F.sum("en"), F.lit(0)).alias("n_english"),
+        *mins,
+    )
+    pooled = sum(
+        (F.col(f"m{i}") + F.lit(1) for i in range(1, int(k))),
+        F.col("m0") + F.lit(1),
+    )
+    est = F.when(
+        F.col("n_docs") > 0,
+        F.lit(float(k) * (p + 1)) / pooled.cast("double") - F.lit(1.0),
+    ).otherwise(F.lit(0.0))
+    mean_tokens = F.when(
+        F.col("n_docs") > 0,
+        F.col("n_tokens").cast("double") / F.col("n_docs").cast("double"),
+    ).otherwise(F.lit(0.0))
+    return agg.select(
+        "n_docs",
+        "n_tokens",
+        mean_tokens.alias("mean_doc_tokens"),
+        "n_quality_ge_half",
+        "n_english",
+        est.alias("est_distinct_texts"),
+    )

@@ -409,3 +409,43 @@ def test_despan_p20_matches_duckdb_oracle(spark, duck):
     assert_df_matches_oracle(
         despan_repeated(docs, max_period=20), duck, sql
     )
+
+
+def test_corpus_summary_consistent_with_per_doc_queries(spark):
+    """One-pass rollup equals recomputing from the per-doc operators."""
+    from flink_streaming_2_10_spark.pipeline.textstats import (
+        corpus_summary,
+        language_id,
+        quality_scores,
+        token_counts,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    row = corpus_summary(docs, hasher="md5").collect()[0]
+    n = docs.count()
+    assert row["n_docs"] == n
+    q = {r["doc_id"]: r["quality"] for r in quality_scores(docs).collect()}
+    langs = {r["doc_id"]: r["lang_pred"] for r in language_id(docs).collect()}
+    nw = {r["doc_id"]: r["n_words"] for r in quality_scores(docs).collect()}
+    assert row["n_tokens"] == sum(nw.values())
+    assert row["n_quality_ge_half"] == sum(1 for v in q.values() if v >= 0.5)
+    assert row["n_english"] == sum(1 for v in langs.values() if v == "en")
+    assert row["mean_doc_tokens"] == sum(nw.values()) / n
+    # KMV estimate is within its ~12.5% band of the true distinct count
+    # (few duplicates at this SF, far below K ⇒ near-exact regime).
+    true_distinct = docs.selectExpr(
+        "regexp_replace(lower(text), '\\\\s+', ' ') AS t"
+    ).distinct().count()
+    assert abs(row["est_distinct_texts"] - true_distinct) / true_distinct < 0.3
+
+
+def test_corpus_summary_empty_corpus(spark):
+    from flink_streaming_2_10_spark.pipeline.textstats import corpus_summary
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    row = corpus_summary(empty).collect()[0]
+    assert (
+        row["n_docs"], row["n_tokens"], row["mean_doc_tokens"],
+        row["n_quality_ge_half"], row["n_english"],
+        row["est_distinct_texts"],
+    ) == (0, 0, 0.0, 0, 0, 0.0)
