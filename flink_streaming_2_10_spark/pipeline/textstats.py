@@ -627,6 +627,48 @@ def corpus_summary(
     one terminal division each (mean, KMV estimate), so the whole row
     hash-matches the DuckDB oracle.
     """
+    from flink_streaming_2_10_spark.pipeline.dedup import _MERSENNE_31
+
+    p = _MERSENNE_31
+    agg = corpus_summary_state(df, id_col, text_col, k, hasher)
+    pooled = sum(
+        (F.col(f"m{i}") + F.lit(1) for i in range(1, int(k))),
+        F.col("m0") + F.lit(1),
+    )
+    est = F.when(
+        F.col("n_docs") > 0,
+        F.lit(float(k) * (p + 1)) / pooled.cast("double") - F.lit(1.0),
+    ).otherwise(F.lit(0.0))
+    mean_tokens = F.when(
+        F.col("n_docs") > 0,
+        F.col("n_tokens").cast("double") / F.col("n_docs").cast("double"),
+    ).otherwise(F.lit(0.0))
+    return agg.select(
+        "n_docs",
+        "n_tokens",
+        mean_tokens.alias("mean_doc_tokens"),
+        "n_quality_ge_half",
+        "n_english",
+        est.alias("est_distinct_texts"),
+    )
+
+
+def corpus_summary_state(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 64,
+    hasher: str = "xxhash64",
+) -> DataFrame:
+    """The PRE-division state row behind :func:`corpus_summary` —
+    ``(n_docs, n_tokens, n_quality_ge_half, n_english, m0..m{k-1})`` —
+    every field an exact long, which makes the state MERGEABLE: counts
+    add, KMV minima take elementwise mins. This is the incremental-
+    ingest face: keep one state row per corpus (or per day), fold each
+    arriving batch in with :func:`merge_summary_states`, and
+    :func:`finalize_summary` yields exactly what a full rescan would —
+    the summary-table property HLL is normally chosen for, with none of
+    its engine-specific register layout."""
     from flink_streaming_2_10_spark.pipeline.dedup import (
         _MERSENNE_31,
         _base_hash,
@@ -650,30 +692,56 @@ def corpus_summary(
         ).alias(f"m{i}")
         for i, (a, b) in enumerate(minhash_perm_params(int(k)))
     ]
-    agg = proj.agg(
+    return proj.agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.coalesce(F.sum("nw"), F.lit(0)).alias("n_tokens"),
         F.coalesce(F.sum("okq"), F.lit(0)).alias("n_quality_ge_half"),
         F.coalesce(F.sum("en"), F.lit(0)).alias("n_english"),
         *mins,
     )
-    pooled = sum(
-        (F.col(f"m{i}") + F.lit(1) for i in range(1, int(k))),
-        F.col("m0") + F.lit(1),
-    )
-    est = F.when(
-        F.col("n_docs") > 0,
-        F.lit(float(k) * (p + 1)) / pooled.cast("double") - F.lit(1.0),
-    ).otherwise(F.lit(0.0))
-    mean_tokens = F.when(
-        F.col("n_docs") > 0,
-        F.col("n_tokens").cast("double") / F.col("n_docs").cast("double"),
-    ).otherwise(F.lit(0.0))
-    return agg.select(
-        "n_docs",
-        "n_tokens",
-        mean_tokens.alias("mean_doc_tokens"),
-        "n_quality_ge_half",
-        "n_english",
-        est.alias("est_distinct_texts"),
-    )
+
+
+def merge_summary_states(a: dict, b: dict, k: int = 64) -> dict:
+    """Merge two summary state rows (as dicts): counts ADD, minima take
+    MIN (None = empty state absorbs). Exact integer arithmetic only, so
+    any merge ORDER or grouping gives the identical state — the
+    associative/commutative contract that lets daily states roll up
+    into monthly ones."""
+    if not a:
+        return dict(b)
+    if not b:
+        return dict(a)
+    out = {
+        key: a[key] + b[key]
+        for key in ("n_docs", "n_tokens", "n_quality_ge_half", "n_english")
+    }
+    for i in range(int(k)):
+        ma, mb = a.get(f"m{i}"), b.get(f"m{i}")
+        out[f"m{i}"] = (
+            ma if mb is None else mb if ma is None else min(ma, mb)
+        )
+    return out
+
+
+def finalize_summary(state: dict, k: int = 64) -> dict:
+    """State row → the :func:`corpus_summary` output row (the two
+    terminal double divisions)."""
+    from flink_streaming_2_10_spark.pipeline.dedup import _MERSENNE_31
+
+    p = _MERSENNE_31
+    n_docs = state.get("n_docs", 0) if state else 0
+    if not n_docs:
+        return {
+            "n_docs": 0, "n_tokens": 0, "mean_doc_tokens": 0.0,
+            "n_quality_ge_half": 0, "n_english": 0,
+            "est_distinct_texts": 0.0,
+        }
+    pooled = sum(state[f"m{i}"] + 1 for i in range(int(k)))
+    return {
+        "n_docs": n_docs,
+        "n_tokens": state["n_tokens"],
+        "mean_doc_tokens": float(state["n_tokens"]) / float(n_docs),
+        "n_quality_ge_half": state["n_quality_ge_half"],
+        "n_english": state["n_english"],
+        "est_distinct_texts": float(k) * (p + 1) / float(pooled) - 1.0,
+    }

@@ -449,3 +449,35 @@ def test_corpus_summary_empty_corpus(spark):
         row["n_quality_ge_half"], row["n_english"],
         row["est_distinct_texts"],
     ) == (0, 0, 0.0, 0, 0, 0.0)
+
+
+def test_corpus_summary_state_merges_exactly_to_one_shot(spark):
+    """Mergeable-state contract: batch states folded in ANY order
+    finalize to the BIT-identical row the one-shot summary computes."""
+    from flink_streaming_2_10_spark.pipeline.textstats import (
+        corpus_summary,
+        corpus_summary_state,
+        finalize_summary,
+        merge_summary_states,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    batches = [
+        docs.filter(f"doc_id % 3 = {i}") for i in range(3)
+    ]
+    states = [
+        corpus_summary_state(b, hasher="md5").collect()[0].asDict()
+        for b in batches
+    ]
+    one_shot = corpus_summary(docs, hasher="md5").collect()[0].asDict()
+    merged_fwd = {}
+    for s in states:
+        merged_fwd = merge_summary_states(merged_fwd, s)
+    merged_rev = {}
+    for s in reversed(states):
+        merged_rev = merge_summary_states(merged_rev, s)
+    assert finalize_summary(merged_fwd) == one_shot
+    assert finalize_summary(merged_rev) == one_shot
+    # empty state is the identity; finalizing it gives the zero row
+    assert merge_summary_states({}, states[0]) == states[0]
+    assert finalize_summary({})["n_docs"] == 0
