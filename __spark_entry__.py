@@ -1100,6 +1100,23 @@ def q_sketch_distinct_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Misra–Gries two-phase heavy hitters: every token above 1/500 of
+    the corpus token stream with EXACT counts — per-partition MG sketch
+    (Arrow-batched) finds candidates without shuffling the vocabulary,
+    a broadcast-semi recount makes the answer exact, so the oracle
+    never needs to model the sketch (pipeline/heavyhitters.py)."""
+    from flink_streaming_2_10_spark.pipeline.heavyhitters import (
+        heavy_hitter_tokens,
+    )
+
+    return heavy_hitter_tokens(
+        load_table(spark, sf_dir, "documents"),
+        support_denom=499,
+        sketch_cap=512,
+    )
+
+
 def q_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic hash-shard assignment manifest for the tokenizer
     fleet: per-shard doc/token/char totals + id range, one narrow
@@ -1465,6 +1482,7 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curated_corpus_neardup": q_curated_corpus_neardup,
         "shard_manifest": q_shard_manifest,
         "sketch_distinct_ngrams": q_sketch_distinct_ngrams,
+        "heavy_hitter_tokens": q_heavy_hitter_tokens,
         "stratified_sample": q_stratified_sample,
         "holdout_split": q_holdout_split,
         "priority_sample": q_priority_sample,
@@ -1937,6 +1955,25 @@ def _kmv_sketch_oracle(k: int, shingle_n: int) -> str:
                {scale!r} / CAST({pooled} AS DOUBLE) - 1.0 AS est_distinct,
                {k} AS k
         FROM m"""
+
+
+def _heavy_hitter_oracle(support_denom: int) -> str:
+    """Mirror of pipeline/heavyhitters.py::heavy_hitter_tokens — the
+    Spark side's MG sketch affects only the PLAN (candidate pruning), so
+    the oracle is the plain exact-threshold query: every token with
+    cnt·(s+1) > total, pure integer arithmetic."""
+    return f"""
+        WITH w AS (SELECT list_filter(regexp_split_to_array(lower(text),
+                                                            '\\W+'),
+                                      x -> length(x) > 0) AS words
+                   FROM documents),
+        toks AS (SELECT unnest(words) AS token FROM w),
+        tot AS (SELECT CAST(count(*) AS BIGINT) AS total_tokens FROM toks),
+        cnts AS (SELECT token, CAST(count(*) AS BIGINT) AS cnt
+                 FROM toks GROUP BY token)
+        SELECT c.token, c.cnt, t.total_tokens
+        FROM cnts c, tot t
+        WHERE c.cnt * {int(support_denom) + 1} > t.total_tokens"""
 
 
 def _text_repetition_oracle() -> str:
@@ -3373,6 +3410,7 @@ def oracle_sql() -> dict[str, str]:
         "collocations": _collocations_oracle(min_count=5, k=50),
         "source_quality_cap": _source_quality_cap_oracle(cap=25),
         "sketch_distinct_ngrams": _kmv_sketch_oracle(k=64, shingle_n=3),
+        "heavy_hitter_tokens": _heavy_hitter_oracle(support_denom=499),
         # multimodal: payload bytes == utf-8(text) (ASCII corpus), so byte
         # stats are codepoint stats and the mapInPandas path is checkable.
         "multimodal_features": """
