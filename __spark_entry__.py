@@ -770,6 +770,38 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention over the events log: ONE corpus-scale
+    exchange (groupBy(user) + collect_set(week), duplicates collapsed
+    map-side) instead of the distinct→first-week→self-join chain;
+    offset-0 rows are the cohort sizes (operators/behavior.py)."""
+    from flink_streaming_2_10_spark.operators.behavior import (
+        retention_cohorts,
+    )
+
+    return retention_cohorts(load_table(spark, sf_dir, "events"))
+
+
+def q_rolling_zscore_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type rolling z-score anomaly flags (|v − μ| > 3σ over the
+    preceding 100 events, self-excluded): the test is squared into pure
+    int64 terms on scaled units — no float mean/stddev — so flags are
+    deterministic and oracle-exact (operators/behavior.py)."""
+    from flink_streaming_2_10_spark.operators.behavior import (
+        rolling_zscore_flags,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.unix_micros("ts").alias("t_us"),
+        "value",
+    )
+    return rolling_zscore_flags(
+        ev, key_col="event_type", time_col="t_us", window=100, min_n=30
+    )
+
+
 def q_incremental_model_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IncrementalLearningSkeleton (pom.xml:179) as event-time scoring:
     one partial model per (event_type, 6 h training window) — exact
@@ -1444,6 +1476,8 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join_attribution": q_asof_join,
         "funnel_view_click_purchase": q_funnel,
         "sessionize_events": q_sessionize,
+        "retention_cohorts": q_retention_cohorts,
+        "rolling_zscore_anomalies": q_rolling_zscore_anomalies,
         "incremental_model_scoring": q_incremental_model_scoring,
         "interval_join_errors": q_interval_join,
         "topspeed_delta_trigger": q_topspeed,
@@ -3182,6 +3216,44 @@ def oracle_sql() -> dict[str, str]:
                    CAST(max(t) AS BIGINT) AS session_end_us,
                    CAST(max(t) - min(t) AS BIGINT) AS duration_us
             FROM lab GROUP BY user_id, session_idx
+        """,
+        # Mirror of operators/behavior.retention_cohorts: ISO-Monday week
+        # truncation to DATE, offset = datediff // 7 (exact multiple of 7).
+        "retention_cohorts": """
+            WITH uw AS (SELECT DISTINCT user_id AS u,
+                               CAST(date_trunc('week', CAST(ts AS TIMESTAMP))
+                                    AS DATE) AS wk
+                        FROM events),
+            c AS (SELECT u, min(wk) AS cw FROM uw GROUP BY u)
+            SELECT strftime(c.cw, '%Y-%m-%d') AS cohort_week,
+                   CAST(date_diff('day', c.cw, uw.wk) // 7 AS INT)
+                       AS week_offset,
+                   CAST(count(*) AS BIGINT) AS n_active
+            FROM uw JOIN c ON uw.u = c.u
+            GROUP BY cohort_week, week_offset
+        """,
+        # Mirror of operators/behavior.rolling_zscore_flags: the z-test is
+        # squared into int64 terms on cent units — (v·n − S)² > 9·(n·SS − S²)
+        # — so both engines evaluate the identical integer inequality.
+        "rolling_zscore_anomalies": """
+            WITH e AS (SELECT event_id, event_type,
+                              epoch_us(CAST(ts AS TIMESTAMP)) AS t_us,
+                              value,
+                              CAST(round(value*100) AS BIGINT) AS v
+                       FROM events),
+            w AS (SELECT event_id, event_type, t_us, value, v,
+                         count(v) OVER win AS n,
+                         COALESCE(sum(v) OVER win, 0) AS s,
+                         COALESCE(sum(v*v) OVER win, 0) AS ss
+                  FROM e
+                  WINDOW win AS (PARTITION BY event_type
+                                 ORDER BY t_us ASC, event_id ASC
+                                 ROWS BETWEEN 100 PRECEDING AND 1 PRECEDING))
+            SELECT event_id, event_type, CAST(t_us AS BIGINT) AS t_us, value,
+                   CAST(n AS INT) AS window_n,
+                   (n >= 30 AND (v*n - s)*(v*n - s) > 9*(n*ss - s*s))
+                       AS is_anomaly
+            FROM w
         """,
         "incremental_model_scoring": """
             WITH e AS (SELECT event_id, event_type,
