@@ -1132,6 +1132,15 @@ def q_sketch_distinct_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_script_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document Unicode-script composition (codepoint counts per
+    script bucket + remainder): zero-shuffle scan-local projection,
+    exact integers (pipeline/textstats.script_mix)."""
+    from flink_streaming_2_10_spark.pipeline.textstats import script_mix
+
+    return script_mix(load_table(spark, sf_dir, "documents"))
+
+
 def q_heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Misra–Gries two-phase heavy hitters: every token above 1/500 of
     the corpus token stream with EXACT counts — per-partition MG sketch
@@ -1506,6 +1515,7 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_language_id": q_text_language_id,
         "text_repetition": q_text_repetition,
         "text_despan": q_text_despan,
+        "text_script_mix": q_text_script_mix,
         "keyword_search": q_keyword_search,
         "top_ngrams": q_top_ngrams,
         "token_percentiles": q_token_percentiles,
@@ -1989,6 +1999,29 @@ def _kmv_sketch_oracle(k: int, shingle_n: int) -> str:
                {scale!r} / CAST({pooled} AS DOUBLE) - 1.0 AS est_distinct,
                {k} AS k
         FROM m"""
+
+
+def _script_mix_oracle() -> str:
+    """Mirror of pipeline/textstats.script_mix, generated from the same
+    SCRIPT_BUCKETS table (one source of truth for the codepoint
+    classes; RE2 spellings in column 3)."""
+    from flink_streaming_2_10_spark.pipeline.textstats import SCRIPT_BUCKETS
+
+    cols = ",\n               ".join(
+        f"CAST(len(regexp_extract_all(text, '{duck}')) AS BIGINT)"
+        f" AS n_{name}"
+        for name, _, duck in SCRIPT_BUCKETS
+    )
+    covered = " + ".join(
+        f"len(regexp_extract_all(text, '{duck}'))"
+        for _, _, duck in SCRIPT_BUCKETS
+    )
+    return f"""
+        SELECT doc_id,
+               CAST(length(text) AS BIGINT) AS n_chars,
+               {cols},
+               CAST(length(text) - ({covered}) AS BIGINT) AS n_other
+        FROM documents"""
 
 
 def _heavy_hitter_oracle(support_denom: int) -> str:
@@ -3483,6 +3516,7 @@ def oracle_sql() -> dict[str, str]:
         "source_quality_cap": _source_quality_cap_oracle(cap=25),
         "sketch_distinct_ngrams": _kmv_sketch_oracle(k=64, shingle_n=3),
         "heavy_hitter_tokens": _heavy_hitter_oracle(support_denom=499),
+        "text_script_mix": _script_mix_oracle(),
         # multimodal: payload bytes == utf-8(text) (ASCII corpus), so byte
         # stats are codepoint stats and the mapInPandas path is checkable.
         "multimodal_features": """

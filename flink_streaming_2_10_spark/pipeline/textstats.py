@@ -160,6 +160,54 @@ def language_id(
     )
 
 
+#: Unicode-script buckets as (name, spark_pattern, duckdb_pattern) —
+#: Spark side uses literal range endpoints (the CJK_PATTERN convention
+#: above: dodges double-escaping through the SQL parser), DuckDB side
+#: the equivalent RE2 ``\x{...}`` class. Whitespace is an EXPLICIT class
+#: because Java's ``\s`` includes U+000B while RE2's does not.
+SCRIPT_BUCKETS: list[tuple[str, str, str]] = [
+    ("latin", "[A-Za-z]", "[A-Za-z]"),
+    ("digit", "[0-9]", "[0-9]"),
+    ("cyrillic", "[Ѐ-ӿ]", r"[\x{0400}-\x{04ff}]"),
+    ("cjk", CJK_PATTERN_SPARK, CJK_PATTERN_DUCKDB),
+    ("arabic", "[؀-ۿ]", r"[\x{0600}-\x{06ff}]"),
+    ("space", "[ \\t\\n\\r\\f]", r"[ \t\n\r\f]"),
+]
+
+
+def script_mix(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document Unicode-script composition: ``(doc_id, n_chars,
+    n_latin, n_digit, n_cyrillic, n_cjk, n_arabic, n_space, n_other)``
+    — codepoint counts per script bucket, ``n_other`` the remainder.
+
+    The script dimension ``language_id`` lacks: a corpus-curation gate
+    needs "how much of this doc is CJK/Cyrillic/Arabic vs Latin" to
+    route docs to per-script tokenizers and to catch mixed-script spam
+    (e.g. Cyrillic homoglyph stuffing inside Latin text), independent of
+    the stopword heuristic. All counts are exact integers from anchored
+    codepoint classes (``SCRIPT_BUCKETS`` — identical semantics in Java
+    regex and RE2, whitespace spelled explicitly), so the output is
+    oracle-exact. Zero shuffle: one scan-local projection per doc,
+    whole-stage-codegen column expressions only.
+    """
+    cnt = {
+        name: F.regexp_count(F.col(text_col), F.lit(pat)).cast("long")
+        for name, pat, _ in SCRIPT_BUCKETS
+    }
+    n_chars = F.length(text_col).cast("long")
+    covered = None
+    for name, _, _ in SCRIPT_BUCKETS:
+        covered = cnt[name] if covered is None else covered + cnt[name]
+    return df.select(
+        F.col(id_col),
+        n_chars.alias("n_chars"),
+        *[cnt[name].alias(f"n_{name}") for name, _, _ in SCRIPT_BUCKETS],
+        (n_chars - covered).alias("n_other"),
+    )
+
+
 def doc_fingerprints(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

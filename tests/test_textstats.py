@@ -481,3 +481,73 @@ def test_corpus_summary_state_merges_exactly_to_one_shot(spark):
     # empty state is the identity; finalizing it gives the zero row
     assert merge_summary_states({}, states[0]) == states[0]
     assert finalize_summary({})["n_docs"] == 0
+
+
+def test_script_mix_multiscript_fixture(spark):
+    """Bucket correctness on actual non-ASCII text (the driver corpus is
+    ASCII-only, so THIS is where the codepoint classes are exercised):
+    counts are per-codepoint, buckets disjoint, remainder exact."""
+    from flink_streaming_2_10_spark.pipeline.textstats import script_mix
+
+    rows = [
+        (1, "Hello мир 世界 123"),          # latin5 cyr3 cjk2 digit3 space3
+        (2, "مرحبا"),                        # arabic 5
+        (3, "tab\there"),                    # whitespace class covers \t
+        (4, ""),                             # empty
+        (5, "№☂"),                           # neither bucket → other
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r.asDict() for r in script_mix(df).collect()}
+    assert got[1] == {
+        "doc_id": 1, "n_chars": 16, "n_latin": 5, "n_digit": 3,
+        "n_cyrillic": 3, "n_cjk": 2, "n_arabic": 0, "n_space": 3,
+        "n_other": 0,
+    }
+    assert got[2]["n_arabic"] == 5 and got[2]["n_other"] == 0
+    assert got[3]["n_space"] == 1 and got[3]["n_latin"] == 7
+    assert got[4]["n_chars"] == 0 and got[4]["n_other"] == 0
+    assert got[5] == {
+        "doc_id": 5, "n_chars": 2, "n_latin": 0, "n_digit": 0,
+        "n_cyrillic": 0, "n_cjk": 0, "n_arabic": 0, "n_space": 0,
+        "n_other": 2,
+    }
+
+
+def test_script_mix_duckdb_parity_on_nonascii(spark):
+    """Java-regex vs RE2 parity for the non-ASCII classes themselves —
+    run the ORACLE SQL over the same multiscript rows via a temp duckdb
+    relation and compare full row sets."""
+    import duckdb
+    import pandas as pd
+
+    import __spark_entry__ as entrymod
+    from flink_streaming_2_10_spark.pipeline.textstats import script_mix
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": ["Ѐӿ؀ۿ一鿿 edges", "mixed мир world 42", "\t\n\r\f "],
+        }
+    )
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    oracle = con.sql(entrymod.oracle_sql()["text_script_mix"]).df()
+    spark_out = script_mix(
+        spark.createDataFrame(pdf, ["doc_id", "text"])
+    ).toPandas()
+    a = spark_out.sort_values("doc_id").reset_index(drop=True)
+    b = oracle[a.columns].sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+def test_script_mix_plan_zero_shuffle(spark):
+    from flink_streaming_2_10_spark.pipeline.textstats import script_mix
+    import contextlib, io
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        script_mix(docs).explain("formatted")
+    plan = buf.getvalue()
+    assert "Exchange" not in plan
+    assert "codegen id" in plan  # whole-stage-codegen project
