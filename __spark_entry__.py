@@ -1132,6 +1132,21 @@ def q_sketch_distinct_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank keyword extraction: exact-integer weighted PageRank
+    (5 fixed rounds on iterate()) over the adjacent-token co-occurrence
+    graph; corpus scanned once, iteration runs vocabulary-sized
+    (pipeline/textstats.textrank_keywords + pipeline/graph.
+    pagerank_fixed)."""
+    from flink_streaming_2_10_spark.pipeline.textstats import (
+        textrank_keywords,
+    )
+
+    return textrank_keywords(
+        load_table(spark, sf_dir, "documents"), iters=5, k=50
+    )
+
+
 def q_text_script_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document Unicode-script composition (codepoint counts per
     script bucket + remainder): zero-shuffle scan-local projection,
@@ -1516,6 +1531,7 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_repetition": q_text_repetition,
         "text_despan": q_text_despan,
         "text_script_mix": q_text_script_mix,
+        "textrank_keywords": q_textrank_keywords,
         "keyword_search": q_keyword_search,
         "top_ngrams": q_top_ngrams,
         "token_percentiles": q_token_percentiles,
@@ -1999,6 +2015,63 @@ def _kmv_sketch_oracle(k: int, shingle_n: int) -> str:
                {scale!r} / CAST({pooled} AS DOUBLE) - 1.0 AS est_distinct,
                {k} AS k
         FROM m"""
+
+
+def _textrank_oracle(
+    iters: int = 5,
+    k: int = 50,
+    min_edge_count: int = 2,
+    r0: int = 1_000_000,
+    num: int = 85,
+    den: int = 100,
+) -> str:
+    """Mirror of pipeline/textstats.textrank_keywords: the SAME
+    fixed-round integer PageRank, with each round unrolled as a pair of
+    CTEs (contribution agg + base re-join). Every operation is int64
+    with independent per-edge floor division, so the ranks — and the
+    (rank DESC, token ASC) top-k cut — are bit-identical."""
+    base = ((den - num) * r0) // den
+    rounds = []
+    for t in range(1, iters + 1):
+        rounds.append(
+            f"""
+        c{t} AS (SELECT e.dst AS node,
+                        sum(({num} * r.rank * e.w) // ({den} * e.wd)) AS s
+                 FROM ew e JOIN r{t - 1} r ON e.src = r.node
+                 GROUP BY e.dst),
+        r{t} AS (SELECT n.node,
+                        CAST({base} + COALESCE(c.s, 0) AS BIGINT) AS rank
+                 FROM nodes n LEFT JOIN c{t} c USING (node))"""
+        )
+    return f"""
+        WITH w AS (SELECT list_filter(regexp_split_to_array(lower(text),
+                                                            '\\W+'),
+                                      x -> length(x) > 0) AS words
+                   FROM documents),
+        bi AS (SELECT unnest(CASE WHEN len(words) >= 2
+                   THEN list_transform(range(1, len(words)),
+                        i -> struct_pack(w1 := words[i], w2 := words[i+1]))
+                   ELSE [] END) AS b
+               FROM w),
+        bp AS (SELECT b.w1 AS w1, b.w2 AS w2 FROM bi WHERE b.w1 <> b.w2),
+        edges AS (SELECT src, dst, CAST(count(*) AS BIGINT) AS w
+                  FROM (SELECT w1 AS src, w2 AS dst FROM bp
+                        UNION ALL
+                        SELECT w2 AS src, w1 AS dst FROM bp)
+                  GROUP BY src, dst
+                  HAVING count(*) >= {int(min_edge_count)}),
+        wdeg AS (SELECT src, sum(w) AS wd FROM edges GROUP BY src),
+        ew AS (SELECT e.src, e.dst, e.w, d.wd
+               FROM edges e JOIN wdeg d USING (src)),
+        nodes AS (SELECT src AS node FROM edges
+                  UNION
+                  SELECT dst AS node FROM edges),
+        r0 AS (SELECT node, CAST({int(r0)} AS BIGINT) AS rank FROM nodes),
+        {",".join(rounds)}
+        SELECT node AS token, rank
+        FROM r{iters}
+        ORDER BY rank DESC, token ASC
+        LIMIT {int(k)}"""
 
 
 def _script_mix_oracle() -> str:
@@ -3517,6 +3590,7 @@ def oracle_sql() -> dict[str, str]:
         "sketch_distinct_ngrams": _kmv_sketch_oracle(k=64, shingle_n=3),
         "heavy_hitter_tokens": _heavy_hitter_oracle(support_denom=499),
         "text_script_mix": _script_mix_oracle(),
+        "textrank_keywords": _textrank_oracle(iters=5, k=50),
         # multimodal: payload bytes == utf-8(text) (ASCII corpus), so byte
         # stats are codepoint stats and the mapInPandas path is checkable.
         "multimodal_features": """

@@ -180,3 +180,89 @@ def shortest_path_hops(
         resume_dir=resume_dir,
     )
     return out.select("node", "hops")
+
+
+def pagerank_fixed(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    weight_col: str = "w",
+    iters: int = 5,
+    damping_num: int = 85,
+    damping_den: int = 100,
+    r0: int = 1_000_000,
+    checkpoint: str = "local",
+) -> DataFrame:
+    """``(node, rank)`` — weighted PageRank after EXACTLY ``iters``
+    rounds (Flink's fixed-iteration shape, ``iterate(metric=None)``),
+    in pure int64 arithmetic so the result is bit-reproducible by any
+    engine that can floor-divide:
+
+        rank₀(v)    = r0
+        rankₜ₊₁(v) = base + Σ_{(u,v,w)} (num · rankₜ(u) · w) div (den · wdeg(u))
+
+    with ``base = ((den − num) · r0) div den`` and ``wdeg(u) = Σ_out w``.
+    Every edge contribution floors INDEPENDENTLY, so the sum is
+    order-insensitive (associative integer addition) — unlike float
+    PageRank, whose partial-sum order differs per engine and per run.
+    The floor loses < 1 unit per in-edge per round: with ``r0 = 10⁶``
+    units that is a ≤ deg·10⁻⁶ relative nick, far below any ranking
+    decision, and both engines lose the IDENTICAL nick.
+
+    Node set = sources ∪ destinations of ``edges``. Dangling nodes
+    (no outgoing edges) contribute nothing (their mass evaporates —
+    acceptable for the symmetric graphs this engine feeds in; a
+    redistribution term would need a global scalar per round).
+
+    Magnitude bound: the per-edge product ``num · rank · w`` must stay
+    under 2⁶³ — rank is bounded by ~N·r0 in the worst case (one node
+    absorbing all mass), so with r0=10⁶ the int64 budget holds to
+    ~10¹⁰·w-weighted nodes; past that, scale ``r0`` down or move the
+    product to DecimalType(38,0). The tested scales sit orders of
+    magnitude inside the bound.
+
+    Scale shape: ``wdeg`` is computed once and joined into the edge
+    list ONCE (persisted via ``tracked_persist``); each round is one
+    ids-only join (ranks ⋈ edges on src) + one hash agg on dst +
+    lineage truncation — O(E) shuffle of 8-byte ids and longs per
+    round, document bodies never enter the loop.
+    """
+    if iters < 0:
+        raise ValueError("iters must be >= 0")
+    if not (0 < damping_num < damping_den):
+        raise ValueError("need 0 < damping_num < damping_den")
+    from flink_streaming_2_10_spark.pipeline.caching import tracked_persist
+
+    e = edges.select(
+        F.col(src_col).alias("src"),
+        F.col(dst_col).alias("dst"),
+        F.col(weight_col).cast("long").alias("w"),
+    )
+    wdeg = e.groupBy("src").agg(F.sum("w").alias("wd"))
+    ew = tracked_persist(e.join(wdeg, "src"))
+    nodes = tracked_persist(
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    base = ((damping_den - damping_num) * int(r0)) // damping_den
+    ranks0 = nodes.select("node", F.lit(int(r0)).cast("long").alias("rank"))
+
+    def _step(ranks: DataFrame, _round_no: int) -> DataFrame:
+        contribs = ew.join(
+            ranks, ew["src"] == ranks["node"]
+        ).select(
+            F.col("dst").alias("node"),
+            F.expr(
+                f"({damping_num}L * rank * w) div ({damping_den}L * wd)"
+            ).alias("c"),
+        )
+        summed = contribs.groupBy("node").agg(F.sum("c").alias("__in"))
+        return nodes.join(summed, "node", "left").select(
+            "node",
+            (F.lit(base) + F.coalesce(F.col("__in"), F.lit(0)))
+            .cast("long")
+            .alias("rank"),
+        )
+
+    return iterate(ranks0, _step, max_rounds=int(iters), checkpoint=checkpoint)

@@ -492,6 +492,65 @@ def collocations(
     )
 
 
+def textrank_keywords(
+    df: DataFrame,
+    text_col: str = "text",
+    iters: int = 5,
+    k: int = 50,
+    min_edge_count: int = 2,
+) -> DataFrame:
+    """TextRank keyword extraction (Mihalcea & Tarau 2004): ``(token,
+    rank)`` — the top-``k`` tokens by exact-integer PageRank over the
+    corpus-level token co-occurrence graph.
+
+    Graph: adjacent-token pairs (window 2 on the shared lowercase
+    ``\\W+`` tokenizer), undirected via both directed rows, self-loops
+    dropped (``u = v`` would let a stuttered token pump its own rank),
+    edges below ``min_edge_count`` corpus occurrences pruned (noise +
+    the dominant edge-count term at scale). Ranking runs EXACTLY
+    ``iters`` rounds of :func:`pipeline.graph.pagerank_fixed` — every
+    arithmetic step is int64 with independent per-edge floors, so the
+    final ranks (and therefore the top-k cut, tie-broken rank DESC then
+    token ASC) are bit-reproducible in DuckDB by unrolling the same
+    ``iters`` rounds as CTEs.
+
+    Scale shape: bigram counting is the collocation machinery's explode
+    → hash agg (shuffle carries word pairs once); the iteration then
+    runs on the VOCABULARY-sized graph — at 100 TB the corpus scan
+    happens once and five rounds of ids-only joins run on a table
+    millions of times smaller; final cut is TakeOrderedAndProject.
+    """
+    from flink_streaming_2_10_spark.pipeline.dedup import _words_sql
+    from flink_streaming_2_10_spark.pipeline.graph import pagerank_fixed
+
+    ws = df.select(F.expr(_words_sql(text_col)).alias("__ws"))
+    big = (
+        "CASE WHEN size(__ws) >= 2 THEN transform(sequence(0, size(__ws) - 2), "
+        "i -> struct(__ws[i] AS w1, __ws[i+1] AS w2)) "
+        "ELSE cast(array() as array<struct<w1:string,w2:string>>) END"
+    )
+    bi = (
+        ws.select(F.explode(F.expr(big)).alias("b"))
+        .select("b.w1", "b.w2")
+        .filter(F.col("w1") != F.col("w2"))
+    )
+    edges = (
+        bi.select(F.col("w1").alias("src"), F.col("w2").alias("dst"))
+        .unionByName(
+            bi.select(F.col("w2").alias("src"), F.col("w1").alias("dst"))
+        )
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") >= F.lit(int(min_edge_count)))
+    )
+    ranks = pagerank_fixed(edges, iters=iters)
+    return (
+        ranks.select(F.col("node").alias("token"), "rank")
+        .orderBy(F.col("rank").desc(), F.col("token").asc())
+        .limit(int(k))
+    )
+
+
 def despan_repeated(
     df: DataFrame,
     id_col: str = "doc_id",
