@@ -39,6 +39,18 @@ The token stream is tokenized once and persisted across the two passes
 100 TB one would drop the persist and re-scan — the sketch's point is
 that BOTH passes stay shuffle-light, not that the scan count is one.
 
+When to use it (measured — SCALE_r09.md vocabulary sweep,
+tools/scale_probe_hh.py): at vocabularies the JVM agg hash map holds
+comfortably (≤ millions of entries), a plain exact
+``groupBy(token).count()`` + threshold filter is ~3× FASTER — the
+sketch pays the Arrow transfer of the whole token stream into Python
+while a small partial-agg map costs the JVM nothing, and both are flat
+in vocabulary. The MG path is for when the VOCABULARY is the problem
+(raw web-crawl tokens: billions of distinct typos/ids/urls): it bounds
+per-executor aggregation state at ``cap`` entries and the exchange at
+``cap`` rows per partition, where the exact plan's exchange carries
+the full vocabulary and its hash maps spill.
+
 Like pipeline/sketches.py's KMV state, MG summaries are MERGEABLE
 (sum counts, re-trim to cap): ``merge_mg_summaries`` gives the
 incremental/streaming face, with errors adding across merges
