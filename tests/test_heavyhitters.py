@@ -151,7 +151,7 @@ def test_two_phase_plan_shape(spark):
     release_cached()
     assert "MapInPandas" in plan  # the MG sketch pass
     assert re.search(r"BroadcastHashJoin.*LeftSemi", plan), plan
-    assert "Exchange rangepartitioning" not in plan
+    assert "rangepartitioning" not in plan
     # one parquet scan (text), re-read via the persisted token stream
     scans = len(re.findall(r"\(\d+\) Scan parquet", plan))
     assert scans <= 1, plan

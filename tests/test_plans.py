@@ -67,6 +67,12 @@ def test_training_shard_scan_is_column_pruned(spark):
 def test_topk_queries_avoid_global_sort(spark):
     import __spark_entry__ as entrymod
 
+    # allowed single-partition exchanges: collocations aggregates its
+    # two 1-row corpus totals (broadcast back) — unrelated to the cut.
+    # NOTE formatted-mode explains put the partitioning on an
+    # "Arguments:" line, not next to the node name — match THAT form,
+    # or the pin is vacuous (r9 fix; several pins below had this bug).
+    allowed_single = {"collocations": 2}
     for name in (
         "similarity_cosine_topk",
         "similarity_quantized_topk",
@@ -76,11 +82,12 @@ def test_topk_queries_avoid_global_sort(spark):
         plan = _plan(entrymod.queries()[name](spark, SF_SMALL))
         assert "TakeOrderedAndProject" in plan, name
         # the cut must not fall back to sort-the-world + limit: no global
-        # range-partitioned sort, no single-partition exchange, no
-        # GlobalLimit node anywhere in the plan
+        # range-partitioned sort, no GlobalLimit node, and no
+        # single-partition exchange beyond the documented totals aggs
         assert "GlobalLimit" not in plan, name
-        assert "Exchange rangepartitioning" not in plan, name
-        assert "Exchange SinglePartition" not in plan, name
+        assert "rangepartitioning" not in plan, name
+        n_single = plan.count("Arguments: SinglePartition")
+        assert n_single <= allowed_single.get(name, 0), (name, n_single)
 
 
 def test_tpch_q4_is_semi_join_with_pushed_quarter(spark):
@@ -177,7 +184,7 @@ def test_exact_dedup_single_shuffle_on_fingerprint(spark):
     import __spark_entry__ as entrymod
 
     plan = _plan(entrymod.queries()["dedup_exact"](spark, SF_SMALL))
-    n_exchanges = plan.count("Exchange hashpartitioning")
+    n_exchanges = plan.count("Arguments: hashpartitioning")
     assert n_exchanges <= 1, plan
 
 
@@ -221,7 +228,8 @@ def test_tpch_q14_fact_never_shuffles(spark):
     assert li_scans, plan
     pushed = li_scans[0].split("PushedFilters:")[1].split("\n")[0]
     assert "l_shipdate" in pushed, pushed
-    assert "Exchange hashpartitioning" not in plan, plan
+    # only exchange allowed: the single-partition final-ratio agg
+    assert "Arguments: hashpartitioning" not in plan, plan
 
 
 def test_tpch_q18_topk_and_broadcast_qualifying_set(spark):
@@ -234,7 +242,7 @@ def test_tpch_q18_topk_and_broadcast_qualifying_set(spark):
     assert plan.count("BroadcastHashJoin") >= 2, plan
     assert "TakeOrderedAndProject" in plan, plan
     assert "GlobalLimit" not in plan, plan
-    assert "Exchange rangepartitioning" not in plan, plan
+    assert "rangepartitioning" not in plan, plan
 
 
 def test_tpch_q10_pushdown_and_topk(spark):
@@ -337,7 +345,7 @@ def test_tpch_q17_brand_filter_prunes_fact_before_shuffle(spark):
     # hash exchanges exist only above aggregates over the broadcast-
     # filtered fact, never repartitioning raw lineitem: every Exchange
     # is hashpartitioning on a partkey or a 1-row single partition.
-    for m in re.finditer(r"Exchange hashpartitioning\(([^,]+),", plan):
+    for m in re.finditer(r"Arguments: hashpartitioning\(([^,]+),", plan):
         assert "partkey" in m.group(1), plan
 
 
@@ -356,7 +364,7 @@ def test_tpch_q21_single_fact_shuffle_replaces_double_self_join(spark):
     assert "TakeOrderedAndProject" in plan, plan
     scans = [s for s in _scan_sections(plan) if "l_suppkey" in s]
     assert len(scans) == 1, plan  # one lineitem scan, no self-join rescan
-    for m in re.finditer(r"Exchange hashpartitioning\(([^,)]+)", plan):
+    for m in re.finditer(r"Arguments: hashpartitioning\(([^,)]+)", plan):
         assert "orderkey" in m.group(1) or "s_name" in m.group(1), plan
 
 
@@ -372,7 +380,7 @@ def test_tpch_q8_dims_broadcast_fact_coshuffles_once(spark):
     plan = _plan(entrymod.queries()["tpch_q8_market_share"](spark, SF_SMALL))
     assert len(re.findall(r"BroadcastHashJoin", plan)) >= 3, plan
     assert "Sort " not in plan.split("TakeOrdered")[0] or True
-    for m in re.finditer(r"Exchange hashpartitioning\(([^,)]+)", plan):
+    for m in re.finditer(r"Arguments: hashpartitioning\(([^,)]+)", plan):
         key = m.group(1)
         assert "orderkey" in key or "custkey" in key or "o_year" in key, plan
     li = [s for s in _scan_sections(plan) if "l_partkey" in s]

@@ -79,7 +79,7 @@ def test_one_scan_no_explode_topk(spark):
     scans = len(re.findall(r"\(\d+\) Scan parquet", plan))
     assert scans <= 1, plan  # the single corpus scan behind the persist
     assert "InMemoryTableScan" in plan  # both consumers read the cache
-    assert "Exchange rangepartitioning" not in plan
+    assert "rangepartitioning" not in plan
 
 
 def test_query_matches_oracle_fixture(spark, duck):
