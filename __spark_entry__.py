@@ -802,6 +802,18 @@ def q_rolling_zscore_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_event_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily event-type pivot matrix: one hash agg with per-type
+    conditional-count partials over an explicit type list (schema
+    stays data-independent; undeclared types reconcile through
+    n_other) — operators/behavior.event_type_pivot."""
+    from flink_streaming_2_10_spark.operators.behavior import (
+        event_type_pivot,
+    )
+
+    return event_type_pivot(load_table(spark, sf_dir, "events"))
+
+
 def q_incremental_model_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IncrementalLearningSkeleton (pom.xml:179) as event-time scoring:
     one partial model per (event_type, 6 h training window) — exact
@@ -1502,6 +1514,7 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize_events": q_sessionize,
         "retention_cohorts": q_retention_cohorts,
         "rolling_zscore_anomalies": q_rolling_zscore_anomalies,
+        "event_type_pivot": q_event_type_pivot,
         "incremental_model_scoring": q_incremental_model_scoring,
         "interval_join_errors": q_interval_join,
         "topspeed_delta_trigger": q_topspeed,
@@ -3337,6 +3350,31 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_active
             FROM uw JOIN c ON uw.u = c.u
             GROUP BY cohort_week, week_offset
+        """,
+        # Mirror of operators/behavior.event_type_pivot: conditional
+        # counts over the same explicit type list; day as yyyy-MM-dd.
+        "event_type_pivot": """
+            WITH e AS (SELECT strftime(date_trunc('day',
+                                       CAST(ts AS TIMESTAMP)), '%Y-%m-%d')
+                                  AS day,
+                              event_type
+                       FROM events)
+            SELECT day,
+                   CAST(count(*) FILTER (event_type = 'view') AS BIGINT)
+                       AS n_view,
+                   CAST(count(*) FILTER (event_type = 'click') AS BIGINT)
+                       AS n_click,
+                   CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT)
+                       AS n_purchase,
+                   CAST(count(*) FILTER (event_type = 'error') AS BIGINT)
+                       AS n_error,
+                   CAST(count(*) FILTER (event_type = 'signup') AS BIGINT)
+                       AS n_signup,
+                   CAST(count(*) FILTER (event_type NOT IN
+                        ('view','click','purchase','error','signup'))
+                        AS BIGINT) AS n_other,
+                   CAST(count(*) AS BIGINT) AS n_total
+            FROM e GROUP BY day
         """,
         # Mirror of operators/behavior.rolling_zscore_flags: the z-test is
         # squared into int64 terms on cent units — (v·n − S)² > 9·(n·SS − S²)

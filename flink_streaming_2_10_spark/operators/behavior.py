@@ -151,3 +151,46 @@ def rolling_zscore_flags(
             & (lhs * lhs > F.lit(int(z_thresh) ** 2) * rhs)
         ).alias("is_anomaly"),
     )
+
+
+def event_type_pivot(
+    events: DataFrame,
+    time_col: str = "ts",
+    type_col: str = "event_type",
+    types: tuple[str, ...] = ("view", "click", "purchase", "error", "signup"),
+) -> DataFrame:
+    """Daily event-type matrix via PIVOT: ``(day, n_<type>..., n_other,
+    n_total)`` — one row per day, one exact count column per declared
+    event type (the wide dashboard face of the events log; the
+    long/narrow face is ``hypertable_rollup``).
+
+    ``types`` is EXPLICIT on purpose: ``pivot(col)`` without a value
+    list runs a distinct-scan job to discover columns, making the
+    output schema data-dependent — a schema that changes when a new
+    event type appears breaks downstream consumers and the oracle
+    contract. Undeclared types land in ``n_other`` so totals still
+    reconcile (``n_total`` = declared + other, asserted in tests).
+
+    Scale shape: pivot-with-values plans as ONE hash aggregation with
+    |types|+2 conditional-count partials — map-side combined, one
+    exchange on the day key, no per-type scan, no distinct discovery
+    job. Day truncation to a ``yyyy-MM-dd`` string (the engine's
+    DATE-representation-safe convention, same as retention_cohorts).
+    """
+    day = F.date_format(
+        F.date_trunc("day", F.col(time_col)), "yyyy-MM-dd"
+    ).alias("day")
+    t = F.col(type_col)
+    aggs = [
+        F.sum(F.when(t == F.lit(ty), 1).otherwise(0))
+        .cast("long")
+        .alias(f"n_{ty}")
+        for ty in types
+    ]
+    aggs.append(
+        F.sum(F.when(t.isin(*types), 0).otherwise(1))
+        .cast("long")
+        .alias("n_other")
+    )
+    aggs.append(F.count(F.lit(1)).cast("long").alias("n_total"))
+    return events.select(day, t).groupBy("day").agg(*aggs)

@@ -176,3 +176,60 @@ def test_queries_match_oracles(spark, duck):
             duck,
             entrymod.oracle_sql()[key],
         )
+
+
+def test_event_pivot_hand_computed_and_reconciles(spark):
+    import datetime as dt
+
+    from flink_streaming_2_10_spark.operators.behavior import event_type_pivot
+
+    rows = [
+        (1, dt.datetime(2024, 1, 1, 3), "view"),
+        (2, dt.datetime(2024, 1, 1, 9), "view"),
+        (3, dt.datetime(2024, 1, 1, 23, 59), "click"),
+        (4, dt.datetime(2024, 1, 2, 0, 0), "purchase"),
+        (5, dt.datetime(2024, 1, 2, 1), "mystery"),  # undeclared type
+    ]
+    df = spark.createDataFrame(rows, ["event_id", "ts", "event_type"])
+    got = {r["day"]: r.asDict() for r in event_type_pivot(df).collect()}
+    d1, d2 = got["2024-01-01"], got["2024-01-02"]
+    assert (d1["n_view"], d1["n_click"], d1["n_other"], d1["n_total"]) == (2, 1, 0, 3)
+    assert (d2["n_purchase"], d2["n_other"], d2["n_total"]) == (1, 1, 2)
+    # totals reconcile: declared + other == total, every row
+    for r in got.values():
+        declared = sum(
+            v for k, v in r.items() if k.startswith("n_") and k not in ("n_other", "n_total")
+        )
+        assert declared + r["n_other"] == r["n_total"], r
+
+
+def test_event_pivot_single_exchange_no_discovery_job(spark):
+    """Explicit type list → ONE hash agg on day, no distinct-discovery
+    scan: exactly one exchange, one parquet-less fixture scan."""
+    import contextlib
+    import datetime as dt
+    import io
+    import re
+
+    from flink_streaming_2_10_spark.operators.behavior import event_type_pivot
+
+    df = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1), "view")], ["event_id", "ts", "event_type"]
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        event_type_pivot(df).explain("formatted")
+    plan = buf.getvalue()
+    assert len(re.findall(r"Arguments: hashpartitioning", plan)) == 1, plan
+    assert "rangepartitioning" not in plan
+
+
+def test_event_pivot_matches_oracle(spark, duck):
+    import __spark_entry__ as entrymod
+    from tests.conftest import SF_SMALL, assert_df_matches_oracle
+
+    assert_df_matches_oracle(
+        entrymod.queries()["event_type_pivot"](spark, SF_SMALL),
+        duck,
+        entrymod.oracle_sql()["event_type_pivot"],
+    )
