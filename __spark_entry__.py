@@ -1470,6 +1470,33 @@ def _evidence_last_seen(here: str) -> tuple[tuple[str, int], ...]:
     return tuple(last_seen.items())
 
 
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-5 distinctive terms by tf·(N/df): one corpus
+    tokenize scan into postings, tf/df hash aggs with map-side
+    partials, 1-row broadcast N, WindowGroupLimit per-doc top-k cut —
+    exact-long operands, one IEEE division per score
+    (pipeline/tfidf.py)."""
+    from flink_streaming_2_10_spark.pipeline.tfidf import tfidf_top_terms
+
+    return tfidf_top_terms(load_table(spark, sf_dir, "documents"), k=5)
+
+
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer merge training, 8 merges: ONE corpus-scale
+    word-count aggregation, then every round runs over the
+    vocabulary-sized symbol table (greedy-left merge application as
+    pure window algebra — islands parity, see pipeline/bpe.py); the
+    oracle unrolls the same rounds as CTE blocks, pagerank-style."""
+    from flink_streaming_2_10_spark.pipeline.bpe import (
+        train_bpe_merges,
+        word_counts,
+    )
+
+    return train_bpe_merges(
+        word_counts(load_table(spark, sf_dir, "documents")), n_merges=8
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Query registry, self-rotated under the driver's 50-row
     correctness cap: implementation-changed-since-last-driver-green keys
@@ -1556,6 +1583,8 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shard_manifest": q_shard_manifest,
         "sketch_distinct_ngrams": q_sketch_distinct_ngrams,
         "heavy_hitter_tokens": q_heavy_hitter_tokens,
+        "tfidf_top_terms": q_tfidf_top_terms,
+        "bpe_merges": q_bpe_merges,
         "stratified_sample": q_stratified_sample,
         "holdout_split": q_holdout_split,
         "priority_sample": q_priority_sample,
@@ -3177,6 +3206,106 @@ def _topspeed_oracle(
             ORDER BY n.speed DESC, n.pos ASC) = 1"""
 
 
+def _tfidf_oracle(k: int = 5) -> str:
+    """Mirror of pipeline/tfidf.tfidf_top_terms: postings → tf/df hash
+    aggs → tf·N/df (exact-long multiply, ONE double division) →
+    per-doc row_number cut with the identical (score DESC, token ASC)
+    tie-break. row_number cast to INT (Spark's rank type, the
+    source_quality_cap convention)."""
+    return f"""
+        WITH w AS (SELECT doc_id,
+                          list_filter(regexp_split_to_array(lower(text),
+                                                            '\\W+'),
+                                      x -> length(x) > 0) AS words
+                   FROM documents),
+        tok AS (SELECT doc_id, unnest(words) AS token FROM w),
+        tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+               FROM tok GROUP BY doc_id, token),
+        dfr AS (SELECT token,
+                       CAST(count(*) AS BIGINT) AS n_docs_with_term
+                FROM tf GROUP BY token),
+        nd AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+        sc AS (SELECT tf.doc_id, tf.token, tf.tf, d.n_docs_with_term,
+                      CAST(tf.tf * nd.n AS DOUBLE)
+                        / CAST(d.n_docs_with_term AS DOUBLE) AS score
+               FROM tf JOIN dfr d USING (token) CROSS JOIN nd)
+        SELECT doc_id, CAST(rnk AS INT) AS rnk, token, tf,
+               n_docs_with_term, score
+        FROM (SELECT *, row_number() OVER (
+                  PARTITION BY doc_id
+                  ORDER BY score DESC, token ASC) AS rnk
+              FROM sc)
+        WHERE rnk <= {int(k)}"""
+
+
+def _bpe_oracle(n_merges: int = 8) -> str:
+    """Mirror of pipeline/bpe.train_bpe_merges: each merge round
+    unrolled as a CTE block (the ``_textrank_oracle`` pattern) — pair
+    lead/count, deterministic argmax, then the SAME gaps-and-islands
+    greedy-left application (match → running-sum island id → parity
+    keep → lag consumed → re-rank)."""
+    rounds = []
+    for t in range(1, n_merges + 1):
+        rounds.append(
+            f"""
+        p{t} AS (SELECT word, cnt, pos, sym,
+                        lead(sym) OVER (PARTITION BY word
+                                        ORDER BY pos) AS nxt
+                 FROM s{t - 1}),
+        pc{t} AS (SELECT sym AS l, nxt AS r,
+                         CAST(sum(cnt) AS BIGINT) AS c
+                  FROM p{t} WHERE nxt IS NOT NULL GROUP BY sym, nxt),
+        b{t} AS (SELECT l, r, c FROM pc{t}
+                 ORDER BY c DESC, l ASC, r ASC LIMIT 1),
+        m{t} AS (SELECT p.word, p.cnt, p.pos, p.sym, b.l, b.r,
+                        COALESCE(p.sym = b.l AND p.nxt = b.r,
+                                 FALSE) AS mt
+                 FROM p{t} p CROSS JOIN b{t} b),
+        m2{t} AS (SELECT *,
+                         CASE WHEN mt THEN pos
+                              - sum(CASE WHEN mt THEN 1 ELSE 0 END)
+                                OVER (PARTITION BY word ORDER BY pos
+                                      ROWS UNBOUNDED PRECEDING)
+                         END AS isl
+                  FROM m{t}),
+        m3{t} AS (SELECT *,
+                         mt AND ((pos - min(pos) OVER (
+                             PARTITION BY word, isl)) % 2 = 0) AS keep
+                  FROM m2{t}),
+        m4{t} AS (SELECT *,
+                         COALESCE(lag(keep) OVER (PARTITION BY word
+                                                  ORDER BY pos),
+                                  FALSE) AS consumed
+                  FROM m3{t}),
+        s{t} AS (SELECT word, cnt,
+                        CAST(row_number() OVER (PARTITION BY word
+                                                ORDER BY pos)
+                             AS BIGINT) AS pos,
+                        CASE WHEN keep THEN l || r ELSE sym END AS sym
+                 FROM m4{t} WHERE keep OR NOT consumed)"""
+        )
+    union = "\n        UNION ALL ".join(
+        f"SELECT CAST({t} AS BIGINT) AS merge_rank, l AS left_sym, "
+        f"r AS right_sym, c AS pair_count FROM b{t}"
+        for t in range(1, n_merges + 1)
+    )
+    return f"""
+        WITH w AS (SELECT list_filter(regexp_split_to_array(lower(text),
+                                                            '\\W+'),
+                                      x -> length(x) > 0) AS words
+                   FROM documents),
+        wc AS (SELECT word, CAST(count(*) AS BIGINT) AS cnt
+               FROM (SELECT unnest(words) AS word FROM w)
+               GROUP BY word),
+        s0 AS (SELECT word, cnt, CAST(pos AS BIGINT) AS pos,
+                      substring(word, pos, 1) AS sym
+               FROM (SELECT word, cnt,
+                            unnest(range(1, length(word) + 1)) AS pos
+                     FROM wc)),
+        {",".join(rounds)}
+        {union}"""
+
+
 def oracle_sql() -> dict[str, str]:
     money_sum = "CAST(sum(CAST(round({col}*100) AS BIGINT)) AS BIGINT)"
     ev_value_sum = money_sum.format(col="value")
@@ -3627,6 +3756,8 @@ def oracle_sql() -> dict[str, str]:
         "source_quality_cap": _source_quality_cap_oracle(cap=25),
         "sketch_distinct_ngrams": _kmv_sketch_oracle(k=64, shingle_n=3),
         "heavy_hitter_tokens": _heavy_hitter_oracle(support_denom=499),
+        "tfidf_top_terms": _tfidf_oracle(k=5),
+        "bpe_merges": _bpe_oracle(n_merges=8),
         "text_script_mix": _script_mix_oracle(),
         "textrank_keywords": _textrank_oracle(iters=5, k=50),
         # multimodal: payload bytes == utf-8(text) (ASCII corpus), so byte
