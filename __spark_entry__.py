@@ -1273,16 +1273,20 @@ def _staleness_rotated(base: dict, evidence_dir: str | None = None) -> dict:
     verdict's rotation fix — staleness alone deferred exactly the
     queries whose implementations round 8 had just modified):
 
-    1. **implementation-changed-since-last-driver-green first** — the
-       query's current source fingerprint (hash of its implementing
-       package modules + entry-local helpers, see
+    1. **needs-first-or-re-verification first** — the query either has
+       NEVER appeared in any ``CORRECTNESS_r*.json`` (zero driver
+       evidence — the r9 verdict's rotation fix: such keys used to sort
+       *below* changed keys and could be crowded out of the 50-row
+       window indefinitely), or its current source fingerprint (hash of
+       its implementing package modules + entry-local helpers, see
        ``_query_fingerprint``) differs from the one recorded in
        ``QUERY_FINGERPRINTS.json``, which ``tools/update_fingerprints.
        py`` refreshes only for keys inside the driver window, so a
        deferred-and-edited key stays flagged until a driver run
        actually re-verifies the new code;
     2. **staleness** — which round each key last appeared in
-       (``CORRECTNESS_r*.json``), never-recorded keys first;
+       (``CORRECTNESS_r*.json``), never-recorded keys first (they carry
+       last_seen = -1, so within tier 0 they precede every changed key);
     3. canonical (registry) order as the tie-break.
 
     Any read failure degrades to the canonical order; a missing
@@ -1302,7 +1306,12 @@ def _staleness_rotated(base: dict, evidence_dir: str | None = None) -> dict:
 
     def sort_key(k: str):
         changed = 1
-        if stored:
+        if k not in last_seen:
+            # Never driver-verified: zero evidence outranks stale-but-
+            # once-green evidence, so compete in the changed tier (and
+            # win it via last_seen = -1).
+            changed = 0
+        elif stored:
             rec = stored.get(k)
             cur = _query_fingerprint(k) if rec is not None else None
             if rec is not None and cur is not None and cur != rec:

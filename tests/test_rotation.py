@@ -1,8 +1,8 @@
 """Change-aware registry rotation (__spark_entry__._staleness_rotated):
-implementation-changed-since-last-driver-green keys sort FIRST, then
-least-recently-verified, then canonical order — the r8 verdict's fix
-for staleness-only rotation deferring exactly the queries whose code
-had just changed."""
+never-driver-verified keys and implementation-changed-since-last-
+driver-green keys share the FIRST tier (never-verified winning it via
+last_seen = -1 — the r9 verdict's fix: zero evidence outranks stale
+evidence), then least-recently-verified, then canonical order."""
 
 from __future__ import annotations
 
@@ -30,10 +30,12 @@ def test_ordering_changed_then_stalest_then_canonical(tmp_path, monkeypatch):
     fps[d] = "<changed-since-last-driver-verification>"
     (tmp_path / "QUERY_FINGERPRINTS.json").write_text(json.dumps(fps))
     order = list(em._staleness_rotated(base, evidence_dir=str(tmp_path)))
-    # d (changed) first; e (never recorded) before the r7 pair; c before
-    # other r7 keys only by canonical order; a,b last among these five.
-    assert order[0] == d
-    assert order.index(e) < order.index(c)
+    # e (never recorded, zero driver evidence) wins the first tier over
+    # d (changed-but-once-green); both precede the unchanged r7 pair;
+    # a,b (r8-green, unchanged) last among these five.
+    assert order[0] == e
+    assert order.index(e) < order.index(d)
+    assert order.index(d) < order.index(c)
     assert order.index(c) < order.index(a)
     assert order.index(c) < order.index(b)
     # Canonical tie-break within the same (changed, round) bucket:
