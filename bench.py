@@ -18,9 +18,14 @@ queries (release_cached), so a query's time never depends on an earlier
 query having materialized an identical sub-plan.
 
 ``calib`` in the output is a fixed host-speed probe (best-of-3 of an
-identical hash-aggregate job): the calib ratio between two rounds
-measures container drift, so cross-round query deltas should be
-normalized by it before being read as regressions.
+identical hash-aggregate job) taken at session START. The round-10
+postmortem (BENCH_COMPARE.md, top section) showed this probe is
+JIT-phase-dependent — it drifts 2.8–3.1× within one session as C2
+keeps compiling — so ``calib`` ratios under ~1.5× are noise, not host
+drift. ``calib_end`` is the same probe taken AFTER the timed
+iterations, at a reproducible JIT-maturity point: use ``calib_end``
+for cross-round host comparison; anchor regression calls on raw
+per-query min-vs-min (BENCH.json ``queries_min``) regardless.
 """
 
 from __future__ import annotations
@@ -91,6 +96,12 @@ def main() -> None:
                 # blocks across runs.
                 release_cached()
 
+    # Same probe at session END: the JVM is JIT-mature here, which the
+    # round-10 postmortem showed is the only reproducible maturity point
+    # (start-of-session probes drift 2.8x with C2 phase). Cross-round
+    # host comparisons should use THIS value.
+    calib_end = round(min(_calib_once() for _ in range(3)), 3)
+
     # Canonical SORTED key order in every emitted artifact: execution
     # order rotates with driver-verification staleness (see
     # __spark_entry__._staleness_rotated), but artifact key order must
@@ -124,6 +135,7 @@ def main() -> None:
         "sf": sf_val,
         "n": n_iter,
         "calib": calib,
+        "calib_end": calib_end,
         # Total of per-query MINS: the best observed cold-cache pass.
         # Cross-round min-vs-min at the total level lives in the driver's
         # stdout artifact (the r7 verdict's accounting gap); the PER-QUERY
