@@ -122,7 +122,7 @@ def connected_components(
     checkpoint: str = "local",
     stats: dict | None = None,
     resume_dir: str | None = None,
-    driver_solve_max_edges: int = DRIVER_SOLVE_MAX_EDGES,
+    driver_solve_max_edges: int | None = None,
 ) -> DataFrame:
     """``(node, component)`` for every node appearing in ``pairs``;
     ``component`` is the minimum node id reachable through the pair graph.
@@ -150,8 +150,13 @@ def connected_components(
     ``0`` disables the shortcut; it is also skipped when ``resume_dir``
     is set (durability implies the long-running distributed path).
     ``stats["rounds"]`` is 0 and ``stats["driver_solved"]`` True when it
-    engages.
+    engages. ``None`` (the default) resolves to the module's
+    ``DRIVER_SOLVE_MAX_EDGES`` at CALL time, so tooling (plan_audit)
+    can force the distributed path process-wide by patching the module
+    attribute.
     """
+    if driver_solve_max_edges is None:
+        driver_solve_max_edges = DRIVER_SOLVE_MAX_EDGES
     e = pairs.select(
         F.col(a_col).cast("long").alias("src"),
         F.col(b_col).cast("long").alias("dst"),

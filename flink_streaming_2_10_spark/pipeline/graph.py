@@ -46,7 +46,7 @@ def shortest_path_hops(
     checkpoint: str = "local",
     stats: dict | None = None,
     resume_dir: str | None = None,
-    driver_solve_max_edges: int = DRIVER_SOLVE_MAX_EDGES,
+    driver_solve_max_edges: int | None = None,
 ) -> DataFrame:
     """``(node, hops)`` — minimum number of edges from any ``seeds`` row
     to each reachable node of the undirected ``pairs`` graph.
@@ -69,6 +69,13 @@ def shortest_path_hops(
     Spark's planner makes for broadcast joins); ``0`` disables, and a
     set ``resume_dir`` always takes the distributed path.
     """
+    if driver_solve_max_edges is None:
+        # Resolve at call time from the components module attribute so
+        # tooling (plan_audit) can force the distributed path
+        # process-wide with one patch point.
+        from flink_streaming_2_10_spark.pipeline import components as _cm
+
+        driver_solve_max_edges = _cm.DRIVER_SOLVE_MAX_EDGES
     sc = seed_col or seeds.columns[0]
     e = pairs.select(
         F.col(a_col).cast("long").alias("src"),
