@@ -34,10 +34,12 @@ itself.  The heavy-hitter contract ("everything above fraction
    the DuckDB oracle reproduces them bit-for-bit WITHOUT mirroring the
    sketch: the sketch affects only the plan, never the answer.
 
-The token stream is tokenized once and persisted across the two passes
-(same ``tracked_persist`` discipline as pipeline/crossdoc.py); at
-100 TB one would drop the persist and re-scan — the sketch's point is
-that BOTH passes stay shuffle-light, not that the scan count is one.
+The token stream is re-tokenized for each of the two passes by DEFAULT
+(``persist_tokens=False``): the exploded stream is corpus-sized, so
+caching it at 100 TB means spilling the whole corpus to executor disk.
+``persist_tokens=True`` opts small corpora into the single-scan shape —
+the output is identical either way (the sketch's point is that BOTH
+passes stay shuffle-light, not that the scan count is one).
 
 When to use it (measured — SCALE_r09.md vocabulary sweep,
 tools/scale_probe_hh.py): at vocabularies the JVM agg hash map holds
@@ -143,6 +145,7 @@ def heavy_hitter_tokens(
     text_col: str = "text",
     support_denom: int = DEFAULT_SUPPORT_DENOM,
     sketch_cap: int | None = None,
+    persist_tokens: bool = False,
 ) -> DataFrame:
     """``(token, cnt, total_tokens)`` — every token whose EXACT corpus
     count satisfies ``cnt · (support_denom + 1) > total_tokens`` (i.e.
@@ -151,7 +154,16 @@ def heavy_hitter_tokens(
     ``sketch_cap`` (default ``support_denom``, must be ≥ it) trades
     executor memory (cap dict entries) for candidate-set size; the
     OUTPUT is invariant to it — only the plan changes.
-    """
+
+    ``persist_tokens`` caches the exploded token stream between the
+    sketch pass and the exact recount, saving the second corpus scan —
+    but the exploded stream is CORPUS-SIZED (larger than the input: one
+    row per token), so at 100 TB that cache is the whole corpus spilled
+    to executor disk. The default (``False``) re-scans: two cheap
+    columnar scans beat materializing a corpus-sized intermediate, the
+    same small-case/large-case trade the dedup family exposes
+    explicitly. Output is identical either way (pinned by
+    ``tests/test_heavyhitters.py``)."""
     s = int(support_denom)
     if s < 1:
         raise ValueError("support_denom must be >= 1")
@@ -161,11 +173,9 @@ def heavy_hitter_tokens(
             f"sketch_cap ({cap}) must be >= support_denom ({s}): the MG "
             f"guarantee only covers items above 1/(cap+1)"
         )
-    toks = tracked_persist(
-        df.select(
-            F.explode(F.expr(_words_sql(text_col))).alias("tok")
-        )
-    )
+    toks = df.select(F.explode(F.expr(_words_sql(text_col))).alias("tok"))
+    if persist_tokens:
+        toks = tracked_persist(toks)
     sketch = toks.mapInPandas(_mg_partitions(cap), schema="tok string, w long")
     sketch = tracked_persist(sketch)
     total = sketch.filter(F.col("tok").isNull()).agg(

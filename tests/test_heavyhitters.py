@@ -138,8 +138,10 @@ def test_two_phase_plan_shape(spark):
     """100 TB shape: the recount joins the token stream against the
     BROADCAST candidate set (left semi — the exchange carries candidate
     tokens only, never the vocabulary), the sketch runs as one
-    Arrow-batched Python stage over the persisted token stream, and
-    nothing range-partitions (no global sort)."""
+    Arrow-batched Python stage, nothing range-partitions (no global
+    sort), and the corpus-sized token stream is NOT cached by default
+    (persist_tokens=False since r10): two columnar text scans, with only
+    the cap-sized SKETCH persisted between the total/candidate reads."""
     import __spark_entry__ as entrymod
     from tests.conftest import SF_SMALL
 
@@ -152,10 +154,38 @@ def test_two_phase_plan_shape(spark):
     assert "MapInPandas" in plan  # the MG sketch pass
     assert re.search(r"BroadcastHashJoin.*LeftSemi", plan), plan
     assert "rangepartitioning" not in plan
-    # one parquet scan (text), re-read via the persisted token stream
+    # TWO parquet scans of text (sketch pass + exact recount): the
+    # corpus-sized exploded token stream must not appear as a cache.
     scans = len(re.findall(r"\(\d+\) Scan parquet", plan))
-    assert scans <= 1, plan
-    assert "InMemoryTableScan" in plan
+    assert scans == 2, plan
+    assert "InMemoryTableScan" in plan  # the cap-sized sketch only
+
+
+def test_persist_tokens_paths_identical(spark):
+    """persist_tokens trades a corpus-sized cache for a second scan —
+    the emitted set and counts must be identical on both paths."""
+    texts = [
+        "spark spark spark join join scan",
+        "spark join filter filter rare1",
+        "spark scan scan rare2 rare3",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    two_scan = sorted(
+        map(tuple, heavy_hitter_tokens(df, support_denom=4).collect())
+    )
+    release_cached()
+    cached = sorted(
+        map(
+            tuple,
+            heavy_hitter_tokens(
+                df, support_denom=4, persist_tokens=True
+            ).collect(),
+        )
+    )
+    release_cached()
+    assert two_scan == cached == [("spark", 5, 16)]
 
 
 def test_query_matches_oracle_fixture(spark, duck):
