@@ -55,6 +55,8 @@ vocabulary itself never has to fit anywhere).
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import DataFrame, Row, SparkSession, Window, functions as F
 
 from flink_streaming_2_10_spark.pipeline.dedup import _words_sql
@@ -191,8 +193,12 @@ def train_bpe_merges(
 def segment_words(wc: DataFrame, merges: list[tuple[str, str]]) -> DataFrame:
     """Apply a learned merge list (in rank order) to the word table:
     ``(word, cnt, pieces array<string>)`` — the tokenizer-application
-    face. Same window machinery as training; ``len(merges)`` passes
-    over the vocabulary-sized symbol table."""
+    face, REFERENCE version. Same window machinery as training;
+    ``len(merges)`` passes over the vocabulary-sized symbol table —
+    exact and oracle-mirrorable, but a 30k-merge production table means
+    30k sequential passes. For the inference path use
+    :func:`segment_words_greedy` (scan-local, one pass), which this
+    face exists to verify (``tests/test_bpe.py`` parity)."""
     state = _char_symbols(wc)
     for i, (left, right) in enumerate(merges):
         state = _apply_merge(state, left, right)
@@ -205,3 +211,84 @@ def segment_words(wc: DataFrame, merges: list[tuple[str, str]]) -> DataFrame:
             "x -> x.sym)"
         ).alias("pieces")
     )
+
+
+def segment_words_greedy(
+    wc: DataFrame, merges: list[tuple[str, str]]
+) -> DataFrame:
+    """``(word, cnt, pieces array<string>)`` — the SCAN-LOCAL tokenizer-
+    application face: the standard lowest-rank-adjacent-pair loop every
+    production BPE tokenizer runs (GPT-2's ``bpe()``), as one Arrow-
+    batched pandas UDF with the rank table broadcast.
+
+    Equivalence to :func:`segment_words` (rank-ordered global passes):
+    by induction on applied rules. Both apply each matching rule
+    greedy-left; applying rule k creates only adjacencies involving the
+    new symbol ``l+r``, and any rule consuming ``l+r`` was necessarily
+    TRAINED after the round that created ``l+r`` as a symbol, so it
+    carries a HIGHER rank — a later merge can never create a pair an
+    earlier (lower-rank) rule matches. Hence "apply rules in rank
+    order, once each" and "repeatedly apply the lowest-rank pair
+    present" pick the same rule sequence per word. (Precondition:
+    ``merges`` comes from rank-ordered training — every rule's sides
+    exist as symbols before the rule, which ``train_bpe_merges``
+    guarantees. An adversarial hand-built table, e.g. rank 1
+    ``(ab, c)`` with rank 2 ``(a, b)``, can violate it; real merge
+    tables cannot.) Pinned by the parity tests in ``tests/test_bpe.py``
+    on both planted and corpus-trained tables.
+
+    100 TB shape: one narrow scan of the word table; the per-task state
+    is the O(|merges|) rank dict (~1 MB of broadcast state for a
+    30k-merge table, shipped once per executor); no shuffle at all —
+    the Catalyst plan is Scan → ArrowEvalPython → project. Python-per-
+    word is justified exactly here: the loop is data-dependent per word
+    (no fixed-depth column expression exists), and the vectorized
+    alternative (the training face) costs ``len(merges)`` window passes.
+    """
+    # NB: pandas is imported at module level — pandas_udf resolves the
+    # string annotations (PEP 563 is in force module-wide) against the
+    # function's __globals__, so "pd" must exist there.
+    from pyspark.sql.types import ArrayType, StringType
+
+    spark = wc.sparkSession
+    ranks_bc = spark.sparkContext.broadcast(
+        {pair: i for i, pair in enumerate(merges)}
+    )
+
+    @F.pandas_udf(ArrayType(StringType()))
+    def bpe_pieces(words: pd.Series) -> pd.Series:
+        ranks = ranks_bc.value
+
+        def encode(word: str) -> list[str]:
+            syms = list(word)
+            while len(syms) > 1:
+                best_rank = None
+                best = None
+                for i in range(len(syms) - 1):
+                    r = ranks.get((syms[i], syms[i + 1]))
+                    if r is not None and (best_rank is None or r < best_rank):
+                        best_rank, best = r, (syms[i], syms[i + 1])
+                if best is None:
+                    break
+                left, right = best
+                out: list[str] = []
+                i = 0
+                # Greedy-left, non-overlapping — same contract as
+                # _apply_merge's islands-parity window formulation.
+                while i < len(syms):
+                    if (
+                        i < len(syms) - 1
+                        and syms[i] == left
+                        and syms[i + 1] == right
+                    ):
+                        out.append(left + right)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                syms = out
+            return syms
+
+        return words.map(encode)
+
+    return wc.select("word", "cnt", bpe_pieces(F.col("word")).alias("pieces"))

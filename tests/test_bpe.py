@@ -8,6 +8,7 @@ from flink_streaming_2_10_spark.pipeline.bpe import (
     _apply_merge,
     _char_symbols,
     segment_words,
+    segment_words_greedy,
     train_bpe_merges,
     word_counts,
 )
@@ -112,6 +113,85 @@ def test_segment_words_roundtrip(spark):
         "newest": ["n", "ew", "est"],
         "widest": ["w", "i", "d", "est"],
     }
+
+
+def test_greedy_face_parity_planted(spark):
+    """segment_words_greedy (scan-local lowest-rank loop) must produce
+    IDENTICAL pieces to segment_words (rank-ordered window passes) on a
+    planted vocabulary whose merge table exercises runs (l==r),
+    chained merges, and untouched words."""
+    wc = _wc(
+        spark,
+        {
+            "low": 5,
+            "lower": 2,
+            "newest": 6,
+            "widest": 3,
+            "aaaa": 4,  # l==r islands under a (a,a) merge
+            "zzz": 1,  # vocabulary absent from any merge
+        },
+    )
+    merges = [
+        (r["left_sym"], r["right_sym"])
+        for r in train_bpe_merges(wc, n_merges=8)
+        .orderBy("merge_rank")
+        .collect()
+    ]
+    seq = {
+        r["word"]: list(r["pieces"])
+        for r in segment_words(wc, merges).collect()
+    }
+    fast = {
+        r["word"]: list(r["pieces"])
+        for r in segment_words_greedy(wc, merges).collect()
+    }
+    assert fast == seq
+    # Lossless: pieces concatenate back to the word, for every word.
+    for w, ps in fast.items():
+        assert "".join(ps) == w
+
+
+def test_greedy_face_parity_corpus_trained(spark):
+    """Parity on a REAL corpus-trained table: train on sf0.001
+    documents' word counts, segment the full vocabulary with both
+    faces."""
+    from flink_streaming_2_10_spark.catalog import load_table
+    from tests.conftest import SF_SMALL
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    wc = word_counts(docs)
+    merges = [
+        (r["left_sym"], r["right_sym"])
+        for r in train_bpe_merges(wc, n_merges=12)
+        .orderBy("merge_rank")
+        .collect()
+    ]
+    assert len(merges) == 12
+    seq = {
+        r["word"]: list(r["pieces"])
+        for r in segment_words(wc, merges).collect()
+    }
+    fast = {
+        r["word"]: list(r["pieces"])
+        for r in segment_words_greedy(wc, merges).collect()
+    }
+    assert fast == seq
+
+
+def test_greedy_face_plan_is_scan_local(spark):
+    """The inference face must not shuffle: Scan → ArrowEvalPython →
+    project, no Exchange anywhere."""
+    import contextlib
+    import io
+
+    wc = _wc(spark, {"low": 5, "newest": 6})
+    df = segment_words_greedy(wc, [("l", "o"), ("lo", "w")])
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "ArrowEvalPython" in plan
+    assert "Exchange" not in plan
 
 
 def test_word_counts_is_weighted_and_tokenized(spark):
