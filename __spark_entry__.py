@@ -1506,6 +1506,50 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Fixed merge table for the ``bpe_segment`` query — rank order
+#: respects the training invariant every real merge table has (a rule's
+#: sides exist as symbols before the rule: composites 'sc', 'ta', 'bl',
+#: 'tabl' are created before the rules that consume them), which is the
+#: precondition under which the scan-local greedy face provably equals
+#: rank-ordered application (pipeline/bpe.segment_words_greedy).
+BPE_SEGMENT_MERGES: list[tuple[str, str]] = [
+    ("a", "n"),
+    ("s", "c"),
+    ("sc", "an"),
+    ("t", "a"),
+    ("b", "l"),
+    ("ta", "bl"),
+    ("tabl", "e"),
+    ("q", "u"),
+]
+
+
+def q_bpe_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer APPLICATION face: segment the corpus vocabulary
+    with the scan-local greedy lowest-rank-pair tokenizer
+    (``segment_words_greedy`` — one Arrow-batched pass, merge ranks
+    broadcast, zero shuffle after the word-count agg). The oracle
+    applies the SAME fixed merge table in rank order as unrolled
+    islands-parity CTE blocks (``segment_words`` semantics), so a green
+    row is hard driver evidence for the greedy≡rank-order equivalence
+    the inference path rests on."""
+    from flink_streaming_2_10_spark.pipeline.bpe import (
+        segment_words_greedy,
+        word_counts,
+    )
+
+    seg = segment_words_greedy(
+        word_counts(load_table(spark, sf_dir, "documents")),
+        BPE_SEGMENT_MERGES,
+    )
+    return seg.select(
+        "word",
+        "cnt",
+        F.size("pieces").cast("long").alias("n_pieces"),
+        F.concat_ws(" ", "pieces").alias("segmented"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Query registry, self-rotated under the driver's 50-row
     correctness cap: implementation-changed-since-last-driver-green keys
@@ -1594,6 +1638,7 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heavy_hitter_tokens": q_heavy_hitter_tokens,
         "tfidf_top_terms": q_tfidf_top_terms,
         "bpe_merges": q_bpe_merges,
+        "bpe_segment": q_bpe_segment,
         "stratified_sample": q_stratified_sample,
         "holdout_split": q_holdout_split,
         "priority_sample": q_priority_sample,
@@ -3315,6 +3360,73 @@ def _bpe_oracle(n_merges: int = 8) -> str:
         {union}"""
 
 
+def _bpe_segment_oracle(merges: list[tuple[str, str]]) -> str:
+    """Mirror of ``q_bpe_segment``: the FIXED merge table applied in
+    rank order, each rule one unrolled gaps-and-islands greedy-left CTE
+    block (the apply half of ``_bpe_oracle``, with the pair literal
+    instead of the argmax). Sequential-face semantics — equality with
+    the Spark side's greedy face is exactly the equivalence the
+    inference path claims."""
+    rounds = []
+    for t, (left, right) in enumerate(merges, start=1):
+        l_sql = left.replace("'", "''")
+        r_sql = right.replace("'", "''")
+        rounds.append(
+            f"""
+        p{t} AS (SELECT word, cnt, pos, sym,
+                        lead(sym) OVER (PARTITION BY word
+                                        ORDER BY pos) AS nxt
+                 FROM s{t - 1}),
+        m2{t} AS (SELECT *,
+                         CASE WHEN mt THEN pos
+                              - sum(CASE WHEN mt THEN 1 ELSE 0 END)
+                                OVER (PARTITION BY word ORDER BY pos
+                                      ROWS UNBOUNDED PRECEDING)
+                         END AS isl
+                  FROM (SELECT word, cnt, pos, sym,
+                               COALESCE(sym = '{l_sql}'
+                                        AND nxt = '{r_sql}',
+                                        FALSE) AS mt
+                        FROM p{t})),
+        m3{t} AS (SELECT *,
+                         mt AND ((pos - min(pos) OVER (
+                             PARTITION BY word, isl)) % 2 = 0) AS keep
+                  FROM m2{t}),
+        m4{t} AS (SELECT *,
+                         COALESCE(lag(keep) OVER (PARTITION BY word
+                                                  ORDER BY pos),
+                                  FALSE) AS consumed
+                  FROM m3{t}),
+        s{t} AS (SELECT word, cnt,
+                        CAST(row_number() OVER (PARTITION BY word
+                                                ORDER BY pos)
+                             AS BIGINT) AS pos,
+                        CASE WHEN keep THEN '{l_sql}' || '{r_sql}'
+                             ELSE sym END AS sym
+                 FROM m4{t} WHERE keep OR NOT consumed)"""
+        )
+    last = len(merges)
+    return f"""
+        WITH w AS (SELECT list_filter(regexp_split_to_array(lower(text),
+                                                            '\\W+'),
+                                      x -> length(x) > 0) AS words
+                   FROM documents),
+        wc AS (SELECT word, CAST(count(*) AS BIGINT) AS cnt
+               FROM (SELECT unnest(words) AS word FROM w)
+               GROUP BY word),
+        s0 AS (SELECT word, cnt, CAST(pos AS BIGINT) AS pos,
+                      substring(word, pos, 1) AS sym
+               FROM (SELECT word, cnt,
+                            unnest(range(1, length(word) + 1)) AS pos
+                     FROM wc)),
+        {",".join(rounds)}
+        SELECT word, cnt,
+               CAST(count(*) AS BIGINT) AS n_pieces,
+               string_agg(sym, ' ' ORDER BY pos) AS segmented
+        FROM s{last}
+        GROUP BY word, cnt"""
+
+
 def oracle_sql() -> dict[str, str]:
     money_sum = "CAST(sum(CAST(round({col}*100) AS BIGINT)) AS BIGINT)"
     ev_value_sum = money_sum.format(col="value")
@@ -3767,6 +3879,7 @@ def oracle_sql() -> dict[str, str]:
         "heavy_hitter_tokens": _heavy_hitter_oracle(support_denom=499),
         "tfidf_top_terms": _tfidf_oracle(k=5),
         "bpe_merges": _bpe_oracle(n_merges=8),
+        "bpe_segment": _bpe_segment_oracle(BPE_SEGMENT_MERGES),
         "text_script_mix": _script_mix_oracle(),
         "textrank_keywords": _textrank_oracle(iters=5, k=50),
         # multimodal: payload bytes == utf-8(text) (ASCII corpus), so byte
