@@ -60,6 +60,9 @@ from flink_streaming_2_10_spark.operators.wordcount import (
     word_count,
     word_count_pojo,
 )
+from flink_streaming_2_10_spark.pipeline.classifier import (
+    classifier_oracle_sql,
+)
 from flink_streaming_2_10_spark.pipeline.dedup import (
     DEFAULT_MAX_BUCKET_SIZE,
     DEFAULT_MAX_DF_FRAC,
@@ -1550,6 +1553,19 @@ def q_bpe_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText-style hashed linear quality-classifier INFERENCE over
+    the corpus: md5-bucketed bag-of-words, int64 weight sum, int-exact
+    mean-weight keep gate — one scan, zero shuffle, zero Python
+    (pipeline/classifier.py; weights are the deterministic synthetic
+    stand-in a trained vector replaces in production)."""
+    from flink_streaming_2_10_spark.pipeline.classifier import (
+        hashed_linear_score,
+    )
+
+    return hashed_linear_score(load_table(spark, sf_dir, "documents"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Query registry, self-rotated under the driver's 50-row
     correctness cap: implementation-changed-since-last-driver-green keys
@@ -1639,6 +1655,7 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_top_terms": q_tfidf_top_terms,
         "bpe_merges": q_bpe_merges,
         "bpe_segment": q_bpe_segment,
+        "quality_classifier": q_quality_classifier,
         "stratified_sample": q_stratified_sample,
         "holdout_split": q_holdout_split,
         "priority_sample": q_priority_sample,
@@ -3880,6 +3897,7 @@ def oracle_sql() -> dict[str, str]:
         "tfidf_top_terms": _tfidf_oracle(k=5),
         "bpe_merges": _bpe_oracle(n_merges=8),
         "bpe_segment": _bpe_segment_oracle(BPE_SEGMENT_MERGES),
+        "quality_classifier": classifier_oracle_sql(),
         "text_script_mix": _script_mix_oracle(),
         "textrank_keywords": _textrank_oracle(iters=5, k=50),
         # multimodal: payload bytes == utf-8(text) (ASCII corpus), so byte
