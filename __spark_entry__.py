@@ -76,6 +76,9 @@ from flink_streaming_2_10_spark.pipeline.dedup import (
     simhash_neardup_pairs,
 )
 from flink_streaming_2_10_spark.pipeline.caching import tracked_persist
+from flink_streaming_2_10_spark.pipeline.chunking import chunk_documents_oracle
+from flink_streaming_2_10_spark.pipeline.winnow import winnow_fingerprints_oracle
+from flink_streaming_2_10_spark.pipeline.snapshot import snapshot_delta_oracle
 from flink_streaming_2_10_spark.pipeline.components import dedup_canonical
 from flink_streaming_2_10_spark.pipeline.graph import shortest_path_hops
 from flink_streaming_2_10_spark.pipeline.decontamination import decontaminate
@@ -1566,6 +1569,57 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hashed_linear_score(load_table(spark, sf_dir, "documents"))
 
 
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-token chunking with overlap (chunk_size=32, stride=24):
+    every document split into context-bounded windows, scan-local HOF
+    slicing, zero shuffles — the long-document half of shard prep
+    (pipeline/chunking.py; packing is the short-document half)."""
+    from flink_streaming_2_10_spark.pipeline.chunking import chunk_documents
+
+    return chunk_documents(
+        load_table(spark, sf_dir, "documents"), chunk_size=32, stride=24
+    )
+
+
+def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (MOSS) fingerprint summaries, k=3 token shingles,
+    window w=4: per-document distinct window-minima digest (count / xor
+    / min / max) — local-overlap detection with the w+k-1 match
+    guarantee, all scan-local HOFs (pipeline/winnow.py)."""
+    from flink_streaming_2_10_spark.pipeline.winnow import winnow_fingerprints
+
+    return winnow_fingerprints(
+        load_table(spark, sf_dir, "documents"), k=3, w=4
+    )
+
+
+#: Simulated recrawl for ``corpus_snapshot_delta`` — deterministic in
+#: both engines: the OLD snapshot is missing every ``doc_id % 10 == 7``
+#: doc (added since) and carries a draft suffix on ``doc_id % 13 == 0``
+#: docs (changed since); the NEW snapshot dropped ``doc_id % 11 == 3``
+#: (removed).
+_SNAPSHOT_OLD_PRED = "doc_id % 10 != 7"
+_SNAPSHOT_OLD_TEXT = (
+    "CASE WHEN doc_id % 13 = 0 THEN text || ' [draft]' ELSE text END"
+)
+_SNAPSHOT_NEW_PRED = "doc_id % 11 != 3"
+
+
+def q_corpus_snapshot_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff (added/removed/changed/unchanged per source) over a
+    simulated recrawl: scan-side 60-bit content hashes, one id-keyed
+    full-outer join that never moves text, map-side-partial count agg
+    (pipeline/snapshot.py)."""
+    from flink_streaming_2_10_spark.pipeline.snapshot import snapshot_delta
+
+    docs = load_table(spark, sf_dir, "documents")
+    old = docs.where(F.expr(_SNAPSHOT_OLD_PRED)).withColumn(
+        "text", F.expr(_SNAPSHOT_OLD_TEXT)
+    )
+    new = docs.where(F.expr(_SNAPSHOT_NEW_PRED))
+    return snapshot_delta(old, new)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Query registry, self-rotated under the driver's 50-row
     correctness cap: implementation-changed-since-last-driver-green keys
@@ -1670,6 +1724,9 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "async_ordered_identity": q_async_ordered_identity,
         "text_fingerprint": q_text_fingerprint,
         "length_histogram": q_length_histogram,
+        "doc_chunks": q_doc_chunks,
+        "winnow_fingerprints": q_winnow_fingerprints,
+        "corpus_snapshot_delta": q_corpus_snapshot_delta,
     }
 
 
@@ -3898,6 +3955,19 @@ def oracle_sql() -> dict[str, str]:
         "bpe_merges": _bpe_oracle(n_merges=8),
         "bpe_segment": _bpe_segment_oracle(BPE_SEGMENT_MERGES),
         "quality_classifier": classifier_oracle_sql(),
+        "doc_chunks": chunk_documents_oracle(chunk_size=32, stride=24),
+        "winnow_fingerprints": winnow_fingerprints_oracle(k=3, w=4),
+        "corpus_snapshot_delta": snapshot_delta_oracle(
+            old_sql=(
+                "SELECT doc_id, source, "
+                f"{_SNAPSHOT_OLD_TEXT} AS text "
+                f"FROM documents WHERE {_SNAPSHOT_OLD_PRED}"
+            ),
+            new_sql=(
+                "SELECT doc_id, source, text "
+                f"FROM documents WHERE {_SNAPSHOT_NEW_PRED}"
+            ),
+        ),
         "text_script_mix": _script_mix_oracle(),
         "textrank_keywords": _textrank_oracle(iters=5, k=50),
         # multimodal: payload bytes == utf-8(text) (ASCII corpus), so byte
