@@ -131,9 +131,20 @@ def holdout_split(
     boundary. Exactly mirrored in DuckDB (:func:`holdout_split_oracle`),
     same IEEE-double band arithmetic as :func:`stratified_sample`.
     """
+    return df.select(
+        id_col, holdout_label(F.col(id_col), fractions, salt).alias("split")
+    )
+
+
+def holdout_label(
+    id_col: Column, fractions: dict[str, float], salt: str = "split"
+) -> Column:
+    """The split-label EXPRESSION :func:`holdout_split` projects — public
+    so composing operators (e.g. ``pipeline.leakage``) can attach the
+    label scan-side to any row carrying the id, with no join."""
     names = sorted(fractions)
     _validate_fractions(fractions, names)
-    key = _sample_key(F.col(id_col), salt).cast("double")
+    key = _sample_key(id_col, salt).cast("double")
     # First-match-wins when-chain over cumulative band edges — the exact
     # CASE shape the oracle emits.
     label: Column | None = None
@@ -142,8 +153,7 @@ def holdout_split(
         cum += float(fractions[name])
         cond = key < F.lit(cum) * F.lit(_TWO_POW_60)
         label = F.when(cond, name) if label is None else label.when(cond, name)
-    label = F.lit(names[-1]) if label is None else label.otherwise(names[-1])
-    return df.select(id_col, label.alias("split"))
+    return F.lit(names[-1]) if label is None else label.otherwise(names[-1])
 
 
 def holdout_split_oracle(
@@ -154,9 +164,20 @@ def holdout_split_oracle(
 ) -> str:
     """DuckDB mirror of :func:`holdout_split` — same cumulative bands,
     same double arithmetic, same remainder-to-last rule."""
+    return f"""
+        SELECT {id_col},
+               {holdout_label_sql(id_col, fractions, salt)} AS split
+        FROM {table}
+    """
+
+
+def holdout_label_sql(
+    id_expr: str, fractions: dict[str, float], salt: str = "split"
+) -> str:
+    """DuckDB mirror of :func:`holdout_label` (a CASE expression)."""
     names = sorted(fractions)
     _validate_fractions(fractions, names)
-    key = sample_key_sql(id_col, salt)
+    key = sample_key_sql(id_expr, salt)
     whens, cum = [], 0.0
     for name in names[:-1]:
         cum += float(fractions[name])
@@ -164,12 +185,9 @@ def holdout_split_oracle(
             f"WHEN CAST({key} AS DOUBLE) < {cum!r} * {_TWO_POW_60!r} "
             f"THEN '{name}'"
         )
-    case = " ".join(whens)
-    return f"""
-        SELECT {id_col},
-               CASE {case} ELSE '{names[-1]}' END AS split
-        FROM {table}
-    """
+    if not whens:
+        return f"'{names[-1]}'"
+    return f"CASE {' '.join(whens)} ELSE '{names[-1]}' END"
 
 
 def domain_mixture(

@@ -129,12 +129,34 @@ def winnow_fingerprints_oracle(
     md5 60-bit shingle hashes, same window minima and reductions
     (xor with a 0 seed is identity, so ``list_reduce`` matches Spark's
     0-initialised ``aggregate`` fold exactly)."""
+    return f"""
+        WITH {winnow_selected_oracle_ctes(k, w, table, id_col, text_col)}
+        SELECT {id_col},
+               CAST(n_grams AS BIGINT) AS n_grams,
+               CAST(len(sel) AS BIGINT) AS n_fingerprints,
+               list_reduce(sel, (a, b) -> xor(a, b)) AS fp_xor,
+               list_min(sel) AS fp_min,
+               list_max(sel) AS fp_max
+        FROM sel
+    """
+
+
+def winnow_selected_oracle_ctes(
+    k: int = 3,
+    w: int = 4,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """CTE chain ``base/grams/sel`` ending in the per-document selected
+    fingerprint set ``sel(id_col, n_grams, sel)`` — the DuckDB mirror of
+    :func:`winnow_selected`, shared by the fingerprint-summary oracle and
+    composing oracles (``pipeline.leakage``)."""
     k, w = int(k), int(w)
     gram = duckdb_hash60_sql(
         f"array_to_string(list_slice(toks, i, i + {k - 1}), ' ')"
     )
-    return f"""
-        WITH base AS (
+    return f"""base AS (
             SELECT {id_col},
                    regexp_extract_all(lower({text_col}), '{_TOKEN_PATTERN}') AS toks
             FROM {table}
@@ -152,12 +174,4 @@ def winnow_fingerprints_oracle(
                        generate_series(1, greatest(1, len(grams) - {w - 1})),
                        j -> list_min(list_slice(grams, j, j + {w - 1})))) AS sel
             FROM grams
-        )
-        SELECT {id_col},
-               CAST(n_grams AS BIGINT) AS n_grams,
-               CAST(len(sel) AS BIGINT) AS n_fingerprints,
-               list_reduce(sel, (a, b) -> xor(a, b)) AS fp_xor,
-               list_min(sel) AS fp_min,
-               list_max(sel) AS fp_max
-        FROM sel
-    """
+        )"""
