@@ -27,10 +27,14 @@ from flink_streaming_2_10_spark.operators.join import join_grades_salaries
 from flink_streaming_2_10_spark.operators.relational import (
     bracket_revenue,
     customer_distribution,
+    dominant_part_suppliers,
     forecast_revenue,
     global_sales_opportunity,
     large_orders,
     local_supplier_volume,
+    min_cost_supplier,
+    product_type_profit,
+    supplier_part_counts,
     pricing_cube,
     pricing_summary,
     priority_order_check,
@@ -79,6 +83,15 @@ from flink_streaming_2_10_spark.pipeline.caching import tracked_persist
 from flink_streaming_2_10_spark.pipeline.chunking import chunk_documents_oracle
 from flink_streaming_2_10_spark.pipeline.winnow import winnow_fingerprints_oracle
 from flink_streaming_2_10_spark.pipeline.snapshot import snapshot_delta_oracle
+from flink_streaming_2_10_spark.pipeline.blocklist import blocklist_oracle_sql
+from flink_streaming_2_10_spark.pipeline.centroids import (
+    confusion_oracle_sql,
+    hard_negatives_oracle_sql,
+)
+from flink_streaming_2_10_spark.pipeline.triangles import triangles_oracle_sql
+from flink_streaming_2_10_spark.pipeline.leakage import (
+    holdout_leakage_oracle_sql,
+)
 from flink_streaming_2_10_spark.pipeline.components import dedup_canonical
 from flink_streaming_2_10_spark.pipeline.graph import shortest_path_hops
 from flink_streaming_2_10_spark.pipeline.decontamination import decontaminate
@@ -1067,6 +1080,56 @@ def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2-shaped min-cost supplier: per qualifying part, the
+    region suppliers at the minimum observed unit price — correlated
+    `= MIN(...)` subquery as a per-part min + equality probe, every
+    dim broadcast (operators/relational.min_cost_supplier)."""
+    return min_cost_supplier(
+        load_table(spark, sf_dir, "region"),
+        load_table(spark, sf_dir, "nation"),
+        load_table(spark, sf_dir, "supplier"),
+        load_table(spark, sf_dir, "part"),
+        load_table(spark, sf_dir, "lineitem"),
+    )
+
+
+def q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9-shaped product-type profit per (nation, year): exact
+    integer revenue-minus-cost units, broadcast dims, one fact
+    co-shuffle (operators/relational.product_type_profit)."""
+    return product_type_profit(
+        load_table(spark, sf_dir, "nation"),
+        load_table(spark, sf_dir, "supplier"),
+        load_table(spark, sf_dir, "part"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "lineitem"),
+    )
+
+
+def q_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16-shaped distinct-supplier counts per part descriptor
+    with a NOT-IN supplier exclusion as broadcast LEFT ANTI
+    (operators/relational.supplier_part_counts)."""
+    return supplier_part_counts(
+        load_table(spark, sf_dir, "supplier"),
+        load_table(spark, sf_dir, "part"),
+        load_table(spark, sf_dir, "lineitem"),
+    )
+
+
+def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20-shaped dominant part suppliers: >50% of a part's
+    annual volume via integer cross-multiply gate, LEFT SEMI into the
+    supplier dim (operators/relational.dominant_part_suppliers)."""
+    return dominant_part_suppliers(
+        load_table(spark, sf_dir, "nation"),
+        load_table(spark, sf_dir, "supplier"),
+        load_table(spark, sf_dir, "part"),
+        load_table(spark, sf_dir, "lineitem"),
+    )
+
+
 def q_pricing_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q1 aggregate at every grouping level of (returnflag, linestatus)
     via cube — one Expand + one hash agg, subtotals in the same pass."""
@@ -1620,6 +1683,95 @@ def q_corpus_snapshot_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return snapshot_delta(old, new)
 
 
+def q_holdout_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test split leakage audit: held-out docs sharing winnow
+    fingerprints (k=3, w=4 — guarantee span 6 tokens) with the 90%
+    train band; boilerplate fingerprints (df > 100) dropped whole; one
+    scan + one fingerprint-keyed exchange (pipeline/leakage.py)."""
+    from flink_streaming_2_10_spark.pipeline.leakage import holdout_leakage
+
+    return holdout_leakage(load_table(spark, sf_dir, "documents"))
+
+
+def q_dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-quality audit: MinHash(32)+LSH(8×4) verified pairs vs the
+    exact 3-gram Jaccard ≥ 0.7 ground truth — one summary row of exact
+    overlap counts (the recall measurement a production dedup rollout
+    gates on before trusting the sketch at full scale). Composes the two
+    existing pipelines by a full-outer id-pair join; each side keeps its
+    own documented pruning (max_df stop-grams vs hot-bucket cap), so
+    disagreement counts surface BOTH miss directions."""
+    from flink_streaming_2_10_spark.pipeline.dedup import (
+        minhash_dedup_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    truth = ngram_jaccard_pairs(docs, n=3, threshold=0.7).select(
+        "doc_a", "doc_b", F.lit(1).alias("__t")
+    )
+    lsh = minhash_dedup_pairs(
+        docs, num_hashes=32, bands=8, rows=4, shingle_n=3,
+        threshold=0.7, hasher="md5",
+    ).select("doc_a", "doc_b", F.lit(1).alias("__l"))
+    joined = truth.join(lsh, ["doc_a", "doc_b"], "full_outer")
+    return joined.agg(
+        F.count("__t").alias("n_truth"),
+        F.count("__l").alias("n_lsh"),
+        F.count(F.when(F.col("__t").isNotNull() & F.col("__l").isNotNull(), 1))
+        .alias("n_both"),
+        F.count(F.when(F.col("__l").isNull(), 1)).alias("n_missed_by_lsh"),
+        F.count(F.when(F.col("__t").isNull(), 1)).alias("n_lsh_only"),
+    )
+
+
+def q_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style badword-fraction document gate: per-doc word/hit counts
+    + integer-crossmultiply keep verdict, one scan-local projection of
+    compiled-regex counts — zero shuffles (pipeline/blocklist.py;
+    reference parity: the corpus-curation generalisation of the
+    TwitterStream word-filter fork)."""
+    from flink_streaming_2_10_spark.pipeline.blocklist import blocklist_stats
+
+    return blocklist_stats(load_table(spark, sf_dir, "documents"))
+
+
+def q_nearest_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-centroid (Rocchio) self-classification confusion matrix
+    over the embeddings: exact integer class prototypes (driver state,
+    C·dim longs), assignment as a literal argmin expression — no join,
+    points never shuffle (pipeline/centroids.py)."""
+    from flink_streaming_2_10_spark.pipeline.centroids import (
+        nearest_centroid_confusion,
+    )
+
+    return nearest_centroid_confusion(load_table(spark, sf_dir, "embeddings"))
+
+
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class hard-negative mining: the 5 nearest differently-labeled
+    vectors to each class prototype — contrastive-training candidate
+    generation; WindowGroupLimit caps the per-class rank shuffle
+    (pipeline/centroids.py)."""
+    from flink_streaming_2_10_spark.pipeline.centroids import hard_negatives
+
+    return hard_negatives(load_table(spark, sf_dir, "embeddings"), k=5)
+
+
+def q_token_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact triangle counts in the min_df-pruned token co-occurrence
+    graph (top-50 nodes): one corpus-scale bigram agg, then ordered-edge
+    a<b<c joins on the vocabulary-sized edge table
+    (pipeline/triangles.py)."""
+    from flink_streaming_2_10_spark.pipeline.triangles import (
+        cooccurrence_edges,
+        triangle_counts,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return triangle_counts(cooccurrence_edges(docs, min_df=2), k=50)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Query registry, self-rotated under the driver's 50-row
     correctness cap: implementation-changed-since-last-driver-green keys
@@ -1647,6 +1799,10 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q13_customer_distribution": q_tpch_q13,
         "tpch_q19_bracket_revenue": q_tpch_q19,
         "tpch_q22_sales_opportunity": q_tpch_q22,
+        "tpch_q2_min_cost_supplier": q_tpch_q2,
+        "tpch_q9_product_profit": q_tpch_q9,
+        "tpch_q16_parts_suppliers": q_tpch_q16,
+        "tpch_q20_part_promotion": q_tpch_q20,
         "tpch_q8_market_share": q_tpch_q8,
         "tpch_q15_top_supplier": q_tpch_q15,
         "tpch_q17_small_quantity": q_tpch_q17,
@@ -1727,6 +1883,12 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_chunks": q_doc_chunks,
         "winnow_fingerprints": q_winnow_fingerprints,
         "corpus_snapshot_delta": q_corpus_snapshot_delta,
+        "blocklist_filter": q_blocklist_filter,
+        "nearest_centroid": q_nearest_centroid,
+        "hard_negatives": q_hard_negatives,
+        "token_triangles": q_token_triangles,
+        "holdout_leakage": q_holdout_leakage,
+        "dedup_lsh_recall": q_dedup_lsh_recall,
     }
 
 
@@ -1943,6 +2105,32 @@ def _minhash_lsh_oracle(
     return f"""
         WITH {chain}
         SELECT doc_a, doc_b, jaccard FROM pairs"""
+
+
+def _lsh_recall_oracle() -> str:
+    """Mirror of q_dedup_lsh_recall: the two pair oracles (verbatim — the
+    same parameterizations as their own registry entries) nested as CTE
+    bodies, full-outer joined on the id pair, exact overlap counts."""
+    truth = _ngram_jaccard_oracle(
+        n=3, threshold=0.7, max_df_frac=DEFAULT_MAX_DF_FRAC
+    )
+    lsh = _minhash_lsh_oracle(
+        num_hashes=32, bands=8, rows=4, shingle_n=3, threshold=0.7
+    )
+    return f"""
+        WITH truth AS ({truth}),
+        lsh AS ({lsh})
+        SELECT CAST(COUNT(t.doc_a) AS BIGINT) AS n_truth,
+               CAST(COUNT(l.doc_a) AS BIGINT) AS n_lsh,
+               CAST(COUNT(CASE WHEN t.doc_a IS NOT NULL
+                                AND l.doc_a IS NOT NULL THEN 1 END)
+                    AS BIGINT) AS n_both,
+               CAST(COUNT(CASE WHEN l.doc_a IS NULL THEN 1 END)
+                    AS BIGINT) AS n_missed_by_lsh,
+               CAST(COUNT(CASE WHEN t.doc_a IS NULL THEN 1 END)
+                    AS BIGINT) AS n_lsh_only
+        FROM truth t FULL OUTER JOIN lsh l
+          ON t.doc_a = l.doc_a AND t.doc_b = l.doc_b"""
 
 
 def _incremental_neardup_oracle(
@@ -3968,6 +4156,12 @@ def oracle_sql() -> dict[str, str]:
                 f"FROM documents WHERE {_SNAPSHOT_NEW_PRED}"
             ),
         ),
+        "blocklist_filter": blocklist_oracle_sql(),
+        "nearest_centroid": confusion_oracle_sql(),
+        "hard_negatives": hard_negatives_oracle_sql(k=5),
+        "token_triangles": triangles_oracle_sql(min_df=2, k=50),
+        "holdout_leakage": holdout_leakage_oracle_sql(),
+        "dedup_lsh_recall": _lsh_recall_oracle(),
         "text_script_mix": _script_mix_oracle(),
         "textrank_keywords": _textrank_oracle(iters=5, k=50),
         # multimodal: payload bytes == utf-8(text) (ASCII corpus), so byte
@@ -4256,6 +4450,81 @@ def oracle_sql() -> dict[str, str]:
                    CAST(CAST(sum(bal_u) AS BIGINT) AS DOUBLE)/100.0
                      AS totacctbal
             FROM no_ord GROUP BY c_nationkey
+        """,
+        "tpch_q2_min_cost_supplier": """
+            WITH mkt AS (SELECT s_suppkey, s_name, s_acctbal, n_name
+                         FROM supplier
+                         JOIN nation ON s_nationkey = n_nationkey
+                         JOIN region ON n_regionkey = r_regionkey
+                         WHERE r_name = 'ASIA'),
+            pf AS (SELECT p_partkey, p_name, p_size FROM part
+                   WHERE p_type = 'LARGE' AND p_size <= 10),
+            br AS (SELECT DISTINCT p_partkey, p_name, p_size,
+                          l_suppkey AS supp,
+                          l_extendedprice / l_quantity AS unit_price
+                   FROM lineitem JOIN pf ON l_partkey = p_partkey
+                   WHERE l_suppkey IN (SELECT s_suppkey FROM mkt)),
+            mn AS (SELECT p_partkey AS mk, min(unit_price) AS min_price
+                   FROM br GROUP BY 1)
+            SELECT DISTINCT s_acctbal, s_name, n_name, p_partkey, p_name,
+                   p_size, unit_price
+            FROM br
+            JOIN mn ON br.p_partkey = mn.mk AND br.unit_price = mn.min_price
+            JOIN mkt ON br.supp = mkt.s_suppkey
+        """,
+        "tpch_q9_product_profit": """
+            WITH pf AS (SELECT p_partkey,
+                               CAST(round(p_retailprice*100) AS BIGINT)
+                                 AS retail_c
+                        FROM part WHERE p_name LIKE '%gear%'),
+            sn AS (SELECT s_suppkey, n_name FROM supplier
+                   JOIN nation ON s_nationkey = n_nationkey),
+            li AS (SELECT l_orderkey, n_name,
+                          CAST(round(l_extendedprice*100) AS BIGINT)
+                            * (100 - CAST(round(l_discount*100) AS BIGINT))
+                          - retail_c * CAST(l_quantity AS BIGINT) * 60
+                            AS profit_u
+                   FROM lineitem
+                   JOIN pf ON l_partkey = p_partkey
+                   JOIN sn ON l_suppkey = s_suppkey)
+            SELECT n_name AS nation,
+                   CAST(year(o_orderdate) AS INT) AS o_year,
+                   CAST(CAST(sum(profit_u) AS BIGINT) AS DOUBLE)/10000.0
+                     AS sum_profit
+            FROM li JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY 1, 2
+        """,
+        "tpch_q16_parts_suppliers": """
+            SELECT p_brand, p_type, p_size,
+                   CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey
+            WHERE p_brand <> 'Brand#13' AND p_type <> 'MEDIUM'
+              AND p_size IN (1, 4, 9, 14, 19, 24, 29, 34)
+              AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                                    WHERE s_acctbal < 0)
+            GROUP BY 1, 2, 3
+        """,
+        "tpch_q20_part_promotion": """
+            WITH pf AS (SELECT p_partkey FROM part
+                        WHERE p_name LIKE 'red%'),
+            ps AS (SELECT l_partkey, l_suppkey,
+                          CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT)
+                            AS supp_qty
+                   FROM lineitem JOIN pf ON l_partkey = p_partkey
+                   WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+                     AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+                   GROUP BY 1, 2),
+            tot AS (SELECT l_partkey AS tk,
+                           CAST(sum(supp_qty) AS BIGINT) AS total_qty
+                    FROM ps GROUP BY 1),
+            q AS (SELECT DISTINCT l_suppkey FROM ps
+                  JOIN tot ON l_partkey = tk
+                  WHERE 2 * supp_qty > total_qty)
+            SELECT s_suppkey, s_name, s_acctbal, n_name AS nation
+            FROM supplier
+            JOIN q ON s_suppkey = l_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
         """,
         "tpch_q19_bracket_revenue": """
             SELECT CAST(CAST(sum(

@@ -986,3 +986,259 @@ def national_market_share(
             "mkt_share"
         ),
     )
+
+
+def min_cost_supplier(
+    region: DataFrame,
+    nation: DataFrame,
+    supplier: DataFrame,
+    part: DataFrame,
+    lineitem: DataFrame,
+    region_name: str = "ASIA",
+    part_type: str = "LARGE",
+    max_size: int = 10,
+) -> DataFrame:
+    """TPC-H Q2-shaped min-cost supplier: for each qualifying part, the
+    region's supplier(s) offering it at the minimum observed unit price
+    (the driver testdata has no partsupp table, so the part↔supplier
+    bridge is the lineitem history and ps_supplycost stands in as the
+    observed ``l_extendedprice / l_quantity`` unit price — the same
+    correlated ``= MIN(...)`` scalar-subquery shape as upstream Q2,
+    reference parity: the keyed-minimum family of SURVEY.md §2 A7).
+
+    Exactness: the unit price is ONE IEEE double division of two exact
+    scan values, identical bit-for-bit in any engine; MIN and the
+    equality probe then operate on identical doubles, so tie semantics
+    (ALL suppliers achieving the minimum survive, as in Q2) are engine-
+    independent without any float-sum ordering hazard.
+
+    Scale shape: part (filtered to one type + size band) and the
+    region's supplier roster are both broadcast, so the corpus-scale
+    lineitem scan drops non-qualifying rows at map side; the correlated
+    minimum is a RANK window over ONE exchange on partkey (rank keeps
+    ties exactly like the ``= MIN`` probe) — the naive min+equality
+    self-join would recompute the bridge subtree and scan the fact
+    twice, so the window form halves the corpus cost; the only other
+    work is the tiny terminal distinct over the winners.
+    """
+    from pyspark.sql import Window
+    rk = region.filter(F.col("r_name") == region_name).select("r_regionkey")
+    mkt = (
+        supplier.join(
+            F.broadcast(
+                nation.join(
+                    F.broadcast(rk),
+                    F.col("n_regionkey") == F.col("r_regionkey"),
+                ).select("n_nationkey", "n_name")
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    pf = part.filter(
+        (F.col("p_type") == part_type) & (F.col("p_size") <= max_size)
+    ).select("p_partkey", "p_name", "p_size")
+    bridge = (
+        lineitem.join(
+            F.broadcast(pf), F.col("l_partkey") == F.col("p_partkey")
+        )
+        .join(
+            F.broadcast(mkt.select("s_suppkey")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left_semi",
+        )
+        .select(
+            "p_partkey",
+            "p_name",
+            "p_size",
+            F.col("l_suppkey").alias("supp"),
+            (F.col("l_extendedprice") / F.col("l_quantity")).alias(
+                "unit_price"
+            ),
+        )
+    )
+    w = Window.partitionBy("p_partkey").orderBy("unit_price")
+    return (
+        bridge.withColumn("rk", F.rank().over(w))
+        .filter(F.col("rk") == 1)
+        .join(F.broadcast(mkt), F.col("supp") == mkt["s_suppkey"])
+        .select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_name",
+            "p_size",
+            "unit_price",
+        )
+        .distinct()
+    )
+
+
+def product_type_profit(
+    nation: DataFrame,
+    supplier: DataFrame,
+    part: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    name_pattern: str = "gear",
+    retail_cost_pct: int = 60,
+) -> DataFrame:
+    """TPC-H Q9-shaped product-type profit: per (supplier nation, order
+    year), sum of revenue minus supply cost over parts whose name
+    contains a substring (no partsupp in the driver testdata, so supply
+    cost is modeled as ``retail_cost_pct``% of ``p_retailprice`` per
+    unit — the profit-decomposition shape survives intact).
+
+    Exactness: profit accumulates as exact integer units — revenue at
+    scale 1e4 (cents x basis points) and cost lifted to the same scale
+    (cents x qty x 100 x pct / 100 keeps integrality because pct is an
+    integer percent) — ONE terminal double division per output row.
+
+    Scale shape: the name-filtered part dim broadcasts into the
+    lineitem scan (map-side row drop before anything moves), supplier→
+    nation broadcasts, and the only corpus-scale exchange is the
+    fact co-shuffle with orders on orderkey; the final agg keys on
+    (nation, year) — a few hundred groups.
+    """
+    pf = part.filter(F.col("p_name").contains(name_pattern)).select(
+        "p_partkey", to_units("p_retailprice").alias("retail_c")
+    )
+    sn = supplier.join(
+        F.broadcast(nation.select("n_nationkey", "n_name")),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    ).select("s_suppkey", "n_name")
+    li = (
+        lineitem.join(F.broadcast(pf), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(sn), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "l_orderkey",
+            "n_name",
+            (
+                to_units("l_extendedprice")
+                * (F.lit(100) - to_units("l_discount"))
+                - F.col("retail_c")
+                * F.col("l_quantity").cast("long")
+                * F.lit(retail_cost_pct)
+            ).alias("profit_u"),
+        )
+    )
+    o = orders.select(
+        "o_orderkey",
+        F.year(F.col("o_orderdate").cast("timestamp")).alias("o_year"),
+    )
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy("n_name", "o_year")
+        .agg(F.sum("profit_u").alias("profit_u_sum"))
+        .select(
+            F.col("n_name").alias("nation"),
+            "o_year",
+            from_units("profit_u_sum", 4).alias("sum_profit"),
+        )
+    )
+
+
+def supplier_part_counts(
+    supplier: DataFrame,
+    part: DataFrame,
+    lineitem: DataFrame,
+    excl_brand: str = "Brand#13",
+    excl_type: str = "MEDIUM",
+    sizes: tuple[int, ...] = (1, 4, 9, 14, 19, 24, 29, 34),
+) -> DataFrame:
+    """TPC-H Q16-shaped parts/supplier relationship: distinct supplier
+    count per (brand, type, size) over the part↔supplier bridge,
+    excluding one brand, one type, off-list sizes, and a
+    NOT-IN-subquery supplier set (negative account balance stands in
+    for upstream's complaints-comment scan; the testdata's bridge is
+    lineitem, not partsupp).
+
+    Scale shape: the filtered part dim broadcasts into the fact scan;
+    the excluded-supplier set is a broadcast LEFT ANTI (the NOT IN
+    rewrite that preserves its semantics for a non-null key); the
+    (part,supplier) bridge dedups inside the partial agg of ONE
+    exchange keyed on the (brand,type,size) descriptor — supplier_cnt
+    is COUNT(DISTINCT) over that already-collapsed set, no second
+    corpus pass.
+    """
+    pf = part.filter(
+        (F.col("p_brand") != excl_brand)
+        & (F.col("p_type") != excl_type)
+        & F.col("p_size").isin(*sizes)
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    bad = supplier.filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    return (
+        lineitem.select("l_partkey", "l_suppkey")
+        .join(F.broadcast(pf), F.col("l_partkey") == F.col("p_partkey"))
+        .join(
+            F.broadcast(bad),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left_anti",
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct(F.col("l_suppkey")).alias("supplier_cnt"))
+    )
+
+
+def dominant_part_suppliers(
+    nation: DataFrame,
+    supplier: DataFrame,
+    part: DataFrame,
+    lineitem: DataFrame,
+    name_prefix: str = "red",
+    date_from: str = "1997-01-01",
+    date_to: str = "1998-01-01",
+) -> DataFrame:
+    """TPC-H Q20-shaped part-promotion suppliers: suppliers who shipped
+    MORE THAN HALF of some name-prefixed part's total volume in a year
+    (upstream gates ps_availqty against half the shipped quantity; with
+    lineitem as the only bridge, the same >50% correlated-aggregate
+    gate selects the year's dominant supplier per part), with their
+    nations.
+
+    Exactness: quantities are integer-valued doubles summed exactly;
+    the gate is the integer cross-multiply ``2*supp_qty > total_qty``
+    — no division anywhere.
+
+    Scale shape: prefix-filtered parts broadcast into the date-pruned
+    fact scan; the per-(part,supplier) agg is the one corpus-scale
+    exchange, and the per-part total is a SUM WINDOW over that ALREADY
+    vocabulary-sized table (one extra partkey exchange of the small
+    table — a second aggregate would make Spark recompute the agg
+    subtree and scan the fact twice); qualifying suppliers reach the
+    supplier dim as a broadcast LEFT SEMI (EXISTS) probe.
+    """
+    from pyspark.sql import Window
+    pf = part.filter(F.col("p_name").startswith(name_prefix)).select(
+        "p_partkey"
+    )
+    ps = (
+        lineitem.filter(
+            (F.col("l_shipdate") >= F.lit(date_from).cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit(date_to).cast("timestamp"))
+        )
+        .join(F.broadcast(pf), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("supp_qty"))
+    )
+    qualifying = (
+        ps.withColumn(
+            "total_qty",
+            F.sum("supp_qty").over(Window.partitionBy("l_partkey")),
+        )
+        .filter(F.lit(2) * F.col("supp_qty") > F.col("total_qty"))
+        .select("l_suppkey")
+    )
+    return (
+        supplier.join(
+            F.broadcast(qualifying),
+            F.col("s_suppkey") == F.col("l_suppkey"),
+            "left_semi",
+        )
+        .join(
+            F.broadcast(nation.select("n_nationkey", "n_name")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "s_name", "s_acctbal", F.col("n_name").alias("nation"))
+    )
