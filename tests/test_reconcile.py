@@ -1,0 +1,72 @@
+"""Unit tests for tools/reconcile_fingerprints.py's diff engine — the
+function-granular module delta and the conservative name walk. The
+git-facing driver loop is exercised by running the tool in dry-run mode
+against the repo's own baseline each round; these tests pin the parts
+whose failure modes would be silent (a changed def not detected, or a
+residue change slipping through)."""
+
+from __future__ import annotations
+
+import ast
+
+from tools.reconcile_fingerprints import _names_in, module_delta
+
+OLD = '''
+"""doc"""
+import os
+
+LIMIT = 3
+
+
+def keep(x):
+    return x + LIMIT
+
+
+def edited(x):
+    return x * 2
+
+
+def removed():
+    return 1
+'''
+
+NEW_EDIT = OLD.replace("return x * 2", "return x * 3").replace(
+    "def removed():\n    return 1\n", ""
+) + "\n\ndef added(y):\n    return y\n"
+
+
+def test_module_delta_flags_edited_removed_added_only():
+    changed, residue = module_delta(OLD, NEW_EDIT)
+    assert changed == {"edited", "removed", "added"}
+    assert residue is False  # imports/constants untouched
+
+
+def test_module_delta_residue_change_detected():
+    changed, residue = module_delta(OLD, OLD.replace("LIMIT = 3", "LIMIT = 4"))
+    assert changed == set()
+    assert residue is True  # module-level constant changed → not safe
+
+
+def test_module_delta_decorator_edit_counts_as_def_change():
+    src = "import functools\n\n@functools.lru_cache(maxsize=2)\ndef f():\n    return 1\n"
+    changed, residue = module_delta(
+        src, src.replace("maxsize=2", "maxsize=9")
+    )
+    assert changed == {"f"}
+    assert residue is False
+
+
+def test_names_in_sees_attributes_and_names():
+    node = ast.parse("def f():\n    return pkg.helper(other(X))\n").body[0]
+    names = _names_in(node)
+    assert {"pkg", "helper", "other", "X"} <= names
+
+
+def test_whitespace_only_module_change_reconciles():
+    """A trailing-newline or comment-only append outside any def leaves
+    every def segment identical — changed set must be empty (this is
+    the exact shape of the relational.py append that motivated the
+    tool: new defs added, old defs byte-identical)."""
+    changed, residue = module_delta(OLD, OLD + "\n")
+    assert changed == set()
+    assert residue is False

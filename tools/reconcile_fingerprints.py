@@ -1,0 +1,271 @@
+"""Function-granular fingerprint reconcile for the registry rotation.
+
+Problem (round 10): ``_query_fingerprint`` hashes whole module files —
+deliberately coarse ("err toward re-verifying more, never less") — so
+APPENDING new operators to a shared module (e.g. four new functions in
+``operators/relational.py``) flags every key in that module as
+changed-since-verification, even though the functions those keys
+actually execute are byte-identical to what the driver verified. With a
+50-row driver window, that false flagging crowds genuinely-unverified
+keys out (r9 verdict item 1 demanded the opposite priority).
+
+This tool reconciles: for each key whose stored fingerprint mismatches,
+it diffs the key's TRANSITIVELY-USED top-level definitions between the
+git baseline tree (the commit the last driver run verified — the same
+tree ``tools/update_fingerprints.py`` recorded at round start) and the
+working tree. Only if EVERY module in the key's closure satisfies
+
+  - parses under ``ast`` in both versions,
+  - top-level non-def statements (imports, constants, module docstring
+    — the "residue") are source-identical, and
+  - no definition the key transitively references (by conservative
+    name-set fixpoint over ``co_names``/AST names — collisions
+    over-approximate, never under) was added, removed, or edited,
+
+is the stored fingerprint refreshed to the current module hash — i.e.
+the key's existing driver-green evidence is declared to still cover the
+code it runs. Any doubt (new module, parse failure, residue change,
+name intersection) leaves the key flagged. Keys with no driver evidence
+at all are untouched — they sort first regardless of fingerprints.
+
+Safety net: ``tests/test_entry_contract.py`` oracle-checks every
+registry key against DuckDB locally each round regardless of window
+position, so even a hypothetical closure miss (dynamic dispatch the
+name walk cannot see) cannot hide an actual correctness break — it
+could only delay the DRIVER's re-attestation by a round.
+
+Run: ``python tools/reconcile_fingerprints.py <baseline-commit>
+[--apply]`` (dry-run by default; prints the would-reconcile verdict per
+flagged key).
+"""
+
+from __future__ import annotations
+
+import ast
+import json
+import subprocess
+import sys
+
+
+def _def_map(tree: ast.Module, source: str) -> dict[str, str]:
+    """name → exact source segment (decorators included) for each
+    top-level function/class definition."""
+    lines = source.splitlines(keepends=True)
+    out: dict[str, str] = {}
+    for node in tree.body:
+        if isinstance(
+            node, (ast.FunctionDef, ast.AsyncFunctionDef, ast.ClassDef)
+        ):
+            start = min(
+                [node.lineno] + [d.lineno for d in node.decorator_list]
+            )
+            out[node.name] = "".join(lines[start - 1 : node.end_lineno])
+    return out
+
+
+def _residue(tree: ast.Module, source: str) -> list[str]:
+    """Source segments of top-level statements that are NOT defs — the
+    module-level code every import of the module executes."""
+    lines = source.splitlines(keepends=True)
+    return [
+        "".join(lines[n.lineno - 1 : n.end_lineno])
+        for n in tree.body
+        if not isinstance(
+            n, (ast.FunctionDef, ast.AsyncFunctionDef, ast.ClassDef)
+        )
+    ]
+
+
+def _names_in(node: ast.AST) -> set[str]:
+    """Every Name id and Attribute attr under ``node`` — the
+    conservative reference universe of a definition's body."""
+    out: set[str] = set()
+    for n in ast.walk(node):
+        if isinstance(n, ast.Name):
+            out.add(n.id)
+        elif isinstance(n, ast.Attribute):
+            out.add(n.attr)
+    return out
+
+
+def module_delta(old_src: str, new_src: str):
+    """(changed_def_names, residue_changed) between two module sources;
+    raises on parse failure (caller treats as not-reconcilable)."""
+    old_tree, new_tree = ast.parse(old_src), ast.parse(new_src)
+    old_defs, new_defs = _def_map(old_tree, old_src), _def_map(
+        new_tree, new_src
+    )
+    changed = {
+        name
+        for name in set(old_defs) | set(new_defs)
+        if old_defs.get(name) != new_defs.get(name)
+    }
+    return changed, _residue(old_tree, old_src) != _residue(
+        new_tree, new_src
+    )
+
+
+def _used_names(entry, key: str, modules: list[str]) -> set[str]:
+    """Name-set fixpoint: start from the key's entry-side code objects,
+    then absorb the internal names of every closure-module top-level
+    def whose name is already in the set, until stable."""
+    fn = entry._base_queries()[key]
+    seen: set = set()
+    mods: set[str] = set()
+    local_fns: list = []
+    entry._impl_closure(fn, seen, mods, local_fns)
+
+    used: set[str] = set()
+    stack = [f.__code__ for f in [fn] + local_fns if hasattr(f, "__code__")]
+    while stack:
+        c = stack.pop()
+        used.update(c.co_names)
+        for const in c.co_consts:
+            if hasattr(const, "co_names"):
+                stack.append(const)
+
+    import importlib
+
+    defs_by_name: dict[str, list[ast.AST]] = {}
+    for mod_name in modules:
+        mod = importlib.import_module(mod_name)
+        src = open(mod.__file__).read()
+        tree = ast.parse(src)
+        for node in tree.body:
+            if isinstance(
+                node, (ast.FunctionDef, ast.AsyncFunctionDef, ast.ClassDef)
+            ):
+                defs_by_name.setdefault(node.name, []).append(node)
+
+    absorbed: set[str] = set()
+    while True:
+        frontier = (used & set(defs_by_name)) - absorbed
+        if not frontier:
+            return used
+        for name in frontier:
+            absorbed.add(name)
+            for node in defs_by_name[name]:
+                used |= _names_in(node)
+
+
+def _git_show(commit: str, path: str) -> str | None:
+    try:
+        return subprocess.run(
+            ["git", "show", f"{commit}:{path}"],
+            capture_output=True, text=True, check=True, cwd="/root/repo",
+        ).stdout
+    except subprocess.CalledProcessError:
+        return None
+
+
+def main() -> int:
+    args = [a for a in sys.argv[1:] if a != "--apply"]
+    apply = "--apply" in sys.argv[1:]
+    if not args:
+        print("usage: reconcile_fingerprints.py <baseline-commit> [--apply]")
+        return 2
+    baseline = args[0]
+
+    sys.path.insert(0, "/root/repo")
+    import importlib
+
+    import __spark_entry__ as entry
+
+    here = "/root/repo"
+    last_seen = dict(entry._evidence_last_seen(here))
+    stored_list = entry._stored_fingerprints(here)
+    stored = {k: v for k, v in stored_list}
+
+    # Per-module delta cache: module name -> (changed_names, dirty)
+    delta_cache: dict[str, tuple[set[str], bool]] = {}
+
+    def delta_for(mod_name: str):
+        if mod_name in delta_cache:
+            return delta_cache[mod_name]
+        mod = importlib.import_module(mod_name)
+        rel = mod.__file__.replace("/root/repo/", "")
+        new_src = open(mod.__file__).read()
+        old_src = _git_show(baseline, rel)
+        if old_src is None:
+            d = (set(), True)  # new module: never reconcilable
+        elif old_src == new_src:
+            d = (set(), False)
+        else:
+            try:
+                changed, residue = module_delta(old_src, new_src)
+                d = (changed, residue)
+            except SyntaxError:
+                d = (set(), True)
+        delta_cache[mod_name] = d
+        return d
+
+    reconciled, kept = [], []
+    with open(f"{here}/QUERY_FINGERPRINTS.json") as fh:
+        fps = json.load(fh)
+    for key in entry._base_queries():
+        if key not in last_seen:
+            continue  # no evidence — tier 0 regardless; leave alone
+        rec = stored.get(key)
+        cur = entry._query_fingerprint(key)
+        if rec is None or cur is None or cur == rec:
+            continue
+        fn = entry._base_queries()[key]
+        seen: set = set()
+        mods: set[str] = set()
+        local_fns: list = []
+        entry._impl_closure(fn, seen, mods, local_fns)
+        # replicate the transitive module closure _query_fingerprint uses
+        frontier = sorted(mods)
+        closure: set[str] = set()
+        while frontier:
+            m = frontier.pop()
+            if m in closure:
+                continue
+            closure.add(m)
+            sub_mod = importlib.import_module(m)
+            for val in vars(sub_mod).values():
+                name = getattr(val, "__module__", None) or getattr(
+                    val, "__name__", None
+                )
+                if isinstance(name, str) and name.startswith(
+                    entry._PKG_NAME
+                ) and name not in closure:
+                    frontier.append(name)
+        modules = sorted(closure)
+        used = _used_names(entry, key, modules)
+        ok = True
+        why = ""
+        for m in modules:
+            changed, dirty = delta_for(m)
+            if dirty:
+                ok, why = False, f"{m}: residue/new/unparseable"
+                break
+            hit = used & changed
+            if hit:
+                ok, why = False, f"{m}: uses changed {sorted(hit)[:4]}"
+                break
+        if ok:
+            reconciled.append(key)
+            if isinstance(fps.get(key), dict):
+                fps[key]["fp"] = cur
+            else:
+                fps[key] = cur
+        else:
+            kept.append((key, why))
+
+    for k in reconciled:
+        print(f"reconcile {k}")
+    for k, why in kept:
+        print(f"keep      {k} — {why}")
+    print(f"\n{len(reconciled)} reconciled, {len(kept)} kept flagged")
+    if apply and reconciled:
+        with open(f"{here}/QUERY_FINGERPRINTS.json", "w") as fh:
+            json.dump(fps, fh, indent=1, sort_keys=True)
+        print("QUERY_FINGERPRINTS.json updated")
+    elif reconciled:
+        print("(dry run — pass --apply to write)")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
