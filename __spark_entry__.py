@@ -48,11 +48,19 @@ from flink_streaming_2_10_spark.operators.relational import (
     volume_shipping,
     waiting_orders_by_supplier,
 )
+from flink_streaming_2_10_spark.operators.sliding import sliding_window_agg
 from flink_streaming_2_10_spark.operators.temporal import (
     asof_join,
     interval_join,
     sessionize,
 )
+from flink_streaming_2_10_spark.pipeline.pca import (
+    covariance_oracle_sql,
+    embedding_covariance,
+    pca_top_component,
+    top_component_oracle_sql,
+)
+from flink_streaming_2_10_spark.pipeline.skew import salted_topk_counts
 from flink_streaming_2_10_spark.operators.topspeed import top_speed_windowing
 from flink_streaming_2_10_spark.operators.twitter import fork_find_word_pipeline
 from flink_streaming_2_10_spark.operators.windows import (
@@ -1772,6 +1780,66 @@ def q_token_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_counts(cooccurrence_edges(docs, min_df=2), k=50)
 
 
+def q_sliding_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding event-time window (2h size / 1h slide — Flink's
+    SlidingEventTimeWindows shape) + keyed aggregation: scan-side
+    2-window explode, ONE (window, key) exchange with map-side partials
+    (operators/sliding.py)."""
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "value_c", to_units("value")
+    )
+    out = sliding_window_agg(
+        ev,
+        keys=["event_type"],
+        aggs=[
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum("value_c").alias("value_c_sum"),
+        ],
+        window_size="2 hours",
+        slide="1 hour",
+    )
+    return out.select(
+        "window_start",
+        "window_end",
+        "event_type",
+        "cnt",
+        from_units("value_c_sum").alias("total_value"),
+    )
+
+
+def q_salted_user_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 users by event count via EXPLICIT two-phase salted
+    aggregation (the skewed-agg-key fix AQE cannot apply): phase 1 on
+    (user, salt-of-event-id), phase 2 merges partials — result is
+    salt-invariant, so the oracle is the plain single-phase aggregate
+    (pipeline/skew.py)."""
+    ev = load_table(spark, sf_dir, "events")
+    return salted_topk_counts(
+        ev,
+        key="user_id",
+        salt_from="event_id",
+        value_units=to_units("value"),
+        k=20,
+        salts=32,
+    )
+
+
+def q_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-integer scaled-covariance numerators of the quantized
+    embeddings (upper triangle): ONE corpus pass of Arrow-batched
+    int64-matmul partial sums, d²-sized broadcast tail
+    (pipeline/pca.py)."""
+    return embedding_covariance(load_table(spark, sf_dir, "embeddings"))
+
+
+def q_pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal component by deterministic integer power iteration
+    (fixed 6 rounds, truncating renormalization — replayed by the
+    oracle as unrolled HUGEINT CTEs); corpus touched once, iteration on
+    d² driver big-ints (pipeline/pca.py)."""
+    return pca_top_component(load_table(spark, sf_dir, "embeddings"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Query registry, self-rotated under the driver's 50-row
     correctness cap: implementation-changed-since-last-driver-green keys
@@ -1889,6 +1957,10 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_triangles": q_token_triangles,
         "holdout_leakage": q_holdout_leakage,
         "dedup_lsh_recall": q_dedup_lsh_recall,
+        "sliding_window_agg": q_sliding_window_agg,
+        "salted_user_topk": q_salted_user_topk,
+        "embedding_covariance": q_embedding_covariance,
+        "pca_top_component": q_pca_top_component,
     }
 
 
@@ -3736,6 +3808,37 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             GROUP BY 1, 2, 3
         """,
+        # Sliding 2h/1h: every event belongs to exactly two hour-aligned
+        # windows — enumerate them by integer bucket arithmetic.
+        "sliding_window_agg": """
+            WITH e AS (SELECT event_type,
+                              epoch_ms(CAST(ts AS TIMESTAMP)) AS ms,
+                              CAST(round(value*100) AS BIGINT) AS vc
+                       FROM events)
+            SELECT ((ms // 3600000) - g.k) * 3600000 AS window_start,
+                   ((ms // 3600000) - g.k) * 3600000 + 7200000 AS window_end,
+                   event_type,
+                   CAST(count(*) AS BIGINT) AS cnt,
+                   CAST(CAST(sum(vc) AS BIGINT) AS DOUBLE)/100.0
+                     AS total_value
+            FROM e, generate_series(0, 1) AS g(k)
+            GROUP BY 1, 2, 3
+        """,
+        # Salted two-phase agg is salt-invariant — the oracle is the
+        # PLAIN single-phase aggregate (that equivalence IS the
+        # operator's contract).
+        "salted_user_topk": """
+            WITH e AS (SELECT user_id,
+                              CAST(round(value*100) AS BIGINT) AS vc
+                       FROM events)
+            SELECT user_id,
+                   CAST(count(*) AS BIGINT) AS cnt,
+                   CAST(sum(vc) AS BIGINT) AS value_u_sum
+            FROM e GROUP BY 1
+            ORDER BY cnt DESC, user_id LIMIT 20
+        """,
+        "embedding_covariance": covariance_oracle_sql(),
+        "pca_top_component": top_component_oracle_sql(),
         "hypertable_rollup": f"""
             WITH e AS (SELECT event_type,
                               epoch_ms(CAST(ts AS TIMESTAMP)) AS ms,
