@@ -54,9 +54,15 @@ from flink_streaming_2_10_spark.operators.temporal import (
     interval_join,
     sessionize,
 )
+from flink_streaming_2_10_spark.pipeline.cmsketch import (
+    cm_audit_oracle_sql,
+    cm_frequency_audit,
+)
 from flink_streaming_2_10_spark.pipeline.pca import (
     covariance_oracle_sql,
+    direction_scores_oracle_sql,
     embedding_covariance,
+    embedding_direction_scores,
     pca_top_component,
     top_component_oracle_sql,
 )
@@ -1840,6 +1846,25 @@ def q_pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pca_top_component(load_table(spark, sf_dir, "embeddings"))
 
 
+def q_embedding_direction_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA apply face: each vector's exact-integer coordinate along the
+    top principal direction, top-100 by |score| — the
+    dominant-direction / boilerplate audit. One moment pass + ONE
+    scoring scan with the loading vector inlined as a plan literal
+    (zip_with/aggregate HOFs, no join, TakeOrderedAndProject cut)
+    (pipeline/pca.py)."""
+    return embedding_direction_scores(load_table(spark, sf_dir, "embeddings"))
+
+
+def q_cm_frequency_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CountMin sketch audit: top-30 exact tokens with their estimates
+    from a 4x1024 md5-family sketch — cm_est >= exact_cnt one-sided
+    bound, both engines replay the cells bit-for-bit; sketch build is
+    one sketch-sized aggregation over the token stream
+    (pipeline/cmsketch.py)."""
+    return cm_frequency_audit(load_table(spark, sf_dir, "documents"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Query registry, self-rotated under the driver's 50-row
     correctness cap: implementation-changed-since-last-driver-green keys
@@ -1961,6 +1986,8 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_user_topk": q_salted_user_topk,
         "embedding_covariance": q_embedding_covariance,
         "pca_top_component": q_pca_top_component,
+        "embedding_direction_scores": q_embedding_direction_scores,
+        "cm_frequency_audit": q_cm_frequency_audit,
     }
 
 
@@ -3839,6 +3866,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "embedding_covariance": covariance_oracle_sql(),
         "pca_top_component": top_component_oracle_sql(),
+        "embedding_direction_scores": direction_scores_oracle_sql(),
+        "cm_frequency_audit": cm_audit_oracle_sql(),
         "hypertable_rollup": f"""
             WITH e AS (SELECT event_type,
                               epoch_ms(CAST(ts AS TIMESTAMP)) AS ms,

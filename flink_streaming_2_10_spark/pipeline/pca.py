@@ -158,6 +158,18 @@ def top_component(cov_rows, d: int, iters: int = 6) -> list[int]:
     return v
 
 
+def _collect_top_component(
+    emb: DataFrame, scale: int, iters: int, vec_col: str
+) -> list[int]:
+    """Run the moment pass once and the power iteration driver-side —
+    the shared head of every apply face."""
+    cov = embedding_covariance(emb, scale, vec_col).collect()
+    d = max(r["j"] for r in cov)
+    return top_component(
+        [(r["i"], r["j"], r["cov_num"]) for r in cov], d, iters
+    )
+
+
 def pca_top_component(
     emb: DataFrame, scale: int = 64, iters: int = 6,
     vec_col: str = "embedding",
@@ -165,12 +177,48 @@ def pca_top_component(
     """Top principal component of the quantized embeddings as ``(i,
     loading)`` rows — corpus touched once (the moment pass), iteration
     on d² driver ints, result re-parallelized for composition."""
-    cov = embedding_covariance(emb, scale, vec_col).collect()
-    d = max(r["j"] for r in cov)
-    v = top_component([(r["i"], r["j"], r["cov_num"]) for r in cov], d, iters)
+    v = _collect_top_component(emb, scale, iters, vec_col)
     spark = emb.sparkSession
     return spark.createDataFrame(
         [(i + 1, int(x)) for i, x in enumerate(v)], "i int, loading long"
+    )
+
+
+def embedding_direction_scores(
+    emb: DataFrame,
+    scale: int = 64,
+    iters: int = 6,
+    k: int = 100,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """The apply face: each vector's exact-integer coordinate along the
+    top principal direction, top-``k`` by |score| (tie-break id
+    ascending) — the docs most aligned with the corpus's dominant
+    direction, i.e. the boilerplate/template candidates that
+    dominant-direction removal would rewrite most.
+
+    Plan shape: the moment pass (one corpus scan), then ONE scoring
+    scan with the integer loading vector inlined as a plan literal
+    (``zip_with``/``aggregate`` higher-order functions — no Python, no
+    join), cut by TakeOrderedAndProject. Scores are exact int64
+    (|q| ≤ scale·max|x|, |loading| ≤ 2²⁰, d terms), so the oracle
+    replays them bit-for-bit."""
+    v = _collect_top_component(emb, scale, iters, vec_col)
+    vlit = F.array(*[F.lit(int(x)).cast("long") for x in v])
+    q = F.transform(
+        F.col(vec_col),
+        lambda x: F.floor(x.cast("double") * F.lit(scale)).cast("long"),
+    )
+    score = F.aggregate(
+        F.zip_with(q, vlit, lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return (
+        emb.select(F.col(id_col), score.alias("dir_score"))
+        .orderBy(F.abs(F.col("dir_score")).desc(), F.col(id_col))
+        .limit(k)
     )
 
 
@@ -201,13 +249,12 @@ def covariance_oracle_sql(
     """
 
 
-def top_component_oracle_sql(
-    scale: int = 64, d: int = 64, iters: int = 6,
-    table: str = "embeddings", vec_col: str = "embedding",
+def _power_iteration_ctes(
+    scale: int, d: int, iters: int, table: str, vec_col: str
 ) -> str:
-    """DuckDB mirror of :func:`pca_top_component`: the covariance CTE,
-    the symmetric expansion, and ``iters`` UNROLLED power-iteration
-    rounds in HUGEINT with the identical truncating renormalization."""
+    """The shared CTE chain: covariance → symmetric expansion →
+    ``iters`` unrolled HUGEINT power-iteration rounds, ending with
+    ``v{iters}(i, val)``."""
     cov = covariance_oracle_sql(scale, d, table, vec_col)
     parts = [
         f"WITH cov AS ({cov}),",
@@ -227,8 +274,42 @@ def top_component_oracle_sql(
             f" THEN -((-w * {_NORM}) // mx)"
             f" ELSE (w * {_NORM}) // mx END AS val FROM w{r}, x{r})"
         )
-    parts.append(
-        f"SELECT CAST(i AS INT) AS i, CAST(val AS BIGINT) AS loading"
+    return "\n".join(parts)
+
+
+def top_component_oracle_sql(
+    scale: int = 64, d: int = 64, iters: int = 6,
+    table: str = "embeddings", vec_col: str = "embedding",
+) -> str:
+    """DuckDB mirror of :func:`pca_top_component`: the covariance CTE,
+    the symmetric expansion, and ``iters`` UNROLLED power-iteration
+    rounds in HUGEINT with the identical truncating renormalization."""
+    return (
+        _power_iteration_ctes(scale, d, iters, table, vec_col)
+        + f"\nSELECT CAST(i AS INT) AS i, CAST(val AS BIGINT) AS loading"
         f" FROM v{iters}"
     )
-    return "\n".join(parts)
+
+
+def direction_scores_oracle_sql(
+    scale: int = 64, d: int = 64, iters: int = 6, k: int = 100,
+    table: str = "embeddings", vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> str:
+    """DuckDB mirror of :func:`embedding_direction_scores`: the shared
+    power-iteration CTEs, then each vector's exact integer dot product
+    with the final loading vector, top-``k`` by |score|."""
+    return (
+        _power_iteration_ctes(scale, d, iters, table, vec_col)
+        + f"""
+        , scored AS (
+            SELECT e.{id_col} AS {id_col},
+                   SUM(CAST(floor(e.{vec_col}[v.i] * {scale}) AS BIGINT)
+                       * CAST(v.val AS BIGINT)) AS dir_score
+            FROM {table} e, v{iters} v
+            GROUP BY 1)
+        SELECT {id_col}, CAST(dir_score AS BIGINT) AS dir_score
+        FROM scored
+        ORDER BY abs(dir_score) DESC, {id_col}
+        LIMIT {k}"""
+    )

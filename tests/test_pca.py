@@ -106,6 +106,56 @@ def test_moment_pass_single_tiny_exchange(spark):
     assert len(re.findall(r"\(\d+\) Exchange\b", plan)) == 1, plan
 
 
+def test_direction_scores_exact_vs_numpy(spark):
+    from flink_streaming_2_10_spark.pipeline.pca import (
+        embedding_covariance,
+        embedding_direction_scores,
+        top_component,
+    )
+
+    rng = np.random.default_rng(5)
+    X = rng.normal(size=(30, 4)).astype(np.float32)
+    df = _emb_df(spark, X).withColumnRenamed("doc_id", "vec_id")
+    cov = embedding_covariance(df, scale=64).collect()
+    v = top_component(
+        [(r.i, r.j, r.cov_num) for r in cov], d=4, iters=6
+    )
+    q = np.floor(X.astype(np.float64) * 64).astype(object)
+    want = {i: int(sum(q[i][c] * v[c] for c in range(4))) for i in range(30)}
+    got = {
+        r.vec_id: r.dir_score
+        for r in embedding_direction_scores(df, scale=64, k=30).collect()
+    }
+    assert got == want
+    # ordering: |score| desc, id asc
+    out = embedding_direction_scores(df, scale=64, k=30).collect()
+    mags = [abs(r.dir_score) for r in out]
+    assert mags == sorted(mags, reverse=True)
+
+
+def test_direction_scores_plan_literal_no_join(spark):
+    """The loading vector is inlined — the scoring scan joins nothing
+    and the cut is TakeOrderedAndProject."""
+    import contextlib
+    import io
+
+    from flink_streaming_2_10_spark.pipeline.pca import (
+        embedding_direction_scores,
+    )
+
+    rng = np.random.default_rng(9)
+    df = _emb_df(spark, rng.normal(size=(20, 3))).withColumnRenamed(
+        "doc_id", "vec_id"
+    )
+    out = embedding_direction_scores(df, scale=64, k=5)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue()
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Join" not in plan, plan
+
+
 def test_pca_top_component_on_testdata(spark):
     from tests.conftest import SF_SMALL
 
