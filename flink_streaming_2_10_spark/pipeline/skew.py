@@ -13,12 +13,17 @@ The result is salt-invariant for any commutative-associative aggregate
 aggregate — the operator's whole contract is "same answer, bounded
 reducer".
 
-When to use at 100 TB: keyed counts over power-law keys (users, tokens,
-domains) where the top key holds >~1/shuffle-partitions of all rows.
-For uniform keys the extra exchange is pure overhead — measure first
-(map-side partial aggregation already absorbs moderate skew; salting
-matters when even the per-mapper partial map overflows to the reducer,
-i.e. very high per-partition cardinality of the hot key).
+When to use at 100 TB — MEASURED, not asserted (SCALE_r10.md,
+tools/scale_probe_skew.py): at 20M rows with one key holding 50%,
+salted runs 1.4–1.9× SLOWER than the plain aggregate at both 1e3 and
+5e6 tail keys, because map-side partial aggregation already collapses
+the hot key to ≤ 1 partial row per partition — for sum-mergeable
+aggregates the engine's combine IS the skew fix. Reach for this module
+only when partials are ineffective: per-mapper group cardinality at
+sort-spill scale with a simultaneous hot key, or a pipeline whose
+partial state doesn't collapse. Keyed WINDOW functions are the shape
+that truly concentrates a hot key on one task; those need
+bounded-frame rewrites, not salt.
 """
 
 from __future__ import annotations

@@ -64,6 +64,57 @@ def test_overlap_aggregates_accumulate_neighbors(spark):
     assert out == {h9: 1, h10: 2, h11: 1}
 
 
+def test_sliding_stream_equals_batch(spark, tmp_path):
+    """Streaming face: the same assigner over readStream + watermark —
+    every window the watermark closes (append mode) matches the batch
+    result on the same rows."""
+    from tests.stream_util import collect_stream
+
+    rows = [
+        ("2024-01-01 00:00:01", "a"),
+        ("2024-01-01 00:00:04", "a"),
+        ("2024-01-01 00:00:07", "b"),
+        ("2024-01-01 00:00:11", "a"),
+        ("2024-01-01 00:10:00", "flush"),  # advances the watermark
+    ]
+    csv = "\n".join(f"{ts},{k}" for ts, k in rows)
+    src = str(tmp_path / "in")
+    src_dir = __import__("pathlib").Path(src)
+    src_dir.mkdir(parents=True)
+    (src_dir / "part0.txt").write_text(csv)
+
+    def parse(df):
+        parts = F.split(F.col("text"), ",")
+        return df.select(
+            F.element_at(parts, 1).cast("timestamp").alias("ts"),
+            F.element_at(parts, 2).alias("k"),
+        )
+
+    def agg(df):
+        return sliding_window_agg(
+            df, keys=["k"], aggs=[F.count(F.lit(1)).alias("cnt")],
+            window_size="10 seconds", slide="5 seconds",
+        )
+
+    batch = parse(
+        spark.createDataFrame([(line,) for line in csv.split("\n")], ["text"])
+    )
+    expected = {
+        (r.window_start, r.k, r.cnt) for r in agg(batch).collect()
+    }
+    stream_in = parse(
+        spark.readStream.text(src).withColumnRenamed("value", "text")
+    )
+    batches = collect_stream(
+        agg(stream_in), str(tmp_path / "ck"), output_mode="append"
+    )
+    got = {(r.window_start, r.k, r.cnt) for b in batches for r in b}
+    assert got <= expected
+    # append emits only watermark-closed windows: everything except the
+    # flush row's own two member windows must have closed
+    assert len(got) >= len(expected) - 2
+
+
 def test_plan_single_exchange(spark):
     """The assigner is a scan-side explode + ONE hash exchange — no
     extra shuffle beyond the (window, key) aggregation."""
