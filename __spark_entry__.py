@@ -58,6 +58,10 @@ from flink_streaming_2_10_spark.pipeline.cmsketch import (
     cm_audit_oracle_sql,
     cm_frequency_audit,
 )
+from flink_streaming_2_10_spark.pipeline.profile import (
+    table_profile,
+    table_profile_oracle_sql,
+)
 from flink_streaming_2_10_spark.pipeline.pca import (
     covariance_oracle_sql,
     direction_scores_oracle_sql,
@@ -1856,6 +1860,21 @@ def q_embedding_direction_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_direction_scores(load_table(spark, sf_dir, "embeddings"))
 
 
+#: Columns the orders profile audits (int/string/timestamp — doubles
+#: render differently across engines; see pipeline/profile.py).
+_PROFILE_COLS = [
+    "o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority",
+    "o_orderdate",
+]
+
+
+def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style per-column audit of orders: null/distinct/min/max
+    from ONE pass (single multi-distinct agg + scan-free stack unpivot)
+    (pipeline/profile.py)."""
+    return table_profile(load_table(spark, sf_dir, "orders"), _PROFILE_COLS)
+
+
 def q_cm_frequency_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CountMin sketch audit: top-30 exact tokens with their estimates
     from a 4x1024 md5-family sketch — cm_est >= exact_cnt one-sided
@@ -1988,6 +2007,7 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pca_top_component": q_pca_top_component,
         "embedding_direction_scores": q_embedding_direction_scores,
         "cm_frequency_audit": q_cm_frequency_audit,
+        "table_profile": q_table_profile,
     }
 
 
@@ -3868,6 +3888,7 @@ def oracle_sql() -> dict[str, str]:
         "pca_top_component": top_component_oracle_sql(),
         "embedding_direction_scores": direction_scores_oracle_sql(),
         "cm_frequency_audit": cm_audit_oracle_sql(),
+        "table_profile": table_profile_oracle_sql(_PROFILE_COLS, "orders"),
         "hypertable_rollup": f"""
             WITH e AS (SELECT event_type,
                               epoch_ms(CAST(ts AS TIMESTAMP)) AS ms,
