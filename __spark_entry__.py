@@ -661,6 +661,77 @@ def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repetition_stats(load_table(spark, sf_dir, "documents"))
 
 
+def q_text_line_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher line/paragraph repetition gates
+    (pipeline/textstats.line_repetition_stats): duplicate-line and
+    duplicate-paragraph fractions, count- and character-weighted —
+    entirely scan-local array folds, zero shuffle. The driver corpus is
+    single-line word soup (fractions legitimately 0), so the planted
+    fixtures in tests/test_segdedup.py carry the semantic checks; the
+    oracle still verifies the split/trim/fold arithmetic per document."""
+    from flink_streaming_2_10_spark.pipeline.textstats import (
+        line_repetition_stats,
+    )
+
+    return line_repetition_stats(load_table(spark, sf_dir, "documents"))
+
+
+def q_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level repeated-segment strip, C4/CCNet keep-first flavor
+    (pipeline/segdedup.strip_repeated_segments). Whitespace delimiter on
+    this newline-free corpus — segments = tokens, so the query strips
+    every token occurring ≥500 times corpus-wide except its globally
+    first occurrence: census shuffle carries 8-byte hashes only, keeper
+    rides the same aggregate as min(struct(doc_id, pos)), md5 hasher
+    keeps the keys DuckDB-exact. The '\\n'-delimiter C4 face is pinned
+    on planted fixtures in tests/test_segdedup.py."""
+    from flink_streaming_2_10_spark.pipeline.segdedup import (
+        strip_repeated_segments,
+    )
+
+    return strip_repeated_segments(
+        load_table(spark, sf_dir, "documents"),
+        delimiter="\\s+",
+        joiner=" ",
+        min_count=500,
+        keep="first",
+        hasher="md5",
+    )
+
+
+def q_boilerplate_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The census face of segment dedup
+    (pipeline/segdedup.repeated_segments): every distinct segment
+    occurring ≥500 times corpus-wide with its total and document
+    frequencies — one value-keyed hash aggregation with map-side
+    partials. Distinct from heavy_hitter_tokens (MG sketch + exact
+    top-k recount): this is the threshold census the strip face
+    consumes, emitting doc-frequency alongside."""
+    from flink_streaming_2_10_spark.pipeline.segdedup import (
+        repeated_segments,
+    )
+
+    return repeated_segments(
+        load_table(spark, sf_dir, "documents"),
+        delimiter="\\s+",
+        min_count=500,
+    )
+
+
+def q_bitext_mutual_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual-nearest-neighbor pair mining between two embedding groups
+    (pipeline/mining.mutual_nn_pairs — Artetxe & Schwenk 2019 style):
+    label-0 vs label-1 vectors, mutual cross-group cosine top-1 with
+    total-ordered ties; exact face (smaller side broadcast), ANN
+    candidate injection documented for corpus×corpus scale. Cosine is
+    the similarity module's left fold, bit-identical in DuckDB."""
+    from flink_streaming_2_10_spark.pipeline.mining import mutual_nn_pairs
+
+    return mutual_nn_pairs(
+        load_table(spark, sf_dir, "embeddings"), group_a=0, group_b=1
+    )
+
+
 def q_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Keyword search: top 20 documents by exact-rational tf·(N/df)
     relevance over a fixed 3-term query — one corpus scan (scan-local
@@ -1960,6 +2031,10 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "text_language_id": q_text_language_id,
         "text_repetition": q_text_repetition,
+        "text_line_repetition": q_text_line_repetition,
+        "segment_dedup": q_segment_dedup,
+        "boilerplate_segments": q_boilerplate_segments,
+        "bitext_mutual_pairs": q_bitext_mutual_pairs,
         "text_despan": q_text_despan,
         "text_script_mix": q_text_script_mix,
         "textrank_keywords": q_textrank_keywords,
@@ -2643,6 +2718,122 @@ def _text_repetition_oracle() -> str:
                     ELSE CAST(t.cnt * len(t.gram) AS DOUBLE)
                          / CAST(n.text_len AS DOUBLE) END AS top_bigram_frac
         FROM narrow n LEFT JOIN top t ON n.doc_id = t.doc_id"""
+
+
+def _seg_list_sql(delim_sql: str) -> str:
+    """DuckDB list of trimmed non-empty segments of ``text`` split by
+    the raw-regex string literal ``delim_sql`` — mirror of
+    pipeline.segdedup._segs_sql with min_chars=1 (DuckDB string
+    literals do not process backslashes, so the regex embeds raw)."""
+    return (
+        f"list_filter(list_transform("
+        f"regexp_split_to_array(text, '{delim_sql}'), s -> trim(s)), "
+        f"s -> length(s) >= 1)"
+    )
+
+
+def _line_repetition_oracle() -> str:
+    """Mirror of pipeline.textstats.line_repetition_stats: trimmed
+    non-empty lines ('\\n') and paragraphs ('\\n{2,}'), duplicate
+    fractions count- and char-weighted, exact-long divisions."""
+
+    def gran(name: str) -> str:
+        chars = f"list_sum(list_transform({name}s, s -> length(s)))"
+        chars_d = (
+            f"list_sum(list_transform(list_distinct({name}s), "
+            f"s -> length(s)))"
+        )
+        return f"""
+               CAST(len({name}s) AS BIGINT) AS n_{name}s,
+               CASE WHEN len({name}s) > 0
+                    THEN CAST(len({name}s) - len(list_distinct({name}s))
+                              AS DOUBLE) / CAST(len({name}s) AS DOUBLE)
+                    ELSE 0.0 END AS dup_{name}_frac,
+               CASE WHEN coalesce({chars}, 0) > 0
+                    THEN CAST({chars} - {chars_d} AS DOUBLE)
+                         / CAST({chars} AS DOUBLE)
+                    ELSE 0.0 END AS dup_{name}_char_frac"""
+
+    nl = chr(92) + "n"
+    para = chr(92) + "n{2,}"
+    return f"""
+        WITH g AS (SELECT doc_id, length(text) AS n_chars,
+                          {_seg_list_sql(nl)} AS lines,
+                          {_seg_list_sql(para)} AS paras
+                   FROM documents)
+        SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+               {gran('line')},
+               {gran('para')}
+        FROM g"""
+
+
+def _segment_dedup_oracle(min_count: int = 500) -> str:
+    """Mirror of pipeline.segdedup.strip_repeated_segments with
+    delimiter '\\s+', joiner ' ', keep='first', hasher='md5': positions
+    1-based over the filtered segment list, keeper = globally smallest
+    (doc_id, pos) per 60-bit md5 key, occurrences of keys with total
+    count >= min_count dropped except the keeper."""
+    h = duckdb_hash60_sql("segs[i]")
+    return f"""
+        WITH segs AS (SELECT doc_id, {_seg_list_sql(chr(92) + 's+')} AS segs
+                      FROM documents),
+        pst AS (SELECT doc_id, s.pos AS pos, s.h AS h
+                FROM (SELECT doc_id,
+                             unnest(list_transform(range(1, len(segs) + 1),
+                                    i -> {{'pos': i, 'h': {h}}})) AS s
+                      FROM segs)),
+        rk AS (SELECT doc_id, pos,
+                      row_number() OVER (PARTITION BY h
+                                         ORDER BY doc_id, pos) AS rn,
+                      count(*) OVER (PARTITION BY h) AS n
+               FROM pst),
+        da AS (SELECT doc_id, list(pos) AS dropped
+               FROM rk WHERE n >= {int(min_count)} AND rn > 1
+               GROUP BY doc_id)
+        SELECT s.doc_id,
+               CAST(len(s.segs) AS BIGINT) AS n_segments,
+               CAST(coalesce(len(da.dropped), 0) AS BIGINT) AS n_removed,
+               coalesce(array_to_string(list_transform(
+                   list_filter(range(1, len(s.segs) + 1),
+                               i -> NOT list_contains(
+                                       coalesce(da.dropped, []), i)),
+                   i -> s.segs[i]), ' '), '') AS text
+        FROM segs s LEFT JOIN da ON da.doc_id = s.doc_id"""
+
+
+def _boilerplate_segments_oracle(min_count: int = 500) -> str:
+    """Mirror of pipeline.segdedup.repeated_segments with delimiter
+    '\\s+': value-grouped census with total and document frequency."""
+    return f"""
+        WITH segs AS (SELECT doc_id, {_seg_list_sql(chr(92) + 's+')} AS segs
+                      FROM documents),
+        e AS (SELECT doc_id, unnest(segs) AS segment FROM segs)
+        SELECT segment, count(*) AS n_total,
+               count(DISTINCT doc_id) AS n_docs
+        FROM e GROUP BY segment
+        HAVING count(*) >= {int(min_count)}"""
+
+
+def _bitext_mutual_oracle(group_a: int = 0, group_b: int = 1) -> str:
+    """Mirror of pipeline.mining.mutual_nn_pairs: cross-group cosine
+    (same left fold as the similarity oracles), mutual rank-1 with
+    (cosine DESC, other-id ASC) ties."""
+    return f"""
+        WITH a AS (SELECT vec_id AS id_a, embedding AS va
+                   FROM embeddings WHERE label = {int(group_a)}),
+        b AS (SELECT vec_id AS id_b, embedding AS vb
+              FROM embeddings WHERE label = {int(group_b)}),
+        p AS (SELECT id_a, id_b, {_cosine_sql('va', 'vb')} AS cosine
+              FROM a CROSS JOIN b),
+        r AS (SELECT id_a, id_b, cosine,
+                     row_number() OVER (PARTITION BY id_a
+                                        ORDER BY cosine DESC, id_b ASC)
+                       AS ra,
+                     row_number() OVER (PARTITION BY id_b
+                                        ORDER BY cosine DESC, id_a ASC)
+                       AS rb
+              FROM p)
+        SELECT id_a, id_b, cosine FROM r WHERE ra = 1 AND rb = 1"""
 
 
 def _text_despan_oracle(max_period: int = 3) -> str:
@@ -4281,6 +4472,10 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "text_repetition": _text_repetition_oracle(),
+        "text_line_repetition": _line_repetition_oracle(),
+        "segment_dedup": _segment_dedup_oracle(min_count=500),
+        "boilerplate_segments": _boilerplate_segments_oracle(min_count=500),
+        "bitext_mutual_pairs": _bitext_mutual_oracle(group_a=0, group_b=1),
         "text_despan": _text_despan_oracle(max_period=3),
         "keyword_search": _keyword_search_oracle(
             terms=("vector", "hash", "stream"), k=20

@@ -310,6 +310,64 @@ def repetition_stats(
     )
 
 
+def line_repetition_stats(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher-style LINE and PARAGRAPH repetition filters (Rae et al.
+    2021, table A1 rows "duplicate line fraction" / "duplicate
+    paragraph fraction" and their character-weighted variants) —
+    the segment-granular complement of :func:`repetition_stats`
+    (which covers words/trigrams/top-bigram).
+
+    ``(doc_id, n_chars, n_lines, dup_line_frac, dup_line_char_frac,
+    n_paras, dup_para_frac, dup_para_char_frac)``. Lines are trimmed
+    non-empty pieces of ``split(text, '\\n')``; paragraphs of
+    ``split(text, '\\n{2,}')``. The duplicate fraction is
+    (n − n_distinct)/n — the share of occurrences beyond each value's
+    first; the char-weighted variant replaces counts with summed
+    segment lengths, so one giant duplicated paragraph weighs more
+    than ten tiny ones (the Gopher rationale).
+
+    100 TB shape: ENTIRELY scan-local — split/trim/filter/
+    array_distinct plus two exact-long array folds per granularity;
+    zero shuffles, zero Python. Counts and char sums are exact longs,
+    each fraction one terminal double division, so the DuckDB oracle
+    hash-matches bit-for-bit. Corpus-WIDE repeated segments are the
+    other face — ``pipeline.segdedup`` — this one is the per-document
+    quality gate.
+    """
+    from flink_streaming_2_10_spark.pipeline.segdedup import _segs_sql
+
+    def _sum_chars(arr_sql: str) -> str:
+        return (
+            f"aggregate({arr_sql}, 0L, (acc, s) -> acc + length(s))"
+        )
+
+    def _granularity(name: str, delim: str) -> list:
+        segs = _segs_sql(text_col, delim, 1)
+        dist = f"array_distinct({segs})"
+        n = F.expr(f"size({segs})").cast("long")
+        nd = F.expr(f"size({dist})").cast("long")
+        ch = F.expr(_sum_chars(segs))
+        chd = F.expr(_sum_chars(dist))
+        return [
+            n.alias(f"n_{name}s"),
+            F.when(n > 0, (n - nd).cast("double") / n.cast("double"))
+            .otherwise(F.lit(0.0))
+            .alias(f"dup_{name}_frac"),
+            F.when(ch > 0, (ch - chd).cast("double") / ch.cast("double"))
+            .otherwise(F.lit(0.0))
+            .alias(f"dup_{name}_char_frac"),
+        ]
+
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.length(F.col(text_col)).cast("long").alias("n_chars"),
+        *_granularity("line", "\n"),
+        *_granularity("para", "\\n{2,}"),
+    )
+
+
 def top_ngrams(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -1,0 +1,191 @@
+"""Corpus-level repeated-segment dedup (pipeline/segdedup.py) — the
+C4/CCNet line & paragraph face, plus the per-doc Gopher line/paragraph
+repetition gates (textstats.line_repetition_stats)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from flink_streaming_2_10_spark.pipeline.segdedup import (
+    repeated_segments,
+    strip_repeated_segments,
+)
+from flink_streaming_2_10_spark.pipeline.textstats import (
+    line_repetition_stats,
+)
+
+BANNER = "Accept all cookies to continue"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(
+        [
+            (1, f"unique alpha\n{BANNER}\nbody of doc one"),
+            (2, f"{BANNER}\nbody of doc two\n{BANNER} "),
+            (3, f"  {BANNER}\nbody of doc three\n\n   "),
+            (4, "only original material here"),
+            (5, ""),
+        ],
+        "doc_id long, text string",
+    )
+
+
+def _by_id(df):
+    return {r["doc_id"]: r.asDict() for r in df.collect()}
+
+
+class TestCensus:
+    def test_counts_total_and_doc_frequency(self, docs):
+        rows = {
+            r["segment"]: r.asDict()
+            for r in repeated_segments(docs, min_count=2).collect()
+        }
+        # 4 occurrences (doc 2 has it twice), 3 distinct documents.
+        assert rows == {
+            BANNER: {"segment": BANNER, "n_total": 4, "n_docs": 3}
+        }
+
+    def test_min_count_excludes_unique_segments(self, docs):
+        assert repeated_segments(docs, min_count=5).count() == 0
+
+    def test_trim_and_empty_filter(self, spark):
+        d = spark.createDataFrame(
+            [(1, "  x  \n\n x\n   "), (2, "x")], "doc_id long, text string"
+        )
+        rows = repeated_segments(d, min_count=3).collect()
+        assert len(rows) == 1 and rows[0]["n_total"] == 3
+
+    def test_min_chars_gate(self, spark):
+        d = spark.createDataFrame(
+            [(1, "ab\nab\nlong line"), (2, "ab")],
+            "doc_id long, text string",
+        )
+        assert (
+            repeated_segments(d, min_count=2, min_chars=3).count() == 0
+        )
+
+
+class TestStrip:
+    def test_keep_none_strips_every_occurrence(self, docs):
+        out = _by_id(strip_repeated_segments(docs, min_count=3, keep="none"))
+        assert out[1]["text"] == "unique alpha\nbody of doc one"
+        assert out[2]["text"] == "body of doc two"
+        assert out[3]["text"] == "body of doc three"
+        assert out[2]["n_removed"] == 2
+        assert out[4] == {
+            "doc_id": 4,
+            "n_segments": 1,
+            "n_removed": 0,
+            "text": "only original material here",
+        }
+        assert out[5]["text"] == "" and out[5]["n_segments"] == 0
+
+    def test_keep_first_keeps_globally_first_occurrence(self, docs):
+        out = _by_id(
+            strip_repeated_segments(docs, min_count=3, keep="first")
+        )
+        # Keeper is the smallest (doc_id, pos): doc 1, pos 2.
+        assert BANNER in out[1]["text"] and out[1]["n_removed"] == 0
+        assert BANNER not in out[2]["text"] and out[2]["n_removed"] == 2
+        assert BANNER not in out[3]["text"]
+
+    def test_keeper_duplicate_within_same_doc_still_dropped(self, spark):
+        d = spark.createDataFrame(
+            [(1, "dup\nmiddle\ndup"), (2, "dup")],
+            "doc_id long, text string",
+        )
+        out = _by_id(strip_repeated_segments(d, min_count=3, keep="first"))
+        assert out[1]["text"] == "dup\nmiddle"  # pos 3 dropped, pos 1 kept
+        assert out[2]["text"] == "" and out[2]["n_removed"] == 1
+
+    def test_below_threshold_untouched(self, docs):
+        out = _by_id(strip_repeated_segments(docs, min_count=5))
+        assert all(r["n_removed"] == 0 for r in out.values())
+        assert BANNER in out[2]["text"]
+
+    def test_md5_hasher_parity_with_xxhash(self, docs):
+        a = _by_id(strip_repeated_segments(docs, min_count=3, keep="none"))
+        b = _by_id(
+            strip_repeated_segments(
+                docs, min_count=3, keep="none", hasher="md5"
+            )
+        )
+        assert a == b
+
+    def test_no_persist_path_identical(self, docs):
+        a = _by_id(strip_repeated_segments(docs, min_count=3))
+        b = _by_id(
+            strip_repeated_segments(docs, min_count=3, persist_postings=False)
+        )
+        assert a == b
+
+    def test_whitespace_delimiter_token_face(self, spark):
+        d = spark.createDataFrame(
+            [(1, "the cat the dog"), (2, "the end")],
+            "doc_id long, text string",
+        )
+        out = _by_id(
+            strip_repeated_segments(
+                d,
+                delimiter="\\s+",
+                joiner=" ",
+                min_count=3,
+                keep="first",
+            )
+        )
+        assert out[1]["text"] == "the cat dog"
+        assert out[2]["text"] == "end"
+
+    def test_flood_linear_fanout(self, spark):
+        # One banner in 300 docs: every copy beyond the first stripped,
+        # distinct bodies untouched.
+        d = spark.createDataFrame(
+            [(i, f"{BANNER}\nbody {i}") for i in range(300)],
+            "doc_id long, text string",
+        )
+        out = strip_repeated_segments(d, min_count=3, keep="first")
+        removed = out.agg(F.sum("n_removed")).collect()[0][0]
+        assert removed == 299
+        kept = out.filter(F.col("text").contains(BANNER))
+        assert kept.count() == 1 and kept.collect()[0]["doc_id"] == 0
+
+    def test_invalid_args(self, docs):
+        with pytest.raises(ValueError):
+            strip_repeated_segments(docs, keep="last")
+        with pytest.raises(ValueError):
+            strip_repeated_segments(docs, min_count=1)
+
+
+class TestLineRepetitionStats:
+    def test_planted_fractions(self, spark):
+        # 4 lines, 3 distinct ("dup" twice): dup_line_frac = 1/4;
+        # chars 3+3+6+10=22, distinct chars 3+6+10=19 -> 3/22.
+        d = spark.createDataFrame(
+            [(1, "dup\ndup\nmiddle\nlong final"), (2, "")],
+            "doc_id long, text string",
+        )
+        out = {r["doc_id"]: r.asDict() for r in
+               line_repetition_stats(d).collect()}
+        r1 = out[1]
+        assert r1["n_lines"] == 4
+        assert r1["dup_line_frac"] == 0.25
+        assert r1["dup_line_char_frac"] == 3.0 / 22.0
+        # One paragraph (no blank line separators) -> no para dupes.
+        assert r1["n_paras"] == 1 and r1["dup_para_frac"] == 0.0
+        r2 = out[2]
+        assert r2["n_lines"] == 0 and r2["dup_line_frac"] == 0.0
+        assert r2["dup_line_char_frac"] == 0.0
+
+    def test_paragraph_granularity(self, spark):
+        para = "repeated paragraph\nsecond line"
+        d = spark.createDataFrame(
+            [(1, f"{para}\n\n{para}\n\n\nunique tail")],
+            "doc_id long, text string",
+        )
+        r = line_repetition_stats(d).collect()[0]
+        assert r["n_paras"] == 3
+        assert r["dup_para_frac"] == pytest.approx(1.0 / 3.0)
+        # Lines: "repeated paragraph", "second line" twice each + tail.
+        assert r["n_lines"] == 5 and r["dup_line_frac"] == 0.4
