@@ -718,6 +718,27 @@ def q_boilerplate_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance scores (pipeline/dsir.py — Xie et al. 2023
+    shape): hashed-bigram target/raw bucket-count ratios, target =
+    lang='en' documents, 4096 buckets, add-one smoothing. Count tables
+    are bounded at 4096 rows by construction and broadcast as one-row
+    maps, so scoring is ONE scan-local pass — zero corpus shuffles.
+    Log-free mean-ratio surrogate keeps the doubles DuckDB-exact."""
+    from flink_streaming_2_10_spark.pipeline.dsir import (
+        dsir_importance_scores,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return dsir_importance_scores(
+        docs,
+        docs.filter(F.col("lang") == "en"),
+        n=2,
+        num_buckets=4096,
+        hasher="md5",
+    )
+
+
 def q_bitext_mutual_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mutual-nearest-neighbor pair mining between two embedding groups
     (pipeline/mining.mutual_nn_pairs — Artetxe & Schwenk 2019 style):
@@ -2033,6 +2054,7 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_repetition": q_text_repetition,
         "text_line_repetition": q_text_line_repetition,
         "segment_dedup": q_segment_dedup,
+        "dsir_importance": q_dsir_importance,
         "boilerplate_segments": q_boilerplate_segments,
         "bitext_mutual_pairs": q_bitext_mutual_pairs,
         "text_despan": q_text_despan,
@@ -2812,6 +2834,51 @@ def _boilerplate_segments_oracle(min_count: int = 500) -> str:
                count(DISTINCT doc_id) AS n_docs
         FROM e GROUP BY segment
         HAVING count(*) >= {int(min_count)}"""
+
+
+def _dsir_importance_oracle(
+    num_buckets: int = 4096, lang: str = "en"
+) -> str:
+    """Mirror of pipeline.dsir.dsir_importance_scores with n=2,
+    hasher='md5': bucket = md5-60(gram) % B (md5-60 values are
+    non-negative so % == pmod), add-one-smoothed target/raw ratio per
+    gram, position-ordered left fold, one terminal division."""
+    B = int(num_buckets)
+    h = duckdb_hash60_sql("s.g")
+    return f"""
+        WITH w AS (SELECT doc_id, lang,
+                          list_filter(regexp_split_to_array(lower(text),
+                                                            '\\W+'),
+                                      x -> length(x) > 0) AS words
+                   FROM documents),
+        g AS (SELECT doc_id, lang, s.pos AS pos,
+                     CAST({h} % {B} AS INT) AS b
+              FROM (SELECT doc_id, lang,
+                           unnest(list_transform(range(1, len(words)),
+                                  i -> {{'pos': i,
+                                        'g': words[i] || ' ' || words[i+1]}}))
+                             AS s
+                    FROM w WHERE len(words) >= 2)),
+        rc AS (SELECT b, count(*) AS c FROM g GROUP BY b),
+        tc AS (SELECT b, count(*) AS c FROM g
+               WHERE lang = '{lang}' GROUP BY b),
+        p AS (SELECT g.doc_id, g.pos,
+                     CAST(coalesce(tc.c, 0) + 1 AS DOUBLE)
+                       / CAST(coalesce(rc.c, 0) + 1 AS DOUBLE) AS r
+              FROM g
+              LEFT JOIN rc ON g.b = rc.b
+              LEFT JOIN tc ON g.b = tc.b),
+        f AS (SELECT doc_id,
+                     list_reduce(
+                         list_prepend(CAST(0.0 AS DOUBLE),
+                                      list(r ORDER BY pos)),
+                         (acc, x) -> acc + x) AS sum_r,
+                     COUNT(*) AS ng
+              FROM p GROUP BY doc_id)
+        SELECT d.doc_id,
+               CAST(coalesce(f.ng, 0) AS BIGINT) AS n_grams,
+               coalesce(f.sum_r / CAST(f.ng AS DOUBLE), 0.0) AS dsir_score
+        FROM documents d LEFT JOIN f ON d.doc_id = f.doc_id"""
 
 
 def _bitext_mutual_oracle(group_a: int = 0, group_b: int = 1) -> str:
@@ -4474,6 +4541,9 @@ def oracle_sql() -> dict[str, str]:
         "text_repetition": _text_repetition_oracle(),
         "text_line_repetition": _line_repetition_oracle(),
         "segment_dedup": _segment_dedup_oracle(min_count=500),
+        "dsir_importance": _dsir_importance_oracle(
+            num_buckets=4096, lang="en"
+        ),
         "boilerplate_segments": _boilerplate_segments_oracle(min_count=500),
         "bitext_mutual_pairs": _bitext_mutual_oracle(group_a=0, group_b=1),
         "text_despan": _text_despan_oracle(max_period=3),

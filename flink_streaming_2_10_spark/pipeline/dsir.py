@@ -1,0 +1,197 @@
+"""DSIR-style importance scoring — hashed n-gram domain-affinity
+weights for targeted data selection (north-star extension; same
+tokenizer lineage as the text family, reference WordCount.java:106-122).
+
+The published method this reproduces: Data Selection via Importance
+Resampling (Xie et al. 2023) — estimate, for every raw document, how
+much its hashed n-gram distribution looks like a TARGET domain
+(Wikipedia-quality text, a language, an in-house eval set) relative to
+the raw corpus, then upsample high-ratio documents. The estimator
+hashes n-grams into a FIXED number of buckets so both "models" are
+bounded-size count tables no matter how large the corpus — that is
+what makes the method (and this implementation) viable at 100 TB.
+
+Why no logarithms: DSIR's importance weight is Σ log(p_target/p_raw),
+and ``ln`` differs in the last ulp across math libraries — the same
+cross-engine hazard ``lm.py`` documents. The score here is the MEAN
+BUCKET-COUNT RATIO instead: score = (Σᵢ (c_t(bᵢ)+1)/(c_r(bᵢ)+1)) / n
+over the document's gram positions i, each term ONE division of two
+exact longs (add-one smoothing keeps unseen buckets finite), summed in
+FIXED position order. Monotone in the same direction as the DSIR
+weight (grams common in the target and rare in the raw corpus push it
+up), bit-identical doubles in any engine.
+
+Scale shape (the part that matters at 100 TB):
+
+1. the two count tables are hash aggregations whose OUTPUT is at most
+   ``num_buckets`` rows (one shuffle each, 8-byte keys, map-side
+   partials) — corpus-size-independent by construction;
+2. each collapses to a ONE-ROW map literal that broadcast-cross-joins
+   into the scoring scan (the keyword_search totals-row pattern);
+3. scoring is then ENTIRELY scan-local — one pass over the corpus,
+   per-row array fold, no posting explode, no doc_id re-aggregation,
+   zero corpus-scale shuffles. (Compare lm.py, whose vocabulary-sized
+   tables cannot be broadcast and must join postings.)
+
+``hasher="md5"`` makes the DuckDB oracle reproduce the bucket keys
+bit-for-bit; xxhash64 is the cheaper production default.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from flink_streaming_2_10_spark.pipeline.dedup import _words_sql
+
+
+def _grams_from_ws_sql(ws: str, n: int) -> str:
+    """SQL for the n-gram array over an ALREADY-PROJECTED token-array
+    column ``ws`` (space-joined adjacent tokens, position order
+    preserved). The token array must be projected once in a parent
+    select — the repetition_stats pattern — so the tokenizer runs once
+    per document, not once per gram access."""
+    if n == 1:
+        return ws
+    parts = " || ' ' || ".join(
+        f"{ws}[i + {j}]" if j else f"{ws}[i]" for j in range(n)
+    )
+    return (
+        f"CASE WHEN size({ws}) >= {n} THEN "
+        f"transform(sequence(0, size({ws}) - {n}), i -> {parts}) "
+        f"ELSE cast(array() as array<string>) END"
+    )
+
+
+def _with_grams(
+    df: DataFrame, id_col: str | None, text_col: str, n: int
+) -> DataFrame:
+    """``(doc_id?, __grams)`` with the token array projected once below
+    the gram projection."""
+    cols = (
+        [F.col(id_col).alias("doc_id")] if id_col is not None else []
+    )
+    base = df.select(
+        *cols, F.expr(_words_sql(text_col)).alias("__ws")
+    )
+    return base.select(
+        *(["doc_id"] if id_col is not None else []),
+        F.expr(_grams_from_ws_sql("__ws", n)).alias("__grams"),
+    )
+
+
+def _bucket_sql(gram_sql: str, num_buckets: int, hasher: str) -> str:
+    """SQL for the gram's bucket id under the 60-bit hash (md5 values
+    are in [0, 2^60) so pmod == % in every engine)."""
+    if hasher == "xxhash64":
+        h = f"xxhash64({gram_sql}, 0)"
+    elif hasher == "md5":
+        h = f"cast(conv(substring(md5({gram_sql}), 1, 15), 16, 10) as bigint)"
+    else:
+        raise ValueError(f"unknown hasher: {hasher}")
+    return f"cast(pmod({h}, {int(num_buckets)}) as int)"
+
+
+def hashed_gram_buckets(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 2,
+    num_buckets: int = 4096,
+    hasher: str = "xxhash64",
+) -> DataFrame:
+    """``(doc_id, pos, bucket)`` — one row per gram position (1-based),
+    bucket = hash60(gram) mod num_buckets. The posting face; the
+    scorer itself never materializes this for the corpus."""
+    return (
+        _with_grams(df, id_col, text_col, n)
+        .select(
+            "doc_id",
+            F.posexplode(F.col("__grams")).alias("p0", "__g"),
+        )
+        .select(
+            "doc_id",
+            (F.col("p0") + 1).cast("int").alias("pos"),
+            F.expr(_bucket_sql("__g", num_buckets, hasher)).alias(
+                "bucket"
+            ),
+        )
+    )
+
+
+def _bucket_count_map(
+    df: DataFrame,
+    text_col: str,
+    n: int,
+    num_buckets: int,
+    hasher: str,
+    out: str,
+) -> DataFrame:
+    """ONE-row DataFrame: ``out`` = map<bucket, count> over every gram
+    occurrence in ``df`` — at most ``num_buckets`` entries, built from
+    one bounded-output hash aggregation."""
+    counts = (
+        _with_grams(df, None, text_col, n)
+        .select(F.explode(F.col("__grams")).alias("__g"))
+        .select(
+            F.expr(_bucket_sql("__g", num_buckets, hasher)).alias("b")
+        )
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return counts.groupBy().agg(
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col("b"), F.col("c")))
+        ).alias(out)
+    )
+
+
+def dsir_importance_scores(
+    df: DataFrame,
+    target: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 2,
+    num_buckets: int = 4096,
+    hasher: str = "xxhash64",
+) -> DataFrame:
+    """``(doc_id, n_grams, dsir_score)`` for every document of ``df``:
+    the mean add-one-smoothed target/raw bucket-count ratio over the
+    document's gram positions (see module docstring). ``target`` is
+    the target-domain document set (usually a filtered subset of
+    ``df``, or a separate clean corpus — only its ``text_col`` is
+    read). Documents with no grams score 0.0.
+    """
+    raw_map = _bucket_count_map(
+        df, text_col, n, num_buckets, hasher, "__rmap"
+    )
+    tgt_map = _bucket_count_map(
+        target, text_col, n, num_buckets, hasher, "__tmap"
+    )
+    # Buckets are hashed ONCE per gram into an int array; the fold then
+    # costs two map lookups + one division per element (hashing inside
+    # the fold would digest every gram twice).
+    buckets = F.expr(
+        f"transform(__grams, g -> {_bucket_sql('g', num_buckets, hasher)})"
+    )
+    ratio_fold = (
+        "aggregate(__buckets, cast(0.0 as double), (acc, b) -> acc + "
+        "cast(coalesce(element_at(__tmap, b), 0L) + 1L as double) / "
+        "cast(coalesce(element_at(__rmap, b), 0L) + 1L as double))"
+    )
+    return (
+        _with_grams(df, id_col, text_col, n)
+        .select("doc_id", buckets.alias("__buckets"))
+        .crossJoin(F.broadcast(raw_map))
+        .crossJoin(F.broadcast(tgt_map))
+        .select(
+            "doc_id",
+            F.size("__buckets").cast("long").alias("n_grams"),
+            F.when(
+                F.size("__buckets") > 0,
+                F.expr(ratio_fold)
+                / F.size("__buckets").cast("double"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("dsir_score"),
+        )
+    )

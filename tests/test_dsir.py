@@ -1,0 +1,148 @@
+"""DSIR-style hashed n-gram importance scoring (pipeline/dsir.py)."""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import pytest
+
+from flink_streaming_2_10_spark.pipeline.dsir import (
+    dsir_importance_scores,
+    hashed_gram_buckets,
+)
+
+ROWS = [
+    (1, "the quick brown fox jumps", "en"),
+    (2, "the quick brown fox leaps", "en"),
+    (3, "der schnelle braune fuchs", "de"),
+    (4, "le renard brun rapide", "fr"),
+    (5, "the quick red fox", "en"),
+    (6, "", "en"),
+    (7, "single", "en"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(
+        ROWS, "doc_id long, text string, lang string"
+    )
+
+
+def _grams(text: str, n: int) -> list[str]:
+    words = [w for w in re.split(r"\W+", text.lower()) if w]
+    return [
+        " ".join(words[i : i + n]) for i in range(len(words) - n + 1)
+    ]
+
+
+def _bucket(gram: str, B: int) -> int:
+    h = int(hashlib.md5(gram.encode()).hexdigest()[:15], 16)
+    return h % B
+
+
+def _expected_scores(rows, n: int, B: int, target_lang: str):
+    raw: dict[int, int] = {}
+    tgt: dict[int, int] = {}
+    for _, text, lang in rows:
+        for g in _grams(text, n):
+            b = _bucket(g, B)
+            raw[b] = raw.get(b, 0) + 1
+            if lang == target_lang:
+                tgt[b] = tgt.get(b, 0) + 1
+    out = {}
+    for doc_id, text, _ in rows:
+        gs = _grams(text, n)
+        if not gs:
+            out[doc_id] = (0, 0.0)
+            continue
+        acc = 0.0
+        for g in gs:
+            b = _bucket(g, B)
+            acc += (tgt.get(b, 0) + 1) / (raw.get(b, 0) + 1)
+        out[doc_id] = (len(gs), acc / len(gs))
+    return out
+
+
+@pytest.mark.parametrize("n,B", [(2, 4096), (1, 64), (2, 8)])
+def test_scores_match_pure_python_replay(docs, n, B):
+    got = {
+        r["doc_id"]: (r["n_grams"], r["dsir_score"])
+        for r in dsir_importance_scores(
+            docs,
+            docs.filter("lang = 'en'"),
+            n=n,
+            num_buckets=B,
+            hasher="md5",
+        ).collect()
+    }
+    expect = _expected_scores(ROWS, n, B, "en")
+    assert set(got) == set(expect)
+    for k in expect:
+        assert got[k][0] == expect[k][0], k
+        assert got[k][1] == pytest.approx(expect[k][1], abs=1e-12), k
+
+
+def test_target_language_ranks_above_others(docs):
+    got = {
+        r["doc_id"]: r["dsir_score"]
+        for r in dsir_importance_scores(
+            docs,
+            docs.filter("lang = 'en'"),
+            n=2,
+            num_buckets=4096,
+            hasher="md5",
+        ).collect()
+    }
+    en = [got[i] for i in (1, 2, 5)]
+    other = [got[i] for i in (3, 4)]
+    assert min(en) > max(other)
+
+
+def test_gramless_docs_score_zero(docs):
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in dsir_importance_scores(
+            docs, docs.filter("lang = 'en'"), n=2, num_buckets=64
+        ).collect()
+    }
+    # Empty doc and 1-token doc have no bigrams.
+    for doc_id in (6, 7):
+        assert got[doc_id]["n_grams"] == 0
+        assert got[doc_id]["dsir_score"] == 0.0
+
+
+def test_external_target_corpus(docs, spark):
+    # Target can be a separate clean corpus, not a subset.
+    clean = spark.createDataFrame(
+        [(100, "the quick brown fox runs", "en")],
+        "doc_id long, text string, lang string",
+    )
+    got = {
+        r["doc_id"]: r["dsir_score"]
+        for r in dsir_importance_scores(
+            docs, clean, n=2, num_buckets=4096, hasher="md5"
+        ).collect()
+    }
+    assert got[1] > got[3]
+
+
+def test_posting_face_positions_and_buckets(docs):
+    rows = hashed_gram_buckets(
+        docs.filter("doc_id = 1"), n=2, num_buckets=4096, hasher="md5"
+    ).collect()
+    got = {(r["pos"], r["bucket"]) for r in rows}
+    expect = {
+        (i + 1, _bucket(g, 4096))
+        for i, g in enumerate(_grams(ROWS[0][1], 2))
+    }
+    assert got == expect
+
+
+def test_xxhash_production_path_runs(docs):
+    out = dsir_importance_scores(
+        docs, docs.filter("lang = 'en'"), n=2, num_buckets=4096
+    ).collect()
+    assert len(out) == len(ROWS)
+    assert all(0.0 <= r["dsir_score"] <= 4096.0 for r in out)
