@@ -56,7 +56,7 @@ occurrence with the smallest (doc_id, pos).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from flink_streaming_2_10_spark.pipeline.caching import tracked_persist
 from flink_streaming_2_10_spark.pipeline.dedup import _hash60
@@ -205,6 +205,23 @@ def strip_repeated_segments(
         F.collect_set("pos").alias("__drop")
     )
 
+    return _rebuild_without_positions(
+        df, drop_arr, id_col, text_col, delimiter, joiner, min_chars
+    )
+
+
+def _rebuild_without_positions(
+    df: DataFrame,
+    drop_arr: DataFrame,
+    id_col: str,
+    text_col: str,
+    delimiter: str,
+    joiner: str,
+    min_chars: int,
+) -> DataFrame:
+    """Rebuild every document's text from the segments whose positions
+    are NOT in ``drop_arr`` (``(doc_id, __drop array<int>)``) — the
+    shared scan-side tail of the batch and incremental strip faces."""
     segs_expr = _segs_sql(text_col, delimiter, min_chars)
     rebuilt = (
         df.join(
@@ -236,3 +253,174 @@ def strip_repeated_segments(
         )
     )
     return rebuilt
+
+
+# ---------------------------------------------------------------------------
+# Incremental face — a persisted, APPEND-ONLY segment census
+# (log-structured: each ingest pass appends one bounded partial-count
+# parquet; readers aggregate on the fly; compaction is optional).
+# The segment-granular sibling of neardup_index's persisted MinHash
+# index: old corpus never rescanned, state is hashes + counts, never
+# text.
+# ---------------------------------------------------------------------------
+
+
+def _census_partial(
+    batch_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    delimiter: str,
+    min_chars: int,
+    hasher: str,
+) -> DataFrame:
+    """One batch's census delta: ``(h, n, keeper_doc, keeper_pos)`` —
+    per-hash occurrence count and the batch-local first occurrence."""
+    return (
+        _exploded_postings(
+            batch_df, id_col, text_col, delimiter, min_chars, hasher
+        )
+        .groupBy("h")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min(F.struct("doc_id", "pos")).alias("__k"),
+        )
+        .select(
+            "h",
+            "n",
+            F.col("__k.doc_id").alias("keeper_doc"),
+            F.col("__k.pos").alias("keeper_pos"),
+        )
+    )
+
+
+def _census_state(spark: SparkSession, census_dir: str) -> DataFrame:
+    """Aggregate the append-only census log to current state:
+    ``(h, n, keeper_doc, keeper_pos)`` with summed counts and the
+    global-minimum keeper. Count sums and struct-min are MERGEABLE, so
+    any partition of the log into deltas reads back to the same state."""
+    log = spark.read.parquet(census_dir)
+    return (
+        log.groupBy("h")
+        .agg(
+            F.sum("n").alias("n"),
+            F.min(F.struct("keeper_doc", "keeper_pos")).alias("__k"),
+        )
+        .select(
+            "h",
+            "n",
+            F.col("__k.keeper_doc").alias("keeper_doc"),
+            F.col("__k.keeper_pos").alias("keeper_pos"),
+        )
+    )
+
+
+def compact_segment_census(spark: SparkSession, census_dir: str) -> None:
+    """Rewrite the census log as one aggregated delta (read cost of the
+    strip probe grows with the number of appended deltas until
+    compacted; state and results are unchanged — the mergeable-state
+    property tested in test_segdedup)."""
+    # localCheckpoint materializes the aggregated state to executor
+    # storage and CUTS the lineage to the log files, so overwriting the
+    # directory the state was read from is safe — and nothing
+    # distinct-segment-scale ever touches the driver.
+    state = _census_state(spark, census_dir).localCheckpoint()
+    state.write.mode("overwrite").parquet(census_dir)
+
+
+def strip_against_census(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    census_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    delimiter: str = "\n",
+    joiner: str = "\n",
+    min_chars: int = 1,
+    min_count: int = 3,
+    keep: str = "first",
+    hasher: str = "xxhash64",
+) -> DataFrame:
+    """Strip ``batch_df``'s corpus-repeated segments using the persisted
+    census state (which must already include this batch's own delta —
+    :func:`segdedup_ingest_batch` appends first, then strips). Same
+    output contract as :func:`strip_repeated_segments`; the probe joins
+    batch postings to census state hash-to-hash — the historical corpus
+    is never rescanned."""
+    if keep not in ("first", "none"):
+        raise ValueError(f"keep must be 'first' or 'none', got {keep!r}")
+    exploded = _exploded_postings(
+        batch_df, id_col, text_col, delimiter, min_chars, hasher
+    )
+    bad = _census_state(spark, census_dir).filter(
+        F.col("n") >= int(min_count)
+    )
+    joined = exploded.join(bad, "h")
+    if keep == "first":
+        joined = joined.filter(
+            ~(
+                (F.col("doc_id") == F.col("keeper_doc"))
+                & (F.col("pos") == F.col("keeper_pos"))
+            )
+        )
+    drop_arr = joined.groupBy("doc_id").agg(
+        F.collect_set("pos").alias("__drop")
+    )
+    return _rebuild_without_positions(
+        batch_df, drop_arr, id_col, text_col, delimiter, joiner, min_chars
+    )
+
+
+def segdedup_ingest_batch(
+    spark: SparkSession,
+    census_dir: str,
+    out_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    delimiter: str = "\n",
+    joiner: str = "\n",
+    min_chars: int = 1,
+    min_count: int = 3,
+    keep: str = "first",
+    hasher: str = "xxhash64",
+):
+    """``foreachBatch`` callback for segment-dedup-aware incremental
+    ingestion — compose with ``streaming.runners.run_incremental``:
+
+    each arriving micro-batch (1) appends its census delta (so
+    intra-batch repeats AND repeats of any earlier pass's segments are
+    counted), then (2) strips against the UPDATED census and appends
+    the survivors' rebuilt text to ``out_dir``. With monotonically
+    increasing doc ids across passes the result equals the batch
+    operator replayed over the union (pinned in test_segdedup); the one
+    streaming asymmetry is inherent and shared with every incremental
+    dedup face here: a segment crossing ``min_count`` only in a LATER
+    pass does not retro-strip documents already written.
+
+    State is the append-only census log — 8-byte hashes, counts, and
+    keeper coordinates; document text never enters it. Keep the
+    delimiter/hasher parameters IDENTICAL across passes."""
+
+    def on_batch(batch_df: DataFrame, _batch_id: int) -> None:
+        batch_df = batch_df.persist()
+        try:
+            _census_partial(
+                batch_df, id_col, text_col, delimiter, min_chars, hasher
+            ).write.mode("append").parquet(census_dir)
+            stripped = strip_against_census(
+                spark,
+                batch_df,
+                census_dir,
+                id_col=id_col,
+                text_col=text_col,
+                delimiter=delimiter,
+                joiner=joiner,
+                min_chars=min_chars,
+                min_count=min_count,
+                keep=keep,
+                hasher=hasher,
+            )
+            stripped.write.mode("append").parquet(out_dir)
+        finally:
+            batch_df.unpersist()
+
+    return on_batch

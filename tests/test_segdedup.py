@@ -158,6 +158,117 @@ class TestStrip:
             strip_repeated_segments(docs, min_count=1)
 
 
+class TestIncrementalCensus:
+    @staticmethod
+    def _batches(spark):
+        return [
+            spark.createDataFrame(rows, "doc_id long, text string")
+            for rows in (
+                [(1, f"{BANNER}\nbody one"), (2, "unique two")],
+                [(3, f"{BANNER}\nbody three"), (4, f"{BANNER}\nbody four")],
+                [(5, f"{BANNER}\nbody five"), (6, "unique six")],
+            )
+        ]
+
+    def test_three_pass_parity_with_batch_operator(self, spark, tmp_path):
+        from flink_streaming_2_10_spark.pipeline.segdedup import (
+            segdedup_ingest_batch,
+        )
+
+        census = str(tmp_path / "census")
+        out = str(tmp_path / "out")
+        on_batch = segdedup_ingest_batch(
+            spark, census, out, min_count=3, keep="first"
+        )
+        batches = self._batches(spark)
+        for i, b in enumerate(batches):
+            on_batch(b, i)
+        got = {
+            r["doc_id"]: r.asDict()
+            for r in spark.read.parquet(out).collect()
+        }
+        union = batches[0]
+        for b in batches[1:]:
+            union = union.unionByName(b)
+        expect = {
+            r["doc_id"]: r.asDict()
+            for r in strip_repeated_segments(
+                union, min_count=3, keep="first"
+            ).collect()
+        }
+        # doc ids increase across passes, so the global keeper (doc 1)
+        # is already final when later passes strip — incremental ==
+        # batch replay on every document.
+        assert got == expect
+        # The banner crossed min_count in pass 2: docs 3 and 4 stripped.
+        assert BANNER not in got[3]["text"]
+        assert BANNER not in got[4]["text"]
+        assert BANNER not in got[5]["text"]
+        # Keeper (pass-1 doc) was written before the count crossed the
+        # threshold — the documented streaming asymmetry keeps it, which
+        # here coincides with keep='first' batch semantics.
+        assert BANNER in got[1]["text"]
+
+    def test_cross_pass_repeat_of_old_segment_caught(self, spark, tmp_path):
+        from flink_streaming_2_10_spark.pipeline.segdedup import (
+            segdedup_ingest_batch,
+        )
+
+        census = str(tmp_path / "census")
+        out = str(tmp_path / "out")
+        on_batch = segdedup_ingest_batch(
+            spark, census, out, min_count=2, keep="none"
+        )
+        on_batch(
+            spark.createDataFrame(
+                [(1, "old boilerplate\nfresh one")],
+                "doc_id long, text string",
+            ),
+            0,
+        )
+        on_batch(
+            spark.createDataFrame(
+                [(2, "old boilerplate\nfresh two")],
+                "doc_id long, text string",
+            ),
+            1,
+        )
+        got = {
+            r["doc_id"]: r["text"]
+            for r in spark.read.parquet(out).collect()
+        }
+        # Pass 2 sees the pass-1 segment through the census, not a
+        # rescan; pass-1's own copy predates the threshold (asymmetry).
+        assert got[2] == "fresh two"
+        assert got[1] == "old boilerplate\nfresh one"
+
+    def test_compaction_preserves_state(self, spark, tmp_path):
+        from flink_streaming_2_10_spark.pipeline.segdedup import (
+            _census_state,
+            compact_segment_census,
+            segdedup_ingest_batch,
+        )
+
+        census = str(tmp_path / "census")
+        out = str(tmp_path / "out")
+        on_batch = segdedup_ingest_batch(spark, census, out, min_count=3)
+        for i, b in enumerate(self._batches(spark)):
+            on_batch(b, i)
+        before = {
+            r["h"]: (r["n"], r["keeper_doc"], r["keeper_pos"])
+            for r in _census_state(spark, census).collect()
+        }
+        compact_segment_census(spark, census)
+        after = {
+            r["h"]: (r["n"], r["keeper_doc"], r["keeper_pos"])
+            for r in _census_state(spark, census).collect()
+        }
+        assert before == after
+        # One aggregated delta now: every hash appears exactly once.
+        log = spark.read.parquet(census)
+        assert log.count() == log.select("h").distinct().count()
+
+
 class TestLineRepetitionStats:
     def test_planted_fractions(self, spark):
         # 4 lines, 3 distinct ("dup" twice): dup_line_frac = 1/4;
