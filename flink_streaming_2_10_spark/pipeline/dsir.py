@@ -66,7 +66,8 @@ def _with_grams(
     df: DataFrame, id_col: str | None, text_col: str, n: int
 ) -> DataFrame:
     """``(doc_id?, __grams)`` with the token array projected once below
-    the gram projection."""
+    the gram projection. For PROJECTION consumers only — exploding this
+    column is a performance trap (see :func:`_exploded_grams`)."""
     cols = (
         [F.col(id_col).alias("doc_id")] if id_col is not None else []
     )
@@ -77,6 +78,40 @@ def _with_grams(
         *(["doc_id"] if id_col is not None else []),
         F.expr(_grams_from_ws_sql("__ws", n)).alias("__grams"),
     )
+
+
+def _exploded_grams(
+    df: DataFrame,
+    id_col: str | None,
+    text_col: str,
+    n: int,
+    with_pos: bool = False,
+) -> DataFrame:
+    """One row per gram occurrence, with the gram expression INLINE as
+    the generator over the projected token array — the crossdoc shape.
+
+    Why not ``_with_grams(...).select(explode("__grams"))``: Spark's
+    InferFiltersFromGenerate adds ``size(generator input) > 0`` below
+    the Generate, and pushing that filter through the gram PROJECTION
+    inlines the tokenizer into every ``__ws[i]`` access inside the
+    gram-building lambda — O(tokens²) regex splits per document
+    (measured: a 0.3 s explode pass became 14 s at sf0.1). With the
+    gram expression as the generator itself, the inferred filter lands
+    ABOVE the ``__ws`` projection and evaluates the token array once
+    per row."""
+    ids = [F.col(id_col).alias("doc_id")] if id_col is not None else []
+    keep = ["doc_id"] if id_col is not None else []
+    base = df.select(*ids, F.expr(_words_sql(text_col)).alias("__ws"))
+    gexpr = F.expr(_grams_from_ws_sql("__ws", n))
+    if with_pos:
+        return base.select(
+            *keep, F.posexplode(gexpr).alias("p0", "__g")
+        ).select(
+            *keep,
+            (F.col("p0") + 1).cast("int").alias("pos"),
+            F.col("__g"),
+        )
+    return base.select(*keep, F.explode(gexpr).alias("__g"))
 
 
 def _bucket_sql(gram_sql: str, num_buckets: int, hasher: str) -> str:
@@ -102,19 +137,10 @@ def hashed_gram_buckets(
     """``(doc_id, pos, bucket)`` — one row per gram position (1-based),
     bucket = hash60(gram) mod num_buckets. The posting face; the
     scorer itself never materializes this for the corpus."""
-    return (
-        _with_grams(df, id_col, text_col, n)
-        .select(
-            "doc_id",
-            F.posexplode(F.col("__grams")).alias("p0", "__g"),
-        )
-        .select(
-            "doc_id",
-            (F.col("p0") + 1).cast("int").alias("pos"),
-            F.expr(_bucket_sql("__g", num_buckets, hasher)).alias(
-                "bucket"
-            ),
-        )
+    return _exploded_grams(df, id_col, text_col, n, with_pos=True).select(
+        "doc_id",
+        "pos",
+        F.expr(_bucket_sql("__g", num_buckets, hasher)).alias("bucket"),
     )
 
 
@@ -126,22 +152,35 @@ def _bucket_count_map(
     hasher: str,
     out: str,
 ) -> DataFrame:
-    """ONE-row DataFrame: ``out`` = map<bucket, count> over every gram
-    occurrence in ``df`` — at most ``num_buckets`` entries, built from
-    one bounded-output hash aggregation."""
+    """ONE-row DataFrame: ``out`` = DENSE array<long> of length
+    ``num_buckets`` (index = bucket, 1-based in SQL) over every gram
+    occurrence in ``df``, built from one bounded-output hash
+    aggregation. Dense array, not a map, deliberately: Spark map
+    literals are array-backed, so ``element_at(map, k)`` is a LINEAR
+    scan of all B entries — O(B) per gram lookup turned the scoring
+    pass quadratic-ish (measured 19 s at sf0.1, B=4096); the dense
+    array's positional ``element_at`` is O(1) and the densification
+    itself runs once on the one-row side."""
     counts = (
-        _with_grams(df, None, text_col, n)
-        .select(F.explode(F.col("__grams")).alias("__g"))
+        _exploded_grams(df, None, text_col, n)
         .select(
             F.expr(_bucket_sql("__g", num_buckets, hasher)).alias("b")
         )
         .groupBy("b")
         .agg(F.count(F.lit(1)).alias("c"))
     )
-    return counts.groupBy().agg(
-        F.map_from_entries(
-            F.collect_list(F.struct(F.col("b"), F.col("c")))
-        ).alias(out)
+    dense = (
+        f"transform(sequence(0, {int(num_buckets) - 1}), "
+        f"i -> coalesce(element_at(__m, i), 0L))"
+    )
+    return (
+        counts.groupBy()
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct(F.col("b"), F.col("c")))
+            ).alias("__m")
+        )
+        .select(F.expr(dense).alias(out))
     )
 
 
@@ -175,8 +214,8 @@ def dsir_importance_scores(
     )
     ratio_fold = (
         "aggregate(__buckets, cast(0.0 as double), (acc, b) -> acc + "
-        "cast(coalesce(element_at(__tmap, b), 0L) + 1L as double) / "
-        "cast(coalesce(element_at(__rmap, b), 0L) + 1L as double))"
+        "cast(element_at(__tmap, b + 1) + 1L as double) / "
+        "cast(element_at(__rmap, b + 1) + 1L as double))"
     )
     return (
         _with_grams(df, id_col, text_col, n)
