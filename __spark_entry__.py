@@ -718,6 +718,38 @@ def q_boilerplate_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_multimodal_payload_dedup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Exact binary-payload dedup over the derived media table
+    (pipeline/multimodal.payload_dedup): md5-of-bytes fingerprint,
+    min-id survivorship — payload reduced to a digest in the scan,
+    bytes never shuffle."""
+    from flink_streaming_2_10_spark.pipeline.multimodal import (
+        attach_media,
+        payload_dedup,
+    )
+
+    return payload_dedup(
+        attach_media(load_table(spark, sf_dir, "documents"))
+    )
+
+
+def q_text_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document trigram novelty (pipeline/textstats.novelty_scores):
+    fraction of each document's distinct trigrams appearing in no other
+    document — the originality signal dual to the dedup family. One
+    8-byte-hash document-frequency aggregation + 1:1 posting join;
+    text never shuffles; md5 hasher keeps the keys DuckDB-exact."""
+    from flink_streaming_2_10_spark.pipeline.textstats import (
+        novelty_scores,
+    )
+
+    return novelty_scores(
+        load_table(spark, sf_dir, "documents"), n=3, hasher="md5"
+    )
+
+
 def q_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR-style importance scores (pipeline/dsir.py — Xie et al. 2023
     shape): hashed-bigram target/raw bucket-count ratios, target =
@@ -2055,6 +2087,8 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_line_repetition": q_text_line_repetition,
         "segment_dedup": q_segment_dedup,
         "dsir_importance": q_dsir_importance,
+        "text_novelty": q_text_novelty,
+        "multimodal_payload_dedup": q_multimodal_payload_dedup,
         "boilerplate_segments": q_boilerplate_segments,
         "bitext_mutual_pairs": q_bitext_mutual_pairs,
         "text_despan": q_text_despan,
@@ -2834,6 +2868,45 @@ def _boilerplate_segments_oracle(min_count: int = 500) -> str:
                count(DISTINCT doc_id) AS n_docs
         FROM e GROUP BY segment
         HAVING count(*) >= {int(min_count)}"""
+
+
+def _text_novelty_oracle(n: int = 3) -> str:
+    """Mirror of pipeline.textstats.novelty_scores with hasher='md5':
+    doc-distinct n-gram STRINGS hashed to 60-bit keys (post-hash rows
+    deliberately NOT re-deduped — a same-doc hash collision yields two
+    posting rows in both engines identically), document frequency =
+    posting count per key, novel = df == 1."""
+    N = int(n)
+    gram = " || ' ' || ".join(
+        f"words[i+{j}]" if j else "words[i]" for j in range(N)
+    )
+    h = duckdb_hash60_sql("s")
+    return f"""
+        WITH w AS (SELECT doc_id,
+                          list_filter(regexp_split_to_array(lower(text),
+                                                            '\\W+'),
+                                      x -> length(x) > 0) AS words
+                   FROM documents),
+        ps AS (SELECT doc_id, {h} AS h
+               FROM (SELECT doc_id,
+                            unnest(list_distinct(
+                                CASE WHEN len(words) >= {N}
+                                     THEN list_transform(
+                                          range(1, len(words) - {N} + 2),
+                                          i -> {gram})
+                                     ELSE []::VARCHAR[] END)) AS s
+                     FROM w)),
+        dfq AS (SELECT h, count(*) AS nd FROM ps GROUP BY h),
+        pd AS (SELECT ps.doc_id, count(*) AS ng,
+                      sum(CASE WHEN dfq.nd = 1 THEN 1 ELSE 0 END) AS nn
+               FROM ps JOIN dfq USING (h) GROUP BY ps.doc_id)
+        SELECT d.doc_id,
+               CAST(coalesce(pd.ng, 0) AS BIGINT) AS n_distinct_grams,
+               CAST(coalesce(pd.nn, 0) AS BIGINT) AS n_novel,
+               CASE WHEN coalesce(pd.ng, 0) > 0
+                    THEN CAST(pd.nn AS DOUBLE) / CAST(pd.ng AS DOUBLE)
+                    ELSE 0.0 END AS novel_frac
+        FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id"""
 
 
 def _dsir_importance_oracle(
@@ -4544,6 +4617,17 @@ def oracle_sql() -> dict[str, str]:
         "dsir_importance": _dsir_importance_oracle(
             num_buckets=4096, lang="en"
         ),
+        "text_novelty": _text_novelty_oracle(n=3),
+        "multimodal_payload_dedup": """
+            WITH m AS (SELECT doc_id AS media_id, md5(text) AS fp
+                       FROM documents),
+            a AS (SELECT fp, min(media_id) AS canonical_id,
+                         count(*) AS n_copies
+                  FROM m GROUP BY fp)
+            SELECT m.media_id, a.canonical_id,
+                   CAST(a.n_copies AS BIGINT) AS n_copies,
+                   m.media_id = a.canonical_id AS is_canonical
+            FROM m JOIN a USING (fp)""",
         "boilerplate_segments": _boilerplate_segments_oracle(min_count=500),
         "bitext_mutual_pairs": _bitext_mutual_oracle(group_a=0, group_b=1),
         "text_despan": _text_despan_oracle(max_period=3),

@@ -243,3 +243,40 @@ def audio_stats(media: DataFrame) -> DataFrame:
         n_samples.cast("long").alias("n_samples"),
         (n_samples.cast("long") * F.lit(2)).alias("pcm16_bytes"),
     )
+
+
+def payload_dedup(
+    media: DataFrame,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Exact dedup of binary payloads — the media-column analog of
+    ``dedup.exact_dedup`` (text): ``(media_id, canonical_id, n_copies,
+    is_canonical)`` with the fingerprint = md5 of the raw payload
+    bytes, min-id survivorship. The first curation step for any
+    image/audio/video corpus (identical files re-crawled under
+    different URLs) and the input to near-dup pipelines (perceptual
+    hashing would slot in as a second fingerprint column).
+
+    100 TB shape: ONE scan reads the payload column and reduces it to
+    a 16-byte digest immediately — everything that shuffles afterwards
+    is (id, fingerprint); the copy-count aggregation collapses
+    map-side and the posting join back is 1:1 per media row. Payload
+    bytes never enter an exchange.
+    """
+    posts = media.select(
+        F.col(id_col).alias("media_id"),
+        F.md5(F.col(payload_col)).alias("__fp"),
+    )
+    groups = posts.groupBy("__fp").agg(
+        F.min("media_id").alias("canonical_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+    )
+    return posts.join(groups, "__fp").select(
+        "media_id",
+        "canonical_id",
+        F.col("n_copies").cast("long").alias("n_copies"),
+        (F.col("media_id") == F.col("canonical_id")).alias(
+            "is_canonical"
+        ),
+    )

@@ -368,6 +368,79 @@ def line_repetition_stats(
     )
 
 
+def novelty_scores(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    hasher: str = "xxhash64",
+) -> DataFrame:
+    """Per-document n-gram novelty: ``(doc_id, n_distinct_grams,
+    n_novel, novel_frac)`` where ``novel_frac`` is the fraction of the
+    document's DISTINCT n-grams that appear in no other document — the
+    originality signal dual to the dedup family (a verbatim copy scores
+    0.0 because every gram it has, its twin has; template-stamped docs
+    score low; fresh prose scores near 1.0). The inverse view of
+    document frequency that FineWeb-style curation uses to rank
+    "contentful" documents.
+
+    100 TB shape: doc-distinct shingles come from the shared narrow
+    shingle builder (dedup._shingles — no shuffle); document frequency
+    is ONE hash aggregation over the 8-byte gram hash with map-side
+    partials (rows are doc-distinct already, so count == doc
+    frequency); the join back is 1:1 per posting against the one-row-
+    per-hash count side (a stopword gram is AQE skew, never fan-out);
+    the per-doc rollup re-keys ids+flags only. Text never shuffles.
+    ``novel_frac`` is one exact-long division. ``hasher="md5"`` makes
+    the DuckDB oracle bit-exact (collisions merge identically).
+    """
+    from flink_streaming_2_10_spark.pipeline.caching import (
+        tracked_persist,
+    )
+    from flink_streaming_2_10_spark.pipeline.dedup import (
+        _hash60,
+        _shingles,
+    )
+
+    posts = tracked_persist(
+        _shingles(df, id_col, text_col, n).select(
+            "doc_id", _hash60(F.col("shingle"), hasher).alias("h")
+        )
+    )
+    dfreq = posts.groupBy("h").agg(F.count(F.lit(1)).alias("__nd"))
+    per_doc = (
+        posts.join(dfreq, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_distinct_grams"),
+            F.sum(
+                F.when(F.col("__nd") == 1, F.lit(1)).otherwise(F.lit(0))
+            )
+            .cast("long")
+            .alias("n_novel"),
+        )
+    )
+    return (
+        df.select(F.col(id_col).alias("doc_id"))
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_distinct_grams"), F.lit(0).cast("long"))
+            .alias("n_distinct_grams"),
+            F.coalesce(F.col("n_novel"), F.lit(0).cast("long")).alias(
+                "n_novel"
+            ),
+            F.when(
+                F.col("n_distinct_grams") > 0,
+                F.col("n_novel").cast("double")
+                / F.col("n_distinct_grams").cast("double"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("novel_frac"),
+        )
+    )
+
+
 def top_ngrams(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -211,3 +211,40 @@ def test_resize_metadata(media):
     a = media.select("media_id", F.md5(F.col("payload").cast("string")).alias("h"))
     b = out.select("media_id", F.md5(F.col("payload").cast("string")).alias("h"))
     assert a.exceptAll(b).count() == 0
+
+
+def test_payload_dedup_planted_duplicates(spark):
+    from flink_streaming_2_10_spark.pipeline.multimodal import (
+        attach_media,
+        payload_dedup,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "same bytes"),
+            (2, "same bytes"),
+            (7, "same bytes"),
+            (3, "unique payload"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["media_id"]: r.asDict()
+        for r in payload_dedup(attach_media(docs)).collect()
+    }
+    assert got[1]["is_canonical"] and got[1]["n_copies"] == 3
+    assert got[2]["canonical_id"] == 1 and not got[2]["is_canonical"]
+    assert got[7]["canonical_id"] == 1
+    assert got[3]["is_canonical"] and got[3]["n_copies"] == 1
+
+
+def test_payload_dedup_fingerprint_is_byte_level(spark):
+    from flink_streaming_2_10_spark.pipeline.multimodal import payload_dedup
+
+    # Distinct bytes with equal lengths stay distinct.
+    media = spark.createDataFrame(
+        [(1, bytearray(b"\x00\x01")), (2, bytearray(b"\x00\x02"))],
+        "media_id long, payload binary",
+    )
+    got = payload_dedup(media).collect()
+    assert all(r["n_copies"] == 1 and r["is_canonical"] for r in got)

@@ -551,3 +551,59 @@ def test_script_mix_plan_zero_shuffle(spark):
     plan = buf.getvalue()
     assert "Exchange" not in plan
     assert "codegen id" in plan  # whole-stage-codegen project
+
+
+# ---------------------------------------------------------------------------
+# novelty_scores (r11)
+# ---------------------------------------------------------------------------
+
+
+def test_novelty_planted_fixture(spark):
+    from flink_streaming_2_10_spark.pipeline.textstats import novelty_scores
+
+    docs = spark.createDataFrame(
+        [
+            # 1 and 2 are verbatim copies: every trigram shared -> 0.0.
+            (1, "alpha beta gamma delta epsilon"),
+            (2, "alpha beta gamma delta epsilon"),
+            # 3 shares its first trigram with 1/2, second is unique:
+            # grams = {alpha beta gamma, beta gamma zeta} -> 1/2.
+            (3, "alpha beta gamma zeta"),
+            # 4 is fully original -> 1.0.
+            (4, "one two three four"),
+            # 5 too short for a trigram -> zeros.
+            (5, "tiny doc"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in novelty_scores(docs, n=3).collect()
+    }
+    assert got[1]["novel_frac"] == 0.0 and got[2]["novel_frac"] == 0.0
+    assert got[3]["n_distinct_grams"] == 2 and got[3]["novel_frac"] == 0.5
+    assert got[4]["novel_frac"] == 1.0
+    assert got[5] == {
+        "doc_id": 5,
+        "n_distinct_grams": 0,
+        "n_novel": 0,
+        "novel_frac": 0.0,
+    }
+
+
+def test_novelty_repeated_gram_within_one_doc_still_novel(spark):
+    from flink_streaming_2_10_spark.pipeline.textstats import novelty_scores
+
+    # The same trigram occurring twice INSIDE one doc is doc-distinct
+    # (set semantics) — df stays 1, so it still counts as novel.
+    docs = spark.createDataFrame(
+        [(1, "a b c a b c"), (2, "x y z w")],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in novelty_scores(docs, n=3).collect()
+    }
+    # grams of doc 1: {a b c, b c a, c a b} — all unique to doc 1.
+    assert got[1]["n_distinct_grams"] == 3
+    assert got[1]["novel_frac"] == 1.0
