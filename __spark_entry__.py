@@ -718,6 +718,18 @@ def q_boilerplate_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility per language
+    (pipeline/textstats.tokenizer_fertility): BPE-ish pre-tokens per
+    whitespace word, exact-long sums in one scan + one 5-row keyed
+    aggregation, ratio as a single terminal division."""
+    from flink_streaming_2_10_spark.pipeline.textstats import (
+        tokenizer_fertility,
+    )
+
+    return tokenizer_fertility(load_table(spark, sf_dir, "documents"))
+
+
 def q_multimodal_payload_dedup(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -2089,6 +2101,7 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_importance": q_dsir_importance,
         "text_novelty": q_text_novelty,
         "multimodal_payload_dedup": q_multimodal_payload_dedup,
+        "tokenizer_fertility": q_tokenizer_fertility,
         "boilerplate_segments": q_boilerplate_segments,
         "bitext_mutual_pairs": q_bitext_mutual_pairs,
         "text_despan": q_text_despan,
@@ -4618,6 +4631,22 @@ def oracle_sql() -> dict[str, str]:
             num_buckets=4096, lang="en"
         ),
         "text_novelty": _text_novelty_oracle(n=3),
+        "tokenizer_fertility": f"""
+            WITH p AS (SELECT lang,
+                              len(regexp_extract_all(text, '\\S+'))
+                                AS ws,
+                              len(regexp_extract_all(text, '{BPE_PATTERN}'))
+                                AS bpe
+                       FROM documents)
+            SELECT lang,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(ws) AS BIGINT) AS ws_tokens,
+                   CAST(sum(bpe) AS BIGINT) AS bpe_tokens,
+                   CASE WHEN sum(ws) > 0
+                        THEN CAST(sum(bpe) AS DOUBLE)
+                             / CAST(sum(ws) AS DOUBLE)
+                        ELSE 0.0 END AS fertility
+            FROM p GROUP BY lang""",
         "multimodal_payload_dedup": """
             WITH m AS (SELECT doc_id AS media_id, md5(text) AS fp
                        FROM documents),

@@ -184,6 +184,77 @@ def _bucket_count_map(
     )
 
 
+def dsir_model(
+    df: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    n: int = 2,
+    num_buckets: int = 4096,
+    hasher: str = "xxhash64",
+) -> dict:
+    """Train the two bounded count tables and return them as plain
+    Python state: ``{"raw": [long]*B, "tgt": [long]*B, ...}``. The
+    collect is 2·num_buckets longs — bounded by construction,
+    independent of corpus size — which is exactly what makes DSIR's
+    model SHIPPABLE: inline it as plan literals and any batch OR
+    STREAM can score scan-locally with no join against anything
+    (:func:`score_with_dsir_model`)."""
+    raw = _bucket_count_map(
+        df, text_col, n, num_buckets, hasher, "__m"
+    ).collect()[0][0]
+    tgt = _bucket_count_map(
+        target, text_col, n, num_buckets, hasher, "__m"
+    ).collect()[0][0]
+    return {
+        "raw": list(raw),
+        "tgt": list(tgt),
+        "n": int(n),
+        "num_buckets": int(num_buckets),
+        "hasher": hasher,
+    }
+
+
+def score_with_dsir_model(
+    df: DataFrame,
+    model: dict,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Score documents against a trained :func:`dsir_model` with the
+    count arrays inlined as PLAN LITERALS — a pure narrow map (no
+    joins, no shuffles, no broadcast variables), so the same call
+    works on a batch DataFrame and on a streaming one (the streaming
+    face of the importance filter; parity pinned in test_dsir). Same
+    output contract as :func:`dsir_importance_scores`."""
+
+    def lit_arr(xs: list) -> str:
+        return "array(" + ", ".join(f"{int(x)}L" for x in xs) + ")"
+
+    n, B, hasher = model["n"], model["num_buckets"], model["hasher"]
+    buckets = F.expr(
+        f"transform(__grams, g -> {_bucket_sql('g', B, hasher)})"
+    )
+    fold = (
+        f"aggregate(__buckets, cast(0.0 as double), (acc, b) -> acc + "
+        f"cast(element_at({lit_arr(model['tgt'])}, b + 1) + 1L as double) / "
+        f"cast(element_at({lit_arr(model['raw'])}, b + 1) + 1L as double))"
+    )
+    return (
+        _with_grams(df, id_col, text_col, n)
+        .select("doc_id", buckets.alias("__buckets"))
+        .select(
+            "doc_id",
+            F.size("__buckets").cast("long").alias("n_grams"),
+            F.when(
+                F.size("__buckets") > 0,
+                F.expr(fold) / F.size("__buckets").cast("double"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("dsir_score"),
+        )
+    )
+
+
 def dsir_importance_scores(
     df: DataFrame,
     target: DataFrame,

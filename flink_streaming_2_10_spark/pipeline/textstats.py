@@ -74,6 +74,49 @@ def token_counts(
     )
 
 
+def tokenizer_fertility(
+    df: DataFrame,
+    group_col: str = "lang",
+    text_col: str = "text",
+) -> DataFrame:
+    """Tokenizer fertility per group: ``(lang, n_docs, ws_tokens,
+    bpe_tokens, fertility)`` with fertility = BPE-ish pre-tokens per
+    whitespace word — the standard multilingual-tokenizer health metric
+    (a tokenizer that fragments one language into 3× the pieces of
+    another starves it of effective context). Exact-long sums in ONE
+    scan + one small keyed aggregation; the ratio is a single terminal
+    division, so the double is oracle-exact.
+    """
+    text = F.col(text_col)
+    per_doc = df.select(
+        F.col(group_col).alias("lang"),
+        F.regexp_count(text, F.lit(NONSPACE_RUN_PATTERN))
+        .cast("long")
+        .alias("__ws"),
+        F.regexp_count(text, F.lit(BPE_PATTERN))
+        .cast("long")
+        .alias("__bpe"),
+    )
+    agg = per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("__ws").alias("ws_tokens"),
+        F.sum("__bpe").alias("bpe_tokens"),
+    )
+    return agg.select(
+        "lang",
+        "n_docs",
+        "ws_tokens",
+        "bpe_tokens",
+        F.when(
+            F.col("ws_tokens") > 0,
+            F.col("bpe_tokens").cast("double")
+            / F.col("ws_tokens").cast("double"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("fertility"),
+    )
+
+
 def quality_exprs(text: Column) -> dict[str, Column]:
     """The quality feature columns as reusable expressions (single source
     of truth for quality_scores and composed pipelines — the fixed

@@ -146,3 +146,61 @@ def test_xxhash_production_path_runs(docs):
     ).collect()
     assert len(out) == len(ROWS)
     assert all(0.0 <= r["dsir_score"] <= 4096.0 for r in out)
+
+
+def test_model_face_bit_equal_to_inline_training(docs):
+    from flink_streaming_2_10_spark.pipeline.dsir import (
+        dsir_importance_scores,
+        dsir_model,
+        score_with_dsir_model,
+    )
+
+    tgt = docs.filter("lang = 'en'")
+    inline = {
+        r["doc_id"]: (r["n_grams"], r["dsir_score"])
+        for r in dsir_importance_scores(
+            docs, tgt, n=2, num_buckets=256, hasher="md5"
+        ).collect()
+    }
+    model = dsir_model(docs, tgt, n=2, num_buckets=256, hasher="md5")
+    scored = {
+        r["doc_id"]: (r["n_grams"], r["dsir_score"])
+        for r in score_with_dsir_model(docs, model).collect()
+    }
+    assert scored == inline  # bit-exact, not approx
+
+
+def test_model_face_scores_a_stream(docs, spark, tmp_path):
+    from flink_streaming_2_10_spark.pipeline.dsir import (
+        dsir_model,
+        score_with_dsir_model,
+    )
+
+    src = str(tmp_path / "src")
+    docs.select("doc_id", "text").write.parquet(src)
+    model = dsir_model(
+        docs, docs.filter("lang = 'en'"), n=2, num_buckets=256,
+        hasher="md5",
+    )
+    stream = spark.readStream.schema("doc_id long, text string").parquet(
+        src
+    )
+    q = (
+        score_with_dsir_model(stream, model)
+        .writeStream.format("memory")
+        .queryName("dsir_stream_scores")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["doc_id"]: (r["n_grams"], r["dsir_score"])
+        for r in spark.sql("select * from dsir_stream_scores").collect()
+    }
+    batch = {
+        r["doc_id"]: (r["n_grams"], r["dsir_score"])
+        for r in score_with_dsir_model(
+            docs.select("doc_id", "text"), model
+        ).collect()
+    }
+    assert got == batch

@@ -385,3 +385,86 @@ def test_tpch_q8_dims_broadcast_fact_coshuffles_once(spark):
         assert "orderkey" in key or "custkey" in key or "o_year" in key, plan
     li = [s for s in _scan_sections(plan) if "l_partkey" in s]
     assert len(li) == 1, plan  # single lineitem scan
+
+
+def test_segment_dedup_exchanges_carry_hashes_and_ids_only(spark):
+    """strip_repeated_segments: the census shuffles the 8-byte segment
+    hash, drop positions re-key by doc_id — document TEXT never appears
+    in any exchange's partitioning or a shuffle-side projection wider
+    than ids+hashes."""
+    import re
+
+    from flink_streaming_2_10_spark.pipeline.segdedup import (
+        strip_repeated_segments,
+    )
+
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    plan = _plan(
+        strip_repeated_segments(
+            docs, delimiter="\\s+", joiner=" ", min_count=500
+        )
+    )
+    parts = re.findall(r"hashpartitioning\(([^)]*)\)", plan)
+    assert parts, "expected hash exchanges in the strip plan"
+    for p in parts:
+        keys = {k.split("#")[0].strip() for k in p.split(",")[:-1]}
+        assert keys <= {"h", "doc_id"}, p
+
+
+def test_dsir_scoring_never_shuffles_the_corpus(spark):
+    """dsir_importance_scores: the only hash exchanges are the two
+    bounded bucket-count aggregations (key = b); the scoring pass is
+    scan-local — no exchange keyed on doc_id, the count maps arrive via
+    broadcast."""
+    import re
+
+    from flink_streaming_2_10_spark.pipeline.dsir import (
+        dsir_importance_scores,
+    )
+
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    plan = _plan(
+        dsir_importance_scores(
+            docs, docs.filter("lang = 'en'"), n=2, num_buckets=256
+        )
+    )
+    parts = re.findall(r"hashpartitioning\(([^)]*)\)", plan)
+    for p in parts:
+        keys = {k.split("#")[0].strip() for k in p.split(",")[:-1]}
+        assert keys <= {"b"}, p
+    # Header-tree spelling (details repeat each node once more).
+    assert plan.count("BroadcastNestedLoopJoin Cross") == 2
+
+
+def test_novelty_text_never_shuffles(spark):
+    import re
+
+    from flink_streaming_2_10_spark.pipeline.textstats import (
+        novelty_scores,
+    )
+
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    plan = _plan(novelty_scores(docs, n=3))
+    parts = re.findall(r"hashpartitioning\(([^)]*)\)", plan)
+    assert parts
+    for p in parts:
+        keys = {k.split("#")[0].strip() for k in p.split(",")[:-1]}
+        assert keys <= {"h", "doc_id"}, p
+
+
+def test_mutual_nn_windows_rekey_pairs_only(spark):
+    """mutual_nn_pairs exact face: the smaller group broadcasts into the
+    cross join; the two rank windows re-key the PAIRS table by id_a then
+    id_b — the embedding vectors are not among the window exchange keys."""
+    import re
+
+    from flink_streaming_2_10_spark.pipeline.mining import mutual_nn_pairs
+
+    emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+    plan = _plan(mutual_nn_pairs(emb))
+    assert "BroadcastNestedLoopJoin" in plan
+    parts = re.findall(r"hashpartitioning\(([^)]*)\)", plan)
+    assert parts
+    for p in parts:
+        keys = {k.split("#")[0].strip() for k in p.split(",")[:-1]}
+        assert keys <= {"id_a", "id_b"}, p

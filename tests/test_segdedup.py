@@ -158,6 +158,67 @@ class TestStrip:
             strip_repeated_segments(docs, min_count=1)
 
 
+class TestNewlineFaceOracleParity:
+    def test_strip_matches_duckdb_on_planted_newline_corpus(
+        self, spark, docs
+    ):
+        """The driver corpus is newline-free, so the registered query
+        exercises the whitespace face; this pins the '\\n' C4 face
+        against an independent DuckDB replay on planted fixtures."""
+        import duckdb
+
+        got = strip_repeated_segments(
+            docs, min_count=3, keep="first", hasher="md5"
+        )
+        con = duckdb.connect()
+        con.register("docs", docs.toPandas())
+        expect = con.sql(
+            r"""
+            WITH segs AS (SELECT doc_id,
+                     list_filter(list_transform(
+                         regexp_split_to_array(text, '\n'),
+                         s -> trim(s)), s -> length(s) >= 1) AS segs
+                 FROM docs),
+            pst AS (SELECT doc_id, s.pos AS pos, s.h AS h
+                    FROM (SELECT doc_id,
+                             unnest(list_transform(range(1, len(segs)+1),
+                               i -> {'pos': i,
+                                     'h': ('0x' || substr(md5(segs[i]),
+                                           1, 15))::BIGINT})) AS s
+                          FROM segs)),
+            rk AS (SELECT doc_id, pos,
+                      row_number() OVER (PARTITION BY h
+                                         ORDER BY doc_id, pos) AS rn,
+                      count(*) OVER (PARTITION BY h) AS n
+                   FROM pst),
+            da AS (SELECT doc_id, list(pos) AS dropped
+                   FROM rk WHERE n >= 3 AND rn > 1 GROUP BY doc_id)
+            SELECT s.doc_id,
+                   CAST(len(s.segs) AS BIGINT) AS n_segments,
+                   CAST(coalesce(len(da.dropped), 0) AS BIGINT)
+                     AS n_removed,
+                   coalesce(array_to_string(list_transform(
+                       list_filter(range(1, len(s.segs) + 1),
+                           i -> NOT list_contains(
+                                   coalesce(da.dropped, []), i)),
+                       i -> s.segs[i]), chr(10)), '') AS text
+            FROM segs s LEFT JOIN da ON da.doc_id = s.doc_id
+            """
+        ).df()
+        a = {r["doc_id"]: r.asDict() for r in got.collect()}
+        b = {
+            int(r.doc_id): {
+                "doc_id": int(r.doc_id),
+                "n_segments": int(r.n_segments),
+                "n_removed": int(r.n_removed),
+                "text": r.text,
+            }
+            for r in expect.itertuples()
+        }
+        assert a == b
+        con.close()
+
+
 class TestIncrementalCensus:
     @staticmethod
     def _batches(spark):

@@ -607,3 +607,33 @@ def test_novelty_repeated_gram_within_one_doc_still_novel(spark):
     # grams of doc 1: {a b c, b c a, c a b} — all unique to doc 1.
     assert got[1]["n_distinct_grams"] == 3
     assert got[1]["novel_frac"] == 1.0
+
+
+def test_tokenizer_fertility_hand_computed(spark):
+    from flink_streaming_2_10_spark.pipeline.textstats import (
+        tokenizer_fertility,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            # "don't stop" -> ws 2; BPE-ish: don,',t,stop = 4.
+            (1, "don't stop", "en"),
+            # "abc 123" -> ws 2; BPE-ish: abc,1,2,3 = 4.
+            (2, "abc 123", "en"),
+            # plain words, fertility 1.0.
+            (3, "uno dos tres", "es"),
+            (4, "", "fr"),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    got = {r["lang"]: r.asDict() for r in tokenizer_fertility(docs).collect()}
+    assert got["en"]["ws_tokens"] == 4 and got["en"]["bpe_tokens"] == 8
+    assert got["en"]["fertility"] == 2.0
+    assert got["es"]["fertility"] == 1.0
+    assert got["fr"] == {
+        "lang": "fr",
+        "n_docs": 1,
+        "ws_tokens": 0,
+        "bpe_tokens": 0,
+        "fertility": 0.0,
+    }
