@@ -783,6 +783,28 @@ def q_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full DSIR loop (pipeline/dsir.py): hashed-bigram importance
+    scores (target = lang='en') followed by deterministic acceptance
+    resampling with keep-probability proportional to score — one 1-row
+    max broadcast + a scan-local filter; membership is (salt, id,
+    score)-determined so the oracle selects identical rows."""
+    from flink_streaming_2_10_spark.pipeline.dsir import (
+        dsir_importance_scores,
+        importance_resample,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = dsir_importance_scores(
+        docs,
+        docs.filter(F.col("lang") == "en"),
+        n=2,
+        num_buckets=4096,
+        hasher="md5",
+    )
+    return importance_resample(scored, scale=0.5)
+
+
 def q_bitext_mutual_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mutual-nearest-neighbor pair mining between two embedding groups
     (pipeline/mining.mutual_nn_pairs — Artetxe & Schwenk 2019 style):
@@ -2099,6 +2121,7 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_line_repetition": q_text_line_repetition,
         "segment_dedup": q_segment_dedup,
         "dsir_importance": q_dsir_importance,
+        "dsir_resample": q_dsir_resample,
         "text_novelty": q_text_novelty,
         "multimodal_payload_dedup": q_multimodal_payload_dedup,
         "tokenizer_fertility": q_tokenizer_fertility,
@@ -2965,6 +2988,26 @@ def _dsir_importance_oracle(
                CAST(coalesce(f.ng, 0) AS BIGINT) AS n_grams,
                coalesce(f.sum_r / CAST(f.ng AS DOUBLE), 0.0) AS dsir_score
         FROM documents d LEFT JOIN f ON d.doc_id = f.doc_id"""
+
+
+def _dsir_resample_oracle(
+    num_buckets: int = 4096,
+    lang: str = "en",
+    scale: float = 0.5,
+    salt: str = "dsir",
+) -> str:
+    """Mirror of q_dsir_resample: the dsir-importance oracle as a
+    subquery, then the same 52-bit-unit acceptance test with the
+    identical rhs evaluation order (score / max * scale * 2^52)."""
+    key = duckdb_hash60_sql(f"'{salt}:' || CAST(doc_id AS VARCHAR)")
+    return f"""
+        WITH base AS ({_dsir_importance_oracle(num_buckets, lang)}),
+        mx AS (SELECT max(dsir_score) AS m FROM base)
+        SELECT b.doc_id, b.n_grams, b.dsir_score
+        FROM base b, mx
+        WHERE mx.m > 0
+          AND CAST(({key} // 256) AS DOUBLE) <
+              b.dsir_score / mx.m * {float(scale)} * {float(1 << 52)}"""
 
 
 def _bitext_mutual_oracle(group_a: int = 0, group_b: int = 1) -> str:
@@ -4631,6 +4674,9 @@ def oracle_sql() -> dict[str, str]:
             num_buckets=4096, lang="en"
         ),
         "text_novelty": _text_novelty_oracle(n=3),
+        "dsir_resample": _dsir_resample_oracle(
+            num_buckets=4096, lang="en", scale=0.5
+        ),
         "tokenizer_fertility": f"""
             WITH p AS (SELECT lang,
                               len(regexp_extract_all(text, '\\S+'))

@@ -255,6 +255,56 @@ def score_with_dsir_model(
     )
 
 
+def importance_resample(
+    scored: DataFrame,
+    score_col: str = "dsir_score",
+    id_col: str = "doc_id",
+    scale: float = 1.0,
+    salt: str = "dsir",
+) -> DataFrame:
+    """The resampling step that makes DSIR "importance RESAMPLING":
+    keep each row with probability proportional to its score —
+    deterministic acceptance sampling, keep iff
+
+        u(id)  <  scale · score / max(score)
+
+    with u(id) a 52-bit md5-derived unit hash (the sampling module's
+    key, truncated to 52 bits so its double representation is EXACT).
+    Membership depends only on (salt, id, the score column), so re-runs
+    and the DuckDB oracle select identical rows; expected sample size
+    is scale · Σ score / max(score).
+
+    Scale shape: one 1-row max aggregation broadcast back (the
+    keyword_search totals-row pattern), then a scan-local filter —
+    no shuffle of the corpus. This is the weighted complement of
+    ``sampling.stratified_sample`` (fixed per-stratum rates) and
+    ``sampling.priority_sample`` (unweighted fixed-size): here the
+    SCORE is the rate.
+    """
+    from flink_streaming_2_10_spark.pipeline.sampling import _sample_key
+
+    mx = scored.agg(F.max(F.col(score_col)).alias("__mx"))
+    # Integer shift, NOT division: key/256 as a double would round the
+    # 60-bit key before truncation.
+    u = F.shiftright(_sample_key(F.col(id_col), salt), 8)
+    # Fixed evaluation order for the rhs double product — mirrored
+    # verbatim in the oracle so the comparison is bit-identical.
+    rhs = (
+        F.col(score_col)
+        / F.col("__mx")
+        * F.lit(float(scale))
+        * F.lit(float(1 << 52))
+    )
+    return (
+        scored.crossJoin(F.broadcast(mx))
+        .filter(
+            (F.col("__mx") > 0)
+            & (u.cast("double") < rhs)
+        )
+        .drop("__mx")
+    )
+
+
 def dsir_importance_scores(
     df: DataFrame,
     target: DataFrame,

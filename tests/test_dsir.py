@@ -204,3 +204,67 @@ def test_model_face_scores_a_stream(docs, spark, tmp_path):
         ).collect()
     }
     assert got == batch
+
+
+class TestImportanceResample:
+    @staticmethod
+    def _scored(spark, n=400):
+        from pyspark.sql import functions as F
+
+        # Half the ids score 1.0, half 0.1.
+        return spark.range(n).select(
+            F.col("id").alias("doc_id"),
+            F.when(F.col("id") % 2 == 0, F.lit(1.0))
+            .otherwise(F.lit(0.1))
+            .alias("dsir_score"),
+        )
+
+    def test_keep_rate_tracks_score(self, spark):
+        from flink_streaming_2_10_spark.pipeline.dsir import (
+            importance_resample,
+        )
+
+        scored = self._scored(spark)
+        kept = importance_resample(scored, scale=1.0).collect()
+        hi = sum(1 for r in kept if r["dsir_score"] == 1.0)
+        lo = sum(1 for r in kept if r["dsir_score"] == 0.1)
+        # score 1.0 -> p = 1 (all 200 kept); score 0.1 -> p = 0.1.
+        assert hi == 200
+        assert 5 <= lo <= 45  # 200 draws at p=0.1
+
+    def test_deterministic_and_nested_in_scale(self, spark):
+        from flink_streaming_2_10_spark.pipeline.dsir import (
+            importance_resample,
+        )
+
+        scored = self._scored(spark)
+        a = {r["doc_id"] for r in importance_resample(scored, scale=0.3).collect()}
+        b = {r["doc_id"] for r in importance_resample(scored, scale=0.3).collect()}
+        assert a == b  # rerun identical
+        wider = {
+            r["doc_id"]
+            for r in importance_resample(scored, scale=0.6).collect()
+        }
+        assert a <= wider  # thresholds grow monotonically with scale
+
+    def test_zero_scores_never_kept_and_empty_max_guard(self, spark):
+        from pyspark.sql import functions as F
+
+        from flink_streaming_2_10_spark.pipeline.dsir import (
+            importance_resample,
+        )
+
+        scored = spark.range(50).select(
+            F.col("id").alias("doc_id"), F.lit(0.0).alias("dsir_score")
+        )
+        assert importance_resample(scored, scale=5.0).count() == 0
+
+    def test_salt_changes_membership_not_rate_class(self, spark):
+        from flink_streaming_2_10_spark.pipeline.dsir import (
+            importance_resample,
+        )
+
+        scored = self._scored(spark)
+        a = {r["doc_id"] for r in importance_resample(scored, scale=0.5, salt="x").collect()}
+        b = {r["doc_id"] for r in importance_resample(scored, scale=0.5, salt="y").collect()}
+        assert a != b
