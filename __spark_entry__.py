@@ -783,6 +783,27 @@ def q_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_affinity_lang_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train + apply + evaluate the in-engine hashed-gram class-affinity
+    classifier (pipeline/nbaffinity.py) against the lang column: per-
+    class accuracy report. NOTE the honest read of this corpus: every
+    lang shares ONE 31-word vocabulary (zero language signal), so the
+    classifier correctly falls back to prior-dominant behavior — the
+    largest class (en) sweeps. The report SHOWS that property
+    deterministically; the separable-fixture tests in test_nbaffinity
+    prove the classifier discriminates when signal exists."""
+    from flink_streaming_2_10_spark.pipeline.nbaffinity import (
+        affinity_model,
+        classification_report,
+        classify_with_model,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    model = affinity_model(docs, n=1, num_buckets=2048, hasher="md5")
+    preds = classify_with_model(docs, model)
+    return classification_report(docs, preds)
+
+
 def q_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full DSIR loop (pipeline/dsir.py): hashed-bigram importance
     scores (target = lang='en') followed by deterministic acceptance
@@ -2122,6 +2143,7 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "segment_dedup": q_segment_dedup,
         "dsir_importance": q_dsir_importance,
         "dsir_resample": q_dsir_resample,
+        "affinity_lang_report": q_affinity_lang_report,
         "text_novelty": q_text_novelty,
         "multimodal_payload_dedup": q_multimodal_payload_dedup,
         "tokenizer_fertility": q_tokenizer_fertility,
@@ -2988,6 +3010,60 @@ def _dsir_importance_oracle(
                CAST(coalesce(f.ng, 0) AS BIGINT) AS n_grams,
                coalesce(f.sum_r / CAST(f.ng AS DOUBLE), 0.0) AS dsir_score
         FROM documents d LEFT JOIN f ON d.doc_id = f.doc_id"""
+
+
+def _affinity_lang_report_oracle(num_buckets: int = 2048) -> str:
+    """Mirror of q_affinity_lang_report (n=1, md5 buckets): per-class
+    Laplace-smoothed mean bucket probability in position order, argmax
+    with (score DESC, class ASC) — identical to the engine's
+    first-on-tie ascending-label fold — gramless docs predict the first
+    label, then the per-true-class accuracy rollup."""
+    B = int(num_buckets)
+    h = duckdb_hash60_sql("s.w")
+    return f"""
+        WITH w AS (SELECT doc_id, lang,
+                          list_filter(regexp_split_to_array(lower(text),
+                                                            '\\W+'),
+                                      x -> length(x) > 0) AS words
+                   FROM documents),
+        g AS (SELECT doc_id, lang, s.pos AS pos,
+                     CAST({h} % {B} AS INT) AS b
+              FROM (SELECT doc_id, lang,
+                           unnest(list_transform(range(1, len(words) + 1),
+                                  i -> {{'pos': i, 'w': words[i]}})) AS s
+                    FROM w WHERE len(words) >= 1)),
+        cnt AS (SELECT lang AS cls, b, count(*) AS c FROM g GROUP BY 1, 2),
+        tot AS (SELECT lang AS cls, count(*) AS t FROM g GROUP BY 1),
+        classes AS (SELECT DISTINCT lang AS cls FROM documents),
+        sc AS (SELECT g.doc_id, cl.cls,
+                      list_reduce(
+                          list_prepend(CAST(0.0 AS DOUBLE),
+                              list(CAST(coalesce(cnt.c, 0) + 1 AS DOUBLE)
+                                   / CAST(tot.t + {B} AS DOUBLE)
+                                   ORDER BY g.pos)),
+                          (acc, x) -> acc + x) AS ssum,
+                      count(*) AS ng
+               FROM g
+               CROSS JOIN classes cl
+               JOIN tot ON tot.cls = cl.cls
+               LEFT JOIN cnt ON cnt.cls = cl.cls AND cnt.b = g.b
+               GROUP BY g.doc_id, cl.cls),
+        pred AS (SELECT doc_id, cls FROM
+                   (SELECT doc_id, cls, ssum / ng AS s FROM sc)
+                 QUALIFY row_number() OVER (PARTITION BY doc_id
+                                            ORDER BY s DESC, cls ASC) = 1),
+        pd AS (SELECT d.doc_id, d.lang,
+                      coalesce(p.cls,
+                               (SELECT min(cls) FROM classes))
+                        AS predicted
+               FROM documents d LEFT JOIN pred p USING (doc_id))
+        SELECT lang,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(CASE WHEN predicted = lang THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_correct,
+               CAST(sum(CASE WHEN predicted = lang THEN 1 ELSE 0 END)
+                    AS DOUBLE) / CAST(count(*) AS DOUBLE) AS accuracy
+        FROM pd GROUP BY lang"""
 
 
 def _dsir_resample_oracle(
@@ -4676,6 +4752,9 @@ def oracle_sql() -> dict[str, str]:
         "text_novelty": _text_novelty_oracle(n=3),
         "dsir_resample": _dsir_resample_oracle(
             num_buckets=4096, lang="en", scale=0.5
+        ),
+        "affinity_lang_report": _affinity_lang_report_oracle(
+            num_buckets=2048
         ),
         "tokenizer_fertility": f"""
             WITH p AS (SELECT lang,
