@@ -900,6 +900,22 @@ def _events_us(spark: SparkSession, sf_dir: str, event_type: str) -> DataFrame:
     )
 
 
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov transition census over per-user event streams
+    (operators/behavior.event_transitions): adjacent event-type pairs
+    in (time, event_id) order, corpus-wide counts + exact share — one
+    user-keyed window exchange, |types|²-row aggregation, 1-row total
+    broadcast."""
+    from flink_streaming_2_10_spark.operators.behavior import (
+        event_transitions,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", F.unix_micros("ts").alias("t")
+    )
+    return event_transitions(ev)
+
+
 def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Attribution as-of join: each click matched to the user's latest
     view at-or-before it, within a 1-hour tolerance (merge-asof via
@@ -2144,6 +2160,7 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_importance": q_dsir_importance,
         "dsir_resample": q_dsir_resample,
         "affinity_lang_report": q_affinity_lang_report,
+        "event_transitions": q_event_transitions,
         "text_novelty": q_text_novelty,
         "multimodal_payload_dedup": q_multimodal_payload_dedup,
         "tokenizer_fertility": q_tokenizer_fertility,
@@ -4756,6 +4773,25 @@ def oracle_sql() -> dict[str, str]:
         "affinity_lang_report": _affinity_lang_report_oracle(
             num_buckets=2048
         ),
+        "event_transitions": """
+            WITH e AS (SELECT event_id, user_id, event_type,
+                              epoch_us(CAST(ts AS TIMESTAMP)) AS t
+                       FROM events),
+            p AS (SELECT lag(event_type) OVER (PARTITION BY user_id
+                                               ORDER BY t ASC,
+                                                        event_id ASC)
+                            AS from_type,
+                         event_type AS to_type
+                  FROM e),
+            c AS (SELECT from_type, to_type, count(*) AS n_transitions
+                  FROM p WHERE from_type IS NOT NULL
+                  GROUP BY from_type, to_type),
+            tot AS (SELECT sum(n_transitions) AS total FROM c)
+            SELECT from_type, to_type,
+                   CAST(n_transitions AS BIGINT) AS n_transitions,
+                   CAST(n_transitions AS DOUBLE)
+                     / CAST(tot.total AS DOUBLE) AS share
+            FROM c, tot""",
         "tokenizer_fertility": f"""
             WITH p AS (SELECT lang,
                               len(regexp_extract_all(text, '\\S+'))

@@ -153,6 +153,54 @@ def rolling_zscore_flags(
     )
 
 
+def event_transitions(
+    df: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    time_col: str = "t",
+    tie_col: str = "event_id",
+) -> DataFrame:
+    """Markov transition census over per-user event sequences:
+    ``(from_type, to_type, n_transitions, share)`` — every adjacent
+    (previous, next) event-type pair in each user's time-ordered
+    stream, counted corpus-wide, with ``share`` the pair's fraction of
+    all transitions. The first-order behavioral fingerprint (what
+    users do next) that funnels hard-code one path of; feeding the
+    full matrix to downstream analytics is the sequence-mining face.
+
+    100 TB shape: ONE exchange on the user key for the lag window
+    (sort bounded per user), then the pair aggregation collapses to at
+    most |types|² rows map-side; the total for ``share`` is a 1-row
+    broadcast back (keyword_search totals-row pattern) and one exact
+    long division. Total order inside a user is (time, tie_col), so
+    the census is deterministic under any row order.
+    """
+    w = Window.partitionBy(user_col).orderBy(
+        F.col(time_col).asc(), F.col(tie_col).asc()
+    )
+    pairs = df.select(
+        F.lag(F.col(type_col)).over(w).alias("from_type"),
+        F.col(type_col).alias("to_type"),
+    ).filter(F.col("from_type").isNotNull())
+    counts = pairs.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("n_transitions")
+    )
+    # The aggregated table is bounded at |types|² rows, so the total is
+    # a single-partition window over it (NOT over the corpus) — one tiny
+    # exchange instead of re-evaluating the aggregation for a broadcast
+    # totals row.
+    total = F.sum("n_transitions").over(Window.partitionBy())
+    return counts.select(
+        "from_type",
+        "to_type",
+        "n_transitions",
+        (
+            F.col("n_transitions").cast("double")
+            / total.cast("double")
+        ).alias("share"),
+    )
+
+
 def event_type_pivot(
     events: DataFrame,
     time_col: str = "ts",

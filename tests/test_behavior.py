@@ -233,3 +233,59 @@ def test_event_pivot_matches_oracle(spark, duck):
         duck,
         entrymod.oracle_sql()["event_type_pivot"],
     )
+
+
+def test_event_transitions_hand_computed(spark):
+    from flink_streaming_2_10_spark.operators.behavior import (
+        event_transitions,
+    )
+
+    # user 1: a -> b -> a ; user 2: a -> b. Transitions:
+    # (a,b) x2, (b,a) x1. Total 3.
+    ev = spark.createDataFrame(
+        [
+            (1, 1, "a", 100),
+            (2, 1, "b", 200),
+            (3, 1, "a", 300),
+            (4, 2, "a", 100),
+            (5, 2, "b", 150),
+        ],
+        "event_id long, user_id long, event_type string, t long",
+    )
+    got = {
+        (r["from_type"], r["to_type"]): r.asDict()
+        for r in event_transitions(ev).collect()
+    }
+    assert got[("a", "b")]["n_transitions"] == 2
+    assert got[("a", "b")]["share"] == 2.0 / 3.0
+    assert got[("b", "a")]["n_transitions"] == 1
+    assert set(got) == {("a", "b"), ("b", "a")}
+
+
+def test_event_transitions_tie_breaks_on_event_id(spark):
+    from flink_streaming_2_10_spark.operators.behavior import (
+        event_transitions,
+    )
+
+    # Same timestamp: order is event_id ASC -> a precedes b.
+    ev = spark.createDataFrame(
+        [(1, 1, "a", 100), (2, 1, "b", 100)],
+        "event_id long, user_id long, event_type string, t long",
+    )
+    got = [
+        (r["from_type"], r["to_type"])
+        for r in event_transitions(ev).collect()
+    ]
+    assert got == [("a", "b")]
+
+
+def test_event_transitions_single_event_users_emit_nothing(spark):
+    from flink_streaming_2_10_spark.operators.behavior import (
+        event_transitions,
+    )
+
+    ev = spark.createDataFrame(
+        [(1, 1, "a", 100), (2, 2, "b", 100)],
+        "event_id long, user_id long, event_type string, t long",
+    )
+    assert event_transitions(ev).count() == 0
