@@ -1343,6 +1343,27 @@ def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11-shaped important stock (21st of the 22 shapes; Q12's
+    l_shipmode columns don't exist in this testdata): per-part shipped
+    value of NATION_7's suppliers, kept where value exceeds 1/1000 of
+    the national total — integer-cents cross-multiply gate, national
+    total as a single-partition window over the part-sized aggregate
+    (operators/relational.important_stock_value)."""
+    from flink_streaming_2_10_spark.operators.relational import (
+        important_stock_value,
+    )
+
+    return important_stock_value(
+        load_table(spark, sf_dir, "nation"),
+        load_table(spark, sf_dir, "supplier"),
+        load_table(spark, sf_dir, "lineitem"),
+        nation_name="NATION_7",
+        fraction_num=1,
+        fraction_den=1000,
+    )
+
+
 def q_pricing_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q1 aggregate at every grouping level of (returnflag, linestatus)
     via cube — one Expand + one hash agg, subtotals in the same pass."""
@@ -2110,6 +2131,7 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q9_product_profit": q_tpch_q9,
         "tpch_q16_parts_suppliers": q_tpch_q16,
         "tpch_q20_part_promotion": q_tpch_q20,
+        "tpch_q11_important_stock": q_tpch_q11,
         "tpch_q8_market_share": q_tpch_q8,
         "tpch_q15_top_supplier": q_tpch_q15,
         "tpch_q17_small_quantity": q_tpch_q17,
@@ -5217,6 +5239,24 @@ def oracle_sql() -> dict[str, str]:
             FROM supplier
             JOIN q ON s_suppkey = l_suppkey
             JOIN nation ON s_nationkey = n_nationkey
+        """,
+        "tpch_q11_important_stock": """
+            WITH nk AS (SELECT n_nationkey FROM nation
+                        WHERE n_name = 'NATION_7'),
+            sups AS (SELECT s_suppkey FROM supplier
+                     JOIN nk ON s_nationkey = n_nationkey),
+            v AS (SELECT l_partkey,
+                         CAST(sum(CAST(round(l_extendedprice * 100)
+                                       AS BIGINT)) AS BIGINT)
+                           AS value_units
+                  FROM lineitem
+                  WHERE l_suppkey IN (SELECT s_suppkey FROM sups)
+                  GROUP BY l_partkey),
+            t AS (SELECT CAST(sum(value_units) AS BIGINT) AS total FROM v)
+            SELECT v.l_partkey AS partkey,
+                   CAST(v.value_units AS DOUBLE) / 100.0 AS value
+            FROM v, t
+            WHERE v.value_units * 1000 > t.total * 1
         """,
         "tpch_q19_bracket_revenue": """
             SELECT CAST(CAST(sum(

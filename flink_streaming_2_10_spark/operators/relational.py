@@ -1242,3 +1242,68 @@ def dominant_part_suppliers(
         )
         .select("s_suppkey", "s_name", "s_acctbal", F.col("n_name").alias("nation"))
     )
+
+
+def important_stock_value(
+    nation: DataFrame,
+    supplier: DataFrame,
+    lineitem: DataFrame,
+    nation_name: str = "NATION_7",
+    fraction_num: int = 1,
+    fraction_den: int = 1000,
+) -> DataFrame:
+    """TPC-H Q11-shaped important stock: per-part value of one nation's
+    supply, keeping parts whose value exceeds ``fraction`` of the
+    nation's total (the classic HAVING-share query). Re-grounded on the
+    lineitem part↔supplier bridge like Q2/Q9/Q16/Q20 (this testdata has
+    no partsupp): value(part) = Σ extendedprice shipped by the nation's
+    suppliers — the same "how much of this nation's business is this
+    part" share semantics with shipped value standing in for
+    supplycost·availqty.
+
+    Exactness: prices sum as integer hundredths (functions/money.py);
+    the share gate is the integer cross-multiply
+    ``value_units · fraction_den > total_units · fraction_num`` — no
+    division; the emitted ``value`` is one terminal unscale division.
+
+    Scale shape: the nation's suppliers broadcast LEFT SEMI into the
+    fact scan (the only corpus-scale input touched once); the per-part
+    aggregation is the one big exchange; the national total is a
+    single-partition window over that ALREADY part-sized table (the
+    Q20 pattern — a second aggregate would re-evaluate the agg subtree
+    and rescan the fact).
+    """
+    from pyspark.sql import Window
+
+    from flink_streaming_2_10_spark.functions.money import (
+        from_units,
+        to_units,
+    )
+
+    nk = nation.filter(F.col("n_name") == nation_name).select("n_nationkey")
+    sups = supplier.join(
+        F.broadcast(nk), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey")
+    per_part = (
+        lineitem.join(
+            F.broadcast(sups),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left_semi",
+        )
+        .groupBy("l_partkey")
+        .agg(
+            F.sum(to_units("l_extendedprice")).alias("value_units")
+        )
+    )
+    total = F.sum("value_units").over(Window.partitionBy())
+    return (
+        per_part.withColumn("__total", total)
+        .filter(
+            F.col("value_units") * F.lit(int(fraction_den))
+            > F.col("__total") * F.lit(int(fraction_num))
+        )
+        .select(
+            F.col("l_partkey").alias("partkey"),
+            from_units("value_units").alias("value"),
+        )
+    )

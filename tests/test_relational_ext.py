@@ -220,3 +220,37 @@ def test_q9_q16_q20_fact_drops_rows_map_side(spark):
             assert li and "l_shipdate" in li[0].split("PushedFilters:")[1].split(
                 "\n"
             )[0], (key, plan)
+
+
+def test_q11_share_gate_is_strict_and_exact(spark):
+    from flink_streaming_2_10_spark.operators.relational import (
+        important_stock_value,
+    )
+
+    nation = spark.createDataFrame(
+        [(1, "X"), (2, "Y")], "n_nationkey long, n_name string"
+    )
+    supplier = spark.createDataFrame(
+        [(10, 1), (11, 1), (20, 2)],
+        "s_suppkey long, s_nationkey long",
+    )
+    # Nation X ships parts: part 1 value 99.00, part 2 value 1.00
+    # (total 100.00). With fraction 1/100 the gate is STRICT: part 2 at
+    # exactly 1% is excluded, part 1 kept. Nation-Y rows must not count.
+    lineitem = spark.createDataFrame(
+        [
+            (1, 10, 50.0),
+            (1, 11, 49.0),
+            (2, 10, 1.0),
+            (3, 20, 1000.0),
+        ],
+        "l_partkey long, l_suppkey long, l_extendedprice double",
+    )
+    got = {
+        r["partkey"]: r["value"]
+        for r in important_stock_value(
+            nation, supplier, lineitem,
+            nation_name="X", fraction_num=1, fraction_den=100,
+        ).collect()
+    }
+    assert got == {1: 99.0}
