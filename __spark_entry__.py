@@ -900,6 +900,22 @@ def _events_us(spark: SparkSession, sf_dir: str, event_type: str) -> DataFrame:
     )
 
 
+def q_hourly_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly active users, exact vs KMV sketch side by side
+    (pipeline/sketches.windowed_distinct_users): the exact column is
+    the two-exchange distinct agg, the estimate carries K=64 mergeable
+    minima per window — the state shape that survives 100 TB and
+    streaming; md5 hasher keeps the estimate DuckDB-exact."""
+    from flink_streaming_2_10_spark.pipeline.sketches import (
+        windowed_distinct_users,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.unix_micros("ts").alias("t")
+    )
+    return windowed_distinct_users(ev, k=64, hasher="md5")
+
+
 def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Markov transition census over per-user event streams
     (operators/behavior.event_transitions): adjacent event-type pairs
@@ -2183,6 +2199,7 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_resample": q_dsir_resample,
         "affinity_lang_report": q_affinity_lang_report,
         "event_transitions": q_event_transitions,
+        "hourly_active_users": q_hourly_active_users,
         "text_novelty": q_text_novelty,
         "multimodal_payload_dedup": q_multimodal_payload_dedup,
         "tokenizer_fertility": q_tokenizer_fertility,
@@ -2720,6 +2737,38 @@ def _kmv_sketch_oracle(k: int, shingle_n: int) -> str:
                {scale!r} / CAST({pooled} AS DOUBLE) - 1.0 AS est_distinct,
                {k} AS k
         FROM m"""
+
+
+def _hourly_active_users_oracle(k: int = 64) -> str:
+    """Mirror of q_hourly_active_users: hour buckets via the same
+    integer µs division, exact distinct count, and the KMV estimate
+    with identical md5 base hash / affine minima / pooled sum."""
+    p = 2**31 - 1
+    mins = ",\n                     ".join(
+        f"min(({a} * h + {b}) % {p}) AS m{i}"
+        for i, (a, b) in enumerate(minhash_perm_params(k))
+    )
+    pooled = " + ".join(f"(m{i} + 1)" for i in range(k))
+    scale = float(k) * (p + 1)
+    h = duckdb_hash60_sql("CAST(user_id AS VARCHAR)")
+    return f"""
+        WITH e AS (SELECT user_id,
+                          (epoch_us(CAST(ts AS TIMESTAMP))
+                           // 3600000000) * 3600000000
+                            AS window_start_us
+                   FROM events),
+        ex AS (SELECT window_start_us,
+                      count(DISTINCT user_id) AS exact_users
+               FROM e GROUP BY 1),
+        hh AS (SELECT window_start_us, {h} % {p} AS h FROM e),
+        m AS (SELECT window_start_us,
+                     {mins}
+              FROM hh GROUP BY window_start_us)
+        SELECT ex.window_start_us,
+               CAST(ex.exact_users AS BIGINT) AS exact_users,
+               {scale!r} / CAST({pooled} AS DOUBLE) - 1.0 AS est_distinct,
+               {k} AS k
+        FROM ex JOIN m USING (window_start_us)"""
 
 
 def _textrank_oracle(
@@ -4795,6 +4844,7 @@ def oracle_sql() -> dict[str, str]:
         "affinity_lang_report": _affinity_lang_report_oracle(
             num_buckets=2048
         ),
+        "hourly_active_users": _hourly_active_users_oracle(k=64),
         "event_transitions": """
             WITH e AS (SELECT event_id, user_id, event_type,
                               epoch_us(CAST(ts AS TIMESTAMP)) AS t

@@ -73,3 +73,39 @@ def kmv_distinct_estimate(
         F.lit(float(k) * (p + 1)) / pooled.cast("double") - F.lit(1.0)
     ).alias("est_distinct")
     return agged.select(*group_cols, est, F.lit(k).alias("k"))
+
+
+def windowed_distinct_users(
+    df: DataFrame,
+    user_col: str = "user_id",
+    time_col: str = "t",
+    interval_us: int = 3_600_000_000,
+    k: int = 64,
+    hasher: str = "xxhash64",
+) -> DataFrame:
+    """Active users per time window, exact AND sketched side by side:
+    ``(window_start_us, exact_users, est_distinct, k)``.
+
+    The exact column is the classic two-exchange distinct aggregation —
+    per-window state proportional to cardinality, the thing that stops
+    scaling first. The KMV column is the mergeable-state answer: K
+    8-byte minima per window regardless of cardinality, ONE grouped
+    aggregation, state that merges across partitions, days, and
+    streaming micro-batches. Emitting both from one operator lets the
+    small-SF oracle gate verify the estimate against its own exact
+    truth in every run; at 100 TB you keep only the sketch column (and
+    the windowed grouping is exactly the shape
+    ``applyInPandasWithState`` / summary tables carry forward).
+    """
+    bucket = (
+        F.expr(f"`{time_col}` div {int(interval_us)}")
+        * F.lit(int(interval_us))
+    ).alias("window_start_us")
+    bucketed = df.select(bucket, F.col(user_col))
+    exact = bucketed.groupBy("window_start_us").agg(
+        F.countDistinct(user_col).alias("exact_users")
+    )
+    est = kmv_distinct_estimate(
+        bucketed, ["window_start_us"], user_col, k=k, hasher=hasher
+    )
+    return exact.join(est, "window_start_us")

@@ -62,3 +62,43 @@ def test_driver_query_matches_oracle_and_is_plausible(spark, duck):
         r["lang"] for r in docs.select("lang").distinct().collect()
     }
     assert all(v > 0 for v in rows.values())
+
+
+def test_windowed_distinct_users_buckets_and_accuracy(spark):
+    from flink_streaming_2_10_spark.pipeline.sketches import (
+        windowed_distinct_users,
+    )
+
+    HOUR = 3_600_000_000
+    rows = []
+    # Hour 0: users 0..9 (10 distinct, with repeats); hour 1: users 0..2.
+    for u in range(10):
+        rows.append((u, u * 7))
+        rows.append((u, u * 11 + 5))
+    for u in range(3):
+        rows.append((u, HOUR + u))
+    df = spark.createDataFrame(rows, "user_id long, t long")
+    got = {
+        r["window_start_us"]: r.asDict()
+        for r in windowed_distinct_users(df, k=64).collect()
+    }
+    assert set(got) == {0, HOUR}
+    assert got[0]["exact_users"] == 10
+    assert got[HOUR]["exact_users"] == 3
+    # Cardinality well below K: every minimum is a true order statistic,
+    # so the estimate lands near the truth.
+    assert abs(got[0]["est_distinct"] - 10) < 4.0
+    assert abs(got[HOUR]["est_distinct"] - 3) < 1.5
+
+
+def test_windowed_kmv_estimate_is_deterministic(spark):
+    from flink_streaming_2_10_spark.pipeline.sketches import (
+        windowed_distinct_users,
+    )
+
+    df = spark.createDataFrame(
+        [(u % 50, u) for u in range(500)], "user_id long, t long"
+    )
+    a = windowed_distinct_users(df, k=64).collect()[0]["est_distinct"]
+    b = windowed_distinct_users(df, k=64).collect()[0]["est_distinct"]
+    assert a == b
