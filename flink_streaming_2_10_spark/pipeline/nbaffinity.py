@@ -44,8 +44,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from flink_streaming_2_10_spark.pipeline.dsir import (
-    _bucket_count_map,
     _bucket_sql,
+    _exploded_grams,
     _with_grams,
 )
 
@@ -60,30 +60,36 @@ def affinity_model(
 ) -> dict:
     """Train the per-class count tables: ``{"classes": [(label,
     counts, total), ...] sorted by label, "n": n, "num_buckets": B,
-    "hasher": h}``. One bounded aggregation per class; driver state is
-    K·B longs."""
-    labels = sorted(
-        r[0]
-        for r in df.select(label_col).distinct().collect()
-        if r[0] is not None
-    )
-    classes = []
-    for lab in labels:
-        counts = list(
-            _bucket_count_map(
-                df.filter(F.col(label_col) == lab),
-                text_col,
-                n,
-                num_buckets,
-                hasher,
-                "__m",
-            ).collect()[0][0]
+    "hasher": h}``. ONE corpus scan trains every class — a single
+    (label, bucket)-keyed aggregation whose output is bounded at
+    |classes|·B rows regardless of corpus size; the collect is that
+    bounded table (K·B longs of driver state)."""
+    B = int(num_buckets)
+    # _exploded_grams carries one id-like column; the label rides it.
+    rows = (
+        _exploded_grams(df, label_col, text_col, n)
+        .select(
+            F.col("doc_id").alias("__lab"),
+            F.expr(_bucket_sql("__g", B, hasher)).alias("b"),
         )
-        classes.append((lab, counts, int(sum(counts))))
+        .groupBy("__lab", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    )
+    by_label: dict[str, list[int]] = {}
+    for r in rows:
+        lab = r["__lab"]
+        if lab is None:
+            continue
+        by_label.setdefault(lab, [0] * B)[r["b"]] = r["c"]
+    classes = [
+        (lab, counts, int(sum(counts)))
+        for lab, counts in sorted(by_label.items())
+    ]
     return {
         "classes": classes,
         "n": int(n),
-        "num_buckets": int(num_buckets),
+        "num_buckets": B,
         "hasher": hasher,
     }
 
