@@ -121,10 +121,17 @@ def write_training_shards(
     id_col: str = "doc_id",
     text_col: str = "text",
     hasher: str = "xxhash64",
+    order_col: str | None = None,
 ) -> DataFrame:
     """Write ``df`` as ``out_dir/shard=K/*.parquet`` (one file per shard
     via repartition-by-shard + partitionBy) with rows ordered by id
     within each shard, and return the manifest DataFrame.
+
+    ``order_col`` switches the within-shard order to CURRICULUM order:
+    rows sorted by that column (ascending — pass a difficulty/quality
+    score) with ``id_col`` the total-order tie-break, so a trainer
+    streaming a shard file front-to-back reads easy-to-hard without any
+    extra pass. Ordering stays shard-local either way.
 
     The exchange keys on the int shard column; ``sortWithinPartitions``
     keeps ordering shard-local (a global orderBy would add a range
@@ -132,9 +139,14 @@ def write_training_shards(
     across shard boundaries).
     """
     assigned = assign_shards(df, num_shards, id_col, hasher)
+    order = (
+        ["shard", order_col, id_col]
+        if order_col is not None
+        else ["shard", id_col]
+    )
     (
         assigned.repartition(num_shards, "shard")
-        .sortWithinPartitions("shard", id_col)
+        .sortWithinPartitions(*order)
         .write.partitionBy("shard")
         .mode("overwrite")
         .parquet(out_dir)

@@ -137,3 +137,35 @@ def test_bucketed_tables_join_without_exchange(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
         spark.sql("DROP TABLE IF EXISTS bt_docs")
         spark.sql("DROP TABLE IF EXISTS bt_feats")
+
+
+def test_curriculum_order_within_shards(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from flink_streaming_2_10_spark.pipeline.writer import (
+        write_training_shards,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}", float((i * 37) % 100)) for i in range(200)],
+        "doc_id long, text string, difficulty double",
+    )
+    out = str(tmp_path / "shards")
+    write_training_shards(
+        docs, out, num_shards=4, order_col="difficulty"
+    )
+    import glob
+
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    for shard_dir in glob.glob(f"{out}/shard=*"):
+        frames = [
+            pq.read_table(f).to_pandas()
+            for f in sorted(glob.glob(f"{shard_dir}/*.parquet"))
+        ]
+        got = pd.concat(frames, ignore_index=True)
+        # File order IS curriculum order: difficulty ascending, doc_id
+        # as the tie-break.
+        keys = list(zip(got["difficulty"], got["doc_id"]))
+        assert keys == sorted(keys), shard_dir
