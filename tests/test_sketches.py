@@ -102,3 +102,53 @@ def test_windowed_kmv_estimate_is_deterministic(spark):
     a = windowed_distinct_users(df, k=64).collect()[0]["est_distinct"]
     b = windowed_distinct_users(df, k=64).collect()[0]["est_distinct"]
     assert a == b
+
+
+def test_windowed_kmv_streams_where_distinct_cannot(spark, tmp_path):
+    """Streaming aggregation does not support countDistinct — the KMV
+    minima ARE plain min aggregates, so the sketch column is the
+    windowed-distinct answer that runs live. Final streamed estimates
+    must equal the batch estimates bit-for-bit."""
+    from pyspark.sql import functions as F
+
+    from flink_streaming_2_10_spark.pipeline.sketches import (
+        kmv_distinct_estimate,
+    )
+
+    HOUR = 3_600_000_000
+    rows = [(u % 40, (u % 2) * HOUR + u) for u in range(300)]
+    df = spark.createDataFrame(rows, "user_id long, t long")
+    src = str(tmp_path / "src")
+    df.write.parquet(src)
+
+    def bucketed(d):
+        return d.select(
+            (F.expr(f"t div {HOUR}") * HOUR).alias("window_start_us"),
+            "user_id",
+        )
+
+    batch = {
+        r["window_start_us"]: r["est_distinct"]
+        for r in kmv_distinct_estimate(
+            bucketed(df), ["window_start_us"], "user_id", k=32,
+            hasher="md5",
+        ).collect()
+    }
+    stream = spark.readStream.schema("user_id long, t long").parquet(src)
+    q = (
+        kmv_distinct_estimate(
+            bucketed(stream), ["window_start_us"], "user_id", k=32,
+            hasher="md5",
+        )
+        .writeStream.format("memory")
+        .queryName("kmv_stream")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["window_start_us"]: r["est_distinct"]
+        for r in spark.sql("select * from kmv_stream").collect()
+    }
+    assert got == batch
