@@ -2022,6 +2022,19 @@ def q_token_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_counts(cooccurrence_edges(docs, min_df=2), k=50)
 
 
+def q_trending_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trending event types per sliding window (operators/sliding.
+    windowed_topk): top-3 by count in every 2h/1h window, rank cut as
+    WindowGroupLimit over the already windows×types-sized count table
+    — raw events pay only the one sliding-count exchange."""
+    from flink_streaming_2_10_spark.operators.sliding import windowed_topk
+
+    ev = load_table(spark, sf_dir, "events")
+    return windowed_topk(
+        ev, key="event_type", window_size="2 hours", slide="1 hour", k=3
+    )
+
+
 def q_sliding_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding event-time window (2h size / 1h slide — Flink's
     SlidingEventTimeWindows shape) + keyed aggregation: scan-side
@@ -2247,6 +2260,7 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "holdout_leakage": q_holdout_leakage,
         "dedup_lsh_recall": q_dedup_lsh_recall,
         "sliding_window_agg": q_sliding_window_agg,
+        "trending_event_types": q_trending_event_types,
         "salted_user_topk": q_salted_user_topk,
         "embedding_covariance": q_embedding_covariance,
         "pca_top_component": q_pca_top_component,
@@ -4421,6 +4435,26 @@ def oracle_sql() -> dict[str, str]:
                      AS total_value
             FROM e, generate_series(0, 1) AS g(k)
             GROUP BY 1, 2, 3
+        """,
+        "trending_event_types": """
+            WITH e AS (SELECT event_type,
+                              epoch_ms(CAST(ts AS TIMESTAMP)) AS ms
+                       FROM events),
+            c AS (SELECT ((ms // 3600000) - g.k) * 3600000
+                            AS window_start,
+                         ((ms // 3600000) - g.k) * 3600000 + 7200000
+                            AS window_end,
+                         event_type,
+                         CAST(count(*) AS BIGINT) AS n
+                  FROM e, generate_series(0, 1) AS g(k)
+                  GROUP BY 1, 2, 3)
+            SELECT window_start, window_end, event_type, n,
+                   CAST(rnk AS INT) AS rnk
+            FROM (SELECT *, row_number() OVER (
+                      PARTITION BY window_start
+                      ORDER BY n DESC, event_type ASC) AS rnk
+                  FROM c)
+            WHERE rnk <= 3
         """,
         # Salted two-phase agg is salt-invariant — the oracle is the
         # PLAIN single-phase aggregate (that equivalence IS the

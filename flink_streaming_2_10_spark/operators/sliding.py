@@ -58,3 +58,48 @@ def sliding_window_agg(
         *[F.col(k) for k in keys],
         *[F.col(c) for c in agg_names],
     )
+
+
+def windowed_topk(
+    df: DataFrame,
+    key: str,
+    window_size: str = "2 hours",
+    slide: str = "1 hour",
+    ts_col: str = "ts",
+    k: int = 3,
+) -> DataFrame:
+    """Trending keys per sliding window: the ``k`` most frequent
+    ``key`` values in every window, with rank — the canonical
+    "trending topics" analytics shape (Flink's sliding-window top-N
+    pattern).
+
+    ``(window_start, window_end, <key>, n, rnk)``; total order inside a
+    window is (count DESC, key ASC) so the cut is deterministic.
+
+    Scale shape: the sliding count reuses :func:`sliding_window_agg`
+    (scan-side Expand into member windows, ONE (window, key) exchange
+    with map-side partials); the top-k cut is a rank window over the
+    ALREADY aggregated (windows × keys)-sized table — one further
+    exchange of count rows, never raw events, and Spark plans the
+    rank-filter as WindowGroupLimit (per-partition heap, no global
+    sort). Streaming face: run the windowed count watermarked in
+    append mode and apply this rank in ``foreachBatch`` as each window
+    closes — the count state is the only streaming state.
+    """
+    from pyspark.sql.window import Window
+
+    counts = sliding_window_agg(
+        df,
+        keys=[key],
+        aggs=[F.count(F.lit(1)).alias("n")],
+        window_size=window_size,
+        slide=slide,
+        ts_col=ts_col,
+    )
+    w = Window.partitionBy("window_start").orderBy(
+        F.col("n").desc(), F.col(key).asc()
+    )
+    return (
+        counts.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= int(k))
+    )

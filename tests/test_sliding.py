@@ -131,3 +131,50 @@ def test_plan_single_exchange(spark):
     assert len(re.findall(r"\(\d+\) Exchange\b", plan)) == 1, plan
     assert "hashpartitioning" in plan, plan
     assert re.search(r"\(\d+\) (Expand|Generate)\b", plan), plan
+
+
+class TestWindowedTopk:
+    def test_trending_hand_computed(self, spark):
+        from flink_streaming_2_10_spark.operators.sliding import (
+            windowed_topk,
+        )
+
+        # Hour 0: a x3, b x2, c x1, d x1 -> top3 = a, b, c (tie c<d).
+        rows = (
+            [(i, "a", "2024-01-01 00:10:00") for i in range(3)]
+            + [(10 + i, "b", "2024-01-01 00:20:00") for i in range(2)]
+            + [(20, "c", "2024-01-01 00:30:00"),
+               (21, "d", "2024-01-01 00:40:00")]
+        )
+        ev = spark.createDataFrame(
+            rows, "event_id long, event_type string, ts_s string"
+        ).selectExpr("event_id", "event_type", "cast(ts_s as timestamp) as ts")
+        out = windowed_topk(ev, key="event_type", k=3)
+        # Events at 00:xx fall in windows [-1h, 1h) and [0h, 2h).
+        by_win = {}
+        for r in out.collect():
+            by_win.setdefault(r["window_start"], []).append(
+                (r["rnk"], r["event_type"], r["n"])
+            )
+        for win, rows_ in by_win.items():
+            assert sorted(rows_) == [(1, "a", 3), (2, "b", 2), (3, "c", 1)]
+        assert len(by_win) == 2
+
+    def test_rank_cut_plans_as_window_group_limit(self, spark):
+        import contextlib
+        import io
+
+        from flink_streaming_2_10_spark.operators.sliding import (
+            windowed_topk,
+        )
+
+        from flink_streaming_2_10_spark.catalog import load_table
+
+        ev = load_table(spark, "/root/testdata/sf0.001", "events")
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            windowed_topk(ev, key="event_type", k=3).explain("formatted")
+        plan = buf.getvalue()
+        assert "WindowGroupLimit" in plan
+        # No global sort: ordering exists only inside the rank window.
+        assert "rangepartitioning" not in plan.lower()
