@@ -1422,6 +1422,28 @@ def q_training_shard_curated(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_curated_corpus_quality(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The composed round-11 curation DAG (pipeline/shard.
+    curate_corpus_quality): corpus-repeated-segment strip (keep-first)
+    → empty-doc gate → DSIR scores vs the lang='en' survivors →
+    deterministic importance resample at scale 0.8 — the whole chain
+    value-hash-checked against the assembled component CTE oracle."""
+    from flink_streaming_2_10_spark.pipeline.shard import (
+        curate_corpus_quality,
+    )
+
+    return curate_corpus_quality(
+        load_table(spark, sf_dir, "documents"),
+        target_lang="en",
+        min_seg_count=2000,
+        num_buckets=4096,
+        scale=0.8,
+        hasher="md5",
+    )
+
+
 def q_curated_corpus_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full curation DAG with NEAR-dup canonicalization: gates →
     MinHash-LSH pairs over survivors → transitive clusters (iterate()
@@ -2229,6 +2251,7 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "training_shard": q_training_shard,
         "training_shard_curated": q_training_shard_curated,
         "curated_corpus_neardup": q_curated_corpus_neardup,
+        "curated_corpus_quality": q_curated_corpus_quality,
         "shard_manifest": q_shard_manifest,
         "sketch_distinct_ngrams": q_sketch_distinct_ngrams,
         "heavy_hitter_tokens": q_heavy_hitter_tokens,
@@ -3070,20 +3093,23 @@ def _text_novelty_oracle(n: int = 3) -> str:
 
 
 def _dsir_importance_oracle(
-    num_buckets: int = 4096, lang: str = "en"
+    num_buckets: int = 4096, lang: str = "en", table: str = "documents"
 ) -> str:
     """Mirror of pipeline.dsir.dsir_importance_scores with n=2,
     hasher='md5': bucket = md5-60(gram) % B (md5-60 values are
     non-negative so % == pmod), add-one-smoothed target/raw ratio per
-    gram, position-ordered left fold, one terminal division."""
+    gram, position-ordered left fold, one terminal division.
+    ``table`` lets composed recipes score a CTE instead of the raw
+    corpus (needs columns doc_id, lang, text)."""
     B = int(num_buckets)
     h = duckdb_hash60_sql("s.g")
+    T = table
     return f"""
         WITH w AS (SELECT doc_id, lang,
                           list_filter(regexp_split_to_array(lower(text),
                                                             '\\W+'),
                                       x -> length(x) > 0) AS words
-                   FROM documents),
+                   FROM {T}),
         g AS (SELECT doc_id, lang, s.pos AS pos,
                      CAST({h} % {B} AS INT) AS b
               FROM (SELECT doc_id, lang,
@@ -3111,7 +3137,7 @@ def _dsir_importance_oracle(
         SELECT d.doc_id,
                CAST(coalesce(f.ng, 0) AS BIGINT) AS n_grams,
                coalesce(f.sum_r / CAST(f.ng AS DOUBLE), 0.0) AS dsir_score
-        FROM documents d LEFT JOIN f ON d.doc_id = f.doc_id"""
+        FROM {T} d LEFT JOIN f ON d.doc_id = f.doc_id"""
 
 
 def _affinity_lang_report_oracle(num_buckets: int = 2048) -> str:
@@ -3183,6 +3209,34 @@ def _dsir_resample_oracle(
         mx AS (SELECT max(dsir_score) AS m FROM base)
         SELECT b.doc_id, b.n_grams, b.dsir_score
         FROM base b, mx
+        WHERE mx.m > 0
+          AND CAST(({key} // 256) AS DOUBLE) <
+              b.dsir_score / mx.m * {float(scale)} * {float(1 << 52)}"""
+
+
+def _curated_quality_oracle(
+    min_seg_count: int = 500,
+    num_buckets: int = 4096,
+    lang: str = "en",
+    scale: float = 0.8,
+    salt: str = "dsir",
+) -> str:
+    """Mirror of pipeline.shard.curate_corpus_quality: the segment-strip
+    oracle and the DSIR oracle (pointed at the stripped survivors via
+    its ``table`` parameter) assembled as nested-WITH CTEs, then the
+    same 52-bit acceptance filter and the n_removed join-back."""
+    key = duckdb_hash60_sql(f"'{salt}:' || CAST(b.doc_id AS VARCHAR)")
+    return f"""
+        WITH stripped AS ({_segment_dedup_oracle(min_seg_count)}),
+        enriched AS (SELECT s.doc_id, s.n_removed, s.text, d.lang
+                     FROM stripped s JOIN documents d USING (doc_id)
+                     WHERE s.n_segments > 0),
+        base AS ({_dsir_importance_oracle(num_buckets, lang,
+                                          table="enriched")}),
+        mx AS (SELECT max(dsir_score) AS m FROM base)
+        SELECT b.doc_id, e.n_removed, b.n_grams, b.dsir_score
+        FROM base b
+        JOIN enriched e USING (doc_id), mx
         WHERE mx.m > 0
           AND CAST(({key} // 256) AS DOUBLE) <
               b.dsir_score / mx.m * {float(scale)} * {float(1 << 52)}"""
@@ -4874,6 +4928,9 @@ def oracle_sql() -> dict[str, str]:
         "text_novelty": _text_novelty_oracle(n=3),
         "dsir_resample": _dsir_resample_oracle(
             num_buckets=4096, lang="en", scale=0.5
+        ),
+        "curated_corpus_quality": _curated_quality_oracle(
+            min_seg_count=2000, num_buckets=4096, lang="en", scale=0.8
         ),
         "affinity_lang_report": _affinity_lang_report_oracle(
             num_buckets=2048

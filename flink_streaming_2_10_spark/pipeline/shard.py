@@ -339,3 +339,76 @@ def curate_corpus_neardup(
         id_col, "cluster_size", "ws_tokens", "bpe_tokens", "quality",
         "dup_word_frac",
     )
+
+
+def curate_corpus_quality(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+    target_lang: str = "en",
+    min_seg_count: int = 500,
+    num_buckets: int = 4096,
+    scale: float = 0.8,
+    hasher: str = "md5",
+) -> DataFrame:
+    """The round-11 composed curation DAG — boilerplate removal +
+    domain-targeted selection in one recipe (the quality-side sibling
+    of :func:`curate_corpus_neardup`):
+
+    1. strip corpus-repeated segments keeping each one's globally-first
+       occurrence (``segdedup.strip_repeated_segments`` — census
+       exchange carries 8-byte hashes only);
+    2. drop documents the strip emptied;
+    3. DSIR importance scores against the ``target_lang`` slice of the
+       SURVIVORS (``dsir.dsir_importance_scores`` — bounded count
+       tables broadcast as one-row maps, scoring scan-local);
+    4. deterministic importance resampling proportional to score
+       (``dsir.importance_resample`` — 52-bit-exact acceptance test).
+
+    Output: ``(doc_id, n_removed, n_grams, dsir_score)`` of the kept
+    documents. Everything corpus-scale touches one strip rebuild join
+    and two doc_id-keyed joins; every score/threshold is the same
+    exact arithmetic its component operator contracts, so the full
+    composed DAG is value-hash checkable end-to-end (the oracle
+    assembles the component CTE chains).
+    """
+    from flink_streaming_2_10_spark.pipeline.dsir import (
+        dsir_importance_scores,
+        importance_resample,
+    )
+    from flink_streaming_2_10_spark.pipeline.segdedup import (
+        strip_repeated_segments,
+    )
+
+    stripped = strip_repeated_segments(
+        docs,
+        id_col=id_col,
+        text_col=text_col,
+        delimiter="\\s+",
+        joiner=" ",
+        min_count=min_seg_count,
+        keep="first",
+        hasher=hasher,
+    )
+    enriched = tracked_persist(
+        stripped.filter(F.col("n_segments") > 0).join(
+            docs.select(
+                F.col(id_col).alias("doc_id"), F.col(lang_col).alias("lang")
+            ),
+            "doc_id",
+        )
+    )
+    scored = dsir_importance_scores(
+        enriched,
+        enriched.filter(F.col("lang") == target_lang),
+        id_col="doc_id",
+        text_col="text",
+        n=2,
+        num_buckets=num_buckets,
+        hasher=hasher,
+    )
+    kept = importance_resample(scored, scale=scale)
+    return kept.join(
+        enriched.select("doc_id", "n_removed"), "doc_id"
+    ).select("doc_id", "n_removed", "n_grams", "dsir_score")

@@ -160,3 +160,54 @@ def test_curate_neardup_resumes_after_driver_loss(spark, tmp_path, monkeypatch):
         (r["doc_id"], r["cluster_size"]) for r in fresh.collect()
     }
     assert got  # the chain produced at least one surviving canonical
+
+
+def test_curate_corpus_quality_equals_manual_chain(spark):
+    from pyspark.sql import functions as F
+
+    from flink_streaming_2_10_spark.pipeline.dsir import (
+        dsir_importance_scores,
+        importance_resample,
+    )
+    from flink_streaming_2_10_spark.pipeline.segdedup import (
+        strip_repeated_segments,
+    )
+    from flink_streaming_2_10_spark.pipeline.shard import (
+        curate_corpus_quality,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (i, " ".join(["common"] * 5 + [f"rare{i}w{j}" for j in range(6)]), "en" if i % 2 else "de")
+            for i in range(40)
+        ],
+        "doc_id long, text string, lang string",
+    )
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in curate_corpus_quality(
+            docs, min_seg_count=100, num_buckets=256, scale=1.0,
+        ).collect()
+    }
+    stripped = strip_repeated_segments(
+        docs, delimiter="\\s+", joiner=" ", min_count=100,
+        keep="first", hasher="md5",
+    )
+    enriched = stripped.filter("n_segments > 0").join(
+        docs.select("doc_id", "lang"), "doc_id"
+    )
+    scored = dsir_importance_scores(
+        enriched, enriched.filter(F.col("lang") == "en"),
+        n=2, num_buckets=256, hasher="md5",
+    )
+    expect = {
+        r["doc_id"]: r.asDict()
+        for r in importance_resample(scored, scale=1.0)
+        .join(enriched.select("doc_id", "n_removed"), "doc_id")
+        .select("doc_id", "n_removed", "n_grams", "dsir_score")
+        .collect()
+    }
+    assert got == expect
+    # "common" x5 per doc x40 docs = 200 >= 100: stripped everywhere
+    # except the single global keeper -> n_removed 5 (or 4 for keeper).
+    assert got and all(r["n_removed"] in (4, 5) for r in got.values())
