@@ -826,6 +826,22 @@ def q_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return importance_resample(scored, scale=0.5)
 
 
+def q_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding quality gate (pipeline/clustering.centroid_outliers):
+    vectors farther than r=1.0 from their own label centroid, decided
+    by the exact-integer cross-multiplied inequality
+    Σ(n·qᵢ−sᵢ)² > n²·(r·SCALE)² — the mean never materializes, no float
+    enters the decision; one bounded (label, dim) sum exchange +
+    scan-local gate, vectors never shuffle."""
+    from flink_streaming_2_10_spark.pipeline.clustering import (
+        centroid_outliers,
+    )
+
+    return centroid_outliers(
+        load_table(spark, sf_dir, "embeddings"), radius=1.0
+    )
+
+
 def q_bitext_mutual_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mutual-nearest-neighbor pair mining between two embedding groups
     (pipeline/mining.mutual_nn_pairs — Artetxe & Schwenk 2019 style):
@@ -2240,6 +2256,7 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tokenizer_fertility": q_tokenizer_fertility,
         "boilerplate_segments": q_boilerplate_segments,
         "bitext_mutual_pairs": q_bitext_mutual_pairs,
+        "embedding_outliers": q_embedding_outliers,
         "text_despan": q_text_despan,
         "text_script_mix": q_text_script_mix,
         "textrank_keywords": q_textrank_keywords,
@@ -4983,6 +5000,32 @@ def oracle_sql() -> dict[str, str]:
             FROM m JOIN a USING (fp)""",
         "boilerplate_segments": _boilerplate_segments_oracle(min_count=500),
         "bitext_mutual_pairs": _bitext_mutual_oracle(group_a=0, group_b=1),
+        "embedding_outliers": """
+            WITH q AS (SELECT vec_id, label,
+                              list_transform(embedding, x ->
+                                  CAST(floor(CAST(x AS DOUBLE) * 10000.0
+                                             + 0.5) AS BIGINT)) AS q
+                       FROM embeddings),
+            e AS (SELECT vec_id, label, s.d AS d, s.v AS v
+                  FROM (SELECT vec_id, label,
+                               unnest(list_transform(
+                                   range(1, len(q) + 1),
+                                   i -> {'d': i, 'v': q[i]})) AS s
+                        FROM q)),
+            st AS (SELECT label, d, CAST(sum(v) AS BIGINT) AS s,
+                          CAST(count(*) AS BIGINT) AS n
+                   FROM e GROUP BY 1, 2),
+            dn AS (SELECT e.vec_id, e.label,
+                          CAST(sum((st.n * e.v - st.s)
+                                   * (st.n * e.v - st.s)) AS BIGINT)
+                            AS dist2_num,
+                          max(st.n) AS n
+                   FROM e JOIN st ON e.label = st.label AND e.d = st.d
+                   GROUP BY 1, 2)
+            SELECT vec_id, label, CAST(n AS BIGINT) AS n, dist2_num,
+                   dist2_num > n * n * 100000000 AS is_outlier
+            FROM dn
+        """,
         "text_despan": _text_despan_oracle(max_period=3),
         "keyword_search": _keyword_search_oracle(
             terms=("vector", "hash", "stream"), k=20

@@ -135,3 +135,89 @@ def kmeans_fixed_point(
         F.col("a")["j"].alias("cluster"),
         F.col("a")["d"].alias("dist2"),
     )
+
+
+def centroid_outliers(
+    df: DataFrame,
+    label_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    radius: float = 0.5,
+) -> DataFrame:
+    """Embedding quality gate: flag vectors far from their OWN label's
+    centroid — the standard mislabeled/garbage-embedding screen before
+    centroid-based training or retrieval eval.
+
+    ``(vec_id, label, n, dist2_num, is_outlier)`` where the test is the
+    exact-integer cross-multiplied form of ‖q − s/n‖ > r:
+
+        Σᵢ (n·qᵢ − sᵢ)²  >  n² · round(r·SCALE)²
+
+    (q the half-up fixed-point vector, s the label's component sums, n
+    its count — the mean s/n is never materialized, so no float enters
+    the decision; ``dist2_num`` is the left side, exact). Bound: with
+    |q| ≤ 2·SCALE per component, the squared terms stay inside int64
+    while n·SCALE ≲ 3·10⁹ — per-label counts up to ~10⁵ at SCALE=10⁴.
+    Beyond that, compute centroids from a deterministic per-label
+    sample (the hash-threshold samplers) before gating the full corpus;
+    the inequality form is unchanged.
+
+    Scale shape: one quantizing scan + ONE (label, dim)-keyed exchange
+    of integer sums (output |labels|·dim rows — collected as bounded
+    driver state and inlined as literals), then the gate is a second
+    scan-local pass — vectors never shuffle.
+    """
+    q = df.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(label_col).alias("label"),
+        quantize_fixed(df, vec_col).alias("__q"),
+    )
+    sums = (
+        q.select("label", F.posexplode("__q").alias("dim", "v"))
+        .groupBy("label", "dim")
+        .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    by_label: dict = {}
+    counts: dict = {}
+    for r in sums:
+        by_label.setdefault(r["label"], {})[r["dim"]] = r["s"]
+        counts[r["label"]] = r["n"]
+    t = round(float(radius) * SCALE)
+    branches = None
+    for lab in sorted(by_label):
+        s = by_label[lab]
+        arr = ", ".join(f"{s[d]}L" for d in range(len(s)))
+        n = counts[lab]
+        num = (
+            f"aggregate(zip_with(__q, array({arr}), "
+            f"(x, y) -> ({n}L * x - y) * ({n}L * x - y)), "
+            f"0L, (a, v) -> a + v)"
+        )
+        cond = F.col("label") == lab
+        val = F.expr(num)
+        branches = (
+            F.when(cond, val)
+            if branches is None
+            else branches.when(cond, val)
+        )
+    dist2 = branches.otherwise(F.lit(None)).alias("dist2_num")
+    nmap = F.create_map(
+        *[x for lab in sorted(counts) for x in (F.lit(lab), F.lit(counts[lab]))]
+    )
+    out = q.select(
+        "vec_id",
+        "label",
+        F.element_at(nmap, F.col("label")).cast("long").alias("n"),
+        dist2,
+    )
+    return out.select(
+        "vec_id",
+        "label",
+        "n",
+        "dist2_num",
+        (
+            F.col("dist2_num")
+            > F.col("n") * F.col("n") * F.lit(int(t) * int(t))
+        ).alias("is_outlier"),
+    )

@@ -114,3 +114,94 @@ def test_validates_parameters(spark):
     with pytest.raises(ValueError, match="exceeds corpus size"):
         kmeans_fixed_point(df, k=5)
     release_cached()
+
+
+class TestCentroidOutliers:
+    def test_planted_outlier_flagged(self, spark):
+        from flink_streaming_2_10_spark.pipeline.clustering import (
+            centroid_outliers,
+        )
+
+        def v(*coords, dim=4):
+            out = [0.0] * dim
+            for i, c in enumerate(coords):
+                out[i] = float(c)
+            return out
+
+        emb = spark.createDataFrame(
+            [
+                # Label 0: three tight vectors + one far outlier.
+                (1, v(0.10), 0),
+                (2, v(0.12), 0),
+                (3, v(0.11), 0),
+                (4, v(0.90), 0),
+                # Label 1: two tight vectors (none flagged).
+                (10, v(-0.5), 1),
+                (11, v(-0.52), 1),
+            ],
+            "vec_id long, embedding array<float>, label int",
+        )
+        got = {
+            r["vec_id"]: r["is_outlier"]
+            for r in centroid_outliers(emb, radius=0.3).collect()
+        }
+        assert got == {
+            1: False, 2: False, 3: False, 4: True, 10: False, 11: False
+        }
+
+    def test_exact_integer_decision_matches_python(self, spark):
+        import math
+
+        from flink_streaming_2_10_spark.pipeline.clustering import (
+            SCALE,
+            centroid_outliers,
+        )
+
+        rows = [
+            (i, [((i * 37) % 100) / 100.0, ((i * 17) % 100) / 100.0], i % 2)
+            for i in range(20)
+        ]
+        emb = spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>, label int"
+        )
+        got = {
+            r["vec_id"]: (r["n"], r["dist2_num"], r["is_outlier"])
+            for r in centroid_outliers(emb, radius=0.25).collect()
+        }
+        # Pure-Python replay with identical integer arithmetic.
+        import numpy as np
+
+        qs = {
+            i: [
+                math.floor(float(np.float32(x)) * SCALE + 0.5)
+                for x in vec
+            ]
+            for i, vec, _ in rows
+        }
+        by_label: dict = {}
+        for i, _, lab in rows:
+            by_label.setdefault(lab, []).append(i)
+        t = round(0.25 * SCALE)
+        for lab, ids in by_label.items():
+            n = len(ids)
+            s = [sum(qs[i][d] for i in ids) for d in range(2)]
+            for i in ids:
+                num = sum((n * qs[i][d] - s[d]) ** 2 for d in range(2))
+                assert got[i] == (n, num, num > n * n * t * t), i
+
+    def test_boundary_is_strict(self, spark):
+        from flink_streaming_2_10_spark.pipeline.clustering import (
+            centroid_outliers,
+        )
+
+        # Two vectors symmetric around their centroid at distance
+        # exactly 0.1 each: radius 0.1 -> NOT outliers (strict >).
+        emb = spark.createDataFrame(
+            [(1, [0.0], 0), (2, [0.2], 0)],
+            "vec_id long, embedding array<float>, label int",
+        )
+        got = {
+            r["vec_id"]: r["is_outlier"]
+            for r in centroid_outliers(emb, radius=0.1).collect()
+        }
+        assert got == {1: False, 2: False}
