@@ -842,6 +842,20 @@ def q_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_exact_scoped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source exact dedup (pipeline/dedup.exact_dedup_scoped): the
+    per-snapshot/per-domain face — smallest id per distinct normalized
+    text WITHIN each source; (scope, 32-byte fingerprint) is all that
+    shuffles, cross-source duplicates deliberately survive."""
+    from flink_streaming_2_10_spark.pipeline.dedup import (
+        exact_dedup_scoped,
+    )
+
+    return exact_dedup_scoped(
+        load_table(spark, sf_dir, "documents"), scope_col="source"
+    )
+
+
 def q_bitext_mutual_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mutual-nearest-neighbor pair mining between two embedding groups
     (pipeline/mining.mutual_nn_pairs — Artetxe & Schwenk 2019 style):
@@ -2221,6 +2235,7 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_join_errors": q_interval_join,
         "topspeed_delta_trigger": q_topspeed,
         "dedup_exact": q_dedup_exact,
+        "dedup_exact_scoped": q_dedup_exact_scoped,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_containment": q_dedup_containment,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -4999,6 +5014,14 @@ def oracle_sql() -> dict[str, str]:
                    m.media_id = a.canonical_id AS is_canonical
             FROM m JOIN a USING (fp)""",
         "boilerplate_segments": _boilerplate_segments_oracle(min_count=500),
+        "dedup_exact_scoped": """
+            WITH n AS (SELECT source AS scope, doc_id,
+                              md5(regexp_replace(lower(text), '\\s+',
+                                                 ' ', 'g')) AS fp
+                       FROM documents)
+            SELECT scope, min(doc_id) AS doc_id,
+                   CAST(count(*) AS BIGINT) AS n_dups
+            FROM n GROUP BY scope, fp""",
         "bitext_mutual_pairs": _bitext_mutual_oracle(group_a=0, group_b=1),
         "embedding_outliers": """
             WITH q AS (SELECT vec_id, label,

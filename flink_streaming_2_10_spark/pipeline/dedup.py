@@ -206,6 +206,40 @@ def exact_dedup(
     )
 
 
+def exact_dedup_scoped(
+    df: DataFrame,
+    scope_col: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    normalize: bool = True,
+) -> DataFrame:
+    """Exact dedup WITHIN scopes: keep the smallest id per distinct
+    (normalized) text per ``scope_col`` value — the per-crawl-snapshot
+    / per-domain dedup real pipelines run when cross-scope duplicates
+    are wanted (e.g. keep one copy of a page PER monthly snapshot so
+    time-series analyses still see it, while collapsing within-snapshot
+    mirrors).
+
+    ``(scope, doc_id, n_dups)``. Same shape as :func:`exact_dedup` with
+    the scope added to the grouping key: the shuffle carries
+    (scope, 32-byte fingerprint), never the text; identical text in two
+    scopes survives in both (pinned in tests).
+    """
+    text = F.col(text_col)
+    if normalize:
+        text = F.regexp_replace(F.lower(text), r"\s+", " ")
+    fp = F.md5(text.cast("string")).alias("fp")
+    return (
+        df.select(F.col(scope_col).alias("scope"), F.col(id_col), fp)
+        .groupBy("scope", "fp")
+        .agg(
+            F.min(id_col).alias(id_col),
+            F.count(F.lit(1)).alias("n_dups"),
+        )
+        .select("scope", id_col, "n_dups")
+    )
+
+
 # ---------------------------------------------------------------------------
 # exact n-gram Jaccard via inverted-index join
 # ---------------------------------------------------------------------------

@@ -424,3 +424,30 @@ def test_ngram_containment_star_and_oracle(spark, duck):
     assert_df_matches_oracle(
         got, duck, entrymod.oracle_sql()["dedup_containment"]
     )
+
+
+def test_scoped_dedup_collapses_within_scope_only(spark):
+    from flink_streaming_2_10_spark.pipeline.dedup import (
+        exact_dedup_scoped,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "Same  Page", "crawl_a"),
+            (2, "same page",  "crawl_a"),   # dup of 1 within scope
+            (3, "same page",  "crawl_b"),   # same text, OTHER scope
+            (4, "original",   "crawl_b"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    got = {
+        (r["scope"], r["doc_id"]): r["n_dups"]
+        for r in exact_dedup_scoped(docs, scope_col="source").collect()
+    }
+    # Within crawl_a the pair collapses to min-id 1 with 2 copies;
+    # crawl_b's identical text survives independently.
+    assert got == {
+        ("crawl_a", 1): 2,
+        ("crawl_b", 3): 1,
+        ("crawl_b", 4): 1,
+    }

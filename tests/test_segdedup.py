@@ -361,3 +361,43 @@ class TestLineRepetitionStats:
         assert r["dup_para_frac"] == pytest.approx(1.0 / 3.0)
         # Lines: "repeated paragraph", "second line" twice each + tail.
         assert r["n_lines"] == 5 and r["dup_line_frac"] == 0.4
+
+
+def test_census_rides_run_incremental_passes(spark, tmp_path):
+    """The deployment shape: run_incremental (availableNow checkpoint)
+    + segdedup_ingest_batch — pass 2 reads ONLY its new files yet its
+    strip decisions see pass 1's segments through the persisted census."""
+    from flink_streaming_2_10_spark.pipeline.segdedup import (
+        segdedup_ingest_batch,
+    )
+    from flink_streaming_2_10_spark.streaming.runners import (
+        run_incremental,
+    )
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    census = str(tmp_path / "census")
+    out = str(tmp_path / "out")
+    on_batch = segdedup_ingest_batch(
+        spark, census, out, min_count=2, keep="none"
+    )
+
+    def arrivals(rows):
+        spark.createDataFrame(
+            rows, "doc_id long, text string"
+        ).write.mode("append").parquet(src)
+        stream = spark.readStream.schema(
+            "doc_id long, text string"
+        ).parquet(src)
+        run_incremental(stream, ckpt, on_batch)
+
+    arrivals([(1, "shared banner\nfresh one")])
+    arrivals([(2, "shared banner\nfresh two")])
+    got = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(out).collect()
+    }
+    # Pass 2's copy of the pass-1 segment crosses min_count=2 via the
+    # census and is stripped; pass 1 predates the threshold (documented
+    # asymmetry) and the checkpoint guarantees it was never rescanned.
+    assert got == {1: "shared banner\nfresh one", 2: "fresh two"}
