@@ -106,7 +106,10 @@ from flink_streaming_2_10_spark.pipeline.centroids import (
     confusion_oracle_sql,
     hard_negatives_oracle_sql,
 )
-from flink_streaming_2_10_spark.pipeline.triangles import triangles_oracle_sql
+from flink_streaming_2_10_spark.pipeline.triangles import (
+    kcore_oracle_sql,
+    triangles_oracle_sql,
+)
 from flink_streaming_2_10_spark.pipeline.leakage import (
     holdout_leakage_oracle_sql,
 )
@@ -853,6 +856,25 @@ def q_dedup_exact_scoped(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return exact_dedup_scoped(
         load_table(spark, sf_dir, "documents"), scope_col="source"
+    )
+
+
+def q_token_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-round k-core of the token co-occurrence graph
+    (pipeline/triangles.kcore_nodes): 8 peels at k=3 over the min_df=2
+    edge list — vocabulary-sized rounds in ONE lazy plan, corpus touched
+    only by the edge builder; the oracle unrolls the identical peels."""
+    from flink_streaming_2_10_spark.pipeline.triangles import (
+        cooccurrence_edges,
+        kcore_nodes,
+    )
+
+    return kcore_nodes(
+        cooccurrence_edges(
+            load_table(spark, sf_dir, "documents"), min_df=2
+        ),
+        k=3,
+        rounds=8,
     )
 
 
@@ -2312,6 +2334,7 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nearest_centroid": q_nearest_centroid,
         "hard_negatives": q_hard_negatives,
         "token_triangles": q_token_triangles,
+        "token_kcore": q_token_kcore,
         "holdout_leakage": q_holdout_leakage,
         "dedup_lsh_recall": q_dedup_lsh_recall,
         "sliding_window_agg": q_sliding_window_agg,
@@ -5081,6 +5104,7 @@ def oracle_sql() -> dict[str, str]:
         "nearest_centroid": confusion_oracle_sql(),
         "hard_negatives": hard_negatives_oracle_sql(k=5),
         "token_triangles": triangles_oracle_sql(min_df=2, k=50),
+        "token_kcore": kcore_oracle_sql(min_df=2, k=3, rounds=8),
         "holdout_leakage": holdout_leakage_oracle_sql(),
         "dedup_lsh_recall": _lsh_recall_oracle(),
         "text_script_mix": _script_mix_oracle(),

@@ -93,3 +93,53 @@ def test_edge_subtree_reused_at_runtime(docs):
     df.collect()  # AQE finalizes reuse only during execution
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("ReusedExchange") >= 2, plan
+
+
+class TestKCore:
+    def test_planted_core_survives_peel(self, spark):
+        from flink_streaming_2_10_spark.pipeline.triangles import (
+            kcore_nodes,
+        )
+
+        # K4 clique on a..d (degree 3 each) with pendant chains hanging
+        # off it; 3-core = exactly the clique.
+        edges = spark.createDataFrame(
+            [
+                ("a", "b"), ("a", "c"), ("a", "d"),
+                ("b", "c"), ("b", "d"), ("c", "d"),
+                ("d", "e"), ("e", "f"), ("c", "g"),
+            ],
+            "a string, b string",
+        )
+        got = {
+            r["token"]: r["degree"]
+            for r in kcore_nodes(edges, k=3, rounds=8).collect()
+        }
+        assert got == {"a": 3, "b": 3, "c": 3, "d": 3}
+
+    def test_round_count_invariant_after_convergence(self, spark):
+        from flink_streaming_2_10_spark.pipeline.triangles import (
+            kcore_nodes,
+        )
+
+        edges = spark.createDataFrame(
+            [("a", "b"), ("a", "c"), ("b", "c"), ("c", "d")],
+            "a string, b string",
+        )
+        a = sorted(map(tuple, kcore_nodes(edges, k=2, rounds=3).collect()))
+        b = sorted(map(tuple, kcore_nodes(edges, k=2, rounds=9).collect()))
+        assert a == b
+        assert {t for t, _ in a} == {"a", "b", "c"}
+
+    def test_cascade_peels_transitively(self, spark):
+        from flink_streaming_2_10_spark.pipeline.triangles import (
+            kcore_nodes,
+        )
+
+        # A path a-b-c-d: every node unravels under k=2 even though b,c
+        # start at degree 2 — requires multiple peel rounds.
+        edges = spark.createDataFrame(
+            [("a", "b"), ("b", "c"), ("c", "d")],
+            "a string, b string",
+        )
+        assert kcore_nodes(edges, k=2, rounds=8).count() == 0
