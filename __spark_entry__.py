@@ -647,6 +647,33 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality_scores(load_table(spark, sf_dir, "documents"))
 
 
+def q_lang_label_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-noise audit: per declared language, how often the heuristic
+    language ID agrees — ``(lang, n_docs, n_agree, n_unknown,
+    agree_rate)``. The standard metadata-QA step before trusting a
+    crawl's language tags (on THIS corpus the tags are synthetic and
+    the text is shared-vocabulary soup, so low agreement outside the
+    stopword-bearing classes is the honest reading). One scan + one
+    5-row keyed aggregation; exact-long division."""
+    docs = load_table(spark, sf_dir, "documents")
+    preds = language_id(docs)
+    joined = docs.select("doc_id", "lang").join(preds, "doc_id")
+    agg = joined.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(
+            F.when(F.col("lang_pred") == F.col("lang"), 1).otherwise(0)
+        ).cast("long").alias("n_agree"),
+        F.sum(
+            F.when(F.col("lang_pred") == "unknown", 1).otherwise(0)
+        ).cast("long").alias("n_unknown"),
+    )
+    return agg.select(
+        "lang", "n_docs", "n_agree", "n_unknown",
+        (F.col("n_agree").cast("double") / F.col("n_docs").cast("double"))
+        .alias("agree_rate"),
+    )
+
+
 def q_text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword/CJK-heuristic language identification per document."""
     return language_id(load_table(spark, sf_dir, "documents"))
@@ -2280,6 +2307,7 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_summary": q_corpus_summary,
         "text_quality": q_text_quality,
         "text_language_id": q_text_language_id,
+        "lang_label_audit": q_lang_label_audit,
         "text_repetition": q_text_repetition,
         "text_line_repetition": q_text_line_repetition,
         "segment_dedup": q_segment_dedup,
@@ -4917,6 +4945,20 @@ def oracle_sql() -> dict[str, str]:
         """,
         "text_quality": _text_quality_oracle(),
         "text_language_id": _text_language_id_oracle(),
+        "lang_label_audit": f"""
+            WITH p AS ({_text_language_id_oracle()}),
+            j AS (SELECT d.lang, p.lang_pred
+                  FROM documents d JOIN p USING (doc_id))
+            SELECT lang,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(CASE WHEN lang_pred = lang THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_agree,
+                   CAST(sum(CASE WHEN lang_pred = 'unknown' THEN 1
+                            ELSE 0 END) AS BIGINT) AS n_unknown,
+                   CAST(sum(CASE WHEN lang_pred = lang THEN 1 ELSE 0 END)
+                        AS DOUBLE) / CAST(count(*) AS DOUBLE)
+                     AS agree_rate
+            FROM j GROUP BY lang""",
         "corpus_summary": _corpus_summary_oracle(k=64),
         "training_shard": _training_shard_oracle(lang="en", min_quality=0.5),
         "shard_manifest": f"""

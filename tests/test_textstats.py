@@ -637,3 +637,40 @@ def test_tokenizer_fertility_hand_computed(spark):
         "bpe_tokens": 0,
         "fertility": 0.0,
     }
+
+
+def test_lang_label_audit_counts(spark):
+    """Composition replica of the lang_label_audit query shape on a
+    planted fixture where agreement is known exactly."""
+    from pyspark.sql import functions as F
+
+    from flink_streaming_2_10_spark.pipeline.textstats import language_id
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the and is of to in it", "en"),      # en stopwords
+            (2, "der und die das ist nicht", "de"),   # de stopwords
+            (3, "xqz vbn mlk", "en"),                 # no stopwords
+        ],
+        "doc_id long, text string, lang string",
+    )
+    joined = docs.select("doc_id", "lang").join(
+        language_id(docs), "doc_id"
+    )
+    agg = {
+        r["lang"]: r.asDict()
+        for r in joined.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(
+                F.when(F.col("lang_pred") == F.col("lang"), 1).otherwise(0)
+            ).alias("n_agree"),
+            F.sum(
+                F.when(F.col("lang_pred") == "unknown", 1).otherwise(0)
+            ).alias("n_unknown"),
+        )
+        .collect()
+    }
+    assert agg["en"]["n_docs"] == 2 and agg["en"]["n_agree"] == 1
+    assert agg["en"]["n_unknown"] == 1
+    assert agg["de"]["n_agree"] == 1
