@@ -777,6 +777,39 @@ def q_multimodal_payload_dedup(
     )
 
 
+def q_multimodal_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash near-dup over binary payloads
+    (pipeline/multimodal.payload_neardup): 64-bit byte-signal dHash per
+    payload computed Arrow-batched inside the scan, pigeonhole-banded
+    pair join (Hamming ≤ 3 over 4 chunks — exact, never all-pairs, via
+    dedup.simhash_neardup_pairs), clusters resolved through
+    components.dedup_canonical. Catches the re-encoded/lightly-edited
+    copies exact-bytes ``multimodal_payload_dedup`` misses.
+
+    Planted re-encode fixture: every ``doc_id % 7 == 0`` document is
+    re-attached as an upper-cased payload under ``doc_id + 10_000_000``
+    — a length-preserving "re-encode" that lands ~84% of the planted
+    copies within Hamming ≤ 3 of their original (measured at sf0.01:
+    206 at distance 0 exercising the identical-fingerprint star
+    collapse, 216 at 1–3 exercising the pigeonhole verify join, 78
+    beyond 3 exercising true-negative behavior)."""
+    from flink_streaming_2_10_spark.pipeline.multimodal import (
+        attach_media,
+        payload_neardup,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = attach_media(docs)
+    reenc = attach_media(
+        docs.filter(F.col("doc_id") % 7 == 0)
+        .withColumn("text", F.upper(F.col("text")))
+        .withColumn("doc_id", F.col("doc_id") + F.lit(10_000_000))
+    )
+    return payload_neardup(
+        media.unionByName(reenc), max_hamming=3, chunks=4
+    )
+
+
 def q_text_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document trigram novelty (pipeline/textstats.novelty_scores):
     fraction of each document's distinct trigrams appearing in no other
@@ -2318,6 +2351,7 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hourly_active_users": q_hourly_active_users,
         "text_novelty": q_text_novelty,
         "multimodal_payload_dedup": q_multimodal_payload_dedup,
+        "multimodal_neardup": q_multimodal_neardup,
         "tokenizer_fertility": q_tokenizer_fertility,
         "boilerplate_segments": q_boilerplate_segments,
         "bitext_mutual_pairs": q_bitext_mutual_pairs,
@@ -5078,6 +5112,71 @@ def oracle_sql() -> dict[str, str]:
                    CAST(a.n_copies AS BIGINT) AS n_copies,
                    m.media_id = a.canonical_id AS is_canonical
             FROM m JOIN a USING (fp)""",
+        # multimodal_neardup: phash_bytes verbatim in SQL — region sums
+        # via (i·65)//n downsample over ascii codepoints (== payload
+        # bytes on this corpus), cross-multiplied gradient bits, bit 63
+        # as its two's-complement negative; pairs by all-pairs Hamming
+        # (the engine's pigeonhole join is EXACT for max_hamming <
+        # chunks, so the sets agree); closure via recursive CTE like
+        # _dedup_components_oracle.
+        "multimodal_neardup": """
+            WITH RECURSIVE m AS (
+                SELECT doc_id AS media_id, text FROM documents
+                UNION ALL
+                SELECT doc_id + 10000000, upper(text)
+                FROM documents WHERE doc_id % 7 = 0
+            ),
+            ex AS (
+                SELECT media_id, n, s.i AS i, s.v AS v
+                FROM (SELECT media_id, length(text) AS n,
+                             unnest(list_transform(
+                                 range(1, length(text) + 1),
+                                 i -> {'i': i - 1, 'v': ascii(text[i])}))
+                               AS s
+                      FROM m WHERE length(text) > 0)
+            ),
+            rg AS (
+                SELECT media_id, (i * 65) // n AS r,
+                       CAST(sum(v) AS BIGINT) AS s,
+                       CAST(count(*) AS BIGINT) AS c
+                FROM ex GROUP BY 1, 2
+            ),
+            bt AS (
+                SELECT a.media_id,
+                       CAST(sum(CASE WHEN a.s * coalesce(b.c, 0)
+                                          > coalesce(b.s, 0) * a.c
+                                THEN CASE WHEN a.r = 63
+                                     THEN (-9223372036854775807 - 1)
+                                     ELSE (CAST(1 AS BIGINT) << a.r) END
+                                ELSE 0 END) AS BIGINT) AS phash
+                FROM rg a LEFT JOIN rg b
+                  ON a.media_id = b.media_id AND b.r = a.r + 1
+                WHERE a.r < 64
+                GROUP BY 1
+            ),
+            ph AS (SELECT m.media_id, coalesce(bt.phash, 0) AS phash
+                   FROM m LEFT JOIN bt USING (media_id)),
+            prs AS (
+                SELECT x.media_id AS ea, y.media_id AS eb
+                FROM ph x JOIN ph y ON x.media_id < y.media_id
+                WHERE bit_count(xor(x.phash, y.phash)) <= 3
+            ),
+            edges AS (SELECT ea, eb FROM prs
+                      UNION SELECT eb, ea FROM prs),
+            reach(v, r) AS (
+                SELECT ea, ea FROM edges
+                UNION
+                SELECT e.eb, c.r FROM reach c JOIN edges e ON e.ea = c.v),
+            comp AS (SELECT v AS node, min(r) AS component
+                     FROM reach GROUP BY v),
+            canon AS (SELECT m.media_id,
+                             coalesce(c.component, m.media_id)
+                               AS canonical_id
+                      FROM m LEFT JOIN comp c ON m.media_id = c.node),
+            sz AS (SELECT canonical_id, count(*) AS cluster_size
+                   FROM canon GROUP BY 1)
+            SELECT canon.media_id, canon.canonical_id, sz.cluster_size
+            FROM canon JOIN sz USING (canonical_id)""",
         "boilerplate_segments": _boilerplate_segments_oracle(min_count=500),
         "dedup_exact_scoped": """
             WITH n AS (SELECT source AS scope, doc_id,

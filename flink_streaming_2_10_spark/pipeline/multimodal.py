@@ -245,6 +245,137 @@ def audio_stats(media: DataFrame) -> DataFrame:
     )
 
 
+def phash_bytes(payload: bytes, bits: int = 64) -> int:
+    """Perceptual fingerprint of one payload: a dHash over the
+    downsampled byte signal. The payload is split into ``bits + 1``
+    contiguous regions (byte ``i`` lands in region ``i·(bits+1) // n`` —
+    the standard nearest-boundary downsample), and bit ``b`` is set when
+    region ``b``'s mean byte value exceeds region ``b+1``'s. Exactly the
+    dHash recipe (gradient sign over a downsampled signal, Krawetz) with
+    the 9×8 grayscale row replaced by the 1-D byte stream — for real
+    images the same slot would consume the pixel rows a full decoder
+    yields (the container has none; ``decode_image_real`` parses headers
+    only), and for audio PCM this IS the envelope-gradient hash, applied
+    to the raw samples.
+
+    Small local edits (a re-encode header rewrite, a case change, a few
+    substituted bytes) perturb a handful of region means, flipping only
+    the bits whose adjacent-region means were nearly tied — so near-
+    identical payloads land within a small Hamming distance while the
+    64-bit space keeps unrelated payloads far apart.
+
+    Integer-exact and engine-portable: the mean comparison is the
+    cross-multiplied form ``sum_b · cnt_{b+1} > sum_{b+1} · cnt_b`` (no
+    float ever enters), empty regions (payloads shorter than ``bits+1``
+    bytes) contribute 0-valued sums/counts so their bits are 0, and an
+    empty payload fingerprints to 0 — all reproducible verbatim in
+    DuckDB SQL, which is what the ``multimodal_neardup`` oracle does.
+    Bit 63 is packed as its two's-complement negative (Java long / SQL
+    BIGINT are signed). Products stay inside int64 for payloads up to
+    ~1.5 GB (sum·cnt ≤ 255·n·(n/65+1) < 2⁶³ ⇔ n ≲ 1.5·10⁹).
+    """
+    n = len(payload)
+    if n == 0:
+        return 0
+    regions = bits + 1
+    arr = np.frombuffer(payload, dtype=np.uint8).astype(np.int64)
+    # Region r covers bytes [ceil(r·n/regions), ceil((r+1)·n/regions)).
+    bounds = (
+        np.arange(regions + 1, dtype=np.int64) * n + regions - 1
+    ) // regions
+    csum = np.concatenate((np.zeros(1, dtype=np.int64), np.cumsum(arr)))
+    sums = csum[bounds[1:]] - csum[bounds[:-1]]
+    cnts = bounds[1:] - bounds[:-1]
+    set_bits = np.nonzero(sums[:-1] * cnts[1:] > sums[1:] * cnts[:-1])[0]
+    fp = 0
+    for b in set_bits:
+        fp |= 1 << int(b)
+    return fp - (1 << 64) if fp >= (1 << 63) else fp
+
+
+def media_phash(
+    media: DataFrame,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+    bits: int = 64,
+) -> DataFrame:
+    """``(media_id, phash)`` — :func:`phash_bytes` per media row, run as
+    Arrow-batched ``mapInPandas`` in the same slot a real pixel decoder
+    would occupy (see ``media_features``): payload bytes are read ONCE,
+    reduced to an 8-byte fingerprint inside the scan, and never enter an
+    exchange — everything downstream (banding, verify, clustering)
+    shuffles fingerprints only. 100 TB shape identical to
+    ``payload_dedup``'s md5 digest, with a locality-preserving hash in
+    place of a cryptographic one."""
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "phash": [
+                        phash_bytes(bytes(p), bits)
+                        for p in pdf["payload"]
+                    ],
+                }
+            )
+
+    return media.select(
+        F.col(id_col).alias("media_id"), F.col(payload_col).alias("payload")
+    ).mapInPandas(compute, schema="media_id long, phash long")
+
+
+def payload_neardup(
+    media: DataFrame,
+    max_hamming: int = 3,
+    chunks: int = 4,
+    bits: int = 64,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+    max_chunk_df: int | None = None,
+) -> DataFrame:
+    """Perceptual near-dup resolution over binary payloads — the
+    near-dup face ``payload_dedup``'s docstring promises: re-encoded /
+    lightly-edited copies (which exact-bytes dedup misses — the dominant
+    duplicate mode in crawled media) cluster by fingerprint proximity.
+
+    ``(media_id, canonical_id, cluster_size)`` over the FULL media set,
+    ``canonical_id`` = min media id of the item's near-dup cluster (its
+    own id when unpaired) — same survivorship contract as the text
+    family's ``dedup_canonical``.
+
+    Composition, all existing machinery: :func:`media_phash` reduces
+    payloads to 64-bit dHash fingerprints inside the scan; pair finding
+    reuses ``dedup.simhash_neardup_pairs`` verbatim (pigeonhole chunk
+    join — with ``max_hamming < chunks`` any qualifying pair agrees on a
+    full chunk, so the banded self-join is EXACT, never all-pairs;
+    identical fingerprints pre-collapse to star edges; ``max_chunk_df``
+    caps pathological buckets); clusters resolve through
+    ``components.dedup_canonical`` (size-adaptive connected components).
+    Payload bytes never shuffle anywhere in the DAG."""
+    from flink_streaming_2_10_spark.pipeline.components import (
+        dedup_canonical,
+    )
+    from flink_streaming_2_10_spark.pipeline.dedup import (
+        simhash_neardup_pairs,
+    )
+
+    fps = media_phash(
+        media, id_col=id_col, payload_col=payload_col, bits=bits
+    ).select(F.col("media_id").alias("doc_id"), F.col("phash").alias("simhash"))
+    pairs = simhash_neardup_pairs(
+        fps,
+        max_hamming=max_hamming,
+        chunks=chunks,
+        bits=bits,
+        max_chunk_df=max_chunk_df,
+    )
+    ids = media.select(F.col(id_col).alias("doc_id"))
+    return dedup_canonical(ids, pairs).select(
+        F.col("doc_id").alias("media_id"), "canonical_id", "cluster_size"
+    )
+
+
 def payload_dedup(
     media: DataFrame,
     id_col: str = "media_id",
@@ -255,8 +386,9 @@ def payload_dedup(
     is_canonical)`` with the fingerprint = md5 of the raw payload
     bytes, min-id survivorship. The first curation step for any
     image/audio/video corpus (identical files re-crawled under
-    different URLs) and the input to near-dup pipelines (perceptual
-    hashing would slot in as a second fingerprint column).
+    different URLs); its near-dup sibling is :func:`payload_neardup`,
+    which swaps the md5 for the :func:`phash_bytes` perceptual
+    fingerprint to also catch re-encodes.
 
     100 TB shape: ONE scan reads the payload column and reduces it to
     a 16-byte digest immediately — everything that shuffles afterwards

@@ -248,3 +248,184 @@ def test_payload_dedup_fingerprint_is_byte_level(spark):
     )
     got = payload_dedup(media).collect()
     assert all(r["n_copies"] == 1 and r["is_canonical"] for r in got)
+
+
+# ---------------------------------------------------------------------------
+# perceptual-hash near-dup (phash_bytes / media_phash / payload_neardup)
+# ---------------------------------------------------------------------------
+
+
+def _phash_naive(payload: bytes, bits: int = 64) -> int:
+    """Independent re-derivation of the phash contract (pure Python, no
+    numpy): region of byte i = i*(bits+1)//n, bit b set iff region b's
+    mean exceeds region b+1's via integer cross-multiply."""
+    n = len(payload)
+    if n == 0:
+        return 0
+    regions = bits + 1
+    sums = [0] * regions
+    cnts = [0] * regions
+    for i, byte in enumerate(payload):
+        r = i * regions // n
+        sums[r] += byte
+        cnts[r] += 1
+    fp = 0
+    for b in range(bits):
+        if sums[b] * cnts[b + 1] > sums[b + 1] * cnts[b]:
+            fp |= 1 << b
+    return fp - (1 << 64) if fp >= (1 << 63) else fp
+
+
+def test_phash_bytes_matches_naive_reference():
+    from flink_streaming_2_10_spark.pipeline.multimodal import phash_bytes
+
+    cases = [
+        b"",
+        b"a",
+        b"ab",
+        b"ba",
+        bytes(range(256)),
+        bytes(reversed(range(256))),
+        b"x" * 64,          # shorter than regions: empty regions -> 0 bits
+        b"x" * 65,
+        b"the quick brown fox jumps over the lazy dog " * 40,
+        bytes([255] * 100 + [0] * 100),
+        bytes([0, 255] * 500),
+    ]
+    for payload in cases:
+        assert phash_bytes(payload) == _phash_naive(payload), payload[:20]
+
+
+def test_phash_bytes_edge_values():
+    from flink_streaming_2_10_spark.pipeline.multimodal import phash_bytes
+
+    assert phash_bytes(b"") == 0
+    # Monotonically decreasing signal: every gradient bit set, including
+    # bit 63 -> the fingerprint is the NEGATIVE two's-complement value.
+    desc = bytes(
+        max(0, 255 - i * 2) for i in range(130)
+    )
+    fp = phash_bytes(desc)
+    assert fp < 0
+    assert fp == _phash_naive(desc)
+    # Constant signal: no gradient anywhere, fingerprint 0.
+    assert phash_bytes(b"\x42" * 1000) == 0
+
+
+def test_phash_reencode_proximity():
+    """The property the operator exists for: a length-preserving
+    re-encode (case change) stays within small Hamming distance while
+    unrelated payloads are far apart."""
+    from flink_streaming_2_10_spark.pipeline.multimodal import phash_bytes
+
+    a = (
+        b"Spark reduces each payload to an eight byte fingerprint "
+        b"inside the scan so only fingerprints ever shuffle. " * 8
+    )
+    b_re = a.upper()
+    unrelated = bytes((i * 37 + 11) % 256 for i in range(len(a)))
+
+    def ham(x: int, y: int) -> int:
+        return bin((x ^ y) & ((1 << 64) - 1)).count("1")
+
+    close = ham(phash_bytes(a), phash_bytes(b_re))
+    far = ham(phash_bytes(a), phash_bytes(unrelated))
+    assert close <= 6
+    assert far >= 15
+
+
+def test_media_phash_mapinpandas_matches_driver(spark):
+    from flink_streaming_2_10_spark.pipeline.multimodal import (
+        media_phash,
+        phash_bytes,
+    )
+
+    payloads = [
+        (1, b"hello world, this is payload one"),
+        (2, b""),
+        (3, bytes(range(200))),
+        (4, b"HELLO WORLD, THIS IS PAYLOAD ONE"),
+    ]
+    media = spark.createDataFrame(
+        [(i, bytearray(p)) for i, p in payloads],
+        "media_id long, payload binary",
+    )
+    got = {r["media_id"]: r["phash"] for r in media_phash(media).collect()}
+    assert got == {i: phash_bytes(p) for i, p in payloads}
+
+
+def test_payload_neardup_clusters_reencodes(spark):
+    from flink_streaming_2_10_spark.pipeline.multimodal import (
+        payload_neardup,
+    )
+
+    base = (
+        b"a corpus document whose re-encoded twin must cluster with it "
+        b"under the perceptual fingerprint despite byte inequality. " * 6
+    )
+    other = bytes((i * 73 + 5) % 256 for i in range(len(base)))
+    media = spark.createDataFrame(
+        [
+            (10, bytearray(base)),
+            (20, bytearray(base.upper())),   # re-encode of 10
+            (30, bytearray(base)),           # exact copy of 10 (hamming 0)
+            (40, bytearray(other)),          # unrelated
+        ],
+        "media_id long, payload binary",
+    )
+    got = {
+        r["media_id"]: r.asDict()
+        for r in payload_neardup(media, max_hamming=6, chunks=8).collect()
+    }
+    assert got[10]["canonical_id"] == 10 and got[10]["cluster_size"] == 3
+    assert got[20]["canonical_id"] == 10
+    assert got[30]["canonical_id"] == 10
+    assert got[40]["canonical_id"] == 40 and got[40]["cluster_size"] == 1
+
+
+def test_payload_neardup_pigeonhole_matches_bruteforce(spark):
+    """The banded pair join is EXACT (max_hamming < chunks): clusters
+    equal a brute-force all-pairs Hamming closure on driver-side."""
+    from flink_streaming_2_10_spark.pipeline.multimodal import (
+        payload_neardup,
+        phash_bytes,
+    )
+
+    rng_payloads = {
+        i: bytes(((i * 31 + j * 7 + (i * j) % 13) % 256) for j in range(120))
+        for i in range(1, 25)
+    }
+    # plant two near pairs via single-byte tweaks
+    rng_payloads[100] = bytes(
+        b if j != 60 else (b + 1) % 256
+        for j, b in enumerate(rng_payloads[1])
+    )
+    rng_payloads[101] = rng_payloads[2].upper()
+
+    media = spark.createDataFrame(
+        [(i, bytearray(p)) for i, p in rng_payloads.items()],
+        "media_id long, payload binary",
+    )
+    got = {
+        r["media_id"]: r["canonical_id"]
+        for r in payload_neardup(media, max_hamming=3, chunks=4).collect()
+    }
+
+    # brute force union-find over all-pairs hamming <= 3
+    fps = {i: phash_bytes(p) & ((1 << 64) - 1) for i, p in rng_payloads.items()}
+    parent = {i: i for i in fps}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a in fps:
+        for b in fps:
+            if a < b and bin(fps[a] ^ fps[b]).count("1") <= 3:
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+    want = {i: min(j for j in fps if find(j) == find(i)) for i in fps}
+    assert got == want
