@@ -141,6 +141,7 @@ from flink_streaming_2_10_spark.pipeline.sampling import (
     holdout_split_oracle,
     priority_sample,
     priority_sample_oracle,
+    sample_key_sql,
     source_quality_cap,
     stratified_sample,
     stratified_sample_oracle,
@@ -2077,20 +2078,42 @@ def q_holdout_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return holdout_leakage(load_table(spark, sf_dir, "documents"))
 
 
-def q_dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_dedup_lsh_recall(
+    spark: SparkSession, sf_dir: str, sample_fraction: float = 1.0
+) -> DataFrame:
     """Sketch-quality audit: MinHash(32)+LSH(8×4) verified pairs vs the
     exact 3-gram Jaccard ≥ 0.7 ground truth — one summary row of exact
     overlap counts (the recall measurement a production dedup rollout
     gates on before trusting the sketch at full scale). Composes the two
     existing pipelines by a full-outer id-pair join; each side keeps its
     own documented pruning (max_df stop-grams vs hot-bucket cap), so
-    disagreement counts surface BOTH miss directions."""
+    disagreement counts surface BOTH miss directions.
+
+    ``sample_fraction`` is the audit's 100 TB contract: exact n-gram
+    Jaccard truth cannot be computed over the full corpus at scale, so
+    the production gate runs BOTH pipelines over a deterministic
+    md5-threshold document sample (``sampling._sample_key``, salt
+    ``'lshrecall'`` — the same draw every ``stratified_sample`` family
+    member uses) and measures recall among sampled-doc pairs. At 1.0
+    (the registry/oracle-scale parameterization) the filter is omitted
+    and the audit is the full-corpus one; corpus-relative knobs (the
+    truth side's fractional max_df stop-gram cap) then resolve against
+    the sample, which is the standard estimator trade."""
     from flink_streaming_2_10_spark.pipeline.dedup import (
         minhash_dedup_pairs,
         ngram_jaccard_pairs,
     )
+    from flink_streaming_2_10_spark.pipeline.sampling import (
+        _TWO_POW_60,
+        _sample_key,
+    )
 
     docs = load_table(spark, sf_dir, "documents")
+    if sample_fraction < 1.0:
+        key = _sample_key(F.col("doc_id"), "lshrecall").cast("double")
+        docs = docs.filter(
+            key < F.lit(float(sample_fraction)) * F.lit(_TWO_POW_60)
+        )
     truth = ngram_jaccard_pairs(docs, n=3, threshold=0.7).select(
         "doc_a", "doc_b", F.lit(1).alias("__t")
     )
@@ -2625,18 +2648,30 @@ def _minhash_lsh_oracle(
         SELECT doc_a, doc_b, jaccard FROM pairs"""
 
 
-def _lsh_recall_oracle() -> str:
+def _lsh_recall_oracle(sample_fraction: float = 1.0) -> str:
     """Mirror of q_dedup_lsh_recall: the two pair oracles (verbatim — the
     same parameterizations as their own registry entries) nested as CTE
-    bodies, full-outer joined on the id pair, exact overlap counts."""
+    bodies, full-outer joined on the id pair, exact overlap counts.
+    ``sample_fraction < 1.0`` prepends a ``documents`` CTE shadowing the
+    base view with the identical md5-threshold draw the Spark side
+    applies (``sampling.sample_key_sql``, salt ``'lshrecall'``) — the
+    nested oracles' ``FROM documents`` then resolve to the sample."""
     truth = _ngram_jaccard_oracle(
         n=3, threshold=0.7, max_df_frac=DEFAULT_MAX_DF_FRAC
     )
     lsh = _minhash_lsh_oracle(
         num_hashes=32, bands=8, rows=4, shingle_n=3, threshold=0.7
     )
+    sample = ""
+    if sample_fraction < 1.0:
+        key = sample_key_sql("doc_id", "lshrecall")
+        sample = (
+            f"documents AS (SELECT * FROM main.documents "
+            f"WHERE CAST({key} AS DOUBLE) "
+            f"< {float(sample_fraction)!r} * 1152921504606846976.0),\n        "
+        )
     return f"""
-        WITH truth AS ({truth}),
+        WITH {sample}truth AS ({truth}),
         lsh AS ({lsh})
         SELECT CAST(COUNT(t.doc_a) AS BIGINT) AS n_truth,
                CAST(COUNT(l.doc_a) AS BIGINT) AS n_lsh,
