@@ -715,14 +715,19 @@ def q_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     first occurrence: census shuffle carries 8-byte hashes only, keeper
     rides the same aggregate as min(struct(doc_id, pos)), md5 hasher
     keeps the keys DuckDB-exact. The '\\n'-delimiter C4 face is pinned
-    on planted fixtures in tests/test_segdedup.py."""
+    on planted fixtures in tests/test_segdedup.py.
+
+    Delimiter is the EXPLICIT whitespace class (= Java's \\s) rather
+    than '\\s+' (ADVICE r11): Java \\s includes U+000B, RE2's does not,
+    so spelling the class out is the only form both engines parse
+    identically — the SCRIPT_BUCKETS convention."""
     from flink_streaming_2_10_spark.pipeline.segdedup import (
         strip_repeated_segments,
     )
 
     return strip_repeated_segments(
         load_table(spark, sf_dir, "documents"),
-        delimiter="\\s+",
+        delimiter="[ \\t\\n\\x0B\\f\\r]+",
         joiner=" ",
         min_count=500,
         keep="first",
@@ -744,7 +749,8 @@ def q_boilerplate_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return repeated_segments(
         load_table(spark, sf_dir, "documents"),
-        delimiter="\\s+",
+        # explicit whitespace class == Java \s; see q_segment_dedup
+        delimiter="[ \\t\\n\\x0B\\f\\r]+",
         min_count=500,
     )
 
@@ -3111,6 +3117,13 @@ def _text_repetition_oracle() -> str:
         FROM narrow n LEFT JOIN top t ON n.doc_id = t.doc_id"""
 
 
+#: Explicit whitespace class, identical in Java regex and RE2 — exactly
+#: Java's \s ([ \t\n\x0B\f\r]); RE2's \s lacks U+000B, so oracles must
+#: never embed bare '\s' (ADVICE r11, same convention as SCRIPT_BUCKETS).
+#: Raw-backslash form: both engines' regex parsers consume the escapes.
+_WS_CLASS = "[ \\t\\n\\x0B\\f\\r]+"
+
+
 def _seg_list_sql(delim_sql: str) -> str:
     """DuckDB list of trimmed non-empty segments of ``text`` split by
     the raw-regex string literal ``delim_sql`` — mirror of
@@ -3159,14 +3172,16 @@ def _line_repetition_oracle() -> str:
 
 
 def _segment_dedup_oracle(min_count: int = 500) -> str:
-    """Mirror of pipeline.segdedup.strip_repeated_segments with
-    delimiter '\\s+', joiner ' ', keep='first', hasher='md5': positions
-    1-based over the filtered segment list, keeper = globally smallest
-    (doc_id, pos) per 60-bit md5 key, occurrences of keys with total
-    count >= min_count dropped except the keeper."""
+    """Mirror of pipeline.segdedup.strip_repeated_segments with the
+    explicit whitespace-class delimiter (== Java \\s incl. U+000B — RE2
+    would read '\\s+' narrower, ADVICE r11), joiner ' ', keep='first',
+    hasher='md5': positions 1-based over the filtered segment list,
+    keeper = globally smallest (doc_id, pos) per 60-bit md5 key,
+    occurrences of keys with total count >= min_count dropped except
+    the keeper."""
     h = duckdb_hash60_sql("segs[i]")
     return f"""
-        WITH segs AS (SELECT doc_id, {_seg_list_sql(chr(92) + 's+')} AS segs
+        WITH segs AS (SELECT doc_id, {_seg_list_sql(_WS_CLASS)} AS segs
                       FROM documents),
         pst AS (SELECT doc_id, s.pos AS pos, s.h AS h
                 FROM (SELECT doc_id,
@@ -3193,10 +3208,11 @@ def _segment_dedup_oracle(min_count: int = 500) -> str:
 
 
 def _boilerplate_segments_oracle(min_count: int = 500) -> str:
-    """Mirror of pipeline.segdedup.repeated_segments with delimiter
-    '\\s+': value-grouped census with total and document frequency."""
+    """Mirror of pipeline.segdedup.repeated_segments with the explicit
+    whitespace-class delimiter (see _segment_dedup_oracle): value-
+    grouped census with total and document frequency."""
     return f"""
-        WITH segs AS (SELECT doc_id, {_seg_list_sql(chr(92) + 's+')} AS segs
+        WITH segs AS (SELECT doc_id, {_seg_list_sql(_WS_CLASS)} AS segs
                       FROM documents),
         e AS (SELECT doc_id, unnest(segs) AS segment FROM segs)
         SELECT segment, count(*) AS n_total,
@@ -3382,7 +3398,7 @@ def _curated_quality_oracle(
         WITH stripped AS ({_segment_dedup_oracle(min_seg_count)}),
         enriched AS (SELECT s.doc_id, s.n_removed, s.text, d.lang
                      FROM stripped s JOIN documents d USING (doc_id)
-                     WHERE s.n_segments > 0),
+                     WHERE s.n_segments > s.n_removed),
         base AS ({_dsir_importance_oracle(num_buckets, lang,
                                           table="enriched")}),
         mx AS (SELECT max(dsir_score) AS m FROM base)
@@ -3396,14 +3412,23 @@ def _curated_quality_oracle(
 
 def _bitext_mutual_oracle(group_a: int = 0, group_b: int = 1) -> str:
     """Mirror of pipeline.mining.mutual_nn_pairs: cross-group cosine
-    (same left fold as the similarity oracles), mutual rank-1 with
+    (same left fold as the similarity oracles) with per-side norms and
+    the same zero-norm guard (cosine 0.0 when either norm is 0 — never
+    NaN, which would sort above every real cosine), mutual rank-1 with
     (cosine DESC, other-id ASC) ties."""
     return f"""
-        WITH a AS (SELECT vec_id AS id_a, embedding AS va
+        WITH a AS (SELECT vec_id AS id_a, embedding AS va,
+                          sqrt({_fold_dot_sql('embedding', 'embedding',
+                                              _DIM)}) AS na
                    FROM embeddings WHERE label = {int(group_a)}),
-        b AS (SELECT vec_id AS id_b, embedding AS vb
+        b AS (SELECT vec_id AS id_b, embedding AS vb,
+                     sqrt({_fold_dot_sql('embedding', 'embedding',
+                                         _DIM)}) AS nb
               FROM embeddings WHERE label = {int(group_b)}),
-        p AS (SELECT id_a, id_b, {_cosine_sql('va', 'vb')} AS cosine
+        p AS (SELECT id_a, id_b,
+                     CASE WHEN na = 0 OR nb = 0 THEN 0.0
+                          ELSE ({_fold_dot_sql('va', 'vb', _DIM)}
+                                / (na * nb)) END AS cosine
               FROM a CROSS JOIN b),
         r AS (SELECT id_a, id_b, cosine,
                      row_number() OVER (PARTITION BY id_a
@@ -5213,9 +5238,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT canon.media_id, canon.canonical_id, sz.cluster_size
             FROM canon JOIN sz USING (canonical_id)""",
         "boilerplate_segments": _boilerplate_segments_oracle(min_count=500),
-        "dedup_exact_scoped": """
+        # explicit whitespace class (= Java \s) — see _WS_CLASS
+        "dedup_exact_scoped": f"""
             WITH n AS (SELECT source AS scope, doc_id,
-                              md5(regexp_replace(lower(text), '\\s+',
+                              md5(regexp_replace(lower(text),
+                                                 '{_WS_CLASS}',
                                                  ' ', 'g')) AS fp
                        FROM documents)
             SELECT scope, min(doc_id) AS doc_id,

@@ -184,6 +184,38 @@ def centroid_outliers(
         by_label.setdefault(r["label"], {})[r["dim"]] = r["s"]
         counts[r["label"]] = r["n"]
     t = round(float(radius) * SCALE)
+    if not by_label:
+        # Empty input: no (label, dim) sums were collected, so there are
+        # no CASE branches to build — short-circuit to an empty result
+        # with the contract schema instead of dereferencing None.
+        return q.select(
+            "vec_id",
+            "label",
+            F.lit(None).cast("long").alias("n"),
+            F.lit(None).cast("long").alias("dist2_num"),
+            F.lit(None).cast("boolean").alias("is_outlier"),
+        )
+    # Enforce the documented int64 bound instead of silently overflowing
+    # (ADVICE r11): each squared term is (n·q − s)² with |q| ≤ 2·SCALE
+    # and |s| ≤ 2·n·SCALE, so a term is ≤ (4·n·SCALE)² and the dim-term
+    # sum ≤ dim·16·(n·SCALE)²; the gate's right side needs n²·t² in
+    # range too. Beyond either bound the comparison flips silently —
+    # fail loudly and point at the documented sample-first remedy.
+    import math
+
+    dim_by_label = {lab: len(d) for lab, d in by_label.items()}
+    for lab, n in counts.items():
+        dim = max(dim_by_label.get(lab, 1), 1)
+        max_nscale = math.isqrt((2**63 - 1) // (16 * dim))
+        if n * SCALE > max_nscale or (t > 0 and n * t > math.isqrt(2**63 - 1)):
+            raise ValueError(
+                f"centroid_outliers: label {lab!r} has n={n} rows; "
+                f"n*SCALE={n * SCALE} exceeds the int64-safe bound "
+                f"({max_nscale} at dim={dim}) — the exact cross-multiply "
+                "would overflow and silently flip is_outlier. Compute "
+                "centroids from a deterministic per-label sample (the "
+                "hash-threshold samplers) before gating the full corpus."
+            )
     branches = None
     for lab in sorted(by_label):
         s = by_label[lab]

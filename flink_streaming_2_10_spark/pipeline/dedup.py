@@ -224,10 +224,15 @@ def exact_dedup_scoped(
     the scope added to the grouping key: the shuffle carries
     (scope, 32-byte fingerprint), never the text; identical text in two
     scopes survives in both (pinned in tests).
+
+    The normalizer spells out Java's \\s class explicitly (ADVICE r11:
+    RE2/DuckDB read '\\s' without U+000B, so the oracle can only match
+    a spelled-out class — identical Spark behavior, engine-portable
+    contract).
     """
     text = F.col(text_col)
     if normalize:
-        text = F.regexp_replace(F.lower(text), r"\s+", " ")
+        text = F.regexp_replace(F.lower(text), "[ \\t\\n\\x0B\\f\\r]+", " ")
     fp = F.md5(text.cast("string")).alias("fp")
     return (
         df.select(F.col(scope_col).alias("scope"), F.col(id_col), fp)

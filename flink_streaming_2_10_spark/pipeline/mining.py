@@ -63,14 +63,22 @@ def mutual_nn_pairs(
     ``(id_a, id_b)`` DataFrame) restricts scoring to an ANN candidate
     set — see the module docstring.
     """
+    # Zero-norm guard (ADVICE r11): 0/0 = NaN sorts ABOVE every real
+    # cosine in DESC order on both engines, so an all-zeros embedding
+    # would win rank 1 against every partner and crowd out legitimate
+    # mutual pairs. Emit cosine 0.0 when either norm is 0 instead — a
+    # zero vector then never beats any genuine similarity. Norms are
+    # computed per SIDE before the pair join (O(|A|+|B|) norm work, not
+    # O(|A|·|B|)); the per-pair expression is one dot product, one
+    # multiply, one guarded divide.
     a = df.filter(F.col(group_col) == group_a).select(
         F.col(id_col).alias("id_a"),
         F.col(vec_col).cast("array<double>").alias("__va"),
-    )
+    ).withColumn("__na", F.expr(_norm_sql("__va", dim)))
     b = df.filter(F.col(group_col) == group_b).select(
         F.col(id_col).alias("id_b"),
         F.col(vec_col).cast("array<double>").alias("__vb"),
-    )
+    ).withColumn("__nb", F.expr(_norm_sql("__vb", dim)))
     if candidates is None:
         pairs = a.crossJoin(F.broadcast(b))
     else:
@@ -82,10 +90,14 @@ def mutual_nn_pairs(
     scored = pairs.select(
         "id_a",
         "id_b",
-        F.expr(
-            f"({_dot_sql('__va', '__vb', dim)}) / "
-            f"(({_norm_sql('__va', dim)}) * ({_norm_sql('__vb', dim)}))"
-        ).alias("cosine"),
+        F.when(
+            (F.col("__na") == 0.0) | (F.col("__nb") == 0.0), F.lit(0.0)
+        )
+        .otherwise(
+            F.expr(f"({_dot_sql('__va', '__vb', dim)})")
+            / (F.col("__na") * F.col("__nb"))
+        )
+        .alias("cosine"),
     )
     wa = Window.partitionBy("id_a").orderBy(
         F.col("cosine").desc(), F.col("id_b").asc()

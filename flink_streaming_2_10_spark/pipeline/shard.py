@@ -385,14 +385,21 @@ def curate_corpus_quality(
         docs,
         id_col=id_col,
         text_col=text_col,
-        delimiter="\\s+",
+        # explicit whitespace class == Java \s (ADVICE r11: RE2's \s
+        # lacks U+000B, so the oracle must see the spelled-out class)
+        delimiter="[ \\t\\n\\x0B\\f\\r]+",
         joiner=" ",
         min_count=min_seg_count,
         keep="first",
         hasher=hasher,
     )
+    # Gate matches the documented contract (ADVICE r11): keep only docs
+    # with at least one SURVIVING segment — n_segments > n_removed drops
+    # both segment-less docs and docs the strip emptied (previously
+    # `n_segments > 0` let fully-stripped docs through, harmless only
+    # because they scored 0.0 and the resample never keeps score-0 rows).
     enriched = tracked_persist(
-        stripped.filter(F.col("n_segments") > 0).join(
+        stripped.filter(F.col("n_segments") > F.col("n_removed")).join(
             docs.select(
                 F.col(id_col).alias("doc_id"), F.col(lang_col).alias("lang")
             ),

@@ -97,6 +97,14 @@ def windowed_distinct_users(
     the windowed grouping is exactly the shape
     ``applyInPandasWithState`` / summary tables carry forward).
     """
+    # Cross-engine bucket semantics, verified not assumed (ADVICE r11
+    # suspected a floor-vs-truncate divergence here): Spark's `div` and
+    # DuckDB's INTEGER `//` BOTH truncate toward zero (-1 // 10 = 0 in
+    # DuckDB on BIGINTs; only its float `/`-family floors differ), so
+    # the engines agree on every timestamp sign as-is — pinned by
+    # tests/test_sketches.py::test_windowed_distinct_negative_timestamp_
+    # parity. Pre-1970 events land in the truncated (toward-zero)
+    # window on both sides.
     bucket = (
         F.expr(f"`{time_col}` div {int(interval_us)}")
         * F.lit(int(interval_us))

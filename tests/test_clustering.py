@@ -205,3 +205,42 @@ class TestCentroidOutliers:
             for r in centroid_outliers(emb, radius=0.1).collect()
         }
         assert got == {1: False, 2: False}
+
+
+def test_centroid_outliers_empty_input_returns_empty(spark):
+    """ADVICE r11: empty input used to raise AttributeError (no CASE
+    branches collected). Now: empty result, contract schema."""
+    from flink_streaming_2_10_spark.pipeline.clustering import (
+        centroid_outliers,
+    )
+
+    emb = spark.createDataFrame(
+        [], "vec_id long, label int, embedding array<float>"
+    )
+    out = centroid_outliers(emb)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == [
+        "vec_id", "label", "n", "dist2_num", "is_outlier",
+    ]
+
+
+def test_centroid_outliers_overflow_bound_raises(spark):
+    """ADVICE r11: exceeding the documented int64 bound (n·SCALE beyond
+    the dim-adjusted safe limit) must fail loudly, not flip flags."""
+    import pytest as _pytest
+
+    from flink_streaming_2_10_spark.pipeline import clustering as cl
+
+    emb = spark.createDataFrame(
+        [(i, 0, [0.5, 0.5]) for i in range(4)],
+        "vec_id long, label int, embedding array<float>",
+    )
+    real_scale = cl.SCALE
+    # Simulate a beyond-bound corpus without materializing one: raise
+    # SCALE so n*SCALE blows the dim-adjusted isqrt((2^63-1)/(16*dim)).
+    cl.SCALE = 10**18
+    try:
+        with _pytest.raises(ValueError, match="int64-safe bound"):
+            cl.centroid_outliers(emb, radius=0.5)
+    finally:
+        cl.SCALE = real_scale

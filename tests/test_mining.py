@@ -100,3 +100,31 @@ def test_cosine_value_matches_manual(emb):
     x = float(np.float32(0.1))
     expect = 1.0 / (math.sqrt(1.0 + x * x) * 1.0)
     assert row["cosine"] == pytest.approx(expect, abs=1e-12)
+
+
+def test_zero_norm_vector_never_wins(spark):
+    """ADVICE r11: a zero-norm embedding used to score NaN (0/0) against
+    every partner, and NaN sorts above all real cosines DESC — so the
+    zero vector would crowd out every legitimate mutual pair. Guarded:
+    cosine is 0.0 when either norm is 0, so genuine pairs still mine."""
+    rows = [
+        (0, _vec(1.0), 0),
+        (1, _vec(0.0), 0),        # zero-norm on side A
+        (10, _vec(0.9, 0.1), 1),
+        (11, _vec(0.0), 1),       # zero-norm on side B
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in mutual_nn_pairs(emb, dim=4).collect()
+    }
+    # The genuine pair survives; no NaN anywhere.
+    assert (0, 10) in got
+    assert all(c == c for c in got.values())  # no NaN
+    # The zero vectors may only pair with each other (cosine 0.0), never
+    # with a real vector.
+    for (ia, ib), c in got.items():
+        if ia == 1 or ib == 11:
+            assert ia == 1 and ib == 11 and c == 0.0

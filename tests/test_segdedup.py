@@ -401,3 +401,49 @@ def test_census_rides_run_incremental_passes(spark, tmp_path):
     # census and is stripped; pass 1 predates the threshold (documented
     # asymmetry) and the checkpoint guarantees it was never rescanned.
     assert got == {1: "shared banner\nfresh one", 2: "fresh two"}
+
+
+def test_vertical_tab_splits_identically_in_both_engines(spark):
+    """ADVICE r11: Java's \\s includes U+000B, RE2's does not — the
+    registry delimiter is now the explicit class so DuckDB and Spark
+    split identically even on a vertical tab. Pin both engines on a
+    planted \\x0B corpus."""
+    import duckdb
+
+    from flink_streaming_2_10_spark.pipeline.segdedup import (
+        repeated_segments,
+    )
+
+    text = "alpha\x0bbeta gamma\x0bbeta"
+    docs = spark.createDataFrame(
+        [(1, text), (2, text)], "doc_id long, text string"
+    )
+    got = {
+        (r["segment"], r["n_total"], r["n_docs"])
+        for r in repeated_segments(
+            docs, delimiter="[ \\t\\n\\x0B\\f\\r]+", min_count=2
+        ).collect()
+    }
+    con = duckdb.connect()
+    # DuckDB string literals keep backslashes raw; RE2 parses the escapes
+    pat = "[ \\t\\n\\x0B\\f\\r]+"
+    want = {
+        tuple(r)
+        for r in con.execute(
+            f"""
+            WITH d(doc_id, text) AS (VALUES (1, ?), (2, ?)),
+            e AS (SELECT doc_id,
+                         unnest(list_filter(list_transform(
+                             regexp_split_to_array(text, '{pat}'),
+                             s -> trim(s)), s -> length(s) >= 1))
+                           AS segment
+                  FROM d)
+            SELECT segment, count(*), count(DISTINCT doc_id)
+            FROM e GROUP BY segment HAVING count(*) >= 2
+            """,
+            [text, text],
+        ).fetchall()
+    }
+    assert got == want
+    # beta appears twice per doc across the \x0B boundary: 4 total.
+    assert ("beta", 4, 2) in got

@@ -190,10 +190,10 @@ def test_curate_corpus_quality_equals_manual_chain(spark):
         ).collect()
     }
     stripped = strip_repeated_segments(
-        docs, delimiter="\\s+", joiner=" ", min_count=100,
-        keep="first", hasher="md5",
+        docs, delimiter="[ \\t\\n\\x0B\\f\\r]+", joiner=" ",
+        min_count=100, keep="first", hasher="md5",
     )
-    enriched = stripped.filter("n_segments > 0").join(
+    enriched = stripped.filter("n_segments > n_removed").join(
         docs.select("doc_id", "lang"), "doc_id"
     )
     scored = dsir_importance_scores(
@@ -211,3 +211,31 @@ def test_curate_corpus_quality_equals_manual_chain(spark):
     # "common" x5 per doc x40 docs = 200 >= 100: stripped everywhere
     # except the single global keeper -> n_removed 5 (or 4 for keeper).
     assert got and all(r["n_removed"] in (4, 5) for r in got.values())
+
+
+def test_curate_corpus_quality_drops_fully_stripped_docs(spark):
+    """ADVICE r11: the gate now drops docs the strip EMPTIED (every
+    segment removed), not only docs that had zero segments — previously
+    such docs survived to scoring (harmless only because score-0 rows
+    never resample)."""
+    from flink_streaming_2_10_spark.pipeline.shard import (
+        curate_corpus_quality,
+    )
+
+    # doc 99 consists ONLY of the boilerplate token (and is not the
+    # global keeper: keeper is the smallest (doc_id, pos)), so the strip
+    # empties it entirely; docs 0..39 keep their rare tokens.
+    rows = [
+        (i, " ".join(["common"] * 5 + [f"rare{i}w{j}" for j in range(6)]),
+         "en")
+        for i in range(40)
+    ] + [(99, "common common common", "en")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    kept = {
+        r["doc_id"]
+        for r in curate_corpus_quality(
+            docs, min_seg_count=100, num_buckets=256, scale=1.0
+        ).collect()
+    }
+    assert 99 not in kept
+    assert kept  # the chain still keeps the real documents

@@ -122,6 +122,7 @@ def test_windowed_kmv_streams_where_distinct_cannot(spark, tmp_path):
     df.write.parquet(src)
 
     def bucketed(d):
+        # same truncating `div` bucket as windowed_distinct_users
         return d.select(
             (F.expr(f"t div {HOUR}") * HOUR).alias("window_start_us"),
             "user_id",
@@ -152,3 +153,37 @@ def test_windowed_kmv_streams_where_distinct_cannot(spark, tmp_path):
         for r in spark.sql("select * from kmv_stream").collect()
     }
     assert got == batch
+
+
+def test_windowed_distinct_negative_timestamp_parity(spark):
+    """ADVICE r11 suspected Spark `div` (truncate toward zero) diverges
+    from DuckDB `//` (assumed floor) on pre-1970 timestamps. Verified
+    instead: DuckDB's INTEGER `//` ALSO truncates toward zero
+    (-1 // 10 = 0 on BIGINTs), so the engines agree on every sign with
+    the existing formulation — pin that agreement so a dialect change
+    in either engine surfaces here, not in a driver hash-mismatch."""
+    import duckdb
+
+    from flink_streaming_2_10_spark.pipeline.sketches import (
+        windowed_distinct_users,
+    )
+
+    HOUR = 3_600_000_000
+    rows = [(1, -1), (2, -HOUR), (3, -HOUR - 1), (4, 0), (5, 1)]
+    df = spark.createDataFrame(rows, "user_id long, t long")
+    got = {
+        r["window_start_us"]: r["exact_users"]
+        for r in windowed_distinct_users(df, k=4).collect()
+    }
+    con = duckdb.connect()
+    want = {
+        w: n
+        for w, n in con.execute(
+            "SELECT (t // {h}) * {h} AS w, count(DISTINCT user_id) "
+            "FROM (VALUES (1,-1),(2,-{h}),(3,-{h}-1),(4,0),(5,1)) "
+            "AS v(user_id, t) GROUP BY 1".format(h=HOUR)
+        ).fetchall()
+    }
+    assert got == want
+    # Both engines truncate: -1 buckets to window 0, -HOUR-1 to -HOUR.
+    assert got == {-HOUR: 2, 0: 3}
