@@ -84,7 +84,9 @@ def windowed_topk(
     rank-filter as WindowGroupLimit (per-partition heap, no global
     sort). Streaming face: run the windowed count watermarked in
     append mode and apply this rank in ``foreachBatch`` as each window
-    closes — the count state is the only streaming state.
+    closes — the count state is the only streaming state; batch==
+    streamed final top-N pinned across a micro-batch boundary in
+    tests/test_streaming.py::test_trending_topk_stream_equals_batch.
     """
     from pyspark.sql.window import Window
 

@@ -984,3 +984,98 @@ def test_incremental_ingestion_dedups_across_runs(spark, tmp_path):
     run_incremental(stream(), ck, collect_run(2))
     # only the new file was read, and 3 was suppressed by run-1 state
     assert sorted(d for n, d in seen if n == 2) == [4]
+
+
+def test_trending_topk_stream_equals_batch(spark, tmp_path):
+    """windowed_topk's documented streaming face (operators/sliding.py):
+    the watermarked sliding COUNT runs live in append mode — count state
+    is the only streaming state — and the top-N rank is applied to each
+    window as it closes (foreachBatch side). Final streamed top-N must
+    equal batch windowed_topk over the same events for every window the
+    watermark closed, across a micro-batch boundary."""
+    from pyspark.sql.window import Window
+
+    from flink_streaming_2_10_spark.operators.sliding import (
+        sliding_window_agg,
+        windowed_topk,
+    )
+
+    batch1 = [
+        ("2024-01-01 00:00:10", "click"),
+        ("2024-01-01 00:00:20", "click"),
+        ("2024-01-01 00:00:30", "view"),
+        ("2024-01-01 00:01:10", "view"),
+        ("2024-01-01 00:01:20", "view"),
+        ("2024-01-01 00:01:40", "buy"),
+    ]
+    batch2 = [
+        ("2024-01-01 00:02:05", "click"),
+        ("2024-01-01 00:02:10", "buy"),
+        # far-future sentinel: advances the watermark past every window
+        # above so they all CLOSE; its own windows never close and are
+        # excluded from the comparison below on both sides.
+        ("2024-01-01 02:00:00", "sentinel"),
+    ]
+    horizon_ms = 1704074400000  # 2024-01-01 02:00:00 UTC epoch millis
+
+    def parse(df):
+        parts = F.split(F.col("text"), ",")
+        return df.select(
+            F.element_at(parts, 1).cast("timestamp").alias("ts"),
+            F.element_at(parts, 2).alias("event_type"),
+        )
+
+    kw = dict(window_size="2 minutes", slide="1 minute")
+
+    # batch truth: rank over every window, keep the closed ones
+    bdf = parse(
+        spark.createDataFrame(
+            [(f"{t},{e}",) for t, e in batch1 + batch2], ["text"]
+        )
+    )
+    expected = {
+        tuple(r)
+        for r in windowed_topk(bdf, key="event_type", k=2, **kw)
+        .filter(F.col("window_end") <= horizon_ms)
+        .collect()
+    }
+    # sanity on the fixture: multiple windows, a contested top spot, and
+    # the count-DESC/key-ASC tie-break all exercised
+    assert len({w for w, *_ in expected}) >= 3
+    assert ("view", 3) in {(r[2], r[3]) for r in expected}
+
+    src = str(tmp_path / "ev")
+    _write_text_files(
+        src,
+        [
+            "\n".join(f"{t},{e}" for t, e in batch1),
+            "\n".join(f"{t},{e}" for t, e in batch2),
+        ],
+    )
+    counts = sliding_window_agg(
+        parse(_stream_lines(spark, src)),
+        keys=["event_type"],
+        aggs=[F.count(F.lit(1)).alias("n")],
+        **kw,
+    )
+    batches = collect_stream(
+        counts, str(tmp_path / "ck"), output_mode="append"
+    )
+    # each appended row belongs to a window the watermark closed — apply
+    # the rank exactly as the documented foreachBatch step would
+    closed = [r for batch in batches for r in batch]
+    assert closed, "append mode emitted no closed windows"
+    cdf = spark.createDataFrame(
+        closed,
+        "window_start long, window_end long, event_type string, n long",
+    )
+    w = Window.partitionBy("window_start").orderBy(
+        F.col("n").desc(), F.col("event_type").asc()
+    )
+    got = {
+        tuple(r)
+        for r in cdf.withColumn("rnk", F.row_number().over(w))
+        .filter((F.col("rnk") <= 2) & (F.col("window_end") <= horizon_ms))
+        .collect()
+    }
+    assert got == expected
