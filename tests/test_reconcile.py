@@ -70,3 +70,24 @@ def test_whitespace_only_module_change_reconciles():
     changed, residue = module_delta(OLD, OLD + "\n")
     assert changed == set()
     assert residue is False
+
+
+def test_entry_local_def_edit_is_a_change(tmp_path):
+    """r12: a key whose ONLY change is its entry-side q_* wrapper (or an
+    entry helper it calls) must stay flagged — _query_fingerprint hashes
+    those sources, and before r12 the reconciler never diffed them, so
+    an entry-only edit could silently escape driver re-verification.
+    The def-diff reuses module_delta; entry residue is ignored there."""
+    old = (
+        "X = 1\n"
+        "def q_alpha(spark, sf):\n    return 1\n"
+        "def q_beta(spark, sf):\n    return 2\n"
+    )
+    new = (
+        "X = 2\n"  # residue change: irrelevant to entry-local diffing
+        "def q_alpha(spark, sf):\n    return 1\n"
+        "def q_beta(spark, sf):\n    return 99\n"
+    )
+    changed, residue = module_delta(old, new)
+    assert changed == {"q_beta"}
+    assert residue  # module_delta reports it; the entry path ignores it

@@ -199,6 +199,27 @@ def main() -> int:
         delta_cache[mod_name] = d
         return d
 
+    # Entry-local def map at the baseline vs now: a key's fingerprint
+    # also covers its own q_* wrapper and any entry helpers it calls
+    # (_query_fingerprint hashes their sources), so an entry-ONLY edit
+    # (e.g. a changed query parameterization) must keep the key flagged
+    # even when every package module reconciles — the r12 gap: before
+    # this check, an edited-then-reconciled entry wrapper silently
+    # escaped driver re-verification.
+    old_entry_src = _git_show(baseline, "__spark_entry__.py")
+    new_entry_src = open(f"{here}/__spark_entry__.py").read()
+    entry_changed: set[str] = set()
+    if old_entry_src is None:
+        entry_changed = {"*"}  # unreadable baseline: never reconcile
+    elif old_entry_src != new_entry_src:
+        try:
+            # module_delta's def-diff; entry residue (oracle helper
+            # constants etc.) is NOT part of _query_fingerprint, so the
+            # residue flag is deliberately ignored here.
+            entry_changed, _ = module_delta(old_entry_src, new_entry_src)
+        except SyntaxError:
+            entry_changed = {"*"}
+
     reconciled, kept = [], []
     with open(f"{here}/QUERY_FINGERPRINTS.json") as fh:
         fps = json.load(fh)
@@ -214,6 +235,19 @@ def main() -> int:
         mods: set[str] = set()
         local_fns: list = []
         entry._impl_closure(fn, seen, mods, local_fns)
+        local_names = {
+            getattr(f, "__name__", "") for f in [fn, *local_fns]
+        }
+        entry_hit = (
+            entry_changed & local_names
+            if "*" not in entry_changed
+            else {"<entry baseline unreadable>"}
+        )
+        if entry_hit:
+            kept.append(
+                (key, f"entry-local def changed {sorted(entry_hit)[:4]}")
+            )
+            continue
         # replicate the transitive module closure _query_fingerprint uses
         frontier = sorted(mods)
         closure: set[str] = set()
