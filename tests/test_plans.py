@@ -468,3 +468,48 @@ def test_mutual_nn_windows_rekey_pairs_only(spark):
     for p in parts:
         keys = {k.split("#")[0].strip() for k in p.split(",")[:-1]}
         assert keys <= {"id_a", "id_b"}, p
+
+
+def test_media_phash_payload_reduced_in_scan_never_shuffled(spark):
+    """payload_neardup (r12): the Arrow-batched phash stage consumes the
+    payload column straight off the scan, and everything that shuffles
+    afterwards is (id, 8-byte fingerprint) — payload bytes appear in NO
+    exchange key or shuffle-side projection. Audited here on the
+    pre-components pair DAG (the ‡ assembly plan in PLAN_AUDIT.md is
+    checkpoint-truncated past this stage)."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from flink_streaming_2_10_spark.pipeline.dedup import (
+        simhash_neardup_pairs,
+    )
+    from flink_streaming_2_10_spark.pipeline.multimodal import (
+        attach_media,
+        media_phash,
+    )
+
+    media = attach_media(
+        spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    )
+    fps = media_phash(media).select(
+        F.col("media_id").alias("doc_id"), F.col("phash").alias("simhash")
+    )
+    plan = _plan(simhash_neardup_pairs(fps, max_hamming=3, chunks=4))
+    # the Python stage is Arrow-batched and present exactly once
+    assert plan.count("MapInPandas") >= 1
+    # no exchange carries the payload; fingerprint/id keys only
+    parts = re.findall(r"hashpartitioning\(([^)]*)\)", plan)
+    assert parts, "expected hash exchanges in the pair DAG"
+    for p in parts:
+        keys = {k.split("#")[0].strip() for k in p.split(",")[:-1]}
+        assert "payload" not in keys, p
+        assert keys <= {
+            "simhash", "doc_id", "c", "v",
+            "doc_a", "doc_b", "sh_a", "sh_b",
+        }, p
+    # payload is consumed by the Python stage and never reappears in
+    # any downstream Exchange section
+    for section in re.split(r"\n(?=\(\d+\) )", plan):
+        if section.startswith("(") and "Exchange" in section.split("\n")[0]:
+            assert "payload" not in section, section
