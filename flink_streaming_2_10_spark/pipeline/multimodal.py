@@ -277,6 +277,16 @@ def phash_bytes(payload: bytes, bits: int = 64) -> int:
     n = len(payload)
     if n == 0:
         return 0
+    if n > 1_500_000_000:
+        # Enforce the documented product bound loudly (the same
+        # fail-don't-flip policy as clustering.centroid_outliers):
+        # beyond ~1.5 GB sum·cnt can exceed int64 and numpy would wrap
+        # silently, flipping gradient bits.
+        raise ValueError(
+            f"phash_bytes: payload of {n} bytes exceeds the int64-safe "
+            "bound (~1.5e9); fingerprint a bounded prefix/sample or "
+            "raise the region count"
+        )
     regions = bits + 1
     arr = np.frombuffer(payload, dtype=np.uint8).astype(np.int64)
     # Region r covers bytes [ceil(r·n/regions), ceil((r+1)·n/regions)).

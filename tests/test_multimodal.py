@@ -429,3 +429,45 @@ def test_payload_neardup_pigeonhole_matches_bruteforce(spark):
                     parent[max(ra, rb)] = min(ra, rb)
     want = {i: min(j for j in fps if find(j) == find(i)) for i in fps}
     assert got == want
+
+
+def test_phash_single_byte_substitution_bounded_hamming():
+    """Provable locality property: substituting ONE byte (same length)
+    perturbs exactly one region sum, which participates in exactly two
+    adjacent-region comparisons — so the fingerprints differ in AT MOST
+    2 bits. Hypothesis-driven over random payloads and positions."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from flink_streaming_2_10_spark.pipeline.multimodal import phash_bytes
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        data=st.binary(min_size=1, max_size=400),
+        pos_seed=st.integers(min_value=0, max_value=10**9),
+        new_byte=st.integers(min_value=0, max_value=255),
+    )
+    def prop(data: bytes, pos_seed: int, new_byte: int) -> None:
+        pos = pos_seed % len(data)
+        mutated = data[:pos] + bytes([new_byte]) + data[pos + 1 :]
+        a = phash_bytes(data) & ((1 << 64) - 1)
+        b = phash_bytes(mutated) & ((1 << 64) - 1)
+        assert bin(a ^ b).count("1") <= 2
+
+    prop()
+
+
+def test_phash_rejects_oversized_payload_bound():
+    """The int64 product bound fails loudly instead of letting numpy
+    wrap and silently flip gradient bits (same policy as
+    clustering.centroid_outliers)."""
+    import pytest as _pytest
+
+    from flink_streaming_2_10_spark.pipeline import multimodal as mm
+
+    class _FakeLen(bytes):
+        def __len__(self):
+            return 2_000_000_000
+
+    with _pytest.raises(ValueError, match="int64-safe bound"):
+        mm.phash_bytes(_FakeLen(b"x"))
