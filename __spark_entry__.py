@@ -817,6 +817,52 @@ def q_multimodal_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_multimodal_neardup_incremental(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Incremental perceptual near-dup for media
+    (pipeline/neardup_index.build_media_phash_index /
+    media_against_index): the full media table is the already-ingested
+    corpus, persisted as the bucketed phash chunk index; upper-cased
+    re-encodes of every ``doc_id % 7 == 0`` item arrive under
+    ``doc_id + 10_000_000`` and are probed against the index WITHOUT
+    rescanning it — the media face of ``incremental_neardup``. md5
+    keying keeps the chunk buckets DuckDB-exact; verification is one
+    ``bit_count(xor)`` on 8-byte fingerprints, Hamming ≤ 3 over 4
+    chunks (pigeonhole-exact modulo the mirrored hot-bucket cap)."""
+    import os
+    import re as _re
+
+    from flink_streaming_2_10_spark.pipeline.multimodal import attach_media
+    from flink_streaming_2_10_spark.pipeline.neardup_index import (
+        build_media_phash_index,
+        media_against_index,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    tag = _re.sub(r"\W+", "_", os.path.basename(sf_dir.rstrip("/")) or "sf")
+    build_media_phash_index(
+        attach_media(docs),
+        f"/tmp/spark_graft_mdx/{tag}",
+        f"mdx_inc_{tag}",
+        hasher="md5",
+        num_buckets=8,
+    )
+    arrivals = attach_media(
+        docs.filter(F.col("doc_id") % 7 == 0)
+        .withColumn("text", F.upper(F.col("text")))
+        .withColumn("doc_id", F.col("doc_id") + F.lit(10_000_000))
+    )
+    return media_against_index(
+        spark,
+        arrivals,
+        f"mdx_inc_{tag}",
+        hasher="md5",
+        max_hamming=3,
+        chunks=4,
+    )
+
+
 def q_text_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document trigram novelty (pipeline/textstats.novelty_scores):
     fraction of each document's distinct trigrams appearing in no other
@@ -2381,6 +2427,7 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_novelty": q_text_novelty,
         "multimodal_payload_dedup": q_multimodal_payload_dedup,
         "multimodal_neardup": q_multimodal_neardup,
+        "multimodal_neardup_incremental": q_multimodal_neardup_incremental,
         "tokenizer_fertility": q_tokenizer_fertility,
         "boilerplate_segments": q_boilerplate_segments,
         "bitext_mutual_pairs": q_bitext_mutual_pairs,
@@ -3115,6 +3162,59 @@ def _text_repetition_oracle() -> str:
                     ELSE CAST(t.cnt * len(t.gram) AS DOUBLE)
                          / CAST(n.text_len AS DOUBLE) END AS top_bigram_frac
         FROM narrow n LEFT JOIN top t ON n.doc_id = t.doc_id"""
+
+
+def _phash_sql_ctes(src: str = "m") -> str:
+    """CTE chain computing ``ph(media_id, phash)`` — phash_bytes
+    verbatim in SQL over the (media_id, text) rows of CTE ``src``:
+    region sums via the (i·65)//n downsample over ascii codepoints
+    (== payload bytes on this corpus), cross-multiplied gradient bits,
+    bit 63 as its two's-complement negative, empty text → 0. Shared by
+    the multimodal_neardup and multimodal_neardup_incremental
+    oracles."""
+    return f"""ex AS (
+                SELECT media_id, n, s.i AS i, s.v AS v
+                FROM (SELECT media_id, length(text) AS n,
+                             unnest(list_transform(
+                                 range(1, length(text) + 1),
+                                 i -> {{'i': i - 1, 'v': ascii(text[i])}}))
+                               AS s
+                      FROM {src} WHERE length(text) > 0)
+            ),
+            rg AS (
+                SELECT media_id, (i * 65) // n AS r,
+                       CAST(sum(v) AS BIGINT) AS s,
+                       CAST(count(*) AS BIGINT) AS c
+                FROM ex GROUP BY 1, 2
+            ),
+            bt AS (
+                SELECT a.media_id,
+                       CAST(sum(CASE WHEN a.s * coalesce(b.c, 0)
+                                          > coalesce(b.s, 0) * a.c
+                                THEN CASE WHEN a.r = 63
+                                     THEN (-9223372036854775807 - 1)
+                                     ELSE (CAST(1 AS BIGINT) << a.r) END
+                                ELSE 0 END) AS BIGINT) AS phash
+                FROM rg a LEFT JOIN rg b
+                  ON a.media_id = b.media_id AND b.r = a.r + 1
+                WHERE a.r < 64
+                GROUP BY 1
+            ),
+            ph AS (SELECT {src}.media_id, coalesce(bt.phash, 0) AS phash
+                   FROM {src} LEFT JOIN bt USING (media_id))"""
+
+
+def _phash_chunk_union_sql(src: str, chunks: int = 4, bits: int = 64) -> str:
+    """Per-chunk (media_id, c, v) extraction from ``src(media_id,
+    phash)`` — arithmetic shift + mask, the dedup_simhash oracle's
+    proven cross-engine form."""
+    width = bits // chunks
+    mask = (1 << width) - 1
+    return "\n            UNION ALL ".join(
+        f"SELECT media_id, {c} AS c, (phash >> {c * width}) & {mask} AS v "
+        f"FROM {src}"
+        for c in range(chunks)
+    )
 
 
 #: Explicit whitespace class, identical in Java regex and RE2 — exactly
@@ -5179,43 +5279,14 @@ def oracle_sql() -> dict[str, str]:
         # (the engine's pigeonhole join is EXACT for max_hamming <
         # chunks, so the sets agree); closure via recursive CTE like
         # _dedup_components_oracle.
-        "multimodal_neardup": """
+        "multimodal_neardup": f"""
             WITH RECURSIVE m AS (
                 SELECT doc_id AS media_id, text FROM documents
                 UNION ALL
                 SELECT doc_id + 10000000, upper(text)
                 FROM documents WHERE doc_id % 7 = 0
             ),
-            ex AS (
-                SELECT media_id, n, s.i AS i, s.v AS v
-                FROM (SELECT media_id, length(text) AS n,
-                             unnest(list_transform(
-                                 range(1, length(text) + 1),
-                                 i -> {'i': i - 1, 'v': ascii(text[i])}))
-                               AS s
-                      FROM m WHERE length(text) > 0)
-            ),
-            rg AS (
-                SELECT media_id, (i * 65) // n AS r,
-                       CAST(sum(v) AS BIGINT) AS s,
-                       CAST(count(*) AS BIGINT) AS c
-                FROM ex GROUP BY 1, 2
-            ),
-            bt AS (
-                SELECT a.media_id,
-                       CAST(sum(CASE WHEN a.s * coalesce(b.c, 0)
-                                          > coalesce(b.s, 0) * a.c
-                                THEN CASE WHEN a.r = 63
-                                     THEN (-9223372036854775807 - 1)
-                                     ELSE (CAST(1 AS BIGINT) << a.r) END
-                                ELSE 0 END) AS BIGINT) AS phash
-                FROM rg a LEFT JOIN rg b
-                  ON a.media_id = b.media_id AND b.r = a.r + 1
-                WHERE a.r < 64
-                GROUP BY 1
-            ),
-            ph AS (SELECT m.media_id, coalesce(bt.phash, 0) AS phash
-                   FROM m LEFT JOIN bt USING (media_id)),
+            {_phash_sql_ctes("m")},
             prs AS (
                 SELECT x.media_id AS ea, y.media_id AS eb
                 FROM ph x JOIN ph y ON x.media_id < y.media_id
@@ -5237,6 +5308,38 @@ def oracle_sql() -> dict[str, str]:
                    FROM canon GROUP BY 1)
             SELECT canon.media_id, canon.canonical_id, sz.cluster_size
             FROM canon JOIN sz USING (canonical_id)""",
+        # incremental face: index = all base media, arrivals = the
+        # re-encodes; chunk-bucket candidate join with the engine's
+        # 5000-cap mirrored as HAVING (probe re-cap sees the same
+        # single-batch set), bit_count(xor) verify. The engine's cb
+        # hash key merges (c,v) pairs only on 60-bit collisions, which
+        # add verified-away candidates — same assumption as the text
+        # index oracle's bb key.
+        "multimodal_neardup_incremental": f"""
+            WITH m AS (
+                SELECT doc_id AS media_id, text FROM documents
+                UNION ALL
+                SELECT doc_id + 10000000, upper(text)
+                FROM documents WHERE doc_id % 7 = 0
+            ),
+            {_phash_sql_ctes("m")},
+            iph AS (SELECT * FROM ph WHERE media_id < 10000000),
+            aph AS (SELECT * FROM ph WHERE media_id >= 10000000),
+            ich0 AS ({_phash_chunk_union_sql("iph")}),
+            cap AS (SELECT c, v FROM ich0 GROUP BY c, v
+                    HAVING count(*) <= 5000),
+            ich AS (SELECT ich0.* FROM ich0 JOIN cap USING (c, v)),
+            ach AS ({_phash_chunk_union_sql("aph")}),
+            cands AS (SELECT DISTINCT a.media_id,
+                             i.media_id AS index_media_id
+                      FROM ach a JOIN ich i USING (c, v))
+            SELECT c.media_id, c.index_media_id,
+                   CAST(bit_count(xor(pa.phash, pi.phash)) AS INTEGER)
+                     AS hamming
+            FROM cands c
+            JOIN aph pa ON pa.media_id = c.media_id
+            JOIN iph pi ON pi.media_id = c.index_media_id
+            WHERE bit_count(xor(pa.phash, pi.phash)) <= 3""",
         "boilerplate_segments": _boilerplate_segments_oracle(min_count=500),
         # explicit whitespace class (= Java \s) — see _WS_CLASS
         "dedup_exact_scoped": f"""

@@ -323,3 +323,174 @@ def neardup_against_index(
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Media (perceptual-hash) index — the payload_neardup analog of the
+# MinHash index above: same two-table bucketed layout, same exchange-free
+# probe contract, with the 64-bit byte-signal dHash
+# (multimodal.phash_bytes) in place of MinHash signatures and Hamming
+# verification in place of signature agreement.
+# ---------------------------------------------------------------------------
+
+
+def _media_chunked(
+    media, id_col: str, payload_col: str, bits: int, chunks: int, hasher: str
+):
+    """(phashes, chunk-keyed rows) for a media set: fingerprints via the
+    Arrow-batched scan stage, then one row per (media, chunk) keyed by
+    ``cb`` = 8-byte hash of 'chunk:value' — the single bucket/join key,
+    exactly the text index's ``bb`` construction. The chunk extraction
+    is the simhash pigeonhole form (arithmetic shift + mask — identical
+    in Spark and DuckDB, proven by the dedup_simhash oracle)."""
+    from flink_streaming_2_10_spark.pipeline.multimodal import media_phash
+
+    if bits % chunks:
+        raise ValueError(f"bits {bits} not divisible by chunks {chunks}")
+    width = bits // chunks
+    mask = (1 << width) - 1
+    fps = media_phash(
+        media, id_col=id_col, payload_col=payload_col, bits=bits
+    )
+    chunked = fps.select(
+        "media_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("c"),
+                        F.shiftright("phash", c * width)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("v"),
+                    )
+                    for c in range(chunks)
+                ]
+            )
+        ).alias("ch"),
+    ).select(
+        "media_id",
+        _hash60(
+            F.concat_ws(
+                ":",
+                F.col("ch.c").cast("string"),
+                F.col("ch.v").cast("string"),
+            ),
+            hasher,
+        ).alias("cb"),
+    )
+    return fps, chunked
+
+
+def build_media_phash_index(
+    media,
+    path: str,
+    prefix: str,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+    bits: int = 64,
+    chunks: int = 4,
+    hasher: str = "xxhash64",
+    num_buckets: int = 64,
+    max_bucket_size: int | None = DEFAULT_INDEX_MAX_BUCKET,
+    mode: str = "overwrite",
+) -> None:
+    """Persist the perceptual-hash index of ``media`` as two bucketed
+    tables ``{prefix}_buckets`` (cb, media_id — bucketed by cb) and
+    ``{prefix}_phash`` (media_id, phash — bucketed by media_id).
+
+    Closes for MEDIA the gap the MinHash index closes for text (module
+    docstring): a newly crawled image/audio payload that re-encodes an
+    already-ingested one is caught by probing ONLY the arrival's chunk
+    buckets — the old corpus is never rescanned and payload bytes never
+    leave their original scan. ``mode="append"`` is the incremental-
+    ingest face; the bucket spec survives appends so probes stay
+    exchange-free. Build-time hot-bucket cap as in
+    :func:`build_neardup_index` (this batch's window only — the probe
+    re-caps, same two-layer defense)."""
+    fps, chunked = _media_chunked(
+        media, id_col, payload_col, bits, chunks, hasher
+    )
+    if max_bucket_size is not None:
+        w = Window.partitionBy("cb")
+        chunked = (
+            chunked.withColumn("__bs", F.count(F.lit(1)).over(w))
+            .filter(F.col("__bs") <= max_bucket_size)
+            .drop("__bs")
+        )
+    write_bucketed_table(
+        chunked, f"{prefix}_buckets", f"{path}/buckets",
+        bucket_col="cb", num_buckets=num_buckets, mode=mode,
+    )
+    write_bucketed_table(
+        fps, f"{prefix}_phash", f"{path}/phash",
+        bucket_col="media_id", num_buckets=num_buckets, mode=mode,
+    )
+
+
+def media_against_index(
+    spark: SparkSession,
+    arrivals,
+    prefix: str,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+    bits: int = 64,
+    chunks: int = 4,
+    hasher: str = "xxhash64",
+    max_hamming: int = 3,
+    max_bucket_size: int | None = DEFAULT_INDEX_MAX_BUCKET,
+):
+    """Flag arriving media that perceptually near-duplicate an INDEXED
+    item: ``(media_id, index_media_id, hamming)`` for every (arrival,
+    old) pair sharing ≥1 phash chunk with Hamming distance ≤
+    ``max_hamming`` — without scanning the old corpus.
+
+    With ``max_hamming < chunks`` the chunk join is EXACT by pigeonhole
+    (modulo the deterministic hot-bucket cap, the family's documented
+    recall trade, re-applied here over the READ index exactly as
+    :func:`neardup_against_index` does and for the same cumulative-
+    append reason). ``bits``/``chunks``/``hasher`` must be IDENTICAL to
+    the values the index was built with — the chunk geometry is baked
+    into the persisted ``cb`` keys (same contract as the text index's
+    banding parameters). Verification is one ``bit_count(xor)`` on two
+    8-byte fingerprints — integer-exact in any engine.
+
+    Plan contract (pinned in tests/test_neardup_index.py): both probe
+    joins' index sides are satisfied by the bucketed layout — total
+    movement O(arrivals·chunks + candidates), independent of index
+    size; payload bytes are consumed by the arrival-side Arrow stage
+    and appear in no exchange."""
+    if max_hamming >= chunks:
+        raise ValueError("pigeonhole requires max_hamming < chunks")
+    a_fps, a_chunked = _media_chunked(
+        arrivals, id_col, payload_col, bits, chunks, hasher
+    )
+    idx_buckets = spark.table(f"{prefix}_buckets").select(
+        "cb", F.col("media_id").alias("index_media_id")
+    )
+    if max_bucket_size is not None:
+        w = Window.partitionBy("cb")
+        idx_buckets = (
+            idx_buckets.withColumn("__bs", F.count(F.lit(1)).over(w))
+            .filter(F.col("__bs") <= max_bucket_size)
+            .drop("__bs")
+        )
+    idx_fps = spark.table(f"{prefix}_phash").select(
+        F.col("media_id").alias("index_media_id"),
+        F.col("phash").alias("phash_idx"),
+    )
+    cands = (
+        a_chunked.join(idx_buckets, "cb")
+        .filter(F.col("media_id") != F.col("index_media_id"))
+        .select("media_id", "index_media_id")
+        .distinct()
+    )
+    return (
+        cands.join(idx_fps, "index_media_id")
+        .join(a_fps, "media_id")
+        .withColumn(
+            "hamming",
+            F.bit_count(F.col("phash").bitwiseXOR(F.col("phash_idx"))),
+        )
+        .filter(F.col("hamming") <= F.lit(int(max_hamming)))
+        .select("media_id", "index_media_id", "hamming")
+    )

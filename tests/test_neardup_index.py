@@ -288,3 +288,176 @@ def test_probe_time_cap_bounds_cumulative_bucket_growth(spark, tmp_path):
         spark, arrival, "ndx_cap", threshold=0.5, max_bucket_size=3
     )
     assert capped.count() == 0
+
+
+# ---------------------------------------------------------------------------
+# media perceptual-hash index (r12) — the payload_neardup analog
+# ---------------------------------------------------------------------------
+
+
+def _media_rows(spark):
+    base = (
+        "a crawled media payload with enough bytes to give the gradient "
+        "hash a stable signal across its sixty five regions. " * 4
+    )
+    rows = [
+        (i, bytearray((base + f"unique tail {i} " * 3).encode()))
+        for i in range(30)
+    ]
+    return spark.createDataFrame(rows, "media_id long, payload binary")
+
+
+def test_media_index_flags_reencode_without_rescan(spark, tmp_path):
+    from flink_streaming_2_10_spark.pipeline.multimodal import phash_bytes
+    from flink_streaming_2_10_spark.pipeline.neardup_index import (
+        build_media_phash_index,
+        media_against_index,
+    )
+
+    media = _media_rows(spark)
+    build_media_phash_index(
+        media, str(tmp_path / "midx"), "mdx1", num_buckets=4, chunks=8
+    )
+    originals = {
+        r["media_id"]: bytes(r["payload"]) for r in media.collect()
+    }
+    # arrival 200 = re-encode (upper-case) of item 3; 201 unrelated
+    unrelated = bytes((i * 89 + 7) % 256 for i in range(300))
+    arrivals = spark.createDataFrame(
+        [
+            (200, bytearray(originals[3].upper())),
+            (201, bytearray(unrelated)),
+        ],
+        "media_id long, payload binary",
+    )
+    got = {
+        (r["media_id"], r["index_media_id"]): r["hamming"]
+        for r in media_against_index(
+            spark, arrivals, "mdx1", max_hamming=6, chunks=8
+        ).collect()
+    }
+    # the re-encode is flagged against its original with the true
+    # hamming distance; the unrelated payload matches nothing
+    want_h = bin(
+        (phash_bytes(originals[3]) ^ phash_bytes(originals[3].upper()))
+        & ((1 << 64) - 1)
+    ).count("1")
+    assert want_h <= 6  # fixture sanity
+    assert got[(200, 3)] == want_h
+    assert all(m != 201 for m, _ in got)
+
+
+def test_media_index_append_extends_coverage(spark, tmp_path):
+    from flink_streaming_2_10_spark.pipeline.neardup_index import (
+        build_media_phash_index,
+        media_against_index,
+    )
+
+    media = _media_rows(spark)
+    build_media_phash_index(
+        media, str(tmp_path / "midx"), "mdx2", num_buckets=4, chunks=8
+    )
+    extra = spark.createDataFrame(
+        [(500, bytearray(b"a brand new payload family " * 20))],
+        "media_id long, payload binary",
+    )
+    build_media_phash_index(
+        extra, str(tmp_path / "midx"), "mdx2", num_buckets=4, chunks=8,
+        mode="append",
+    )
+    probe = spark.createDataFrame(
+        [(900, bytearray((b"a brand new payload family " * 20).upper()))],
+        "media_id long, payload binary",
+    )
+    got = {
+        r["index_media_id"]
+        for r in media_against_index(
+            spark, probe, "mdx2", max_hamming=6, chunks=8
+        ).collect()
+    }
+    assert 500 in got  # the appended item is probe-visible
+
+
+def test_media_probe_index_side_is_exchange_free(
+    spark, tmp_path, no_broadcast
+):
+    import re
+
+    from flink_streaming_2_10_spark.pipeline.neardup_index import (
+        build_media_phash_index,
+        media_against_index,
+    )
+
+    build_media_phash_index(
+        _media_rows(spark), str(tmp_path / "midx"), "mdx3", num_buckets=4
+    )
+    arrivals = spark.createDataFrame(
+        [(700, bytearray(b"probe payload " * 30))],
+        "media_id long, payload binary",
+    )
+    plan = _plan(media_against_index(spark, arrivals, "mdx3"))
+    assert "Bucketed: true" in plan, plan
+    blocks = re.split(r"\n(?=\(\d+\) )", plan)
+    idx_scans = [
+        b
+        for b in blocks
+        if re.match(r"\(\d+\) Scan parquet", b) and "mdx3" in b
+    ]
+    assert len(idx_scans) == 2, plan  # buckets + phash tables
+    # payload never appears in any exchange (consumed by the arrival
+    # scan's Arrow stage)
+    for b in blocks:
+        if b.startswith("(") and "Exchange" in b.split("\n")[0]:
+            assert "payload" not in b, b
+
+
+def test_media_probe_equals_cross_set_bruteforce(spark, tmp_path):
+    """Pigeonhole exactness carries over from payload_neardup: probing
+    arrivals against the index equals brute-force cross-set Hamming
+    (cap never fires at this scale)."""
+    from flink_streaming_2_10_spark.pipeline.multimodal import phash_bytes
+    from flink_streaming_2_10_spark.pipeline.neardup_index import (
+        build_media_phash_index,
+        media_against_index,
+    )
+
+    media = _media_rows(spark)
+    build_media_phash_index(
+        media, str(tmp_path / "midx"), "mdx4", num_buckets=4
+    )
+    originals = {
+        r["media_id"]: bytes(r["payload"]) for r in media.collect()
+    }
+
+    def tweak(p: bytes, pos: int) -> bytes:
+        # single-byte substitution: hamming <= 2 by the phash locality
+        # property (test_phash_single_byte_substitution_bounded_hamming)
+        return p[:pos] + bytes([(p[pos] + 7) % 256]) + p[pos + 1 :]
+
+    arrivals_py = {
+        1000 + i: tweak(originals[i], 40 + 5 * i) for i in range(10)
+    }
+    arrivals = spark.createDataFrame(
+        [(k, bytearray(v)) for k, v in arrivals_py.items()],
+        "media_id long, payload binary",
+    )
+    got = {
+        (r["media_id"], r["index_media_id"], r["hamming"])
+        for r in media_against_index(
+            spark, arrivals, "mdx4", max_hamming=3, chunks=4
+        ).collect()
+    }
+    want = set()
+    fps_idx = {
+        i: phash_bytes(p) & ((1 << 64) - 1) for i, p in originals.items()
+    }
+    fps_arr = {
+        i: phash_bytes(p) & ((1 << 64) - 1) for i, p in arrivals_py.items()
+    }
+    for a, fa in fps_arr.items():
+        for i, fi in fps_idx.items():
+            h = bin(fa ^ fi).count("1")
+            if h <= 3:
+                want.add((a, i, h))
+    assert got == want
+    assert want  # fixture sanity: some re-encodes land within 3
