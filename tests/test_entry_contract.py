@@ -118,3 +118,46 @@ def test_tpch_q6_revenue_band_semantics(spark):
     ).withColumn("l_shipdate", F.col("d").cast("timestamp"))
     got = forecast_revenue(li).collect()[0]["revenue"]
     assert got == 1000.0 * 0.05 + 1000.0 * 0.07  # 120.0 exactly
+
+
+def test_no_new_bare_whitespace_regex_in_oracles():
+    """Cross-engine regex ratchet (ADVICE r11 / COVERAGE r12 note):
+    Java's \\s includes U+000B, RE2's does not, so a DuckDB oracle that
+    embeds bare '\\s' latently diverges from the Spark side on any
+    corpus containing a vertical tab. The r12 fix converted the three
+    advisor-named queries to the explicit class; this ratchet pins the
+    REMAINING legacy set exactly — a new oracle may not add bare '\\s'
+    (use _WS_CLASS / the spelled-out class), and the r13 rollout must
+    shrink this list as it lands (equality, not subset, so the record
+    stays accurate)."""
+    import re
+
+    legacy = {
+        "corpus_summary",
+        "curated_corpus_neardup",
+        "dedup_components",
+        "dedup_containment",
+        "dedup_exact",
+        "dedup_lsh_recall",
+        "dedup_minhash_lsh",
+        "dedup_ngram_jaccard",
+        "domain_mixture",
+        "english_docs_wordcount",
+        "graph_shortest_hops",
+        "length_histogram",
+        "sequence_packing",
+        "source_quality_cap",
+        "text_cross_despan",
+        "text_cross_despan_strip",
+        "text_quality",
+        "text_token_stats",
+        "token_percentiles",
+        "tokenizer_fertility",
+        "training_shard",
+        "training_shard_curated",
+    }
+    got = {k for k, sql in ORACLES.items() if re.search(r"\\s", sql)}
+    assert got == legacy, (
+        f"added bare \\s: {sorted(got - legacy)}; "
+        f"remove fixed keys from the legacy list: {sorted(legacy - got)}"
+    )
