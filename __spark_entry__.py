@@ -189,6 +189,23 @@ from flink_streaming_2_10_spark.sources.generators import (
 _NAMES_SQL = "['tom','jerry','alice','bob','john','grace']"
 
 
+def _session_tag(spark: SparkSession, sf_dir: str) -> str:
+    """Collision-safe tag for query-time persistent state (the
+    incremental-index queries write /tmp paths + catalog tables at
+    query time): sf-dir basename PLUS the Spark application id, so two
+    concurrent runs against different directories sharing a basename —
+    or two concurrent sessions on the same host — can never clobber
+    each other's index mid-query (r12 advisory). Deterministic within
+    a session, so repeated bench iterations still reuse/overwrite their
+    own state."""
+    import os
+    import re as _re
+
+    base = _re.sub(r"\W+", "_", os.path.basename(sf_dir.rstrip("/")) or "sf")
+    app = _re.sub(r"\W+", "_", spark.sparkContext.applicationId or "app")
+    return f"{base}_{app}"
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query (SURVEY.md §7.1): WordCount — the reference's own
     first example — over sf0.001 documents."""
@@ -354,16 +371,13 @@ def q_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     rescanning the even half. md5 hasher keeps the signatures — and so
     the agreement estimate — DuckDB-exact. est_jaccard = matching sig
     components / 64, a dyadic rational."""
-    import os
-    import re as _re
-
     from flink_streaming_2_10_spark.pipeline.neardup_index import (
         build_neardup_index,
         neardup_against_index,
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    tag = _re.sub(r"\W+", "_", os.path.basename(sf_dir.rstrip("/")) or "sf")
+    tag = _session_tag(spark, sf_dir)
     build_neardup_index(
         docs.filter(F.col("doc_id") % 2 == 0),
         f"/tmp/spark_graft_ndx/{tag}",
@@ -830,9 +844,6 @@ def q_multimodal_neardup_incremental(
     keying keeps the chunk buckets DuckDB-exact; verification is one
     ``bit_count(xor)`` on 8-byte fingerprints, Hamming ≤ 3 over 4
     chunks (pigeonhole-exact modulo the mirrored hot-bucket cap)."""
-    import os
-    import re as _re
-
     from flink_streaming_2_10_spark.pipeline.multimodal import attach_media
     from flink_streaming_2_10_spark.pipeline.neardup_index import (
         build_media_phash_index,
@@ -840,7 +851,7 @@ def q_multimodal_neardup_incremental(
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    tag = _re.sub(r"\W+", "_", os.path.basename(sf_dir.rstrip("/")) or "sf")
+    tag = _session_tag(spark, sf_dir)
     build_media_phash_index(
         attach_media(docs),
         f"/tmp/spark_graft_mdx/{tag}",
@@ -3168,13 +3179,27 @@ def _phash_sql_ctes(src: str = "m") -> str:
     """CTE chain computing ``ph(media_id, phash)`` — phash_bytes
     verbatim in SQL over the (media_id, text) rows of CTE ``src``:
     region sums via the (i·65)//n downsample over ascii codepoints
-    (== payload bytes on this corpus), cross-multiplied gradient bits,
-    bit 63 as its two's-complement negative, empty text → 0. Shared by
-    the multimodal_neardup and multimodal_neardup_incremental
-    oracles."""
+    (== payload bytes ONLY for pure-ASCII text), cross-multiplied
+    gradient bits, bit 63 as its two's-complement negative, empty text
+    → 0. Shared by the multimodal_neardup and
+    multimodal_neardup_incremental oracles.
+
+    ASCII CONTRACT (r12 advisory): ascii(text[i]) equals the utf-8
+    payload byte and length(text) equals the byte count only when every
+    codepoint is < 128. The engine (multimodal.phash_bytes) hashes
+    BYTES and stays correct on any corpus; this oracle would silently
+    diverge on non-ASCII text, so the inner select fails LOUDLY via
+    error() on the first non-ASCII document instead of mismatching."""
     return f"""ex AS (
                 SELECT media_id, n, s.i AS i, s.v AS v
-                FROM (SELECT media_id, length(text) AS n,
+                FROM (SELECT media_id,
+                             CASE WHEN regexp_matches(
+                                      text, '[^\\x00-\\x7f]')
+                                  THEN CAST(error(
+                                      'phash oracle requires ASCII '
+                                      || 'text (media_id='
+                                      || media_id || ')') AS BIGINT)
+                                  ELSE length(text) END AS n,
                              unnest(list_transform(
                                  range(1, length(text) + 1),
                                  i -> {{'i': i - 1, 'v': ascii(text[i])}}))

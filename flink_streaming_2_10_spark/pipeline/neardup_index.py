@@ -338,11 +338,16 @@ def _media_chunked(
     media, id_col: str, payload_col: str, bits: int, chunks: int, hasher: str
 ):
     """(phashes, chunk-keyed rows) for a media set: fingerprints via the
-    Arrow-batched scan stage, then one row per (media, chunk) keyed by
-    ``cb`` = 8-byte hash of 'chunk:value' — the single bucket/join key,
-    exactly the text index's ``bb`` construction. The chunk extraction
-    is the simhash pigeonhole form (arithmetic shift + mask — identical
-    in Spark and DuckDB, proven by the dedup_simhash oracle)."""
+    Arrow-batched scan stage, then one row per (media, chunk) carrying
+    BOTH the raw ``(c, v)`` chunk identity and ``cb`` = 8-byte hash of
+    'chunk:value' — ``cb`` is the single bucket/join key (exactly the
+    text index's ``bb`` construction) while ``(c, v)`` is what hot-
+    bucket caps group by, so a 60-bit ``cb`` collision can only add a
+    spurious CANDIDATE (removed by Hamming verification) and can never
+    merge two chunk groups past the cap (r12 advisory). The chunk
+    extraction is the simhash pigeonhole form (arithmetic shift + mask —
+    identical in Spark and DuckDB, proven by the dedup_simhash
+    oracle)."""
     from flink_streaming_2_10_spark.pipeline.multimodal import media_phash
 
     if bits % chunks:
@@ -369,6 +374,8 @@ def _media_chunked(
         ).alias("ch"),
     ).select(
         "media_id",
+        F.col("ch.c").alias("c"),
+        F.col("ch.v").alias("v"),
         _hash60(
             F.concat_ws(
                 ":",
@@ -406,12 +413,16 @@ def build_media_phash_index(
     ingest face; the bucket spec survives appends so probes stay
     exchange-free. Build-time hot-bucket cap as in
     :func:`build_neardup_index` (this batch's window only — the probe
-    re-caps, same two-layer defense)."""
+    re-caps, same two-layer defense). Caps group by the RAW ``(c, v)``
+    chunk identity, not the hashed ``cb`` key, so oracle parity holds
+    even under a 60-bit ``cb`` collision; the bucket table persists
+    ``(c, v)`` alongside ``cb`` so the probe-side re-cap can do the
+    same over the read index."""
     fps, chunked = _media_chunked(
         media, id_col, payload_col, bits, chunks, hasher
     )
     if max_bucket_size is not None:
-        w = Window.partitionBy("cb")
+        w = Window.partitionBy("c", "v")
         chunked = (
             chunked.withColumn("__bs", F.count(F.lit(1)).over(w))
             .filter(F.col("__bs") <= max_bucket_size)
@@ -465,15 +476,23 @@ def media_against_index(
         arrivals, id_col, payload_col, bits, chunks, hasher
     )
     idx_buckets = spark.table(f"{prefix}_buckets").select(
-        "cb", F.col("media_id").alias("index_media_id")
+        "cb", "c", "v", F.col("media_id").alias("index_media_id")
     )
     if max_bucket_size is not None:
-        w = Window.partitionBy("cb")
+        # Cap per RAW chunk group (c, v), not per hashed cb (r12
+        # advisory: a 60-bit collision must not merge two groups past
+        # the cap). Window-partitioning by (cb, c, v) counts exactly
+        # the (c, v) groups — cb is a function of (c, v) — while the
+        # bucketed-by-cb layout still satisfies the window's clustered
+        # distribution, so the index side stays exchange-free (pinned
+        # in tests/test_neardup_index.py).
+        w = Window.partitionBy("cb", "c", "v")
         idx_buckets = (
             idx_buckets.withColumn("__bs", F.count(F.lit(1)).over(w))
             .filter(F.col("__bs") <= max_bucket_size)
             .drop("__bs")
         )
+    idx_buckets = idx_buckets.drop("c", "v")
     idx_fps = spark.table(f"{prefix}_phash").select(
         F.col("media_id").alias("index_media_id"),
         F.col("phash").alias("phash_idx"),
