@@ -2580,7 +2580,7 @@ def _ngram_pairs_oracle(
         raise ValueError(f"unknown score: {score}")
     return f"""
         WITH nrm AS (SELECT doc_id, text,
-                     md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS nfp
+                     md5(regexp_replace(lower(text), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')) AS nfp
               FROM documents),
         cls AS (SELECT nfp, min(doc_id) AS rep,
                        arg_min(text, doc_id) AS rep_text,
@@ -2655,7 +2655,7 @@ def _minhash_pairs_ctes(
         "x -> length(x) > 0)"
     )
     return f"""nrm AS (SELECT doc_id, text,
-                     md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS nfp
+                     md5(regexp_replace(lower(text), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')) AS nfp
               FROM {source}),
         cls AS (SELECT nfp, min(doc_id) AS rep,
                        arg_min(text, doc_id) AS rep_text,
@@ -2829,7 +2829,7 @@ def _cross_despan_ctes(window: int, min_sharers: int) -> str:
     )
     h = duckdb_hash60_sql(f"({gram})")
     return f"""nrm AS (SELECT doc_id,
-                            md5(regexp_replace(lower(text), '\\s+', ' ', 'g'))
+                            md5(regexp_replace(lower(text), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g'))
                               AS fp
                      FROM documents),
         cls AS (SELECT fp, min(doc_id) AS rep, count(*) AS m
@@ -4020,7 +4020,7 @@ def _text_quality_oracle() -> str:
         f AS (SELECT doc_id,
                      CAST(len(words) AS INT) AS n_words,
                      CAST({_stop_hits_sql(STOPWORDS["en"])} AS INT) AS stop_hits,
-                     CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]')) AS INT)
+                     CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9 \\t\\n\\x0B\\f\\r]')) AS INT)
                         AS punct,
                      CAST(len(regexp_extract_all(text, '[0-9]')) AS INT) AS digits,
                      CAST(length(text) AS INT) AS n_chars,
@@ -4125,7 +4125,7 @@ def _source_quality_cap_oracle(cap: int = 25) -> str:
         f AS (SELECT doc_id, source,
                      CAST(len(words) AS INT) AS n_words,
                      CAST({_stop_hits_sql(STOPWORDS["en"])} AS INT) AS stop_hits,
-                     CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]')) AS INT)
+                     CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9 \\t\\n\\x0B\\f\\r]')) AS INT)
                         AS punct,
                      CAST(len(regexp_extract_all(text, '[0-9]')) AS INT) AS digits,
                      CAST(length(text) AS INT) AS n_chars
@@ -4212,7 +4212,7 @@ def _corpus_summary_oracle(k: int = 64) -> str:
     pooled = " + ".join(f"(m{i} + 1)" for i in range(k))
     scale = float(k) * (p + 1)
     norm_hash = duckdb_hash60_sql(
-        "regexp_replace(lower(text), '\\s+', ' ', 'g')"
+        "regexp_replace(lower(text), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')"
     )
     return f"""
         WITH qv AS ({_text_quality_oracle()}),
@@ -4288,18 +4288,18 @@ def _training_shard_oracle(lang: str = "en", min_quality: float = 0.5) -> str:
         g AS (SELECT doc_id, text, words,
                      CAST(len(words) AS INT) AS n_words,
                      CAST({_stop_hits_sql(STOPWORDS["en"])} AS INT) AS stop_hits,
-                     CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]')) AS INT)
+                     CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9 \\t\\n\\x0B\\f\\r]')) AS INT)
                         AS punct,
                      CAST(len(regexp_extract_all(text, '[0-9]')) AS INT) AS digits,
                      CAST(length(text) AS INT) AS n_chars,
                      CAST(len(regexp_extract_all(text,
                           '{CJK_PATTERN_DUCKDB}')) AS INT) AS cjk,
                      {score_cols},
-                     CAST(len(list_filter(regexp_split_to_array(text, '\\s+'),
+                     CAST(len(list_filter(regexp_split_to_array(text, '[ \\t\\n\\x0B\\f\\r]+'),
                           x -> length(x) > 0)) AS INT) AS ws_tokens,
                      CAST(len(regexp_extract_all(text, '{BPE_PATTERN}')) AS INT)
                         AS bpe_tokens,
-                     md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fp
+                     md5(regexp_replace(lower(text), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')) AS fp
               FROM t),
         b AS (SELECT *, {best} AS best FROM g),
         f AS (SELECT doc_id, ws_tokens, bpe_tokens, fp,
@@ -4353,18 +4353,18 @@ def _curated_gate_ctes(
                      CAST(len(words) AS INT) AS n_words,
                      CAST(len(list_distinct(words)) AS INT) AS n_distinct_words,
                      CAST({_stop_hits_sql(STOPWORDS["en"])} AS INT) AS stop_hits,
-                     CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]')) AS INT)
+                     CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9 \\t\\n\\x0B\\f\\r]')) AS INT)
                         AS punct,
                      CAST(len(regexp_extract_all(text, '[0-9]')) AS INT) AS digits,
                      CAST(length(text) AS INT) AS n_chars,
                      CAST(len(regexp_extract_all(text,
                           '{CJK_PATTERN_DUCKDB}')) AS INT) AS cjk,
                      {score_cols},
-                     CAST(len(list_filter(regexp_split_to_array(text, '\\s+'),
+                     CAST(len(list_filter(regexp_split_to_array(text, '[ \\t\\n\\x0B\\f\\r]+'),
                           x -> length(x) > 0)) AS INT) AS ws_tokens,
                      CAST(len(regexp_extract_all(text, '{BPE_PATTERN}')) AS INT)
                         AS bpe_tokens,
-                     md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fp
+                     md5(regexp_replace(lower(text), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')) AS fp
               FROM t),
         b AS (SELECT *, {best} AS best FROM g),
         f AS (SELECT doc_id, ws_tokens, bpe_tokens, fp,
@@ -4762,7 +4762,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "english_docs_wordcount": """
             SELECT word, CAST(count(*) AS BIGINT) AS cnt
-            FROM (SELECT unnest(regexp_split_to_array(lower(text), '\\s+')) AS word
+            FROM (SELECT unnest(regexp_split_to_array(lower(text), '[ \\t\\n\\x0B\\f\\r]+')) AS word
                   FROM documents WHERE lang = 'en')
             WHERE length(word) > 0
             GROUP BY word
@@ -5076,7 +5076,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": """
             SELECT min(doc_id) AS doc_id, CAST(count(*) AS BIGINT) AS n_dups
             FROM (SELECT doc_id,
-                         md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fp
+                         md5(regexp_replace(lower(text), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')) AS fp
                   FROM documents)
             GROUP BY fp
         """,
@@ -5155,7 +5155,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "text_token_stats": f"""
             SELECT doc_id,
-                   CAST(len(list_filter(regexp_split_to_array(text, '\\s+'),
+                   CAST(len(list_filter(regexp_split_to_array(text, '[ \\t\\n\\x0B\\f\\r]+'),
                         t -> length(t) > 0)) AS INT) AS ws_tokens,
                    CAST(len(regexp_extract_all(text, '{BPE_PATTERN}')) AS INT)
                      AS bpe_tokens,

@@ -29,8 +29,13 @@ LANG_ORDER = ["en", "de", "es", "fr"]
 
 #: BPE-ish pre-tokenizer: letter runs | single digits | punctuation runs.
 #: Same leftmost-first semantics in Java regex and RE2, so counts agree.
-BPE_PATTERN = r"[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\s]+"
-PUNCT_PATTERN = r"[^a-zA-Z0-9\s]"
+#: Whitespace is the EXPLICIT Java \s class ([ \t\n\x0B\f\r]) rather
+#: than bare \s: these patterns are shared verbatim by the Spark (Java
+#: regex) side and the DuckDB (RE2) oracles, and RE2's \s lacks U+000B
+#: — the explicit class makes both engines agree on any corpus
+#: (ADVICE r11 convention, r13 rollout).
+BPE_PATTERN = r"[a-zA-Z]+|[0-9]|[^a-zA-Z0-9 \t\n\x0B\f\r]+"
+PUNCT_PATTERN = r"[^a-zA-Z0-9 \t\n\x0B\f\r]"
 DIGIT_PATTERN = r"[0-9]"
 CJK_PATTERN_SPARK = "[一-鿿]"
 CJK_PATTERN_DUCKDB = r"[\x{4e00}-\x{9fff}]"

@@ -125,39 +125,58 @@ def test_no_new_bare_whitespace_regex_in_oracles():
     Java's \\s includes U+000B, RE2's does not, so a DuckDB oracle that
     embeds bare '\\s' latently diverges from the Spark side on any
     corpus containing a vertical tab. The r12 fix converted the three
-    advisor-named queries to the explicit class; this ratchet pins the
-    REMAINING legacy set exactly — a new oracle may not add bare '\\s'
-    (use _WS_CLASS / the spelled-out class), and the r13 rollout must
-    shrink this list as it lands (equality, not subset, so the record
-    stays accurate)."""
+    advisor-named queries to the explicit class; the r13 rollout
+    converted the remaining 22 (the shared BPE_PATTERN/PUNCT_PATTERN
+    constants plus every literal normalizer/splitter site), so the
+    legacy set is now EMPTY and must stay that way — a new oracle may
+    not add bare '\\s' (use _WS_CLASS / the spelled-out class)."""
     import re
 
-    legacy = {
-        "corpus_summary",
-        "curated_corpus_neardup",
-        "dedup_components",
-        "dedup_containment",
-        "dedup_exact",
-        "dedup_lsh_recall",
-        "dedup_minhash_lsh",
-        "dedup_ngram_jaccard",
-        "domain_mixture",
-        "english_docs_wordcount",
-        "graph_shortest_hops",
-        "length_histogram",
-        "sequence_packing",
-        "source_quality_cap",
-        "text_cross_despan",
-        "text_cross_despan_strip",
-        "text_quality",
-        "text_token_stats",
-        "token_percentiles",
-        "tokenizer_fertility",
-        "training_shard",
-        "training_shard_curated",
-    }
+    legacy: set[str] = set()
     got = {k for k, sql in ORACLES.items() if re.search(r"\\s", sql)}
     assert got == legacy, (
         f"added bare \\s: {sorted(got - legacy)}; "
         f"remove fixed keys from the legacy list: {sorted(legacy - got)}"
     )
+
+
+def test_whitespace_class_agrees_on_vertical_tab_corpus(spark, tmp_path):
+    """End-to-end proof of the r13 whitespace rollout: on a corpus that
+    DOES contain U+000B (vertical tab), the Spark side (Java regex,
+    where \\s always included \\x0B) and the DuckDB oracles (RE2, where
+    bare \\s does NOT) now agree, because every shared pattern spells
+    the Java class explicitly. Pre-rollout, dedup_exact's normalizer
+    md5 and the token/punct counters diverged on exactly this corpus."""
+    import duckdb
+    import pandas as pd
+
+    texts = [
+        "plain words only here",
+        "vertical\x0btab separates\x0bthese words",
+        "mixed \t tab \x0b vtab \f feed \r cr \n nl whitespace",
+        "punct!! and\x0bmore?? marks",
+        "plain words only here",  # exact dup of row 0 after normalize
+        "vertical \x0b tab  separates these words",
+    ]
+    docs = pd.DataFrame(
+        {
+            "doc_id": pd.array(range(len(texts)), dtype="int64"),
+            "text": texts,
+            "lang": ["en"] * len(texts),
+            "source": ["web"] * len(texts),
+        }
+    )
+    docs["n_chars"] = docs["text"].str.len().astype("int64")
+    docs.to_parquet(tmp_path / "documents.parquet", index=False)
+    con = duckdb.connect()
+    try:
+        con.sql(
+            "CREATE VIEW documents AS SELECT * FROM "
+            f"'{tmp_path}/documents.parquet'"
+        )
+        for key in ("text_token_stats", "text_quality", "dedup_exact"):
+            assert_df_matches_oracle(
+                QUERIES[key](spark, str(tmp_path)), con, ORACLES[key]
+            )
+    finally:
+        con.close()

@@ -461,3 +461,56 @@ def test_media_probe_equals_cross_set_bruteforce(spark, tmp_path):
                 want.add((a, i, h))
     assert got == want
     assert want  # fixture sanity: some re-encodes land within 3
+
+
+def test_media_cap_groups_by_raw_chunk_not_hashed_cb(
+    spark, tmp_path, monkeypatch
+):
+    """r12 advisory regression: the hot-bucket cap must count RAW
+    (c, v) chunk groups, not hashed cb buckets — a cb collision merging
+    two groups must not push either past the cap. Force the worst case
+    (ALL cb values collide) and check nothing is dropped as long as
+    every raw group stays under the cap, at build time AND at the
+    probe's re-cap over the read index."""
+    import flink_streaming_2_10_spark.pipeline.neardup_index as ndx
+    from flink_streaming_2_10_spark.pipeline.multimodal import phash_bytes
+    from pyspark.sql import functions as F
+
+    monkeypatch.setattr(
+        ndx, "_hash60", lambda col, hasher: F.lit(0).cast("long")
+    )
+
+    media = _media_rows(spark)
+    n_media = media.count()
+    # Every cb collides, so the merged "bucket" holds n_media*chunks
+    # rows; each raw (c, v) group holds at most n_media. A cap between
+    # the two separates the behaviors: per-cb capping would drop
+    # EVERYTHING, per-(c, v) capping keeps every row.
+    cap = n_media + 5
+    assert cap < n_media * 8
+    ndx.build_media_phash_index(
+        media, str(tmp_path / "midx"), "mdxcap", num_buckets=4,
+        chunks=8, max_bucket_size=cap,
+    )
+    assert spark.table("mdxcap_buckets").count() == n_media * 8
+
+    originals = {
+        r["media_id"]: bytes(r["payload"]) for r in media.collect()
+    }
+    arrivals = spark.createDataFrame(
+        [(300, bytearray(originals[5].upper()))],
+        "media_id long, payload binary",
+    )
+    got = {
+        (r["media_id"], r["index_media_id"]): r["hamming"]
+        for r in ndx.media_against_index(
+            spark, arrivals, "mdxcap", max_hamming=6, chunks=8,
+            max_bucket_size=cap,
+        ).collect()
+    }
+    want_h = bin(
+        (phash_bytes(originals[5]) ^ phash_bytes(originals[5].upper()))
+        & ((1 << 64) - 1)
+    ).count("1")
+    assert want_h <= 6
+    assert got[(300, 5)] == want_h
