@@ -513,3 +513,82 @@ def media_against_index(
         .filter(F.col("hamming") <= F.lit(int(max_hamming)))
         .select("media_id", "index_media_id", "hamming")
     )
+
+
+def media_ingest_batch(
+    spark: SparkSession,
+    path: str,
+    prefix: str,
+    flagged_dir: str,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+    max_hamming: int = 3,
+    **index_params,
+):
+    """``foreachBatch`` callback for perceptual-near-dup-aware MEDIA
+    ingestion — the media face of :func:`neardup_ingest_batch`, closing
+    for crawled images/audio the same gap that closes for text: a new
+    arrival that perceptually re-encodes an OLD payload is caught
+    without rescanning the old corpus.
+
+    Each arriving micro-batch is (1) probed against the persisted phash
+    chunk index (:func:`media_against_index` — old corpus never
+    rescanned, payload bytes never enter an exchange), (2) its flagged
+    ``(media_id, index_media_id, hamming)`` pairs appended to
+    ``flagged_dir`` parquet, and (3) its SURVIVORS (arrivals matching
+    nothing indexed) appended to the index, so a pass-3 re-encode of a
+    pass-2 arrival is caught too. The first batch ever creates the
+    index.
+
+    Scope and durability follow the text face exactly: arrivals are
+    probed against the INDEX, not against each other (run a batch-local
+    :func:`pipeline.multimodal.payload_neardup` first if intra-batch
+    near-dup matters); survivors are derived from the just-WRITTEN
+    flagged parquet, not the in-memory plan, so a lost cached partition
+    between the two index appends cannot desynchronize the buckets and
+    phash tables (see the lineage comment in
+    :func:`neardup_ingest_batch`).
+
+    ``index_params`` forward to build/probe (``bits``, ``chunks``,
+    ``hasher``, ``num_buckets``, ``max_bucket_size`` — keep them
+    IDENTICAL across passes; the chunk geometry is baked into the
+    persisted ``cb`` keys).
+    """
+    build_keys = ("bits", "chunks", "hasher", "num_buckets", "max_bucket_size")
+    probe_keys = ("bits", "chunks", "hasher", "max_bucket_size")
+    bad = set(index_params) - set(build_keys)
+    if bad:
+        raise ValueError(f"unknown index_params: {sorted(bad)}")
+
+    def on_batch(batch_df: DataFrame, _batch_id: int) -> None:
+        batch_df = batch_df.persist()
+        try:
+            if spark.catalog.tableExists(f"{prefix}_buckets"):
+                flags = media_against_index(
+                    spark, batch_df, prefix,
+                    id_col=id_col, payload_col=payload_col,
+                    max_hamming=max_hamming,
+                    **{k: v for k, v in index_params.items() if k in probe_keys},
+                )
+                flags.write.mode("append").parquet(flagged_dir)
+                flagged_ids = (
+                    spark.read.parquet(flagged_dir)
+                    .select(F.col("media_id").alias(id_col))
+                    .distinct()
+                )
+                survivors = batch_df.join(flagged_ids, id_col, "left_anti")
+                mode = "append"
+            else:
+                survivors = batch_df
+                mode = "overwrite"
+            build_media_phash_index(
+                survivors, path, prefix,
+                id_col=id_col, payload_col=payload_col, mode=mode,
+                **{k: v for k, v in index_params.items() if k in build_keys},
+            )
+            spark.catalog.refreshTable(f"{prefix}_buckets")
+            spark.catalog.refreshTable(f"{prefix}_phash")
+        finally:
+            batch_df.unpersist()
+
+    return on_batch

@@ -514,3 +514,79 @@ def test_media_cap_groups_by_raw_chunk_not_hashed_cb(
     ).count("1")
     assert want_h <= 6
     assert got[(300, 5)] == want_h
+
+
+def test_media_incremental_ingest_flags_reencodes_across_passes(
+    spark, tmp_path
+):
+    """run_incremental + media_ingest_batch (the media face of the text
+    three-pass contract): pass 1 seeds the phash index; pass 2's
+    re-encode of a pass-1 payload is flagged via the index (no pass-1
+    rescan) while its fresh payload joins the index; pass 3's re-encode
+    of THAT pass-2 arrival is flagged too."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from flink_streaming_2_10_spark.pipeline.neardup_index import (
+        media_ingest_batch,
+    )
+    from flink_streaming_2_10_spark.streaming.runners import run_incremental
+
+    src = str(tmp_path / "media")
+    os.makedirs(src)
+    ck = str(tmp_path / "ck")
+    flagged = str(tmp_path / "flagged")
+    idx = str(tmp_path / "idx")
+
+    def write_file(name, lines):
+        with open(os.path.join(src, name), "w") as fh:
+            fh.write("\n".join(lines))
+
+    base = (
+        "a crawled media payload with enough bytes to give the gradient "
+        "hash a stable signal across its sixty five regions. " * 4
+    )
+    pay_a = base + "original subject one " * 3
+    pay_b = "".join(chr(33 + (i * 89 + 7) % 90) for i in range(300))
+    write_file("p1.txt", [f"1,{pay_a}", f"2,{pay_b}"])
+
+    parts = F.split(F.col("value"), ",", 2)
+
+    def stream():
+        return spark.readStream.text(src).select(
+            F.element_at(parts, 1).cast("long").alias("media_id"),
+            F.encode(F.element_at(parts, 2), "UTF-8").alias("payload"),
+        )
+
+    on_batch = media_ingest_batch(
+        spark, idx, "mdx_ing", flagged,
+        max_hamming=6, chunks=8, num_buckets=4,
+    )
+    run_incremental(stream(), ck, on_batch)
+    assert not os.path.exists(flagged) or not [
+        f for f in os.listdir(flagged) if f.endswith(".parquet")
+    ]
+
+    # pass 2: 10 re-encodes payload 1 (upper-case); 11 is fresh
+    pay_c = base + "a different fresh subject " * 3
+    write_file("p2.txt", [f"10,{pay_a.upper()}", f"11,{pay_c}"])
+    run_incremental(stream(), ck, on_batch)
+    got = {
+        (r["media_id"], r["index_media_id"])
+        for r in spark.read.parquet(flagged).collect()
+    }
+    assert (10, 1) in got
+    assert all(m != 11 for m, _ in got)
+
+    # pass 3: 20 re-encodes the PASS-2 fresh payload 11 (survivor
+    # appended — caught without rescanning pass 1 or 2)
+    write_file("p3.txt", [f"20,{pay_c.upper()}"])
+    run_incremental(stream(), ck, on_batch)
+    got3 = {
+        (r["media_id"], r["index_media_id"])
+        for r in spark.read.parquet(flagged).collect()
+    }
+    assert (20, 11) in got3
+    # the pass-2 flagged re-encode never entered the index
+    assert all(i != 10 for _, i in got3)
