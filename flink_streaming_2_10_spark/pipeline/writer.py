@@ -114,6 +114,56 @@ def write_bucketed_table(
     writer.saveAsTable(table)
 
 
+def compact_bucketed_table(
+    spark,
+    table: str,
+    old_path: str,
+    new_path: str,
+    bucket_col: str,
+    num_buckets: int,
+    sort_col: str | None = None,
+) -> None:
+    """Rewrite a bucketed table into exactly ``num_buckets`` files at a
+    NEW path and re-point the catalog name at it — the small-file
+    compaction every append-maintained bucketed index eventually needs.
+
+    Each ``mode="append"`` pass through :func:`write_bucketed_table`
+    (the incremental-ingest faces: ``neardup_ingest_batch``,
+    ``media_ingest_batch``, survivor appends) adds its own file set per
+    bucket, so after k passes a probe opens O(k·num_buckets) parquet
+    files — at 100 TB with daily appends that is the classic streaming
+    small-file problem (open/footer costs start to rival the scan).
+    Compaction is generation-style, the only shape that is safe while
+    readers exist: the OLD files are read by path (never through the
+    catalog name, so Spark's cannot-overwrite-a-table-being-read check
+    is never in play and no self-referential lineage exists),
+    repartitioned by the bucket hash so each task holds exactly one
+    bucket (Spark's bucket assignment and ``repartition``'s hash are
+    the same Murmur3 — one file per bucket, pinned in
+    tests/test_writer.py), and written bucketed to ``new_path``;
+    ``saveAsTable(mode="overwrite")`` then atomically re-points the
+    table name. The caller deletes ``old_path`` once no reader needs
+    the old generation (on a cluster, after the retention window).
+
+    Bucket SPEC is preserved (same column, same count), so every probe
+    join that was exchange-free on the old generation is exchange-free
+    on the new one — state and results are unchanged, exactly the
+    mergeable-state contract ``compact_segment_census`` documents for
+    the census log.
+    """
+    if old_path.rstrip("/") == new_path.rstrip("/"):
+        raise ValueError(
+            "compaction must write a NEW generation: old_path == new_path"
+        )
+    df = spark.read.parquet(old_path).repartition(num_buckets, F.col(bucket_col))
+    write_bucketed_table(
+        df, table, new_path,
+        bucket_col=bucket_col, num_buckets=num_buckets,
+        sort_col=sort_col, mode="overwrite",
+    )
+    spark.catalog.refreshTable(table)
+
+
 def write_training_shards(
     df: DataFrame,
     out_dir: str,

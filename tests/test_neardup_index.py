@@ -590,3 +590,94 @@ def test_media_incremental_ingest_flags_reencodes_across_passes(
     assert (20, 11) in got3
     # the pass-2 flagged re-encode never entered the index
     assert all(i != 10 for _, i in got3)
+
+
+def test_compaction_preserves_probe_results_and_plan(spark, tmp_path):
+    """writer.compact_bucketed_table on an append-grown index: after 3
+    append passes the bucket table holds one file set per pass;
+    compaction rewrites it to exactly num_buckets files at a NEW
+    generation path, the probe returns IDENTICAL pairs, and the probe's
+    index side is still exchange-free (bucket spec preserved)."""
+    import glob
+
+    from flink_streaming_2_10_spark.pipeline.writer import (
+        compact_bucketed_table,
+    )
+
+    docs = _pass1_docs(spark)
+    idx = str(tmp_path / "idx")
+    build_neardup_index(
+        docs.filter("doc_id < 20"), idx, "ndx_cmp", num_buckets=4
+    )
+    for lo in (20, 30):
+        build_neardup_index(
+            docs.filter(f"doc_id >= {lo} and doc_id < {lo + 10}"),
+            idx, "ndx_cmp", num_buckets=4, mode="append",
+        )
+    arrivals = spark.createDataFrame(
+        [
+            (100,
+             "document number 7 talks about topic 0 in long form "
+             "with unique trailing words alpha7 beta7 gamma7"),
+            (101,
+             "document number 25 talks about topic 4 in long form "
+             "with unique trailing words alpha25 beta25 gamma25"),
+        ],
+        ["doc_id", "text"],
+    )
+
+    def probe():
+        return {
+            (r["doc_id"], r["index_doc_id"], r["est_jaccard"])
+            for r in neardup_against_index(
+                spark, arrivals, "ndx_cmp", threshold=0.5
+            ).collect()
+        }
+
+    before_pairs = probe()
+    assert {(100, 7), (101, 25)} <= {(a, b) for a, b, _ in before_pairs}
+    n_files_before = len(
+        glob.glob(f"{idx}/buckets/**/*.parquet", recursive=True)
+    )
+    assert n_files_before > 4  # 3 append passes left >1 file set
+
+    compact_bucketed_table(
+        spark, "ndx_cmp_buckets", f"{idx}/buckets", f"{idx}/buckets_g2",
+        bucket_col="bb", num_buckets=4,
+    )
+    compact_bucketed_table(
+        spark, "ndx_cmp_sigs", f"{idx}/sigs", f"{idx}/sigs_g2",
+        bucket_col="doc_id", num_buckets=4,
+    )
+    n_files_after = len(
+        glob.glob(f"{idx}/buckets_g2/**/*.parquet", recursive=True)
+    )
+    assert n_files_after <= 4 < n_files_before
+    assert probe() == before_pairs
+
+    plan = _plan(
+        neardup_against_index(spark, arrivals, "ndx_cmp", threshold=0.5)
+    )
+    import re
+
+    blocks = re.split(r"\n(?=\(\d+\) )", plan)
+    idx_scans = [
+        b for b in blocks
+        if re.match(r"\(\d+\) Scan parquet", b) and "_g2" in b
+    ]
+    # both index scans read the NEW generation, with bucketed output
+    assert len(idx_scans) == 2, plan
+    for b in idx_scans:
+        assert "Bucketed: true" in b, b
+
+
+def test_compaction_rejects_same_path(spark, tmp_path):
+    from flink_streaming_2_10_spark.pipeline.writer import (
+        compact_bucketed_table,
+    )
+
+    with pytest.raises(ValueError, match="NEW generation"):
+        compact_bucketed_table(
+            spark, "t", str(tmp_path / "p"), str(tmp_path / "p"),
+            bucket_col="x", num_buckets=4,
+        )
