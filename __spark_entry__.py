@@ -139,6 +139,7 @@ from flink_streaming_2_10_spark.pipeline.sampling import (
     domain_mixture_oracle,
     holdout_split,
     holdout_split_oracle,
+    mixture_budget_plan_oracle,
     priority_sample,
     priority_sample_oracle,
     sample_key_sql,
@@ -1754,6 +1755,34 @@ def q_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     return domain_mixture(docs, F.regexp_count(F.col("text"), F.lit(BPE_PATTERN)))
 
 
+#: Mixture-budget recipe for q_mixture_budget_plan — 'fr' deliberately
+#: OMITTED so the planner's zero-rate reporting for an unlisted stratum
+#: is driver-verified, not just unit-tested.
+MIXTURE_TARGETS = {"en": 0.45, "zh": 0.25, "de": 0.2, "es": 0.1}
+MIXTURE_BUDGET = 100_000
+
+
+def q_mixture_budget_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget mixture plan (pipeline/sampling.mixture_budget_plan):
+    per-language keep rates realizing an absolute token budget under
+    target mixture weights — oversubscribed strata clamp to rate 1 and
+    report shortfall; 'fr' is absent from the recipe and must surface
+    as a zero-rate row. ONE per-stratum hash agg (map-side partials),
+    then fixed-order double arithmetic both engines evaluate
+    bit-identically."""
+    from flink_streaming_2_10_spark.pipeline.sampling import (
+        mixture_budget_plan,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return mixture_budget_plan(
+        docs,
+        F.regexp_count(F.col("text"), F.lit(BPE_PATTERN)),
+        targets=MIXTURE_TARGETS,
+        budget_tokens=MIXTURE_BUDGET,
+    )
+
+
 def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII audit + scrub over documents with deterministic synthetic PII
     injected (so positive matches are verified, not just clean text) —
@@ -1830,9 +1859,18 @@ def _staleness_rotated(base: dict, evidence_dir: str | None = None) -> dict:
             changed = 0
         elif stored:
             rec = stored.get(k)
-            cur = _query_fingerprint(k) if rec is not None else None
-            if rec is not None and cur is not None and cur != rec:
+            if rec is None:
+                # Driver evidence exists but NO fingerprint was ever
+                # recorded for it: the key was verified in the round
+                # AFTER the fingerprint file was last written, and may
+                # have been edited since — nothing can attest the green
+                # row covers the CURRENT code (the r13 media-keys blind
+                # spot). Conservative: re-verify.
                 changed = 0
+            else:
+                cur = _query_fingerprint(k)
+                if cur is not None and cur != rec:
+                    changed = 0
         return (changed, last_seen.get(k, -1), canon[k])
 
     return {k: base[k] for k in sorted(base, key=sort_key)}
@@ -2466,6 +2504,7 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "holdout_split": q_holdout_split,
         "priority_sample": q_priority_sample,
         "domain_mixture": q_domain_mixture,
+        "mixture_budget_plan": q_mixture_budget_plan,
         "pii_redaction": q_pii_redaction,
         "sequence_packing": q_sequence_packing,
         "multimodal_features": q_multimodal_features,
@@ -5220,6 +5259,11 @@ def oracle_sql() -> dict[str, str]:
         "priority_sample": priority_sample_oracle(k=40),
         "domain_mixture": domain_mixture_oracle(
             f"len(regexp_extract_all(text, '{BPE_PATTERN}'))"
+        ),
+        "mixture_budget_plan": mixture_budget_plan_oracle(
+            f"len(regexp_extract_all(text, '{BPE_PATTERN}'))",
+            targets=MIXTURE_TARGETS,
+            budget_tokens=MIXTURE_BUDGET,
         ),
         "pii_redaction": redact_pii_oracle(
             table=f"({inject_synthetic_pii_sql()})"

@@ -387,3 +387,111 @@ def source_quality_cap(
     return scored.withColumn("rank_in_source", F.row_number().over(w)).filter(
         F.col("rank_in_source") <= cap
     )
+
+
+def mixture_budget_plan(
+    df: DataFrame,
+    token_col_expr: Column,
+    targets: dict[str, float],
+    budget_tokens: int,
+    strata_col: str = "lang",
+) -> DataFrame:
+    """Token-budget mixture plan: given ABSOLUTE token budget and target
+    mixture weights, the per-stratum keep rates that realize it — the
+    planning step a 100 TB corpus runs before resampling down to a
+    training budget (the Pile/Dolma-style recipe: "B tokens total,
+    w_s of them from stratum s"), and the budgeted complement of
+    :func:`domain_mixture` (which reweights toward a uniform target
+    with no absolute budget).
+
+    Per stratum: ``desired = budget · w_s``; ``keep_rate =
+    min(1, desired / n_tokens)``; ``planned_tokens = min(desired,
+    n_tokens)``; ``shortfall = max(0, desired − n_tokens)`` — an
+    OVERSUBSCRIBED stratum (corpus has fewer tokens than its budget
+    share asks for) clamps to keeping everything and reports the unmet
+    mass instead of silently upsampling (duplication is a curation
+    decision, not a planner default). A stratum observed in the corpus
+    but absent from ``targets`` gets weight 0 (keep nothing, report it)
+    so typos in the recipe surface as zero-rate rows, never as silent
+    corpus passthrough.
+
+    Scale shape: ONE hash aggregation over the corpus (map-side
+    partials; the exchange carries one row per stratum); everything
+    after is per-stratum literal arithmetic in a fixed operation order
+    both engines evaluate bit-identically. Feed the resulting rates to
+    :func:`stratified_sample` (same strata column) to execute the plan
+    scan-side.
+
+    ``targets`` must be nonnegative and sum to 1 (within 1e-9).
+    """
+    if budget_tokens < 0:
+        raise ValueError(f"budget_tokens must be >= 0, got {budget_tokens}")
+    if not targets:
+        raise ValueError("targets must be non-empty")
+    for name, w in targets.items():
+        if not (w >= 0.0):
+            raise ValueError(f"target weight for {name!r} must be >= 0")
+    total_w = sum(float(w) for w in targets.values())
+    if abs(total_w - 1.0) > 1e-9:
+        raise ValueError(f"target weights must sum to 1, got {total_w!r}")
+
+    per = (
+        df.select(F.col(strata_col), token_col_expr.alias("_tok"))
+        .groupBy(strata_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("_tok").alias("n_tokens"),
+        )
+    )
+    weight = F.lit(0.0)
+    for name in sorted(targets):
+        weight = F.when(
+            F.col(strata_col) == F.lit(name), F.lit(float(targets[name]))
+        ).otherwise(weight)
+    desired = F.lit(float(budget_tokens)) * weight
+    tok_d = F.col("n_tokens").cast("double")
+    return per.select(
+        strata_col,
+        "n_docs",
+        "n_tokens",
+        weight.alias("target_share"),
+        F.when(tok_d > F.lit(0.0), F.least(F.lit(1.0), desired / tok_d))
+        .otherwise(F.lit(0.0))
+        .alias("keep_rate"),
+        F.least(desired, tok_d).alias("planned_tokens"),
+        F.greatest(F.lit(0.0), desired - tok_d).alias("shortfall"),
+    )
+
+
+def mixture_budget_plan_oracle(
+    token_expr_sql: str,
+    targets: dict[str, float],
+    budget_tokens: int,
+    table: str = "documents",
+    strata_col: str = "lang",
+) -> str:
+    """DuckDB mirror of :func:`mixture_budget_plan` — same CASE order
+    (sorted target names, later WHEN wins exactly as the chained
+    ``F.when`` does), same fixed-order double arithmetic."""
+    whens = " ".join(
+        f"WHEN {strata_col} = '{name}' THEN {float(targets[name])!r}"
+        for name in sorted(targets, reverse=True)
+    )
+    w = f"(CASE {whens} ELSE 0.0 END)"
+    desired = f"({float(budget_tokens)!r} * {w})"
+    tok_d = "CAST(n_tokens AS DOUBLE)"
+    return f"""
+        WITH per AS (
+            SELECT {strata_col}, count(*) AS n_docs,
+                   CAST(sum({token_expr_sql}) AS BIGINT) AS n_tokens
+            FROM {table} GROUP BY {strata_col}
+        )
+        SELECT {strata_col}, n_docs, n_tokens,
+               {w} AS target_share,
+               CASE WHEN {tok_d} > 0.0
+                    THEN least(1.0, {desired} / {tok_d})
+                    ELSE 0.0 END AS keep_rate,
+               least({desired}, {tok_d}) AS planned_tokens,
+               greatest(0.0, {desired} - {tok_d}) AS shortfall
+        FROM per
+    """

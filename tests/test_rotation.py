@@ -85,3 +85,22 @@ def test_update_tool_refreshes_only_driver_verified_keys(tmp_path):
     assert set(got) == expect
     for k, fp in got.items():
         assert fp == em._query_fingerprint(k)
+
+
+def test_evidence_without_recorded_fingerprint_requeues(tmp_path):
+    """r13 blind-spot fix: a key verified in the round AFTER the
+    fingerprint file was last written (so it has driver evidence but NO
+    recorded fingerprint) may have been edited since — nothing can
+    attest the green row covers the current code, so it must compete in
+    the changed tier, not ride its fresh evidence to the back."""
+    base = dict.fromkeys(["a", "b", "c"], object())
+    _write_evidence(tmp_path, {1: ["a", "b", "c"], 2: ["b"]})
+    # fingerprint file exists (non-empty) but records only a and c:
+    # b was verified at r2, after the file was written.
+    (tmp_path / "QUERY_FINGERPRINTS.json").write_text(
+        json.dumps({"a": "x", "c": "y"})
+    )
+    got = list(em._staleness_rotated(base, evidence_dir=str(tmp_path)))
+    # b leads despite having the FRESHEST evidence (tier 0, unattested);
+    # a and c are unchanged-evidence keys ordered by staleness.
+    assert got == ["b", "a", "c"]

@@ -219,3 +219,87 @@ def test_holdout_split_matches_oracle(spark, duck):
 
     df = entrymod.queries()["holdout_split"](spark, SF_SMALL)
     assert_df_matches_oracle(df, duck, entrymod.oracle_sql()["holdout_split"])
+
+
+def test_budget_plan_clamps_and_reports_shortfall(spark):
+    from flink_streaming_2_10_spark.pipeline.sampling import (
+        mixture_budget_plan,
+    )
+
+    rows = [(1, "en", 800), (2, "en", 200), (3, "de", 50), (4, "fr", 100)]
+    df = spark.createDataFrame(rows, ["doc_id", "lang", "tok"])
+    out = {
+        r["lang"]: r
+        for r in mixture_budget_plan(
+            df, F.col("tok"),
+            targets={"en": 0.5, "de": 0.5},
+            budget_tokens=400,
+        ).collect()
+    }
+    # en: 1000 tokens available, 200 desired -> rate 0.2, no shortfall
+    assert out["en"]["keep_rate"] == pytest.approx(0.2)
+    assert out["en"]["planned_tokens"] == pytest.approx(200.0)
+    assert out["en"]["shortfall"] == 0.0
+    # de: only 50 available for 200 desired -> clamp to 1, shortfall 150
+    assert out["de"]["keep_rate"] == 1.0
+    assert out["de"]["planned_tokens"] == pytest.approx(50.0)
+    assert out["de"]["shortfall"] == pytest.approx(150.0)
+    # fr observed but not in the recipe -> zero-rate row, never silent
+    assert out["fr"]["target_share"] == 0.0
+    assert out["fr"]["keep_rate"] == 0.0
+    assert out["fr"]["planned_tokens"] == 0.0
+
+
+def test_budget_plan_validates_inputs(spark):
+    from flink_streaming_2_10_spark.pipeline.sampling import (
+        mixture_budget_plan,
+    )
+
+    df = spark.createDataFrame([(1, "en", 10)], ["doc_id", "lang", "tok"])
+    with pytest.raises(ValueError, match="sum to 1"):
+        mixture_budget_plan(df, F.col("tok"), {"en": 0.5}, 100)
+    with pytest.raises(ValueError, match=">= 0"):
+        mixture_budget_plan(
+            df, F.col("tok"), {"en": 1.5, "de": -0.5}, 100
+        )
+    with pytest.raises(ValueError, match="non-empty"):
+        mixture_budget_plan(df, F.col("tok"), {}, 100)
+    with pytest.raises(ValueError, match="budget_tokens"):
+        mixture_budget_plan(df, F.col("tok"), {"en": 1.0}, -1)
+
+
+def test_budget_plan_rates_execute_via_stratified_sample(docs):
+    """The plan's contract: feeding its keep rates to stratified_sample
+    realizes approximately planned_tokens per stratum (hash draw over
+    the same strata column)."""
+    from flink_streaming_2_10_spark.pipeline.sampling import (
+        mixture_budget_plan,
+    )
+
+    tok = F.greatest(F.length("text"), F.lit(1))
+    plan = {
+        r["lang"]: r
+        for r in mixture_budget_plan(
+            docs, tok,
+            targets={"en": 0.6, "de": 0.4},
+            budget_tokens=2_000,
+        ).collect()
+    }
+    rates = {k: r["keep_rate"] for k, r in plan.items()}
+    # stratified_sample projects (id, stratum); join tokens back by id
+    kept = stratified_sample(docs, rates, strata_col="lang").join(
+        docs.select("doc_id", tok.alias("t")), "doc_id"
+    )
+    got = {
+        r["lang"]: r["t"]
+        for r in kept.groupBy("lang").agg(F.sum("t").alias("t")).collect()
+    }
+    for lang in ("en", "de"):
+        planned = plan[lang]["planned_tokens"]
+        if plan[lang]["keep_rate"] == 1.0:
+            assert got[lang] == planned  # keep-everything is exact
+        else:
+            # hash draw: expected +- sampling noise on a small corpus
+            assert got.get(lang, 0) == pytest.approx(planned, rel=0.7)
+    # zero-rate strata are absent from the sample entirely
+    assert all(lang in ("en", "de") for lang in got)
