@@ -129,8 +129,123 @@ def main() -> None:
         os.path.join(os.path.dirname(__file__), "..", "SCALE_r13.md"), "a"
     ) as fh:
         fh.write("\n".join(lines) + "\n")
+    compaction_probe(spark)
     spark.stop()
     shutil.rmtree(ROOT, ignore_errors=True)
+
+
+def compaction_probe(spark) -> None:
+    """Measure what compact_bucketed_table actually buys: probe wall
+    and file count on a text MinHash index grown by k append passes vs
+    the same index compacted to one generation. Local FS understates
+    the 100 TB benefit (no remote-store open/HEAD latency), so the
+    honest claim is the file-count collapse plus whatever wall delta
+    this box shows."""
+    import glob
+    import time
+
+    from pyspark.sql import functions as F
+
+    from flink_streaming_2_10_spark.pipeline.neardup_index import (
+        build_neardup_index,
+        neardup_against_index,
+    )
+    from flink_streaming_2_10_spark.pipeline.writer import (
+        compact_bucketed_table,
+    )
+
+    path = f"{ROOT}/cmp"
+    prefix = "sc13_cmp"
+    per_pass, passes = 5_000, 8
+
+    def docs(lo: int, n: int):
+        uid = (F.col("id") + F.lit(lo)).cast("string")
+        return spark.range(n).select(
+            (F.col("id") + F.lit(lo)).alias("doc_id"),
+            F.concat(
+                F.lit("document body with distinct trailing entropy "),
+                F.md5(uid), F.lit(" "), F.md5(F.concat(uid, F.lit("b"))),
+            ).alias("text"),
+        )
+
+    for p in range(passes):
+        build_neardup_index(
+            docs(p * per_pass, per_pass), path, prefix,
+            num_buckets=64, mode=("overwrite" if p == 0 else "append"),
+        )
+    arrivals = docs(0, 200).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(10_000_000)
+    )
+
+    def probe():
+        walls = []
+        for _ in range(2):
+            t0 = time.time()
+            n = neardup_against_index(
+                spark, arrivals, prefix, threshold=0.5
+            ).count()
+            walls.append(time.time() - t0)
+        return min(walls), n
+
+    def nfiles():
+        return sum(
+            len(glob.glob(f"{path}/{d}/**/*.parquet", recursive=True))
+            for d in ("buckets", "sigs")
+        ) + sum(
+            len(glob.glob(f"{path}/{d}_g2/**/*.parquet", recursive=True))
+            for d in ("buckets", "sigs")
+        )
+
+    before_wall, before_n = probe()
+    before_files = nfiles()
+    t0 = time.time()
+    compact_bucketed_table(
+        spark, f"{prefix}_buckets", f"{path}/buckets", f"{path}/buckets_g2",
+        bucket_col="bb", num_buckets=64,
+    )
+    compact_bucketed_table(
+        spark, f"{prefix}_sigs", f"{path}/sigs", f"{path}/sigs_g2",
+        bucket_col="doc_id", num_buckets=64,
+    )
+    compact_s = time.time() - t0
+    import shutil as _sh
+
+    _sh.rmtree(f"{path}/buckets", ignore_errors=True)
+    _sh.rmtree(f"{path}/sigs", ignore_errors=True)
+    after_wall, after_n = probe()
+    after_files = nfiles()
+    assert after_n == before_n, (before_n, after_n)
+    print(
+        f"compaction: files {before_files}->{after_files}, probe "
+        f"{before_wall:.2f}s->{after_wall:.2f}s, compact={compact_s:.2f}s, "
+        f"pairs={before_n}"
+    )
+    lines = [
+        "",
+        "## compact_bucketed_table: 8-append index, before/after (r13)",
+        "",
+        f"Text MinHash index grown by {passes} append passes of "
+        f"{per_pass} docs (64 buckets); 200-arrival probe, min-of-2",
+        "walls, local[32]. `tools/scale_probe_r13.py::compaction_probe`.",
+        "",
+        "| | parquet files | probe s | pairs |",
+        "|---|---:|---:|---:|",
+        f"| append-grown | {before_files} | {before_wall:.2f} | {before_n} |",
+        f"| compacted (g2) | {after_files} | {after_wall:.2f} | {after_n} |",
+        "",
+        f"Compaction itself: {compact_s:.2f}s (one bucketed rewrite).",
+        "**Reading**: identical probe results on ~"
+        f"{before_files // max(after_files, 1)}× fewer files; the wall",
+        "delta on local tmpfs-backed FS is modest by construction — the",
+        "claim that matters at 100 TB is the open/footer count collapse",
+        "(object-store HEAD+GET per file dominates small-file scans),",
+        "plus the pinned plan property that probes stay exchange-free",
+        "on the new generation.",
+    ]
+    with open(
+        os.path.join(os.path.dirname(__file__), "..", "SCALE_r13.md"), "a"
+    ) as fh:
+        fh.write("\n".join(lines) + "\n")
 
 
 if __name__ == "__main__":
