@@ -103,12 +103,22 @@ def write_bucketed_table(
     """
     if num_buckets < 1:
         raise ValueError(f"num_buckets must be >= 1, got {num_buckets}")
-    writer = (
-        df.write.mode(mode)
-        .format("parquet")
-        .option("path", path)
-        .bucketBy(num_buckets, bucket_col)
+    writer = df.write.mode(mode).format("parquet").bucketBy(
+        num_buckets, bucket_col
     )
+    # Appends to an EXISTING table go to the table's own location (the
+    # path argument is only binding at creation): after a
+    # :func:`compact_bucketed_table` generation swap the table lives at
+    # a new path, and pinning the original path here would make every
+    # ingest face (which passes the same path each pass) fail its first
+    # post-compaction append on Spark's location-mismatch check.
+    exists = False
+    try:
+        exists = df.sparkSession.catalog.tableExists(table)
+    except Exception:
+        pass
+    if not (mode == "append" and exists):
+        writer = writer.option("path", path)
     if sort_col is not None:
         writer = writer.sortBy(sort_col)
     writer.saveAsTable(table)

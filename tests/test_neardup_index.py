@@ -681,3 +681,63 @@ def test_compaction_rejects_same_path(spark, tmp_path):
             spark, "t", str(tmp_path / "p"), str(tmp_path / "p"),
             bucket_col="x", num_buckets=4,
         )
+
+
+def test_append_after_compaction_lands_in_new_generation(spark, tmp_path):
+    """The ingest faces pass the SAME path every pass; after a
+    compaction generation-swap the table lives elsewhere. Appends to an
+    existing table must follow the table's own location (writer.py), so
+    pass-3 lands in the new generation and probes see all batches —
+    pre-fix this append failed Spark's location-mismatch check."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from flink_streaming_2_10_spark.pipeline.writer import (
+        compact_bucketed_table,
+    )
+
+    def docs(lo, n):
+        uid = (F.col("id") + F.lit(lo)).cast("string")
+        return spark.range(n).select(
+            (F.col("id") + F.lit(lo)).alias("doc_id"),
+            F.concat(
+                F.lit("body words "), F.md5(uid), F.lit(" "),
+                F.md5(F.concat(uid, F.lit("z"))),
+            ).alias("text"),
+        )
+
+    idx = str(tmp_path / "idx")
+    build_neardup_index(docs(0, 30), idx, "ndx_gen", num_buckets=4)
+    build_neardup_index(
+        docs(30, 30), idx, "ndx_gen", num_buckets=4, mode="append"
+    )
+    compact_bucketed_table(
+        spark, "ndx_gen_buckets", f"{idx}/buckets", f"{idx}/buckets_g2",
+        bucket_col="bb", num_buckets=4,
+    )
+    compact_bucketed_table(
+        spark, "ndx_gen_sigs", f"{idx}/sigs", f"{idx}/sigs_g2",
+        bucket_col="doc_id", num_buckets=4,
+    )
+    old_files = set(glob.glob(f"{idx}/buckets/**/*.parquet", recursive=True))
+    # pass 3 STILL passes the original path — must append to g2
+    build_neardup_index(
+        docs(60, 30), idx, "ndx_gen", num_buckets=4, mode="append"
+    )
+    assert (
+        set(glob.glob(f"{idx}/buckets/**/*.parquet", recursive=True))
+        == old_files
+    )  # old generation untouched
+    assert spark.table("ndx_gen_sigs").count() == 90
+    # an exact re-ingest of a batch-3 doc is flagged via the index
+    arr = docs(60, 3).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(10_000_000)
+    )
+    got = {
+        (r["doc_id"], r["index_doc_id"])
+        for r in neardup_against_index(
+            spark, arr, "ndx_gen", threshold=0.9
+        ).collect()
+    }
+    assert {(10_000_060, 60), (10_000_061, 61), (10_000_062, 62)} <= got
