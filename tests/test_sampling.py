@@ -303,3 +303,32 @@ def test_budget_plan_rates_execute_via_stratified_sample(docs):
             assert got.get(lang, 0) == pytest.approx(planned, rel=0.7)
     # zero-rate strata are absent from the sample entirely
     assert all(lang in ("en", "de") for lang in got)
+
+
+def test_budget_plan_arithmetic_identities(spark):
+    """Planner invariants on every row: keep_rate in [0, 1];
+    planned_tokens <= n_tokens; planned_tokens + shortfall recovers the
+    desired budget share (exact when nothing clamps, IEEE-approx when
+    the subtraction rounds); zero-token strata plan zero."""
+    from flink_streaming_2_10_spark.pipeline.sampling import (
+        mixture_budget_plan,
+    )
+
+    rows = [
+        (1, "en", 700), (2, "en", 300), (3, "de", 10), (4, "es", 0),
+        (5, "zh", 123456),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "lang", "tok"])
+    targets = {"en": 0.3, "de": 0.3, "es": 0.2, "zh": 0.2}
+    budget = 12_345
+    for r in mixture_budget_plan(
+        df, F.col("tok"), targets, budget
+    ).collect():
+        assert 0.0 <= r["keep_rate"] <= 1.0, r
+        assert r["planned_tokens"] <= r["n_tokens"], r
+        desired = float(budget) * targets.get(r["lang"], 0.0)
+        assert r["planned_tokens"] + r["shortfall"] == pytest.approx(
+            desired, abs=1e-9
+        ), r
+        if r["n_tokens"] == 0:
+            assert r["keep_rate"] == 0.0 and r["planned_tokens"] == 0.0
