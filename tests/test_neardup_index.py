@@ -741,3 +741,55 @@ def test_append_after_compaction_lands_in_new_generation(spark, tmp_path):
         ).collect()
     }
     assert {(10_000_060, 60), (10_000_061, 61), (10_000_062, 62)} <= got
+
+
+def test_media_append_after_compaction_lands_in_new_generation(
+    spark, tmp_path
+):
+    """Media twin of the generation-swap pin: the phash index compacts,
+    then the next build_media_phash_index append — still passing the
+    ORIGINAL path, as media_ingest_batch does every pass — lands in the
+    new generation and its payloads are probe-visible."""
+    from pyspark.sql import functions as F
+
+    from flink_streaming_2_10_spark.pipeline.neardup_index import (
+        build_media_phash_index,
+        media_against_index,
+    )
+    from flink_streaming_2_10_spark.pipeline.writer import (
+        compact_bucketed_table,
+    )
+
+    def media(lo, n):
+        uid = (F.col("id") + F.lit(lo)).cast("string")
+        body = F.concat(
+            *[F.md5(F.concat(uid, F.lit(f":{j}"))) for j in range(8)]
+        )
+        return spark.range(n).select(
+            (F.col("id") + F.lit(lo)).alias("media_id"),
+            F.encode(body, "UTF-8").alias("payload"),
+        )
+
+    idx = str(tmp_path / "midx")
+    build_media_phash_index(media(0, 20), idx, "mdx_gen", num_buckets=4)
+    compact_bucketed_table(
+        spark, "mdx_gen_buckets", f"{idx}/buckets", f"{idx}/buckets_g2",
+        bucket_col="cb", num_buckets=4,
+    )
+    compact_bucketed_table(
+        spark, "mdx_gen_phash", f"{idx}/phash", f"{idx}/phash_g2",
+        bucket_col="media_id", num_buckets=4,
+    )
+    build_media_phash_index(
+        media(20, 20), idx, "mdx_gen", num_buckets=4, mode="append"
+    )
+    assert spark.table("mdx_gen_phash").count() == 40
+    # exact re-ingest of a POST-compaction appended payload is flagged
+    arr = media(25, 1).withColumn(
+        "media_id", F.col("media_id") + F.lit(10_000_000)
+    )
+    got = {
+        (r["media_id"], r["index_media_id"], r["hamming"])
+        for r in media_against_index(spark, arr, "mdx_gen").collect()
+    }
+    assert (10_000_025, 25, 0) in got
