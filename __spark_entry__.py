@@ -146,6 +146,8 @@ from flink_streaming_2_10_spark.pipeline.sampling import (
     source_quality_cap,
     stratified_sample,
     stratified_sample_oracle,
+    training_shard_budgeted,
+    training_shard_budgeted_oracle,
 )
 from flink_streaming_2_10_spark.pipeline.shard import (
     curate_corpus_neardup,
@@ -1757,8 +1759,10 @@ def q_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 #: Mixture-budget recipe for q_mixture_budget_plan — 'fr' deliberately
 #: OMITTED so the planner's zero-rate reporting for an unlisted stratum
-#: is driver-verified, not just unit-tested.
-MIXTURE_TARGETS = {"en": 0.45, "zh": 0.25, "de": 0.2, "es": 0.1}
+#: is driver-verified, and 'ja' deliberately ABSENT from the corpus so
+#: the zero-count/full-shortfall row for a target stratum the corpus
+#: doesn't have is driver-verified too (both recipe-typo directions).
+MIXTURE_TARGETS = {"en": 0.4, "zh": 0.25, "de": 0.2, "es": 0.1, "ja": 0.05}
 MIXTURE_BUDGET = 100_000
 
 
@@ -1776,6 +1780,22 @@ def q_mixture_budget_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return mixture_budget_plan(
+        docs,
+        F.regexp_count(F.col("text"), F.lit(BPE_PATTERN)),
+        targets=MIXTURE_TARGETS,
+        budget_tokens=MIXTURE_BUDGET,
+    )
+
+
+def q_training_shard_budgeted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Planner → executor composed: mixture_budget_plan's keep rates
+    executed as a deterministic hash-threshold draw, reporting realized
+    vs planned per-stratum token mass — the end-to-end budget contract
+    (two corpus scans: one planning agg collected as a strata-sized
+    literal plan, one scan-side filter + agg; pipeline/sampling.py
+    training_shard_budgeted)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return training_shard_budgeted(
         docs,
         F.regexp_count(F.col("text"), F.lit(BPE_PATTERN)),
         targets=MIXTURE_TARGETS,
@@ -2505,6 +2525,7 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "priority_sample": q_priority_sample,
         "domain_mixture": q_domain_mixture,
         "mixture_budget_plan": q_mixture_budget_plan,
+        "training_shard_budgeted": q_training_shard_budgeted,
         "pii_redaction": q_pii_redaction,
         "sequence_packing": q_sequence_packing,
         "multimodal_features": q_multimodal_features,
@@ -5261,6 +5282,11 @@ def oracle_sql() -> dict[str, str]:
             f"len(regexp_extract_all(text, '{BPE_PATTERN}'))"
         ),
         "mixture_budget_plan": mixture_budget_plan_oracle(
+            f"len(regexp_extract_all(text, '{BPE_PATTERN}'))",
+            targets=MIXTURE_TARGETS,
+            budget_tokens=MIXTURE_BUDGET,
+        ),
+        "training_shard_budgeted": training_shard_budgeted_oracle(
             f"len(regexp_extract_all(text, '{BPE_PATTERN}'))",
             targets=MIXTURE_TARGETS,
             budget_tokens=MIXTURE_BUDGET,

@@ -413,7 +413,12 @@ def mixture_budget_plan(
     decision, not a planner default). A stratum observed in the corpus
     but absent from ``targets`` gets weight 0 (keep nothing, report it)
     so typos in the recipe surface as zero-rate rows, never as silent
-    corpus passthrough.
+    corpus passthrough. The mirror case is also reported: a TARGET
+    stratum entirely absent from the corpus emits a zero-count row
+    (``n_docs = n_tokens = 0``, ``keep_rate = 0``, full-``desired``
+    shortfall) instead of vanishing, so a recipe naming a nonexistent
+    stratum is visible as unmet budget mass rather than silently
+    dropping its share.
 
     Scale shape: ONE hash aggregation over the corpus (map-side
     partials; the exchange carries one row per stratum); everything
@@ -443,6 +448,23 @@ def mixture_budget_plan(
             F.sum("_tok").alias("n_tokens"),
         )
     )
+    # Target strata absent from the corpus: union zero-count rows so
+    # their budget share surfaces as shortfall instead of vanishing.
+    # The anti-join runs on the per-stratum aggregate (one row per
+    # stratum) against a targets-sized literal frame — driver-trivial
+    # at any corpus scale.
+    from pyspark.sql.types import StructType
+
+    tgt_schema = StructType([per.schema[strata_col]])
+    tgt_df = df.sparkSession.createDataFrame(
+        [(name,) for name in sorted(targets)], tgt_schema
+    )
+    missing = tgt_df.join(per, strata_col, "left_anti").select(
+        F.col(strata_col),
+        F.lit(0).cast(per.schema["n_docs"].dataType).alias("n_docs"),
+        F.lit(0).cast(per.schema["n_tokens"].dataType).alias("n_tokens"),
+    )
+    per = per.unionByName(missing)
     weight = F.lit(0.0)
     for name in sorted(targets):
         weight = F.when(
@@ -472,26 +494,159 @@ def mixture_budget_plan_oracle(
 ) -> str:
     """DuckDB mirror of :func:`mixture_budget_plan` — same CASE order
     (sorted target names, later WHEN wins exactly as the chained
-    ``F.when`` does), same fixed-order double arithmetic."""
+    ``F.when`` does), same fixed-order double arithmetic. Every numeric
+    literal is wrapped in ``CAST(... AS DOUBLE)``: DuckDB types bare
+    decimal literals as DECIMAL and would otherwise compute
+    ``desired = budget * weight`` in exact decimal arithmetic while
+    Spark computes it in IEEE doubles (e.g. budget 3 x weight 0.1 is
+    0.3 exactly in DECIMAL but 0.30000000000000004 as doubles). Target
+    strata absent from the corpus are unioned in as zero-count rows,
+    mirroring the Spark side."""
     whens = " ".join(
-        f"WHEN {strata_col} = '{name}' THEN {float(targets[name])!r}"
+        f"WHEN {strata_col} = '{name}'"
+        f" THEN CAST({float(targets[name])!r} AS DOUBLE)"
         for name in sorted(targets, reverse=True)
     )
-    w = f"(CASE {whens} ELSE 0.0 END)"
-    desired = f"({float(budget_tokens)!r} * {w})"
+    w = f"(CASE {whens} ELSE CAST(0.0 AS DOUBLE) END)"
+    desired = f"(CAST({float(budget_tokens)!r} AS DOUBLE) * {w})"
     tok_d = "CAST(n_tokens AS DOUBLE)"
+    one_d = "CAST(1.0 AS DOUBLE)"
+    zero_d = "CAST(0.0 AS DOUBLE)"
+    tgt_values = ", ".join(f"('{name}')" for name in sorted(targets))
     return f"""
-        WITH per AS (
+        WITH per0 AS (
             SELECT {strata_col}, count(*) AS n_docs,
                    CAST(sum({token_expr_sql}) AS BIGINT) AS n_tokens
             FROM {table} GROUP BY {strata_col}
+        ),
+        per AS (
+            SELECT * FROM per0
+            UNION ALL
+            SELECT t.{strata_col}, CAST(0 AS BIGINT) AS n_docs,
+                   CAST(0 AS BIGINT) AS n_tokens
+            FROM (VALUES {tgt_values}) AS t({strata_col})
+            WHERE t.{strata_col} NOT IN (SELECT {strata_col} FROM per0)
         )
         SELECT {strata_col}, n_docs, n_tokens,
                {w} AS target_share,
-               CASE WHEN {tok_d} > 0.0
-                    THEN least(1.0, {desired} / {tok_d})
-                    ELSE 0.0 END AS keep_rate,
+               CASE WHEN {tok_d} > {zero_d}
+                    THEN least({one_d}, {desired} / {tok_d})
+                    ELSE {zero_d} END AS keep_rate,
                least({desired}, {tok_d}) AS planned_tokens,
-               greatest(0.0, {desired} - {tok_d}) AS shortfall
+               greatest({zero_d}, {desired} - {tok_d}) AS shortfall
         FROM per
+    """
+
+
+def training_shard_budgeted(
+    df: DataFrame,
+    token_col_expr: Column,
+    targets: dict[str, float],
+    budget_tokens: int,
+    strata_col: str = "lang",
+    id_col: str = "doc_id",
+    salt: str = "budget",
+) -> DataFrame:
+    """Planner → executor in ONE recipe: run
+    :func:`mixture_budget_plan`, execute its per-stratum keep rates as
+    a deterministic hash-threshold draw (the :func:`stratified_sample`
+    mechanism), and report realized vs planned token mass per stratum —
+    the end-to-end "B tokens at mixture w" contract a training-shard
+    build actually ships, not just the rates.
+
+    Output per stratum (corpus strata ∪ target strata): ``target_share``,
+    ``keep_rate``, ``planned_tokens``, ``realized_docs``,
+    ``realized_tokens``. The hash draw is Bernoulli per document, so
+    ``realized_tokens`` tracks ``planned_tokens`` within sampling noise
+    (tests pin the tolerance); strata with ``keep_rate`` 0 or absent
+    from the corpus report realized 0.
+
+    Scale shape: TWO corpus scans total — the planner's single
+    per-stratum hash aggregation (collected: one row per stratum, a
+    driver-sized plan by construction, same pattern as the DSIR literal
+    count tables), then one scan-side filter + per-stratum hash agg for
+    the realized masses. The final plan⋈realized join is
+    strata-count-sized on both sides. The collected ``keep_rate``
+    doubles are re-literalized bit-exactly, so the draw is reproducible
+    engine-to-engine (the DuckDB oracle selects the identical rows).
+    """
+    plan = mixture_budget_plan(
+        df, token_col_expr, targets, budget_tokens, strata_col
+    )
+    plan_rows = plan.collect()
+    rates = {row[strata_col]: float(row["keep_rate"]) for row in plan_rows}
+
+    key = _sample_key(F.col(id_col), salt).cast("double")
+    rate: Column = F.lit(0.0)
+    for stratum, r in sorted(rates.items()):
+        rate = F.when(F.col(strata_col) == stratum, F.lit(r)).otherwise(rate)
+    realized = (
+        df.filter(key < rate * F.lit(_TWO_POW_60))
+        .select(F.col(strata_col), token_col_expr.alias("_tok"))
+        .groupBy(strata_col)
+        .agg(
+            F.count(F.lit(1)).alias("realized_docs"),
+            F.sum("_tok").alias("realized_tokens"),
+        )
+    )
+    plan_lit = df.sparkSession.createDataFrame(plan_rows, plan.schema)
+    return (
+        plan_lit.join(F.broadcast(realized), strata_col, "left")
+        .select(
+            strata_col,
+            "target_share",
+            "keep_rate",
+            "planned_tokens",
+            F.coalesce(F.col("realized_docs"), F.lit(0).cast("long")).alias(
+                "realized_docs"
+            ),
+            F.coalesce(
+                F.col("realized_tokens"), F.lit(0).cast("long")
+            ).alias("realized_tokens"),
+        )
+    )
+
+
+def training_shard_budgeted_oracle(
+    token_expr_sql: str,
+    targets: dict[str, float],
+    budget_tokens: int,
+    table: str = "documents",
+    strata_col: str = "lang",
+    id_col: str = "doc_id",
+    salt: str = "budget",
+) -> str:
+    """DuckDB mirror of :func:`training_shard_budgeted`: embeds
+    :func:`mixture_budget_plan_oracle` as the plan CTE (identical
+    double arithmetic → identical keep-rate bits), replays the same
+    md5 hash-threshold draw, and left-joins realized masses back onto
+    the plan."""
+    plan_sql = mixture_budget_plan_oracle(
+        token_expr_sql, targets, budget_tokens, table, strata_col
+    )
+    key = sample_key_sql(f"d.{id_col}", salt)
+    return f"""
+        WITH plan AS (
+            SELECT {strata_col}, target_share, keep_rate, planned_tokens
+            FROM ({plan_sql})
+        ),
+        sampled AS (
+            SELECT d.{strata_col} AS {strata_col},
+                   {token_expr_sql} AS _tok
+            FROM {table} d JOIN plan p ON d.{strata_col} = p.{strata_col}
+            WHERE CAST({key} AS DOUBLE) < p.keep_rate * {_TWO_POW_60!r}
+        ),
+        realized AS (
+            SELECT {strata_col},
+                   count(*) AS realized_docs,
+                   CAST(sum(_tok) AS BIGINT) AS realized_tokens
+            FROM sampled GROUP BY {strata_col}
+        )
+        SELECT p.{strata_col}, p.target_share, p.keep_rate,
+               p.planned_tokens,
+               COALESCE(r.realized_docs, CAST(0 AS BIGINT))
+                   AS realized_docs,
+               COALESCE(r.realized_tokens, CAST(0 AS BIGINT))
+                   AS realized_tokens
+        FROM plan p LEFT JOIN realized r ON p.{strata_col} = r.{strata_col}
     """

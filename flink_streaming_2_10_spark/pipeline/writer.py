@@ -24,6 +24,7 @@ fleet can schedule on". Design for 100 TB:
 
 from __future__ import annotations
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, functions as F
 
 from flink_streaming_2_10_spark.pipeline.dedup import _hash60
@@ -111,17 +112,87 @@ def write_bucketed_table(
     # :func:`compact_bucketed_table` generation swap the table lives at
     # a new path, and pinning the original path here would make every
     # ingest face (which passes the same path each pass) fail its first
-    # post-compaction append on Spark's location-mismatch check.
+    # post-compaction append on Spark's location-mismatch check. That
+    # redirect is only silent when the passed path is a RECORDED prior
+    # generation of this table (compaction stamps lineage into
+    # TBLPROPERTIES); a location mismatch with no lineage means a stale
+    # same-named table from an unrelated build would swallow the append,
+    # so it warns loudly instead of failing the way plain Spark would.
     exists = False
-    try:
-        exists = df.sparkSession.catalog.tableExists(table)
-    except Exception:
-        pass
+    if mode == "append":
+        try:
+            exists = df.sparkSession.catalog.tableExists(table)
+        except AnalysisException:
+            exists = False
+        if exists:
+            _warn_if_unrelated_location(df.sparkSession, table, path)
     if not (mode == "append" and exists):
         writer = writer.option("path", path)
     if sort_col is not None:
         writer = writer.sortBy(sort_col)
     writer.saveAsTable(table)
+
+
+#: TBLPROPERTIES key where :func:`compact_bucketed_table` accumulates the
+#: comma-joined prior-generation paths of a table, oldest first.
+PREV_PATHS_PROP = "spark_graft.prev_paths"
+
+
+def _norm_location(p: str) -> str:
+    """Normalize a table location / path for equality: strip a file:
+    scheme and trailing slashes (Spark reports catalog locations as
+    ``file:/...`` URIs while callers pass plain paths)."""
+    for prefix in ("file://", "file:"):
+        if p.startswith(prefix):
+            p = p[len(prefix):]
+            break
+    return p.rstrip("/")
+
+
+def _table_properties(spark, table: str) -> dict[str, str]:
+    """All TBLPROPERTIES of ``table`` as a dict (driver-side, catalog
+    metadata only)."""
+    return {
+        r["key"]: r["value"]
+        for r in spark.sql(f"SHOW TBLPROPERTIES {table}").collect()
+    }
+
+
+def _table_location(spark, table: str) -> str | None:
+    """Catalog location of ``table``, or None if the catalog doesn't
+    report one (DESCRIBE FORMATTED's Location row)."""
+    for r in spark.sql(f"DESCRIBE FORMATTED {table}").collect():
+        if r["col_name"] == "Location":
+            return r["data_type"]
+    return None
+
+
+def _warn_if_unrelated_location(spark, table: str, path: str) -> None:
+    """Warn when an append is about to be redirected to a catalog
+    location that is neither the passed path nor a recorded prior
+    generation of it — the stale-table-shadowing case."""
+    import warnings
+
+    loc = _table_location(spark, table)
+    if loc is None or _norm_location(loc) == _norm_location(path):
+        return
+    prev = {
+        _norm_location(p)
+        for p in _table_properties(spark, table)
+        .get(PREV_PATHS_PROP, "")
+        .split(",")
+        if p
+    }
+    if _norm_location(path) in prev:
+        return  # the intended post-compaction generation-swap redirect
+    warnings.warn(
+        f"append to bucketed table '{table}' will go to its catalog "
+        f"location {loc!r}, NOT the passed path {path!r}, and {path!r} is "
+        f"not a recorded prior generation of this table — a same-named "
+        f"table from an unrelated build may be receiving this append. "
+        f"Drop/rename the stale table or pass its actual location.",
+        stacklevel=3,
+    )
 
 
 def compact_bucketed_table(
@@ -165,11 +236,33 @@ def compact_bucketed_table(
         raise ValueError(
             "compaction must write a NEW generation: old_path == new_path"
         )
+    # Carry the generation lineage forward BEFORE the swap: the passed
+    # old_path plus any generations already recorded, so ingest faces
+    # that keep passing the original creation path stay silently
+    # redirected across ANY number of compactions (write_bucketed_table
+    # warns on location mismatches outside this recorded history).
+    prev: list[str] = []
+    try:
+        if spark.catalog.tableExists(table):
+            recorded = _table_properties(spark, table).get(
+                PREV_PATHS_PROP, ""
+            )
+            prev = [p for p in recorded.split(",") if p]
+    except AnalysisException:
+        prev = []
+    if _norm_location(old_path) not in [_norm_location(p) for p in prev]:
+        prev.append(old_path)
+
     df = spark.read.parquet(old_path).repartition(num_buckets, F.col(bucket_col))
     write_bucketed_table(
         df, table, new_path,
         bucket_col=bucket_col, num_buckets=num_buckets,
         sort_col=sort_col, mode="overwrite",
+    )
+    lineage = ",".join(prev).replace("'", "")
+    spark.sql(
+        f"ALTER TABLE {table} SET TBLPROPERTIES "
+        f"('{PREV_PATHS_PROP}' = '{lineage}')"
     )
     spark.catalog.refreshTable(table)
 

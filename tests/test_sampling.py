@@ -332,3 +332,102 @@ def test_budget_plan_arithmetic_identities(spark):
         ), r
         if r["n_tokens"] == 0:
             assert r["keep_rate"] == 0.0 and r["planned_tokens"] == 0.0
+
+
+def test_budget_plan_missing_target_stratum_zero_row(spark):
+    """A target stratum entirely absent from the corpus must emit a
+    zero-count row (full-desired shortfall, keep_rate 0) rather than
+    silently vanish — the mirror image of the unlisted-stratum guard."""
+    from flink_streaming_2_10_spark.pipeline.sampling import (
+        mixture_budget_plan,
+    )
+
+    rows = [(1, "en", 1000), (2, "de", 500)]
+    df = spark.createDataFrame(rows, ["doc_id", "lang", "tok"])
+    out = {
+        r["lang"]: r
+        for r in mixture_budget_plan(
+            df, F.col("tok"),
+            targets={"en": 0.5, "de": 0.3, "ja": 0.2},
+            budget_tokens=100,
+        ).collect()
+    }
+    assert set(out) == {"en", "de", "ja"}
+    ja = out["ja"]
+    assert ja["n_docs"] == 0 and ja["n_tokens"] == 0
+    assert ja["target_share"] == pytest.approx(0.2)
+    assert ja["keep_rate"] == 0.0
+    assert ja["planned_tokens"] == 0.0
+    assert ja["shortfall"] == pytest.approx(100 * 0.2)
+
+
+def test_budget_plan_oracle_double_arithmetic(spark, duck):
+    """The ADVICE decimal-parity case: budget=3, weight=0.1 — DuckDB's
+    DECIMAL typing of bare literals would compute shortfall 0.3 exactly
+    while Spark's doubles give 0.30000000000000004; the oracle's
+    CAST(... AS DOUBLE) wrapping must make both engines agree bit-for-bit
+    (the 'ja' stratum is corpus-absent so desired flows straight into
+    shortfall, exposing the raw product)."""
+    from tests.conftest import assert_df_matches_oracle
+    from flink_streaming_2_10_spark.pipeline.sampling import (
+        mixture_budget_plan,
+        mixture_budget_plan_oracle,
+    )
+
+    rows = [(1, "en", 7), (2, "de", 13)]
+    df = spark.createDataFrame(rows, ["doc_id", "lang", "tok"])
+    targets = {"en": 0.6, "de": 0.3, "ja": 0.1}
+    out = mixture_budget_plan(df, F.col("tok"), targets, 3)
+    # sanity: the Spark side really does produce the IEEE artifact
+    ja = {r["lang"]: r for r in out.collect()}["ja"]
+    assert ja["shortfall"] == 0.30000000000000004
+    table = (
+        "(SELECT * FROM (VALUES (1, 'en', 7), (2, 'de', 13))"
+        " AS t(doc_id, lang, tok))"
+    )
+    assert_df_matches_oracle(
+        out, duck, mixture_budget_plan_oracle("tok", targets, 3, table=table)
+    )
+
+
+def test_training_shard_budgeted_matches_oracle(spark, duck):
+    import __spark_entry__ as entrymod
+    from tests.conftest import assert_df_matches_oracle
+
+    df = entrymod.queries()["training_shard_budgeted"](spark, SF_SMALL)
+    assert_df_matches_oracle(
+        df, duck, entrymod.oracle_sql()["training_shard_budgeted"]
+    )
+
+
+def test_training_shard_budgeted_realized_tracks_planned(docs):
+    """Planner → executor contract: the realized per-stratum token mass
+    tracks planned_tokens within the Bernoulli draw's noise; clamped
+    (rate-1) strata realize exactly; zero-rate / corpus-absent strata
+    realize zero."""
+    from flink_streaming_2_10_spark.pipeline.sampling import (
+        training_shard_budgeted,
+    )
+
+    tok = F.greatest(F.length("text"), F.lit(1))
+    targets = {"en": 0.5, "de": 0.3, "zh": 0.15, "ja": 0.05}
+    rows = {
+        r["lang"]: r
+        for r in training_shard_budgeted(
+            docs, tok, targets, budget_tokens=30_000
+        ).collect()
+    }
+    # corpus strata plus the corpus-absent target all present
+    assert {"en", "de", "zh", "ja", "es", "fr"} <= set(rows)
+    for lang, r in rows.items():
+        if r["keep_rate"] == 1.0:
+            assert r["realized_tokens"] == r["planned_tokens"], r
+        elif r["keep_rate"] == 0.0:
+            assert r["realized_tokens"] == 0 and r["realized_docs"] == 0, r
+        else:
+            # hash draw on a small corpus: generous but bounded noise
+            assert r["realized_tokens"] == pytest.approx(
+                r["planned_tokens"], rel=0.7
+            ), r
+    assert rows["ja"]["realized_docs"] == 0
+    assert rows["fr"]["keep_rate"] == 0.0 and rows["fr"]["realized_tokens"] == 0

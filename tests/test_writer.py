@@ -169,3 +169,73 @@ def test_curriculum_order_within_shards(spark, tmp_path):
         # as the tie-break.
         keys = list(zip(got["difficulty"], got["doc_id"]))
         assert keys == sorted(keys), shard_dir
+
+
+def test_append_warns_on_unrelated_table_location(spark, tmp_path):
+    """An append whose passed path differs from the existing table's
+    catalog location — with NO recorded generation lineage — must warn:
+    a stale same-named table from an unrelated build would otherwise
+    silently swallow the append."""
+    import warnings
+
+    from flink_streaming_2_10_spark.pipeline.writer import (
+        write_bucketed_table,
+    )
+
+    df = spark.createDataFrame([(i, i) for i in range(20)], ["doc_id", "v"])
+    try:
+        write_bucketed_table(df, "bt_warn", str(tmp_path / "orig"), "doc_id", 2)
+        with pytest.warns(UserWarning, match="not a recorded prior generation"):
+            write_bucketed_table(
+                df, "bt_warn", str(tmp_path / "elsewhere"), "doc_id", 2,
+                mode="append",
+            )
+        # behavior unchanged: the append landed at the table's location
+        assert spark.table("bt_warn").count() == 40
+        # same-path append stays silent
+        with warnings.catch_warnings():
+            warnings.simplefilter("error")
+            write_bucketed_table(
+                df, "bt_warn", str(tmp_path / "orig"), "doc_id", 2,
+                mode="append",
+            )
+        assert spark.table("bt_warn").count() == 60
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bt_warn")
+
+
+def test_append_after_compaction_is_silent_across_generations(
+    spark, tmp_path
+):
+    """The intended generation-swap case: an ingest face keeps passing
+    the ORIGINAL creation path; after one and after TWO compactions the
+    redirect must stay silent (lineage is recorded in TBLPROPERTIES),
+    and the appends land in the current generation."""
+    import warnings
+
+    from flink_streaming_2_10_spark.pipeline.writer import (
+        PREV_PATHS_PROP,
+        _table_properties,
+        compact_bucketed_table,
+        write_bucketed_table,
+    )
+
+    p0, p1, p2 = (str(tmp_path / g) for g in ("g0", "g1", "g2"))
+    df = spark.createDataFrame([(i, i) for i in range(20)], ["doc_id", "v"])
+    try:
+        write_bucketed_table(df, "bt_gen", p0, "doc_id", 2)
+        compact_bucketed_table(spark, "bt_gen", p0, p1, "doc_id", 2)
+        with warnings.catch_warnings():
+            warnings.simplefilter("error")
+            write_bucketed_table(df, "bt_gen", p0, "doc_id", 2, mode="append")
+        assert spark.table("bt_gen").count() == 40
+        compact_bucketed_table(spark, "bt_gen", p1, p2, "doc_id", 2)
+        # original path is TWO generations back — still recorded, silent
+        with warnings.catch_warnings():
+            warnings.simplefilter("error")
+            write_bucketed_table(df, "bt_gen", p0, "doc_id", 2, mode="append")
+        assert spark.table("bt_gen").count() == 60
+        lineage = _table_properties(spark, "bt_gen")[PREV_PATHS_PROP]
+        assert p0 in lineage and p1 in lineage
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bt_gen")
