@@ -44,6 +44,7 @@ from __future__ import annotations
 
 import math
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 from pyspark.sql.window import Window
 
@@ -388,6 +389,30 @@ def _media_chunked(
     return fps, chunked
 
 
+def _media_index_has_raw_chunks(spark: SparkSession, prefix: str) -> bool:
+    """True iff the persisted ``{prefix}_buckets`` table carries the raw
+    ``(c, v)`` chunk-identity columns (post-migration schema)."""
+    return {"c", "v"} <= set(spark.table(f"{prefix}_buckets").columns)
+
+
+def _require_raw_chunk_columns(spark: SparkSession, prefix: str) -> None:
+    """Refuse an append that would interleave the post-migration bucket
+    schema into a pre-migration index (see the Migration note on
+    :func:`build_media_phash_index`)."""
+    table = f"{prefix}_buckets"
+    try:
+        exists = spark.catalog.tableExists(table)
+    except AnalysisException:
+        return
+    if exists and not _media_index_has_raw_chunks(spark, prefix):
+        raise ValueError(
+            f"persisted media index table '{table}' predates the raw "
+            f"(c, v) chunk columns — appending would interleave two "
+            f"schemas. Rebuild the index from the full media corpus "
+            f"with mode='overwrite' (compaction cannot add the columns)."
+        )
+
+
 def build_media_phash_index(
     media,
     path: str,
@@ -417,10 +442,23 @@ def build_media_phash_index(
     chunk identity, not the hashed ``cb`` key, so oracle parity holds
     even under a 60-bit ``cb`` collision; the bucket table persists
     ``(c, v)`` alongside ``cb`` so the probe-side re-cap can do the
-    same over the read index."""
+    same over the read index.
+
+    **Migration**: the raw ``(c, v)`` columns were added to the bucket
+    table schema after its first release. Appending to an index
+    persisted by the earlier code would silently interleave two
+    schemas, so ``mode="append"`` raises with instructions when the
+    existing table lacks them — REBUILD the index from the full media
+    corpus with ``mode="overwrite"`` (re-chunking is one pass over the
+    payloads; compaction alone cannot add the columns). Probing an
+    old-schema index still works: :func:`media_against_index` falls
+    back to capping by ``cb`` (the pre-migration behavior) with a
+    warning."""
     fps, chunked = _media_chunked(
         media, id_col, payload_col, bits, chunks, hasher
     )
+    if mode == "append":
+        _require_raw_chunk_columns(media.sparkSession, prefix)
     if max_bucket_size is not None:
         w = Window.partitionBy("c", "v")
         chunked = (
@@ -475,9 +513,24 @@ def media_against_index(
     a_fps, a_chunked = _media_chunked(
         arrivals, id_col, payload_col, bits, chunks, hasher
     )
+    # Pre-migration indexes lack the raw (c, v) columns: fall back to
+    # capping by the hashed cb key (the pre-migration behavior, exact
+    # except under a 60-bit cb collision) and recommend a rebuild.
+    has_raw = _media_index_has_raw_chunks(spark, prefix)
+    raw_cols = ["c", "v"] if has_raw else []
     idx_buckets = spark.table(f"{prefix}_buckets").select(
-        "cb", "c", "v", F.col("media_id").alias("index_media_id")
+        "cb", *raw_cols, F.col("media_id").alias("index_media_id")
     )
+    if not has_raw:
+        import warnings
+
+        warnings.warn(
+            f"media index '{prefix}_buckets' predates the raw (c, v) "
+            f"chunk columns; probe caps fall back to the hashed cb key "
+            f"(may merge colliding chunk groups past the cap). Rebuild "
+            f"the index with mode='overwrite' to restore exact capping.",
+            stacklevel=2,
+        )
     if max_bucket_size is not None:
         # Cap per RAW chunk group (c, v), not per hashed cb (r12
         # advisory: a 60-bit collision must not merge two groups past
@@ -486,13 +539,13 @@ def media_against_index(
         # bucketed-by-cb layout still satisfies the window's clustered
         # distribution, so the index side stays exchange-free (pinned
         # in tests/test_neardup_index.py).
-        w = Window.partitionBy("cb", "c", "v")
+        w = Window.partitionBy("cb", *raw_cols)
         idx_buckets = (
             idx_buckets.withColumn("__bs", F.count(F.lit(1)).over(w))
             .filter(F.col("__bs") <= max_bucket_size)
             .drop("__bs")
         )
-    idx_buckets = idx_buckets.drop("c", "v")
+    idx_buckets = idx_buckets.drop(*raw_cols)
     idx_fps = spark.table(f"{prefix}_phash").select(
         F.col("media_id").alias("index_media_id"),
         F.col("phash").alias("phash_idx"),

@@ -793,3 +793,69 @@ def test_media_append_after_compaction_lands_in_new_generation(
         for r in media_against_index(spark, arr, "mdx_gen").collect()
     }
     assert (10_000_025, 25, 0) in got
+
+
+def test_media_index_pre_migration_schema_fallback(spark, tmp_path):
+    """An index persisted before the raw (c, v) bucket columns existed:
+    probing still works (cb-keyed cap fallback, with a rebuild warning);
+    appending refuses with migration instructions; a rebuilt
+    (mode='overwrite') index restores the silent post-migration path."""
+    import warnings
+
+    from flink_streaming_2_10_spark.pipeline.neardup_index import (
+        build_media_phash_index,
+        media_against_index,
+    )
+    from flink_streaming_2_10_spark.pipeline.writer import (
+        write_bucketed_table,
+    )
+
+    media = _media_rows(spark)
+    try:
+        build_media_phash_index(
+            media, str(tmp_path / "midx"), "mdxold", num_buckets=4, chunks=8
+        )
+        # strip the raw columns to simulate the pre-migration schema
+        # (read by PATH, not catalog name — overwriting a table being
+        # read through its own name is Spark's self-reference error)
+        old = spark.read.parquet(str(tmp_path / "midx" / "buckets")).select(
+            "cb", "media_id"
+        )
+        write_bucketed_table(
+            old, "mdxold_buckets", str(tmp_path / "midx_old"),
+            bucket_col="cb", num_buckets=4, mode="overwrite",
+        )
+        originals = {
+            r["media_id"]: bytes(r["payload"]) for r in media.collect()
+        }
+        arrivals = spark.createDataFrame(
+            [(200, bytearray(originals[3].upper()))],
+            "media_id long, payload binary",
+        )
+        with pytest.warns(UserWarning, match="predates the raw"):
+            got = media_against_index(
+                spark, arrivals, "mdxold", max_hamming=6, chunks=8
+            ).collect()
+        pairs = {(r["media_id"], r["index_media_id"]) for r in got}
+        assert (200, 3) in pairs
+        with pytest.raises(ValueError, match="Rebuild the index"):
+            build_media_phash_index(
+                media, str(tmp_path / "midx"), "mdxold",
+                num_buckets=4, chunks=8, mode="append",
+            )
+        # rebuild restores the post-migration schema and silent probing
+        build_media_phash_index(
+            media, str(tmp_path / "midx2"), "mdxold",
+            num_buckets=4, chunks=8, mode="overwrite",
+        )
+        with warnings.catch_warnings():
+            warnings.simplefilter("error")
+            got2 = media_against_index(
+                spark, arrivals, "mdxold", max_hamming=6, chunks=8
+            ).collect()
+        # the cb fallback and the rebuilt raw-(c, v) path flag the same
+        # pairs here (no cb collision in this fixture)
+        assert {(r["media_id"], r["index_media_id"]) for r in got2} == pairs
+    finally:
+        spark.sql("DROP TABLE IF EXISTS mdxold_buckets")
+        spark.sql("DROP TABLE IF EXISTS mdxold_phash")
