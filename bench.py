@@ -26,6 +26,10 @@ drift. ``calib_end`` is the same probe taken AFTER the timed
 iterations, at a reproducible JIT-maturity point: use ``calib_end``
 for cross-round host comparison; anchor regression calls on raw
 per-query min-vs-min (BENCH.json ``queries_min``) regardless.
+``calib_basket`` (durable BENCH.json only) extends calib_end to three
+runtime regimes — jvm / arrow / shuffle — because a single JVM burst
+cannot see Python-worker GIL load or exchange contention; per-class
+gating rules live in BENCH_COMPARE.md.
 """
 
 from __future__ import annotations
@@ -101,6 +105,53 @@ def main() -> None:
     # (start-of-session probes drift 2.8x with C2 phase). Cross-round
     # host comparisons should use THIS value.
     calib_end = round(min(_calib_once() for _ in range(3)), 3)
+
+    # Mini-basket probe (r13 verdict item 4): ONE JIT-sensitive JVM
+    # burst cannot represent three runtime regimes — the r8 postmortem
+    # showed Python/GIL stages see co-located CPU load the JVM probe
+    # can't, and r12→r13's probe swung 2.75x while the workload moved
+    # 0.93x. Three fixed, data-independent components, each timed
+    # best-of-3 at session END (same JIT-maturity argument as
+    # calib_end): 'jvm' = whole-stage-codegen hash agg (reuses
+    # calib_end — identical probe), 'arrow' = a mapInPandas stage
+    # (Python worker + Arrow transfer + GIL), 'shuffle' = a 1M-group
+    # exchange. Cross-round, gate each query class against ITS
+    # component (see BENCH_COMPARE.md); recorded in the durable
+    # BENCH.json only (the stdout window is budget-bound).
+    def _calib_arrow_once() -> float:
+        def _f(it):
+            for pdf in it:
+                pdf["h"] = (pdf["id"] * 2654435761) % 1000003
+                yield pdf[["h"]]
+
+        t0 = time.time()
+        (
+            spark.range(2_000_000)
+            .mapInPandas(_f, "h long")
+            .agg(_F.sum("h"))
+            .collect()
+        )
+        return time.time() - t0
+
+    def _calib_shuffle_once() -> float:
+        t0 = time.time()
+        (
+            spark.range(20_000_000)
+            .select((_F.col("id") % 1_000_000).alias("k"))
+            .groupBy("k")
+            .agg(_F.count(_F.lit(1)).alias("c"))
+            .agg(_F.sum("c"))
+            .collect()
+        )
+        return time.time() - t0
+
+    _calib_arrow_once()  # python-worker spin-up is not the signal
+    _calib_shuffle_once()
+    calib_basket = {
+        "jvm": calib_end,
+        "arrow": round(min(_calib_arrow_once() for _ in range(3)), 3),
+        "shuffle": round(min(_calib_shuffle_once() for _ in range(3)), 3),
+    }
 
     # Canonical SORTED key order in every emitted artifact: execution
     # order rotates with driver-verification staleness (see
@@ -179,6 +230,7 @@ def main() -> None:
             # regardless of what the stdout ladder trimmed from slim.
             "queries": timings,
             "queries_min": timings_min,
+            "calib_basket": calib_basket,
             "iterations": [
                 round(sum(ts[i] for ts in samples.values() if len(ts) > i), 3)
                 for i in range(n_iter)
