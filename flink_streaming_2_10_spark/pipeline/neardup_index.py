@@ -142,6 +142,32 @@ def build_neardup_index(
     )
 
 
+def _auto_compact_index_table(
+    spark: SparkSession, table: str, bucket_col: str, num_buckets: int
+) -> None:
+    """One generation-style compaction of an append-grown bucketed index
+    table (:func:`writer.compact_bucketed_table`): reads the table's
+    CURRENT catalog location, writes generation N+1 next to it
+    (``<base>_g{N+1}``), and re-points the name. The old generation's
+    files are left for the caller's retention window."""
+    import re
+
+    from flink_streaming_2_10_spark.pipeline.writer import (
+        _norm_location,
+        _table_location,
+        compact_bucketed_table,
+    )
+
+    loc = _table_location(spark, table)
+    if loc is None:
+        return
+    old = _norm_location(loc)
+    m = re.search(r"_g(\d+)$", old)
+    nxt = int(m.group(1)) + 1 if m else 1
+    new = (re.sub(r"_g\d+$", "", old)) + f"_g{nxt}"
+    compact_bucketed_table(spark, table, old, new, bucket_col, num_buckets)
+
+
 def neardup_ingest_batch(
     spark: SparkSession,
     path: str,
@@ -150,6 +176,7 @@ def neardup_ingest_batch(
     id_col: str = "doc_id",
     text_col: str = "text",
     threshold: float = 0.7,
+    compact_every: int | None = None,
     **index_params,
 ):
     """``foreachBatch`` callback for NEAR-dup-aware incremental ingestion
@@ -176,7 +203,18 @@ def neardup_ingest_batch(
     shingle_n, hasher, max_bucket_size, num_buckets — keep them
     IDENTICAL across passes; banding parameters are baked into the
     persisted buckets).
+
+    ``compact_every=k`` runs :func:`writer.compact_bucketed_table` on
+    both index tables after every k-th append pass (generation-style —
+    bucket spec preserved, probes stay exchange-free, old generation
+    left for the retention window). Small-file growth under appends is
+    O(passes·buckets), and a manual compaction step is the one that
+    gets skipped at daily-append scale; pass counting is per callback
+    instance, so a restarted job compacts k appends after ITS first
+    batch.
     """
+    if compact_every is not None and compact_every < 1:
+        raise ValueError(f"compact_every must be >= 1, got {compact_every}")
     build_keys = (
         "num_hashes", "bands", "rows", "shingle_n", "hasher",
         "num_buckets", "max_bucket_size",
@@ -234,9 +272,20 @@ def neardup_ingest_batch(
             # explicitly so the next pass's probe sees this append.
             spark.catalog.refreshTable(f"{prefix}_buckets")
             spark.catalog.refreshTable(f"{prefix}_sigs")
+            if mode == "append" and compact_every is not None:
+                appends[0] += 1
+                if appends[0] % compact_every == 0:
+                    nb = index_params.get("num_buckets", 64)
+                    _auto_compact_index_table(
+                        spark, f"{prefix}_buckets", "bb", nb
+                    )
+                    _auto_compact_index_table(
+                        spark, f"{prefix}_sigs", "doc_id", nb
+                    )
         finally:
             batch_df.unpersist()
 
+    appends = [0]
     return on_batch
 
 
@@ -576,6 +625,7 @@ def media_ingest_batch(
     id_col: str = "media_id",
     payload_col: str = "payload",
     max_hamming: int = 3,
+    compact_every: int | None = None,
     **index_params,
 ):
     """``foreachBatch`` callback for perceptual-near-dup-aware MEDIA
@@ -605,8 +655,11 @@ def media_ingest_batch(
     ``index_params`` forward to build/probe (``bits``, ``chunks``,
     ``hasher``, ``num_buckets``, ``max_bucket_size`` — keep them
     IDENTICAL across passes; the chunk geometry is baked into the
-    persisted ``cb`` keys).
+    persisted ``cb`` keys). ``compact_every=k`` compacts both index
+    tables after every k-th append pass, exactly as on the text face.
     """
+    if compact_every is not None and compact_every < 1:
+        raise ValueError(f"compact_every must be >= 1, got {compact_every}")
     build_keys = ("bits", "chunks", "hasher", "num_buckets", "max_bucket_size")
     probe_keys = ("bits", "chunks", "hasher", "max_bucket_size")
     bad = set(index_params) - set(build_keys)
@@ -641,7 +694,18 @@ def media_ingest_batch(
             )
             spark.catalog.refreshTable(f"{prefix}_buckets")
             spark.catalog.refreshTable(f"{prefix}_phash")
+            if mode == "append" and compact_every is not None:
+                appends[0] += 1
+                if appends[0] % compact_every == 0:
+                    nb = index_params.get("num_buckets", 64)
+                    _auto_compact_index_table(
+                        spark, f"{prefix}_buckets", "cb", nb
+                    )
+                    _auto_compact_index_table(
+                        spark, f"{prefix}_phash", "media_id", nb
+                    )
         finally:
             batch_df.unpersist()
 
+    appends = [0]
     return on_batch

@@ -382,6 +382,7 @@ def segdedup_ingest_batch(
     min_count: int = 3,
     keep: str = "first",
     hasher: str = "xxhash64",
+    compact_every: int | None = None,
 ):
     """``foreachBatch`` callback for segment-dedup-aware incremental
     ingestion — compose with ``streaming.runners.run_incremental``:
@@ -398,7 +399,15 @@ def segdedup_ingest_batch(
 
     State is the append-only census log — 8-byte hashes, counts, and
     keeper coordinates; document text never enters it. Keep the
-    delimiter/hasher parameters IDENTICAL across passes."""
+    delimiter/hasher parameters IDENTICAL across passes.
+
+    ``compact_every=k`` runs :func:`compact_segment_census` after every
+    k-th batch (state and results unchanged — the mergeable-state
+    property; the strip probe's read cost otherwise grows with the
+    number of appended deltas). Batch counting is per callback
+    instance."""
+    if compact_every is not None and compact_every < 1:
+        raise ValueError(f"compact_every must be >= 1, got {compact_every}")
 
     def on_batch(batch_df: DataFrame, _batch_id: int) -> None:
         batch_df = batch_df.persist()
@@ -420,7 +429,12 @@ def segdedup_ingest_batch(
                 hasher=hasher,
             )
             stripped.write.mode("append").parquet(out_dir)
+            if compact_every is not None:
+                batches[0] += 1
+                if batches[0] % compact_every == 0:
+                    compact_segment_census(spark, census_dir)
         finally:
             batch_df.unpersist()
 
+    batches = [0]
     return on_batch

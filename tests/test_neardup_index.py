@@ -859,3 +859,118 @@ def test_media_index_pre_migration_schema_fallback(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS mdxold_buckets")
         spark.sql("DROP TABLE IF EXISTS mdxold_phash")
+
+
+def test_text_ingest_auto_compaction_preserves_flags(spark, tmp_path):
+    """compact_every=2 on the text ingest face: the 4-pass run flags
+    EXACTLY the pairs the uncompacted run flags; the generation swap
+    happens after the 2nd append (table re-pointed to <base>_g1 with
+    one file per bucket) and the post-swap pass both probes and appends
+    correctly through the original path."""
+    import os
+
+    from flink_streaming_2_10_spark.pipeline.neardup_index import (
+        neardup_ingest_batch,
+    )
+    from flink_streaming_2_10_spark.pipeline.writer import (
+        _norm_location,
+        _table_location,
+    )
+
+    doc_a = "the quick brown fox jumps over the lazy dog near the river bank"
+    doc_b = "completely unrelated second document about cooking pasta daily"
+    doc_c = "a third topic entirely focused on mountain hiking trails today"
+    passes = [
+        [(1, doc_a), (2, doc_b)],
+        [(10, doc_a.replace("river bank", "water edge")), (11, doc_c)],
+        [(20, doc_c.replace("trails today", "trails tomorrow"))],
+        # post-swap pass: near-dups of a pass-1 AND a pass-2 doc, plus
+        # a fresh survivor (so the post-swap APPEND writes rows too)
+        [(30, doc_a.replace("quick", "swift")),
+         (31, doc_c.replace("third", "final")),
+         (32, "a wholly fresh fourth pass document regarding deep sea "
+              "creatures and their luminescent displays")],
+    ]
+
+    def run(prefix: str, **kw) -> set:
+        flagged = str(tmp_path / f"fl_{prefix}")
+        on_batch = neardup_ingest_batch(
+            spark, str(tmp_path / f"idx_{prefix}"), prefix, flagged,
+            threshold=0.5, num_buckets=4, **kw,
+        )
+        for i, rows in enumerate(passes):
+            on_batch(
+                spark.createDataFrame(rows, "doc_id long, text string"), i
+            )
+        return {
+            (r["doc_id"], r["index_doc_id"])
+            for r in spark.read.parquet(flagged).collect()
+        }
+
+    try:
+        base = run("ndx_ac0")
+        compacted = run("ndx_ac1", compact_every=2)
+        assert compacted == base
+        assert (30, 1) in compacted and (31, 11) in compacted  # post-swap
+        # appends: pass2 (#1), pass3 (#2 -> compact), pass4 (#3): one swap
+        loc = _norm_location(_table_location(spark, "ndx_ac1_buckets"))
+        assert loc.endswith("_g1"), loc
+        # ...and the post-swap append went INTO the new generation
+        g1_files = [
+            f for f in os.listdir(loc) if f.endswith(".parquet")
+        ]
+        assert len(g1_files) > 4  # 4 compacted files + pass-4 append
+    finally:
+        for p in ("ndx_ac0", "ndx_ac1"):
+            spark.sql(f"DROP TABLE IF EXISTS {p}_buckets")
+            spark.sql(f"DROP TABLE IF EXISTS {p}_sigs")
+
+
+def test_media_ingest_auto_compaction_preserves_flags(spark, tmp_path):
+    """compact_every=1 on the media ingest face: the pass after the
+    generation swap still probes (re-encode of a pass-2 survivor
+    caught) and appends through the original path; flags match the
+    uncompacted three-pass contract."""
+    from pyspark.sql import functions as F
+
+    from flink_streaming_2_10_spark.pipeline.neardup_index import (
+        media_ingest_batch,
+    )
+    from flink_streaming_2_10_spark.pipeline.writer import (
+        _norm_location,
+        _table_location,
+    )
+
+    base = (
+        "a crawled media payload with enough bytes to give the gradient "
+        "hash a stable signal across its sixty five regions. " * 4
+    )
+    pay_a = base + "original subject one " * 3
+    pay_b = "".join(chr(33 + (i * 89 + 7) % 90) for i in range(300))
+    pay_c = base + "a different fresh subject " * 3
+    passes = [
+        [(1, pay_a), (2, pay_b)],
+        [(10, pay_a.upper()), (11, pay_c)],
+        [(20, pay_c.upper())],
+    ]
+    flagged = str(tmp_path / "fl_media_ac")
+    on_batch = media_ingest_batch(
+        spark, str(tmp_path / "idx_media_ac"), "mdx_ac", flagged,
+        max_hamming=6, chunks=8, num_buckets=4, compact_every=1,
+    )
+    try:
+        for i, rows in enumerate(passes):
+            df = spark.createDataFrame(rows, "media_id long, payload string")
+            on_batch(df.withColumn("payload", F.encode("payload", "UTF-8")), i)
+        got = {
+            (r["media_id"], r["index_media_id"])
+            for r in spark.read.parquet(flagged).collect()
+        }
+        assert (10, 1) in got and (20, 11) in got
+        assert all(i != 10 for _, i in got)
+        # two appends, compact_every=1: two swaps
+        loc = _norm_location(_table_location(spark, "mdx_ac_buckets"))
+        assert loc.endswith("_g2"), loc
+    finally:
+        spark.sql("DROP TABLE IF EXISTS mdx_ac_buckets")
+        spark.sql("DROP TABLE IF EXISTS mdx_ac_phash")

@@ -447,3 +447,56 @@ def test_vertical_tab_splits_identically_in_both_engines(spark):
     assert got == want
     # beta appears twice per doc across the \x0B boundary: 4 total.
     assert ("beta", 4, 2) in got
+
+
+class TestIngestAutoCompaction:
+    def test_compact_every_preserves_three_pass_parity(self, spark, tmp_path):
+        """compact_every=2 on the segdedup ingest face: the census log is
+        compacted to one aggregated delta after batch 2, batch 3 strips
+        against the COMPACTED state, and the output is identical to the
+        uncompacted run (mergeable-state property, now exercised through
+        the auto-compaction hook)."""
+        import os
+
+        from flink_streaming_2_10_spark.pipeline.segdedup import (
+            segdedup_ingest_batch,
+        )
+
+        batches = TestIncrementalCensus._batches(spark)
+
+        def run(tag: str, **kw) -> dict:
+            census = str(tmp_path / f"census_{tag}")
+            out = str(tmp_path / f"out_{tag}")
+            on_batch = segdedup_ingest_batch(
+                spark, census, out, min_count=3, keep="first", **kw
+            )
+            for i, b in enumerate(batches):
+                on_batch(b, i)
+            files = [
+                f for f in os.listdir(census) if f.endswith(".parquet")
+            ]
+            return {
+                "rows": {
+                    r["doc_id"]: r["text"]
+                    for r in spark.read.parquet(out).collect()
+                },
+                "census_files": len(files),
+            }
+
+        base = run("plain")
+        compacted = run("auto", compact_every=2)
+        assert compacted["rows"] == base["rows"]
+        # plain: one delta file-set per batch; auto: batch-1 and batch-2
+        # deltas collapsed by the swap, batch-3 delta appended after
+        assert compacted["census_files"] < base["census_files"]
+
+    def test_compact_every_validation(self, spark, tmp_path):
+        from flink_streaming_2_10_spark.pipeline.segdedup import (
+            segdedup_ingest_batch,
+        )
+
+        with pytest.raises(ValueError, match="compact_every"):
+            segdedup_ingest_batch(
+                spark, str(tmp_path / "c"), str(tmp_path / "o"),
+                compact_every=0,
+            )

@@ -239,3 +239,47 @@ def test_append_after_compaction_is_silent_across_generations(
         assert p0 in lineage and p1 in lineage
     finally:
         spark.sql("DROP TABLE IF EXISTS bt_gen")
+
+
+def test_compaction_safe_under_open_reader(spark, tmp_path):
+    """The generation-swap safety claim, exercised with a READER HELD
+    OPEN across the swap: a toLocalIterator started on the old
+    generation before compaction finishes cleanly after it (old files
+    are never deleted by the swap), a pre-swap DataFrame plan collects
+    correctly post-swap, and the first post-swap probe through the
+    table name reads the new generation."""
+    from flink_streaming_2_10_spark.pipeline.writer import (
+        _norm_location,
+        _table_location,
+        compact_bucketed_table,
+        write_bucketed_table,
+    )
+
+    p0, p1 = str(tmp_path / "g0"), str(tmp_path / "g1")
+    df = spark.createDataFrame([(i, i * 7) for i in range(3000)], ["doc_id", "v"])
+    try:
+        write_bucketed_table(df, "bt_cr", p0, "doc_id", 4)
+        # grow it so the scan spans several file sets
+        write_bucketed_table(df.select(
+            (df.doc_id + 10_000).alias("doc_id"), "v"), "bt_cr", p0,
+            "doc_id", 4, mode="append")
+
+        pre_swap_plan = spark.table("bt_cr")      # resolved pre-swap
+        it = spark.table("bt_cr").toLocalIterator()
+        first = next(it)                          # scan started, held open
+
+        compact_bucketed_table(spark, "bt_cr", p0, p1, "doc_id", 4)
+
+        # 1) the held-open reader finishes against the old generation
+        rest = list(it)
+        assert 1 + len(rest) == 6000
+        # 2) a pre-swap plan still collects (old files untouched)
+        assert pre_swap_plan.count() == 6000
+        assert first is not None
+        # 3) first post-swap probe via the name reads the new generation
+        assert _norm_location(_table_location(spark, "bt_cr")).endswith("g1")
+        assert spark.table("bt_cr").count() == 6000
+        got = {r["doc_id"]: r["v"] for r in spark.table("bt_cr").collect()}
+        assert got[42] == 294 and got[10_042] == 294
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bt_cr")
