@@ -440,31 +440,39 @@ def mixture_budget_plan(
     if abs(total_w - 1.0) > 1e-9:
         raise ValueError(f"target weights must sum to 1, got {total_w!r}")
 
+    # Target strata absent from the corpus must still emit a row (full
+    # shortfall), so the corpus rows are unioned with one PHANTOM row
+    # per target (``_real = 0, _tok = 0``) BEFORE the aggregation:
+    # ``n_docs = sum(_real)`` counts only real documents, present
+    # targets absorb a harmless +0, absent targets materialize as
+    # zero-count strata. This keeps the plan at EXACTLY ONE hash
+    # aggregation over the corpus (map-side partials; the union's
+    # literal side is one local partition) — an anti-join or
+    # post-agg re-union would add a second exchange or reference the
+    # corpus aggregate twice.
+    from pyspark.sql.types import StructType
+
+    real = df.select(
+        F.col(strata_col),
+        token_col_expr.alias("_tok"),
+        F.lit(1).alias("_real"),
+    )
+    phantoms = df.sparkSession.createDataFrame(
+        [(name,) for name in sorted(targets)],
+        StructType([real.schema[strata_col]]),
+    ).select(
+        F.col(strata_col),
+        F.lit(0).cast(real.schema["_tok"].dataType).alias("_tok"),
+        F.lit(0).alias("_real"),
+    )
     per = (
-        df.select(F.col(strata_col), token_col_expr.alias("_tok"))
+        real.unionByName(phantoms)
         .groupBy(strata_col)
         .agg(
-            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("_real").alias("n_docs"),
             F.sum("_tok").alias("n_tokens"),
         )
     )
-    # Target strata absent from the corpus: union zero-count rows so
-    # their budget share surfaces as shortfall instead of vanishing.
-    # The anti-join runs on the per-stratum aggregate (one row per
-    # stratum) against a targets-sized literal frame — driver-trivial
-    # at any corpus scale.
-    from pyspark.sql.types import StructType
-
-    tgt_schema = StructType([per.schema[strata_col]])
-    tgt_df = df.sparkSession.createDataFrame(
-        [(name,) for name in sorted(targets)], tgt_schema
-    )
-    missing = tgt_df.join(per, strata_col, "left_anti").select(
-        F.col(strata_col),
-        F.lit(0).cast(per.schema["n_docs"].dataType).alias("n_docs"),
-        F.lit(0).cast(per.schema["n_tokens"].dataType).alias("n_tokens"),
-    )
-    per = per.unionByName(missing)
     weight = F.lit(0.0)
     for name in sorted(targets):
         weight = F.when(
@@ -500,8 +508,10 @@ def mixture_budget_plan_oracle(
     ``desired = budget * weight`` in exact decimal arithmetic while
     Spark computes it in IEEE doubles (e.g. budget 3 x weight 0.1 is
     0.3 exactly in DECIMAL but 0.30000000000000004 as doubles). Target
-    strata absent from the corpus are unioned in as zero-count rows,
-    mirroring the Spark side."""
+    strata are seeded as phantom zero rows BEFORE the aggregation
+    (``_real = 0``), mirroring the Spark side's single-aggregation
+    shape exactly — including the edge where a present target stratum
+    with an all-NULL token expression sums to 0, not NULL."""
     whens = " ".join(
         f"WHEN {strata_col} = '{name}'"
         f" THEN CAST({float(targets[name])!r} AS DOUBLE)"
@@ -514,18 +524,18 @@ def mixture_budget_plan_oracle(
     zero_d = "CAST(0.0 AS DOUBLE)"
     tgt_values = ", ".join(f"('{name}')" for name in sorted(targets))
     return f"""
-        WITH per0 AS (
-            SELECT {strata_col}, count(*) AS n_docs,
-                   CAST(sum({token_expr_sql}) AS BIGINT) AS n_tokens
-            FROM {table} GROUP BY {strata_col}
-        ),
-        per AS (
-            SELECT * FROM per0
-            UNION ALL
-            SELECT t.{strata_col}, CAST(0 AS BIGINT) AS n_docs,
-                   CAST(0 AS BIGINT) AS n_tokens
-            FROM (VALUES {tgt_values}) AS t({strata_col})
-            WHERE t.{strata_col} NOT IN (SELECT {strata_col} FROM per0)
+        WITH per AS (
+            SELECT {strata_col},
+                   CAST(sum(_real) AS BIGINT) AS n_docs,
+                   CAST(sum(_tok) AS BIGINT) AS n_tokens
+            FROM (
+                SELECT {strata_col}, {token_expr_sql} AS _tok, 1 AS _real
+                FROM {table}
+                UNION ALL
+                SELECT t.{strata_col}, 0 AS _tok, 0 AS _real
+                FROM (VALUES {tgt_values}) AS t({strata_col})
+            )
+            GROUP BY {strata_col}
         )
         SELECT {strata_col}, n_docs, n_tokens,
                {w} AS target_share,
