@@ -110,6 +110,37 @@ def pick_series(old: dict, new: dict) -> tuple[dict, dict, str]:
     return old["queries"], new["queries"], "median-of-n"
 
 
+def load_regimes() -> dict[str, str]:
+    """query → runtime regime ('arrow' | 'shuffle' | 'jvm'), mechanized
+    from PLAN_AUDIT.md: an Arrow/Python stage puts a query in the
+    arrow regime (GIL/worker-bound — the r8 postmortem's class); else
+    ≥4 hash exchanges marks it shuffle-bound; everything else is
+    whole-stage-codegen jvm. Empty dict if the audit file is absent."""
+    import os
+    import re
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    path = os.path.join(root, "PLAN_AUDIT.md")
+    regimes: dict[str, str] = {}
+    try:
+        with open(path) as fh:
+            for line in fh:
+                m = re.match(
+                    r"\| (\S+?) [^|]*\| (\d+) \|[^|]*\|[^|]*\|[^|]*\|"
+                    r"[^|]*\|[^|]*\|[^|]*\| (✓?) *\|",
+                    line,
+                )
+                if not m:
+                    continue
+                name, shuf, py = m.group(1), int(m.group(2)), m.group(3)
+                regimes[name] = (
+                    "arrow" if py else ("shuffle" if shuf >= 4 else "jvm")
+                )
+    except OSError:
+        return {}
+    return regimes
+
+
 def latest_driver_bench() -> str:
     """Highest-numbered BENCH_r{N}.json next to the repo root."""
     import glob
@@ -162,11 +193,27 @@ def main() -> None:
     )
     drift = None if drift_artifact else raw_drift
 
+    # Per-regime basket adjustment (BENCH_COMPARE.md r14): when both
+    # sides carry calib_basket, each query is adjusted by ITS regime's
+    # component ratio (jvm/arrow/shuffle, classified from PLAN_AUDIT.md)
+    # instead of the single JVM scalar. A component pair outside the
+    # drift band is dropped (that regime falls back to the scalar/raw).
+    bo, bn = old.get("calib_basket"), new.get("calib_basket")
+    basket_drift: dict[str, float] = {}
+    if isinstance(bo, dict) and isinstance(bn, dict):
+        for comp in ("jvm", "arrow", "shuffle"):
+            if bo.get(comp) and bn.get(comp):
+                r = bn[comp] / bo[comp]
+                if DRIFT_BAND[0] <= r <= DRIFT_BAND[1]:
+                    basket_drift[comp] = r
+    regimes = load_regimes() if basket_drift else {}
+
     rows = []
     for name in sorted(set(oq) | set(nq), key=lambda q: -nq.get(q, 0.0)):
         o, n = oq.get(name), nq.get(name)
         raw = n / o if o and n and o > 0 and n > 0 else None
-        adj = raw / drift if raw is not None and drift else None
+        divisor = basket_drift.get(regimes.get(name, "jvm")) or drift
+        adj = raw / divisor if raw is not None and divisor else None
         rows.append((name, o, n, raw, adj))
 
     def in_noisy_band(name: str, n: float | None) -> bool:
@@ -187,7 +234,11 @@ def main() -> None:
         f"calib {co if co is not None else '-'} -> "
         f"{cn if cn is not None else '-'}"
         + (
-            f" (host drift x{drift:.2f}; ratios below are drift-adjusted)"
+            " (basket drift "
+            + ", ".join(f"{k} x{v:.2f}" for k, v in basket_drift.items())
+            + "; adjusted per regime)"
+            if basket_drift
+            else f" (host drift x{drift:.2f}; ratios below are drift-adjusted)"
             if drift
             else (
                 f" *** WARNING: calib ratio x{raw_drift:.2f} is outside "
