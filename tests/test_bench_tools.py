@@ -1,0 +1,151 @@
+"""Guards for the cross-round bench comparison tooling
+(tools/bench_compare.py) — the judge and every round's perf adjudication
+run it, so its gating logic is pinned here: drift-band suppression,
+known-noisy-band exclusion, git min-recovery, and per-regime basket
+adjustment.
+
+Pure-function tests import the module directly; end-to-end gate tests
+shell out exactly as a round does.
+"""
+
+from __future__ import annotations
+
+import importlib.util
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _mod():
+    spec = importlib.util.spec_from_file_location(
+        "bench_compare", os.path.join(ROOT, "tools", "bench_compare.py")
+    )
+    m = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(m)
+    return m
+
+
+def _doc(queries, calib=0.2, basket=None, mins=False, value=None):
+    d = {
+        "value": value if value is not None else round(sum(queries.values()), 3),
+        "queries": queries,
+        "calib": calib,
+    }
+    if mins:
+        d["queries_min"] = dict(queries)
+    if basket:
+        d["calib_basket"] = basket
+    return d
+
+
+def _run(old: dict, new: dict, tmp_path):
+    po, pn = str(tmp_path / "old.json"), str(tmp_path / "new.json")
+    with open(po, "w") as fh:
+        json.dump(old, fh)
+    with open(pn, "w") as fh:
+        json.dump(new, fh)
+    return subprocess.run(
+        [sys.executable, os.path.join(ROOT, "tools", "bench_compare.py"), po, pn],
+        capture_output=True, text=True, cwd=ROOT,
+    )
+
+
+def test_in_band_regression_gates_exit_2(tmp_path):
+    r = _run(
+        _doc({"q1": 1.0, "q2": 1.0}, calib=0.2),
+        _doc({"q1": 1.0, "q2": 1.5}, calib=0.2),
+        tmp_path,
+    )
+    assert r.returncode == 2
+    assert "q2" in r.stdout.splitlines()[-1]
+
+
+def test_out_of_band_drift_suppresses_adjusted_and_gates_raw(tmp_path):
+    # calib says the host got 2.75x faster; raw is flat -> exit 0, raw-only
+    r = _run(
+        _doc({"q1": 1.0}, calib=0.55),
+        _doc({"q1": 0.95}, calib=0.2),
+        tmp_path,
+    )
+    assert r.returncode == 0
+    assert "outside the credible drift band" in r.stdout
+    # ...but a REAL raw regression under the same artifact drift still gates
+    r2 = _run(
+        _doc({"q1": 1.0}, calib=0.55),
+        _doc({"q1": 2.0}, calib=0.2),
+        tmp_path,
+    )
+    assert r2.returncode == 2
+
+
+def test_noisy_band_suppresses_async_inside_envelope(tmp_path):
+    r = _run(
+        _doc({"async_ordered_identity": 0.9, "q": 1.0}, calib=0.2),
+        _doc({"async_ordered_identity": 1.6, "q": 1.0}, calib=0.2),
+        tmp_path,
+    )
+    assert r.returncode == 0  # x1.78 but inside the documented 0.8-1.7 s band
+    # outside the envelope it gates again
+    r2 = _run(
+        _doc({"async_ordered_identity": 0.9, "q": 1.0}, calib=0.2),
+        _doc({"async_ordered_identity": 1.9, "q": 1.0}, calib=0.2),
+        tmp_path,
+    )
+    assert r2.returncode == 2
+
+
+def test_basket_adjusts_per_regime(tmp_path):
+    # regimes come from PLAN_AUDIT.md: pick one known arrow query and one
+    # known jvm query from the live audit file
+    m = _mod()
+    regimes = m.load_regimes()
+    assert regimes, "PLAN_AUDIT.md should parse"
+    assert regimes.get("async_ordered_identity") == "arrow"
+    assert regimes.get("tpch_q6_forecast_revenue") == "jvm"
+    basket_old = {"jvm": 0.10, "arrow": 0.50, "shuffle": 1.0}
+    basket_new = {"jvm": 0.12, "arrow": 0.40, "shuffle": 1.0}  # jvm x1.2, arrow x0.8
+    old = _doc(
+        {"tpch_q6_forecast_revenue": 1.0, "multimodal_features": 1.0},
+        calib=0.2, basket=basket_old,
+    )
+    new = _doc(
+        {"tpch_q6_forecast_revenue": 1.0, "multimodal_features": 1.0},
+        calib=0.2, basket=basket_new,
+    )
+    r = _run(old, new, tmp_path)
+    assert "adjusted per regime" in r.stdout
+    lines = {
+        l.split()[0]: l.split() for l in r.stdout.splitlines() if l and l[0].isalpha()
+    }
+    # raw 1.00 for both; jvm divides by 1.2 -> 0.83, arrow by 0.8 -> 1.25
+    assert lines["tpch_q6_forecast_revenue"][-1] == "0.83"
+    assert lines["multimodal_features"][-1] == "1.25"
+
+
+def test_min_recovery_from_git_on_driver_wrapper():
+    if not os.path.isdir(os.path.join(ROOT, ".git")):
+        pytest.skip("no git checkout")
+    m = _mod()
+    path = os.path.join(ROOT, "BENCH_r13.json")
+    with open(path) as fh:
+        parsed = json.load(fh)["parsed"]
+    rec = m.recover_min_from_git(path, parsed)
+    if rec is None:
+        pytest.skip("git history unavailable (shallow clone)")
+    assert "queries_min" in rec
+    assert abs(rec["value"] - parsed["value"]) <= 0.01
+    # totals mismatch -> refuses (different run must not be silently mixed)
+    assert m.recover_min_from_git(path, {**parsed, "value": 1.0}) is None
+
+
+def test_regime_classifier_thresholds():
+    m = _mod()
+    regimes = m.load_regimes()
+    # shuffle-heavy classification: curated_corpus_quality carries 8
+    # exchanges in the audit and no Arrow stage
+    assert regimes.get("curated_corpus_quality") == "shuffle"
