@@ -2025,7 +2025,25 @@ def _query_fingerprint(key: str) -> str | None:
             h.update(inspect.getsource(lf).encode())
     except (OSError, TypeError):
         return None
+    # The RENDERED oracle SQL is part of what the driver verified: the
+    # gate compares Spark output against it, so an oracle edit (an
+    # inline f-string in oracle_sql(), an oracle-generator function, or
+    # a constant only the oracle reads) invalidates the key's green row
+    # exactly as a Spark-side edit does. Hashing the rendered string
+    # covers every such path at exact granularity — including oracle
+    # generators living OUTSIDE the query fn's module closure, which
+    # the module hashes above cannot see (r14 rotation-gap fix; the
+    # reconcile tool's oracle-segment check is the matching half).
+    h.update(b"<oracle>")
+    h.update(_rendered_oracles().get(key, "<none>").encode())
     return h.hexdigest()
+
+
+@functools.lru_cache(maxsize=1)
+def _rendered_oracles() -> dict[str, str]:
+    """Memoized ``oracle_sql()`` — deterministic pure string building,
+    rendered once per process for fingerprinting."""
+    return oracle_sql()
 
 
 @functools.lru_cache(maxsize=8)

@@ -32,6 +32,25 @@ from flink_streaming_2_10_spark.pipeline.dedup import duckdb_hash60_sql
 _TWO_POW_60 = float(1 << 60)
 
 
+def duckdb_double_lit(x: float) -> str:
+    """Render a Python float as a DuckDB literal that parses DIRECTLY
+    as DOUBLE — exponent form forces DOUBLE typing, so the value is the
+    correctly-rounded ``strtod`` parse, bit-identical to the Python
+    float Spark gets via ``F.lit``.
+
+    A BARE decimal literal would be typed DECIMAL(p, s); at 17
+    significant digits (full ``repr`` of an arbitrary double, e.g.
+    ``3/13 = 0.23076923076923078``) the decimal's integer mantissa
+    exceeds 2^53, so the DECIMAL→DOUBLE cast rounds TWICE and can land
+    one ulp off the direct parse — found by
+    ``test_budget_plan_oracle_parity_randomized`` as a shortfall
+    mismatch (0.6923076923076923 vs ...24). Wrapping in
+    ``CAST(... AS DOUBLE)`` does NOT avoid this: the literal is typed
+    before the cast."""
+    r = repr(float(x))
+    return r if ("e" in r or "E" in r) else r + "e0"
+
+
 def _sample_key(id_col: Column, salt: str) -> Column:
     """60-bit md5-derived key of ``salt || ':' || id`` as a double in
     [0, 2^60) — bit-identical to the DuckDB oracle's expression (same
@@ -82,7 +101,7 @@ def stratified_sample_oracle(
     """DuckDB mirror of :func:`stratified_sample` (same CASE order, same
     double arithmetic)."""
     case = " ".join(
-        f"WHEN {strata_col} = '{stratum}' THEN {float(r)!r}"
+        f"WHEN {strata_col} = '{stratum}' THEN {duckdb_double_lit(r)}"
         for stratum, r in sorted(rates.items(), reverse=True)
     )
     key = sample_key_sql(id_col, salt)
@@ -90,7 +109,7 @@ def stratified_sample_oracle(
         SELECT {id_col}, {strata_col}
         FROM {table}
         WHERE CAST({key} AS DOUBLE) <
-              (CASE {case} ELSE {float(default_rate)!r} END) * {_TWO_POW_60!r}
+              (CASE {case} ELSE {duckdb_double_lit(default_rate)} END) * {_TWO_POW_60!r}
     """
 
 
@@ -182,7 +201,7 @@ def holdout_label_sql(
     for name in names[:-1]:
         cum += float(fractions[name])
         whens.append(
-            f"WHEN CAST({key} AS DOUBLE) < {cum!r} * {_TWO_POW_60!r} "
+            f"WHEN CAST({key} AS DOUBLE) < {duckdb_double_lit(cum)} * {_TWO_POW_60!r} "
             f"THEN '{name}'"
         )
     if not whens:
@@ -254,7 +273,7 @@ def domain_mixture_oracle(
                CAST(n_tokens AS DOUBLE) / CAST(total_tokens AS DOUBLE) AS share,
                least((1.0 / CAST(n_strata AS DOUBLE)) /
                      (CAST(n_tokens AS DOUBLE) / CAST(total_tokens AS DOUBLE)),
-                     {float(max_weight)!r}) AS weight
+                     {duckdb_double_lit(max_weight)}) AS weight
         FROM per, tot
     """
 
@@ -514,11 +533,11 @@ def mixture_budget_plan_oracle(
     with an all-NULL token expression sums to 0, not NULL."""
     whens = " ".join(
         f"WHEN {strata_col} = '{name}'"
-        f" THEN CAST({float(targets[name])!r} AS DOUBLE)"
+        f" THEN CAST({duckdb_double_lit(targets[name])} AS DOUBLE)"
         for name in sorted(targets, reverse=True)
     )
     w = f"(CASE {whens} ELSE CAST(0.0 AS DOUBLE) END)"
-    desired = f"(CAST({float(budget_tokens)!r} AS DOUBLE) * {w})"
+    desired = f"(CAST({duckdb_double_lit(budget_tokens)} AS DOUBLE) * {w})"
     tok_d = "CAST(n_tokens AS DOUBLE)"
     one_d = "CAST(1.0 AS DOUBLE)"
     zero_d = "CAST(0.0 AS DOUBLE)"

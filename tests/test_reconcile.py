@@ -91,3 +91,88 @@ def test_entry_local_def_edit_is_a_change(tmp_path):
     changed, residue = module_delta(old, new)
     assert changed == {"q_beta"}
     assert residue  # module_delta reports it; the entry path ignores it
+
+
+ENTRY_WITH_ORACLES = '''
+def q_alpha(spark, sf):
+    return alpha_impl(spark)
+
+
+def oracle_sql():
+    return {
+        "alpha": alpha_oracle(RATES, budget=3),
+        "beta": f"""
+            SELECT x FROM t WHERE y < {THRESH}
+        """,
+    }
+'''
+
+
+def test_oracle_entry_segments_extracts_source_and_names():
+    from tools.reconcile_fingerprints import _oracle_entry_segments
+
+    segs = _oracle_entry_segments(ENTRY_WITH_ORACLES)
+    assert set(segs) == {"alpha", "beta"}
+    alpha_src, alpha_names = segs["alpha"]
+    assert "alpha_oracle(RATES, budget=3)" in alpha_src
+    assert {"alpha_oracle", "RATES"} <= alpha_names
+    beta_src, beta_names = segs["beta"]
+    assert "THRESH" in beta_names
+    # an INLINE oracle edit changes the segment (the reconcile refusal
+    # condition for f-string oracles)
+    edited = ENTRY_WITH_ORACLES.replace("y < {THRESH}", "y <= {THRESH}")
+    assert (
+        _oracle_entry_segments(edited)["beta"][0] != beta_src
+    )
+    # nested dict literals inside a value cannot shadow registry keys
+    nested = ENTRY_WITH_ORACLES.replace(
+        'alpha_oracle(RATES, budget=3)',
+        'alpha_oracle({"alpha": 1}, budget=3)',
+    )
+    assert "alpha_oracle" in _oracle_entry_segments(nested)["alpha"][0]
+
+
+def test_oracle_generator_edit_keeps_key_flagged():
+    """The r14 blind spot, pinned: a key whose SPARK-side defs are
+    untouched but whose oracle GENERATOR function changed must NOT
+    reconcile — the oracle names seed the used-name fixpoint."""
+    from tools.reconcile_fingerprints import (
+        _names_in,
+        _oracle_entry_segments,
+        module_delta,
+    )
+
+    old_mod = (
+        "def alpha_impl(spark):\n    return spark\n\n\n"
+        "def alpha_oracle(rates, budget):\n    return 'SELECT 1'\n"
+    )
+    new_mod = old_mod.replace("SELECT 1", "SELECT 2")
+    changed, residue = module_delta(old_mod, new_mod)
+    assert changed == {"alpha_oracle"} and residue is False
+    # the spark-side closure alone would MISS it...
+    spark_side_names = {"alpha_impl"}
+    assert not (changed & spark_side_names)
+    # ...but the oracle-entry seed catches it
+    _, oracle_names = _oracle_entry_segments(ENTRY_WITH_ORACLES)["alpha"]
+    assert changed & oracle_names == {"alpha_oracle"}
+
+
+def test_fingerprint_covers_rendered_oracle():
+    """_query_fingerprint must change when ONLY the rendered oracle SQL
+    changes (monkeypatched render), so oracle edits re-enter the driver
+    window."""
+    import __spark_entry__ as em
+
+    key = "stratified_sample"
+    base = em._query_fingerprint(key)
+    rendered = dict(em._rendered_oracles())
+    rendered[key] = rendered[key] + " -- tweak"
+    orig = em._rendered_oracles
+    try:
+        em._rendered_oracles = lambda: rendered
+        em._query_fingerprint.cache_clear()
+        assert em._query_fingerprint(key) != base
+    finally:
+        em._rendered_oracles = orig
+        em._query_fingerprint.cache_clear()
+    assert em._query_fingerprint(key) == base

@@ -431,3 +431,46 @@ def test_training_shard_budgeted_realized_tracks_planned(docs):
             ), r
     assert rows["ja"]["realized_docs"] == 0
     assert rows["fr"]["keep_rate"] == 0.0 and rows["fr"]["realized_tokens"] == 0
+
+
+def test_budget_plan_oracle_parity_randomized(spark, duck):
+    """Seeded-random engine/oracle parity for the planner — the hazard
+    class the r13 ADVICE caught (DECIMAL vs IEEE-double literal
+    arithmetic) pinned across awkward weights (non-dyadic sevenths,
+    multiples of 0.1), random budgets, corpus-absent targets, and
+    unlisted corpus strata. Exact (bit-level) comparison each time."""
+    import random
+
+    from tests.conftest import assert_df_matches_oracle
+    from flink_streaming_2_10_spark.pipeline.sampling import (
+        mixture_budget_plan,
+        mixture_budget_plan_oracle,
+    )
+
+    rng = random.Random(1414)
+    langs = ["aa", "bb", "cc", "dd", "ee", "ff"]
+    for trial in range(8):
+        present = rng.sample(langs, rng.randint(2, 5))
+        rows = [
+            (i, rng.choice(present), rng.randint(0, 400))
+            for i in range(rng.randint(5, 40))
+        ]
+        # targets: a subset of present plus possibly absent strata,
+        # weighted by awkward fractions normalized to sum exactly-ish 1
+        tgt_names = rng.sample(langs, rng.randint(1, 4))
+        raw_w = [rng.choice([1, 2, 3, 7, 10]) for _ in tgt_names]
+        tot = sum(raw_w)
+        targets = {n: w / tot for n, w in zip(tgt_names, raw_w)}
+        # repair float drift so the sum-to-1 guard passes
+        drift = 1.0 - sum(targets.values())
+        targets[tgt_names[0]] += drift
+        budget = rng.choice([3, 7, 100, 12_345])
+
+        df = spark.createDataFrame(rows, ["doc_id", "lang", "tok"])
+        out = mixture_budget_plan(df, F.col("tok"), targets, budget)
+        values = ", ".join(f"({i}, '{s}', {t})" for i, s, t in rows)
+        table = f"(SELECT * FROM (VALUES {values}) AS t(doc_id, lang, tok))"
+        assert_df_matches_oracle(
+            out, duck,
+            mixture_budget_plan_oracle("tok", targets, budget, table=table),
+        )

@@ -28,6 +28,15 @@ code it runs. Any doubt (new module, parse failure, residue change,
 name intersection) leaves the key flagged. Keys with no driver evidence
 at all are untouched — they sort first regardless of fingerprints.
 
+Oracle provenance (r14): a key's driver evidence covers the PAIR
+(Spark query, rendered oracle SQL), so the reconcile also refuses when
+the key's ``oracle_sql()`` dict-entry source changed (inline f-string
+oracles) and seeds the used-name fixpoint with that entry's names
+(oracle GENERATOR functions, which the Spark-side closure never
+mentions — found live in r14 when `stratified_sample_oracle` literal
+rendering changed but the key reconciled). ``_query_fingerprint``
+hashes the rendered oracle for the same reason.
+
 Safety net: ``tests/test_entry_contract.py`` oracle-checks every
 registry key against DuckDB locally each round regardless of window
 position, so even a hypothetical closure miss (dynamic dispatch the
@@ -105,17 +114,44 @@ def module_delta(old_src: str, new_src: str):
     )
 
 
-def _used_names(entry, key: str, modules: list[str]) -> set[str]:
-    """Name-set fixpoint: start from the key's entry-side code objects,
-    then absorb the internal names of every closure-module top-level
-    def whose name is already in the set, until stable."""
+def _oracle_entry_segments(
+    entry_src: str,
+) -> dict[str, tuple[str, set[str]]]:
+    """key → (exact source segment of its ``oracle_sql()`` dict value,
+    names referenced in that expression). Only dicts RETURNED by
+    ``oracle_sql`` are scanned, so nested dict literals inside a value
+    cannot shadow a registry key's segment."""
+    tree = ast.parse(entry_src)
+    lines = entry_src.splitlines(keepends=True)
+    out: dict[str, tuple[str, set[str]]] = {}
+    for node in ast.walk(tree):
+        if not (isinstance(node, ast.FunctionDef) and node.name == "oracle_sql"):
+            continue
+        for sub in ast.walk(node):
+            if not (isinstance(sub, ast.Return) and isinstance(sub.value, ast.Dict)):
+                continue
+            for k, v in zip(sub.value.keys, sub.value.values):
+                if isinstance(k, ast.Constant) and isinstance(k.value, str):
+                    seg = "".join(lines[v.lineno - 1 : v.end_lineno])
+                    out[k.value] = (seg, _names_in(v))
+    return out
+
+
+def _used_names(
+    entry, key: str, modules: list[str], extra_seed: set[str] | None = None
+) -> set[str]:
+    """Name-set fixpoint: start from the key's entry-side code objects
+    (plus ``extra_seed`` — the names in its oracle_sql dict entry, so
+    oracle GENERATOR functions join the closure), then absorb the
+    internal names of every closure-module top-level def whose name is
+    already in the set, until stable."""
     fn = entry._base_queries()[key]
     seen: set = set()
     mods: set[str] = set()
     local_fns: list = []
     entry._impl_closure(fn, seen, mods, local_fns)
 
-    used: set[str] = set()
+    used: set[str] = set(extra_seed or ())
     stack = [f.__code__ for f in [fn] + local_fns if hasattr(f, "__code__")]
     while stack:
         c = stack.pop()
@@ -209,14 +245,23 @@ def main() -> int:
     old_entry_src = _git_show(baseline, "__spark_entry__.py")
     new_entry_src = open(f"{here}/__spark_entry__.py").read()
     entry_changed: set[str] = set()
+    old_oracles: dict[str, tuple[str, set[str]]] = {}
+    new_oracles: dict[str, tuple[str, set[str]]] = {}
     if old_entry_src is None:
         entry_changed = {"*"}  # unreadable baseline: never reconcile
-    elif old_entry_src != new_entry_src:
+    else:
         try:
-            # module_delta's def-diff; entry residue (oracle helper
-            # constants etc.) is NOT part of _query_fingerprint, so the
-            # residue flag is deliberately ignored here.
-            entry_changed, _ = module_delta(old_entry_src, new_entry_src)
+            new_oracles = _oracle_entry_segments(new_entry_src)
+            old_oracles = (
+                new_oracles
+                if old_entry_src == new_entry_src
+                else _oracle_entry_segments(old_entry_src)
+            )
+            if old_entry_src != new_entry_src:
+                # module_delta's def-diff; entry residue (oracle helper
+                # constants etc.) is NOT part of _query_fingerprint, so
+                # the residue flag is deliberately ignored here.
+                entry_changed, _ = module_delta(old_entry_src, new_entry_src)
         except SyntaxError:
             entry_changed = {"*"}
 
@@ -238,8 +283,22 @@ def main() -> int:
         local_names = {
             getattr(f, "__name__", "") for f in [fn, *local_fns]
         }
+        # Oracle provenance (r14 rotation-gap fix): the key's
+        # oracle_sql dict-entry SOURCE must be unchanged (catches
+        # inline f-string oracle edits), and names it references join
+        # the used-set seed below (catches edits to oracle GENERATOR
+        # functions the Spark-side closure never mentions).
+        old_seg = old_oracles.get(key)
+        new_seg = new_oracles.get(key)
+        if "*" not in entry_changed and (
+            (old_seg[0] if old_seg else None)
+            != (new_seg[0] if new_seg else None)
+        ):
+            kept.append((key, "oracle_sql entry source changed"))
+            continue
+        oracle_names = new_seg[1] if new_seg else set()
         entry_hit = (
-            entry_changed & local_names
+            entry_changed & (local_names | oracle_names)
             if "*" not in entry_changed
             else {"<entry baseline unreadable>"}
         )
@@ -266,7 +325,7 @@ def main() -> int:
                 ) and name not in closure:
                     frontier.append(name)
         modules = sorted(closure)
-        used = _used_names(entry, key, modules)
+        used = _used_names(entry, key, modules, extra_seed=oracle_names)
         ok = True
         why = ""
         for m in modules:
