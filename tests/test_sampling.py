@@ -474,3 +474,47 @@ def test_budget_plan_oracle_parity_randomized(spark, duck):
             out, duck,
             mixture_budget_plan_oracle("tok", targets, budget, table=table),
         )
+
+
+def test_training_shard_budgeted_oracle_parity_randomized(spark, duck):
+    """Seeded-random end-to-end parity for the composed recipe: the
+    Spark side COLLECTS the plan and re-literalizes keep_rate doubles
+    while the oracle recomputes them in SQL — any bit divergence in the
+    rate arithmetic shows up directly in planned_tokens/keep_rate
+    outputs (and, near thresholds, in realized membership). Exact
+    comparison across random corpora, awkward weights, absent targets."""
+    import random
+
+    from tests.conftest import assert_df_matches_oracle
+    from flink_streaming_2_10_spark.pipeline.sampling import (
+        training_shard_budgeted,
+        training_shard_budgeted_oracle,
+    )
+
+    rng = random.Random(2828)
+    langs = ["aa", "bb", "cc", "dd", "ee"]
+    for trial in range(5):
+        present = rng.sample(langs, rng.randint(2, 4))
+        rows = [
+            (i, rng.choice(present), rng.randint(0, 300))
+            for i in range(rng.randint(8, 30))
+        ]
+        tgt_names = rng.sample(langs, rng.randint(1, 3))
+        raw_w = [rng.choice([1, 3, 7]) for _ in tgt_names]
+        tot = sum(raw_w)
+        targets = {n: w / tot for n, w in zip(tgt_names, raw_w)}
+        targets[tgt_names[0]] += 1.0 - sum(targets.values())
+        budget = rng.choice([7, 500, 9_999])
+
+        df = spark.createDataFrame(rows, ["doc_id", "lang", "tok"])
+        out = training_shard_budgeted(
+            df, F.col("tok"), targets, budget, salt=f"t{trial}"
+        )
+        values = ", ".join(f"({i}, '{s}', {t})" for i, s, t in rows)
+        table = f"(SELECT * FROM (VALUES {values}) AS t(doc_id, lang, tok))"
+        assert_df_matches_oracle(
+            out, duck,
+            training_shard_budgeted_oracle(
+                "tok", targets, budget, table=table, salt=f"t{trial}"
+            ),
+        )
