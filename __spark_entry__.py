@@ -136,6 +136,7 @@ from flink_streaming_2_10_spark.pipeline.redaction import (
 )
 from flink_streaming_2_10_spark.pipeline.sampling import (
     domain_mixture,
+    duckdb_double_lit,
     domain_mixture_oracle,
     holdout_split,
     holdout_split_oracle,
@@ -2693,7 +2694,7 @@ def _ngram_pairs_oracle(
         SELECT doc_a, doc_b, inter, size_a, size_b,
                {score_sql} AS {score}
         FROM pb
-        WHERE {score_sql} >= CAST({threshold} AS DOUBLE)"""
+        WHERE {score_sql} >= {duckdb_double_lit(threshold)}"""
 
 
 def _minhash_pairs_ctes(
@@ -2770,7 +2771,7 @@ def _minhash_pairs_ctes(
         JOIN sizes sa ON i.doc_a = sa.doc_id
         JOIN sizes sb ON i.doc_b = sb.doc_id
         WHERE CAST(i.inter AS DOUBLE) / CAST(sa.sz + sb.sz - i.inter AS DOUBLE)
-              >= CAST({threshold} AS DOUBLE)),
+              >= {duckdb_double_lit(threshold)}),
         star AS (SELECT c.rep AS doc_a, n.doc_id AS doc_b,
                         CAST(1.0 AS DOUBLE) AS jaccard
                  FROM nrm n JOIN cls c ON n.nfp = c.nfp
@@ -4039,7 +4040,7 @@ def _cosine_pairs_ctes(
                    JOIN embeddings ea ON ea.vec_id = c.id_a
                    JOIN embeddings eb ON eb.vec_id = c.id_b),
         pairs AS (SELECT id_a, id_b, cosine FROM scored
-                  WHERE cosine >= CAST({threshold} AS DOUBLE)
+                  WHERE cosine >= {duckdb_double_lit(threshold)}
                   UNION ALL
                   SELECT id_a, id_b, cosine FROM estar)"""
 

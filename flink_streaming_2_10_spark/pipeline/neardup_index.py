@@ -147,14 +147,26 @@ def _auto_compact_index_table(
 ) -> None:
     """One generation-style compaction of an append-grown bucketed index
     table (:func:`writer.compact_bucketed_table`): reads the table's
-    CURRENT catalog location, writes generation N+1 next to it
-    (``<base>_g{N+1}``), and re-points the name. The old generation's
-    files are left for the caller's retention window."""
+    CURRENT catalog location, writes generation N+1 as
+    ``{base}_g{N+1}``, and re-points the name. The old generation's
+    files are left for the caller's retention window.
+
+    The counter and base path live in TBLPROPERTIES
+    (:data:`writer.GENERATION_PROP` / :data:`writer.BASE_PATH_PROP`),
+    NOT parsed out of the path — a user-chosen root that itself ends in
+    ``_g2`` has its first compaction written to ``..._g2_g1``, never to
+    the colliding sibling ``..._g3``. Tables compacted by a pre-r15
+    build (lineage recorded, no generation property) fall back to the
+    old suffix parse — their suffix was written by this module."""
     import re
 
     from flink_streaming_2_10_spark.pipeline.writer import (
+        BASE_PATH_PROP,
+        GENERATION_PROP,
+        PREV_PATHS_PROP,
         _norm_location,
         _table_location,
+        _table_properties,
         compact_bucketed_table,
     )
 
@@ -162,10 +174,26 @@ def _auto_compact_index_table(
     if loc is None:
         return
     old = _norm_location(loc)
-    m = re.search(r"_g(\d+)$", old)
-    nxt = int(m.group(1)) + 1 if m else 1
-    new = (re.sub(r"_g\d+$", "", old)) + f"_g{nxt}"
+    props = _table_properties(spark, table)
+    base = props.get(BASE_PATH_PROP)
+    gen_raw = props.get(GENERATION_PROP)
+    if base and gen_raw is not None:
+        nxt = int(gen_raw) + 1
+    elif props.get(PREV_PATHS_PROP):
+        # legacy (pre-r15) compacted table: its _g suffix is ours
+        m = re.search(r"_g(\d+)$", old)
+        nxt = int(m.group(1)) + 1 if m else 1
+        base = re.sub(r"_g\d+$", "", old)
+    else:
+        # never compacted: the current location IS the base, verbatim
+        nxt, base = 1, old
+    new = f"{base}_g{nxt}"
     compact_bucketed_table(spark, table, old, new, bucket_col, num_buckets)
+    esc = base.replace("'", "''")
+    spark.sql(
+        f"ALTER TABLE {table} SET TBLPROPERTIES "
+        f"('{GENERATION_PROP}' = '{nxt}', '{BASE_PATH_PROP}' = '{esc}')"
+    )
 
 
 def neardup_ingest_batch(

@@ -23,6 +23,8 @@ exact cohorts.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame, functions as F
 
 from flink_streaming_2_10_spark.pipeline.dedup import duckdb_hash60_sql
@@ -46,8 +48,15 @@ def duckdb_double_lit(x: float) -> str:
     ``test_budget_plan_oracle_parity_randomized`` as a shortfall
     mismatch (0.6923076923076923 vs ...24). Wrapping in
     ``CAST(... AS DOUBLE)`` does NOT avoid this: the literal is typed
-    before the cast."""
-    r = repr(float(x))
+    before the cast.
+
+    Non-finite values raise: ``repr(inf)`` would render as ``infe0``,
+    which DuckDB rejects — better a clear error at oracle-build time
+    than a broken query at run time."""
+    v = float(x)
+    if not math.isfinite(v):
+        raise ValueError(f"duckdb_double_lit requires a finite float, got {v!r}")
+    r = repr(v)
     return r if ("e" in r or "E" in r) else r + "e0"
 
 
@@ -607,7 +616,16 @@ def training_shard_budgeted(
 
     key = _sample_key(F.col(id_col), salt).cast("double")
     rate: Column = F.lit(0.0)
-    for stratum, r in sorted(rates.items()):
+    # Only non-NULL, non-zero rates enter the WHEN chain: a NULL stratum
+    # never matches an equality WHEN (it falls through to the 0.0
+    # default, exactly as the oracle's inner join drops it), and a
+    # zero-rate branch is identical to that default — skipping both
+    # bounds the chain at |targets| instead of |corpus strata| (a
+    # high-cardinality strata_col would otherwise build a plan-sized
+    # codegen expression) and keeps sorted() off unorderable None keys.
+    for stratum, r in sorted(
+        (k, v) for k, v in rates.items() if k is not None and v != 0.0
+    ):
         rate = F.when(F.col(strata_col) == stratum, F.lit(r)).otherwise(rate)
     realized = (
         df.filter(key < rate * F.lit(_TWO_POW_60))

@@ -134,8 +134,46 @@ def write_bucketed_table(
 
 
 #: TBLPROPERTIES key where :func:`compact_bucketed_table` accumulates the
-#: comma-joined prior-generation paths of a table, oldest first.
+#: prior-generation paths of a table as a JSON array, oldest first.
 PREV_PATHS_PROP = "spark_graft.prev_paths"
+
+#: TBLPROPERTIES keys tracking the auto-compaction generation counter and
+#: the original (user-chosen) base path the ``_g{N}`` suffix is appended
+#: to — recorded by ``neardup_index._auto_compact_index_table`` so the
+#: next generation never has to be parsed back out of the current path
+#: (a user root that itself ends in ``_g2`` must NOT have its first
+#: compaction written to the sibling ``_g3``).
+GENERATION_PROP = "spark_graft.generation"
+BASE_PATH_PROP = "spark_graft.base_path"
+
+
+def _decode_prev_paths(raw: str) -> list[str]:
+    """Parse the :data:`PREV_PATHS_PROP` value — a JSON array of path
+    strings. Pre-r15 tables recorded a comma-joined string (which
+    corrupted on paths containing commas and silently stripped quotes);
+    that legacy form is still read, best-effort, for tables compacted
+    by an older build."""
+    import json
+
+    if not raw:
+        return []
+    try:
+        decoded = json.loads(raw)
+        if isinstance(decoded, list) and all(
+            isinstance(p, str) for p in decoded
+        ):
+            return decoded
+    except ValueError:
+        pass
+    return [p for p in raw.split(",") if p]
+
+
+def _encode_prev_paths(paths: list[str]) -> str:
+    """JSON-encode the lineage list (lossless for commas and quotes in
+    paths — the round-trip :func:`_decode_prev_paths` inverts exactly)."""
+    import json
+
+    return json.dumps(paths)
 
 
 def _norm_location(p: str) -> str:
@@ -178,10 +216,9 @@ def _warn_if_unrelated_location(spark, table: str, path: str) -> None:
         return
     prev = {
         _norm_location(p)
-        for p in _table_properties(spark, table)
-        .get(PREV_PATHS_PROP, "")
-        .split(",")
-        if p
+        for p in _decode_prev_paths(
+            _table_properties(spark, table).get(PREV_PATHS_PROP, "")
+        )
     }
     if _norm_location(path) in prev:
         return  # the intended post-compaction generation-swap redirect
@@ -247,7 +284,7 @@ def compact_bucketed_table(
             recorded = _table_properties(spark, table).get(
                 PREV_PATHS_PROP, ""
             )
-            prev = [p for p in recorded.split(",") if p]
+            prev = _decode_prev_paths(recorded)
     except AnalysisException:
         prev = []
     if _norm_location(old_path) not in [_norm_location(p) for p in prev]:
@@ -259,7 +296,9 @@ def compact_bucketed_table(
         bucket_col=bucket_col, num_buckets=num_buckets,
         sort_col=sort_col, mode="overwrite",
     )
-    lineage = ",".join(prev).replace("'", "")
+    # JSON array, single quotes doubled for the SQL string literal —
+    # lossless for paths containing commas or quotes.
+    lineage = _encode_prev_paths(prev).replace("'", "''")
     spark.sql(
         f"ALTER TABLE {table} SET TBLPROPERTIES "
         f"('{PREV_PATHS_PROP}' = '{lineage}')"

@@ -926,6 +926,45 @@ def test_text_ingest_auto_compaction_preserves_flags(spark, tmp_path):
             spark.sql(f"DROP TABLE IF EXISTS {p}_sigs")
 
 
+def test_auto_compaction_generation_tracked_in_properties(spark, tmp_path):
+    """The generation counter lives in TBLPROPERTIES, not in the path: a
+    user-chosen root that itself ends in ``_g2`` gets its first
+    compaction at ``..._g2_g1`` (never the colliding sibling
+    ``..._g3``), the counter advances 1, 2, ... across compactions, and
+    the recorded base path never drifts."""
+    from flink_streaming_2_10_spark.pipeline.neardup_index import (
+        _auto_compact_index_table,
+    )
+    from flink_streaming_2_10_spark.pipeline.writer import (
+        BASE_PATH_PROP,
+        GENERATION_PROP,
+        _norm_location,
+        _table_location,
+        _table_properties,
+        write_bucketed_table,
+    )
+
+    root = str(tmp_path / "index_g2")  # adversarial user-chosen root
+    df = spark.createDataFrame([(i, i) for i in range(12)], ["doc_id", "v"])
+    try:
+        write_bucketed_table(df, "bt_gprop", root, "doc_id", 2)
+        _auto_compact_index_table(spark, "bt_gprop", "doc_id", 2)
+        loc1 = _norm_location(_table_location(spark, "bt_gprop"))
+        assert loc1 == f"{root}_g1", loc1  # NOT .../index_g3
+        props = _table_properties(spark, "bt_gprop")
+        assert props[GENERATION_PROP] == "1"
+        assert props[BASE_PATH_PROP] == root
+        _auto_compact_index_table(spark, "bt_gprop", "doc_id", 2)
+        loc2 = _norm_location(_table_location(spark, "bt_gprop"))
+        assert loc2 == f"{root}_g2", loc2  # base stable, counter advances
+        props = _table_properties(spark, "bt_gprop")
+        assert props[GENERATION_PROP] == "2"
+        assert props[BASE_PATH_PROP] == root
+        assert spark.table("bt_gprop").count() == 12
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bt_gprop")
+
+
 def test_media_ingest_auto_compaction_preserves_flags(spark, tmp_path):
     """compact_every=1 on the media ingest face: the pass after the
     generation swap still probes (re-encode of a pass-2 survivor

@@ -157,6 +157,69 @@ def test_oracle_generator_edit_keeps_key_flagged():
     assert changed & oracle_names == {"alpha_oracle"}
 
 
+def test_entry_local_nested_oracle_helper_needs_rendered_gate():
+    """The r15 blind spot, pinned: an oracle dict entry naming only the
+    TOP-LEVEL entry-local generator (``x_oracle``) never seeds the
+    NESTED entry-local helper it calls (``_x_ctes``) — both live in the
+    entry module, and the name fixpoint only expands through
+    package-module defs — so a ``_x_ctes`` edit slips past the
+    name-based guard. The rendered-oracle comparison is what catches it
+    (reconcile now refuses on any rendered-SQL difference vs the
+    baseline tree)."""
+    from tools.reconcile_fingerprints import (
+        _oracle_entry_segments,
+        module_delta,
+    )
+
+    old_entry = (
+        "def _x_ctes(th):\n"
+        "    return f'pairs AS (SELECT * FROM t WHERE j >= {th})'\n\n\n"
+        "def x_oracle(th):\n"
+        "    return f'WITH {_x_ctes(th)} SELECT * FROM pairs'\n\n\n"
+        "def oracle_sql():\n"
+        "    return {'x': x_oracle(0.7)}\n"
+    )
+    new_entry = old_entry.replace("j >= {th}", "j >= {th}e0")
+    entry_changed, _ = module_delta(old_entry, new_entry)
+    assert entry_changed == {"_x_ctes"}
+    _, oracle_names = _oracle_entry_segments(new_entry)["x"]
+    # the dict-entry seed names only the top-level generator...
+    assert "x_oracle" in oracle_names and "_x_ctes" not in oracle_names
+    # ...so the name-based guard alone misses the nested edit
+    assert not (entry_changed & oracle_names)
+    # the rendered SQL, however, differs — the gate reconcile enforces
+    ns_old: dict = {}
+    ns_new: dict = {}
+    exec(old_entry, ns_old)
+    exec(new_entry, ns_new)
+    assert ns_old["oracle_sql"]()["x"] != ns_new["oracle_sql"]()["x"]
+
+
+def test_baseline_rendered_oracles_worktree():
+    """_baseline_rendered_oracles renders the full registry out of a
+    detached worktree of a historical commit (the ground-truth side of
+    the reconcile gate) and cleans the worktree up."""
+    import subprocess
+
+    from tools.reconcile_fingerprints import _baseline_rendered_oracles
+
+    head = subprocess.run(
+        ["git", "rev-parse", "HEAD"],
+        capture_output=True, text=True, check=True, cwd="/root/repo",
+    ).stdout.strip()
+    rendered = _baseline_rendered_oracles(head)
+    assert rendered is not None and len(rendered) >= 130
+    assert all(isinstance(v, str) and v.strip() for v in rendered.values())
+    assert "wordcount_rolling_sum" in rendered
+    # a bogus commit renders as None (caller keeps every key flagged)
+    assert _baseline_rendered_oracles("0" * 40) is None
+    leftover = subprocess.run(
+        ["git", "worktree", "list"],
+        capture_output=True, text=True, check=True, cwd="/root/repo",
+    ).stdout
+    assert "fp_base_" not in leftover
+
+
 def test_fingerprint_covers_rendered_oracle():
     """_query_fingerprint must change when ONLY the rendered oracle SQL
     changes (monkeypatched render), so oracle edits re-enter the driver

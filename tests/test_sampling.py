@@ -433,6 +433,81 @@ def test_training_shard_budgeted_realized_tracks_planned(docs):
     assert rows["fr"]["keep_rate"] == 0.0 and rows["fr"]["realized_tokens"] == 0
 
 
+def test_training_shard_budgeted_null_strata(spark, duck):
+    """A corpus with NULL in strata_col must not crash the rate-chain
+    build (sorted() cannot order None against str) and must emit the
+    NULL stratum as a zero-rate plan row with realized 0 — NULL never
+    equality-matches a WHEN branch on the Spark side, exactly as the
+    oracle's inner join drops it. Exact engine/oracle parity."""
+    from tests.conftest import assert_df_matches_oracle
+    from flink_streaming_2_10_spark.pipeline.sampling import (
+        training_shard_budgeted,
+        training_shard_budgeted_oracle,
+    )
+
+    rows = [
+        (1, "en", 30), (2, "en", 50), (3, None, 40),
+        (4, "de", 20), (5, None, 10), (6, "de", 60),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "lang", "tok"])
+    targets = {"en": 0.75, "de": 0.25}
+    out = training_shard_budgeted(df, F.col("tok"), targets, 60)
+    got = {r["lang"]: r for r in out.collect()}
+    assert set(got) == {"en", "de", None}
+    assert got[None]["keep_rate"] == 0.0
+    assert got[None]["realized_docs"] == 0 and got[None]["realized_tokens"] == 0
+
+    values = ", ".join(
+        f"({i}, {'NULL' if s is None else repr(s)}, {t})" for i, s, t in rows
+    )
+    table = f"(SELECT * FROM (VALUES {values}) AS t(doc_id, lang, tok))"
+    assert_df_matches_oracle(
+        out, duck,
+        training_shard_budgeted_oracle("tok", targets, 60, table=table),
+    )
+
+
+def test_training_shard_budgeted_bounded_rate_chain(spark):
+    """Generic strata_col safety: with a high-cardinality strata column
+    (500 distinct, 3 targets) the executor's keep-rate WHEN chain must
+    stay |targets|-sized — zero-rate strata are identical to the
+    otherwise(0.0) default and must not each add a codegen branch — and
+    non-target strata must realize exactly 0."""
+    from flink_streaming_2_10_spark.pipeline.sampling import (
+        training_shard_budgeted,
+    )
+
+    rows = [(i, f"s{i % 500:03d}", 10 + i % 7) for i in range(2000)]
+    df = spark.createDataFrame(rows, ["doc_id", "lang", "tok"])
+    targets = {"s000": 0.5, "s001": 0.3, "s002": 0.2}
+    out = training_shard_budgeted(df, F.col("tok"), targets, 50)
+    plan_str = out._jdf.queryExecution().analyzed().toString()
+    # each materialized copy of the rate expression carries exactly one
+    # WHEN per non-zero target; 500 zero-rate strata must add none
+    assert plan_str.count("WHEN") <= 4 * len(targets)
+    got = {r["lang"]: r for r in out.collect()}
+    assert len(got) == 500
+    realized_elsewhere = [
+        r for lang, r in got.items()
+        if lang not in targets and r["realized_docs"] != 0
+    ]
+    assert realized_elsewhere == []
+    assert sum(r["realized_docs"] for r in got.values()) > 0
+
+
+def test_duckdb_double_lit_rejects_non_finite():
+    """inf/nan would render as invalid SQL ('infe0') — must raise at
+    oracle-build time instead."""
+    import math
+
+    from flink_streaming_2_10_spark.pipeline.sampling import duckdb_double_lit
+
+    for bad in (math.inf, -math.inf, math.nan):
+        with pytest.raises(ValueError, match="finite"):
+            duckdb_double_lit(bad)
+    assert duckdb_double_lit(0.5) == "0.5e0"
+
+
 def test_budget_plan_oracle_parity_randomized(spark, duck):
     """Seeded-random engine/oracle parity for the planner — the hazard
     class the r13 ADVICE caught (DECIMAL vs IEEE-double literal

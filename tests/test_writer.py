@@ -241,6 +241,62 @@ def test_append_after_compaction_is_silent_across_generations(
         spark.sql("DROP TABLE IF EXISTS bt_gen")
 
 
+def test_lineage_round_trips_commas_and_quotes(spark, tmp_path):
+    """Lineage is a JSON array in TBLPROPERTIES: a generation path
+    containing a comma (legal in a filesystem path) must survive the
+    record/parse round-trip — the legacy comma-joined encoding split it
+    into two bogus entries and warned spuriously on the next append."""
+    import warnings
+
+    from flink_streaming_2_10_spark.pipeline.writer import (
+        PREV_PATHS_PROP,
+        _decode_prev_paths,
+        _table_properties,
+        compact_bucketed_table,
+        write_bucketed_table,
+    )
+
+    p0 = str(tmp_path / "gen,zero")
+    p1 = str(tmp_path / "gen,one")
+    p2 = str(tmp_path / "g2")
+    df = spark.createDataFrame([(i, i) for i in range(10)], ["doc_id", "v"])
+    try:
+        write_bucketed_table(df, "bt_comma", p0, "doc_id", 2)
+        compact_bucketed_table(spark, "bt_comma", p0, p1, "doc_id", 2)
+        compact_bucketed_table(spark, "bt_comma", p1, p2, "doc_id", 2)
+        recorded = _decode_prev_paths(
+            _table_properties(spark, "bt_comma")[PREV_PATHS_PROP]
+        )
+        assert recorded == [p0, p1]
+        # appends through either prior generation stay silent
+        for prior in (p0, p1):
+            with warnings.catch_warnings():
+                warnings.simplefilter("error")
+                write_bucketed_table(
+                    df, "bt_comma", prior, "doc_id", 2, mode="append"
+                )
+        assert spark.table("bt_comma").count() == 30
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bt_comma")
+
+
+def test_decode_prev_paths_json_and_legacy():
+    """JSON lineage round-trips commas and quotes exactly; the pre-r15
+    comma-joined form still parses best-effort; junk degrades to the
+    legacy split instead of raising."""
+    from flink_streaming_2_10_spark.pipeline.writer import (
+        _decode_prev_paths,
+        _encode_prev_paths,
+    )
+
+    awkward = ["/a/gen,zero", "/b/it's here", '/c/say "hi"']
+    assert _decode_prev_paths(_encode_prev_paths(awkward)) == awkward
+    assert _decode_prev_paths("") == []
+    assert _decode_prev_paths("/a/g0,/a/g1") == ["/a/g0", "/a/g1"]
+    # JSON that is not a list of strings degrades to the legacy split
+    assert _decode_prev_paths("42") == ["42"]
+
+
 def test_compaction_safe_under_open_reader(spark, tmp_path):
     """The generation-swap safety claim, exercised with a READER HELD
     OPEN across the swap: a toLocalIterator started on the old

@@ -37,6 +37,17 @@ mentions — found live in r14 when `stratified_sample_oracle` literal
 rendering changed but the key reconciled). ``_query_fingerprint``
 hashes the rendered oracle for the same reason.
 
+Rendered-oracle ground truth (r15): the name-seed approach cannot see
+through ENTRY-LOCAL oracle-generator helpers — a dict entry naming
+``_minhash_lsh_oracle`` never pulls in ``_minhash_pairs_ctes`` (both
+entry-local; the fixpoint only expands through package-module defs), so
+an edit to the nested helper reconciled 8 keys whose rendered SQL had
+genuinely changed (found live in r15). The reconcile now renders
+``oracle_sql()`` in a detached worktree of the baseline commit and
+refuses to clear any key whose rendered oracle differs — the same
+worktree diff the verify notes prescribe as ground truth, now enforced
+mechanically instead of relied on manually.
+
 Safety net: ``tests/test_entry_contract.py`` oracle-checks every
 registry key against DuckDB locally each round regardless of window
 position, so even a hypothetical closure miss (dynamic dispatch the
@@ -194,6 +205,41 @@ def _git_show(commit: str, path: str) -> str | None:
         return None
 
 
+def _baseline_rendered_oracles(baseline: str) -> dict[str, str] | None:
+    """Render ``oracle_sql()`` in a detached worktree of ``baseline`` —
+    the ground-truth side of the rendered-oracle reconcile gate. Returns
+    None when the baseline tree cannot be rendered (caller treats every
+    key as not-reconcilable; err toward re-verifying)."""
+    import tempfile
+
+    tmp = tempfile.mkdtemp(prefix="fp_base_")
+    try:
+        subprocess.run(
+            ["git", "worktree", "add", "--detach", tmp, baseline],
+            capture_output=True, text=True, check=True, cwd="/root/repo",
+        )
+        proc = subprocess.run(
+            [
+                sys.executable,
+                "-c",
+                "import json, sys; sys.path.insert(0, %r); "
+                "import __spark_entry__ as em; "
+                "json.dump(em.oracle_sql(), sys.stdout)" % tmp,
+            ],
+            capture_output=True, text=True, cwd=tmp, timeout=600,
+        )
+        if proc.returncode != 0:
+            return None
+        return json.loads(proc.stdout)
+    except (subprocess.SubprocessError, OSError, ValueError):
+        return None
+    finally:
+        subprocess.run(
+            ["git", "worktree", "remove", "--force", tmp],
+            capture_output=True, text=True, cwd="/root/repo",
+        )
+
+
 def main() -> int:
     args = [a for a in sys.argv[1:] if a != "--apply"]
     apply = "--apply" in sys.argv[1:]
@@ -268,12 +314,30 @@ def main() -> int:
     reconciled, kept = [], []
     with open(f"{here}/QUERY_FINGERPRINTS.json") as fh:
         fps = json.load(fh)
+    rendered_now: dict[str, str] | None = None
+    rendered_base: dict[str, str] | None = None
+    base_render_tried = False
     for key in entry._base_queries():
         if key not in last_seen:
             continue  # no evidence — tier 0 regardless; leave alone
         rec = stored.get(key)
         cur = entry._query_fingerprint(key)
         if rec is None or cur is None or cur == rec:
+            continue
+        # Rendered-oracle ground truth (r15): refuse whenever the key's
+        # rendered oracle SQL differs from the baseline tree's rendering
+        # — catches edits routed through entry-local oracle-generator
+        # helpers that the name-seed walk below cannot see.
+        if rendered_now is None:
+            rendered_now = entry.oracle_sql()
+        if not base_render_tried:
+            base_render_tried = True
+            rendered_base = _baseline_rendered_oracles(baseline)
+        if rendered_base is None:
+            kept.append((key, "baseline oracle render failed"))
+            continue
+        if rendered_now.get(key) != rendered_base.get(key):
+            kept.append((key, "rendered oracle SQL changed vs baseline"))
             continue
         fn = entry._base_queries()[key]
         seen: set = set()
