@@ -1,0 +1,218 @@
+"""Seeded randomized engine/oracle differential tests — the method that
+found the r14 one-ulp DECIMAL→DOUBLE literal bug (commit 178a8b2),
+generalized per the r14 verdict to the remaining parameterized oracle
+families where caller parameters flow into OUTPUT values or boundary
+comparisons: holdout fraction vectors, n-gram dedup thresholds, and
+sliding-window / interval-join widths.
+
+Each test draws parameters from a fixed-seed RNG (reproducible),
+compares Spark vs DuckDB EXACTLY (value-level, via
+``assert_df_matches_oracle``), and deliberately prefers awkward
+non-dyadic fractions (sevenths, ninths, thirteenths — 17-significant-
+digit reprs) because those are the literals whose DECIMAL typing
+double-rounds one ulp off the strtod parse in DuckDB.
+"""
+
+from __future__ import annotations
+
+import math
+import random
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import assert_df_matches_oracle
+
+
+def test_holdout_split_oracle_parity_randomized(spark, duck):
+    """Awkward cumulative band edges: fractions over denominators 7, 9,
+    11, 13 produce cumulative sums with full-17-digit reprs — any
+    literal-typing drift between Spark's F.lit and the oracle's
+    rendered edge moves ids across a band boundary and fails the exact
+    compare."""
+    from flink_streaming_2_10_spark.pipeline.sampling import (
+        holdout_split,
+        holdout_split_oracle,
+    )
+
+    rng = random.Random(3131)
+    for trial in range(8):
+        n_splits = rng.randint(2, 4)
+        denom = rng.choice([7, 9, 11, 13])
+        # random positive integer parts over the denominator, summed to 1
+        parts = [rng.randint(1, 5) for _ in range(n_splits)]
+        tot = sum(parts)
+        names = [f"s{j}" for j in range(n_splits)]
+        fractions = {nm: p / tot / denom * denom for nm, p in zip(names, parts)}
+        # repair float drift so the sum-to-1 guard passes
+        fractions[names[-1]] += 1.0 - sum(fractions.values())
+        assert all(f > 0 for f in fractions.values())
+
+        ids = rng.sample(range(100_000), rng.randint(20, 120))
+        df = spark.createDataFrame([(i,) for i in ids], ["doc_id"])
+        out = holdout_split(df, fractions, salt=f"h{trial}")
+        values = ", ".join(f"({i})" for i in ids)
+        table = f"(SELECT * FROM (VALUES {values}) AS t(doc_id))"
+        assert_df_matches_oracle(
+            out,
+            duck,
+            holdout_split_oracle(fractions, table=table, salt=f"h{trial}"),
+        )
+
+
+def _random_corpus(rng: random.Random, n_docs: int) -> list[tuple[int, str]]:
+    """Small-vocab word sequences with heavy overlap, so the 2-gram
+    inverted index yields many candidate pairs whose Jaccard scores are
+    assorted small-integer ratios."""
+    vocab = [f"w{j}" for j in range(12)]
+    docs = []
+    for i in range(n_docs):
+        words = [rng.choice(vocab) for _ in range(rng.randint(4, 12))]
+        docs.append((i, " ".join(words)))
+    return docs
+
+
+def test_ngram_jaccard_threshold_parity_randomized(spark):
+    """Dedup thresholds AT the boundary: the threshold for each trial is
+    drawn from the corpus's own attained Jaccard values (preferring the
+    longest repr — e.g. 0.23076923076923078 for 3/13), so the ``>=``
+    comparison is exercised at EXACT double equality. Under the old
+    ``CAST({threshold} AS DOUBLE)`` rendering, DuckDB typed the literal
+    DECIMAL and double-rounded one ulp off for ≥16-significant-digit
+    reprs, flipping boundary pairs — this test fails on that rendering
+    and passes on ``duckdb_double_lit``."""
+    from __spark_entry__ import _ngram_jaccard_oracle
+    from flink_streaming_2_10_spark.pipeline.dedup import ngram_jaccard_pairs
+
+    rng = random.Random(4242)
+    for trial in range(5):
+        docs = _random_corpus(rng, rng.randint(8, 16))
+        df = spark.createDataFrame(docs, ["doc_id", "text"])
+
+        # attained scores (threshold 0 keeps every candidate pair)
+        all_pairs = ngram_jaccard_pairs(
+            df, n=2, threshold=0.0, max_df=None
+        ).collect()
+        scores = sorted({r["jaccard"] for r in all_pairs if r["jaccard"] < 1.0})
+        if not scores:
+            continue
+        # prefer the boundary value whose repr is longest (ulp-sharpest)
+        t = max(scores, key=lambda s: (len(repr(s)), s))
+        assert math.isfinite(t)
+
+        out = ngram_jaccard_pairs(df, n=2, threshold=t, max_df=None)
+        assert any(
+            r["jaccard"] == t for r in out.collect()
+        ), "trial must include an exact-boundary pair"
+        con = duckdb.connect()
+        values = ", ".join(f"({i}, '{txt}')" for i, txt in docs)
+        con.sql(
+            f"CREATE VIEW documents AS "
+            f"SELECT * FROM (VALUES {values}) AS t(doc_id, text)"
+        )
+        assert_df_matches_oracle(
+            out, con, _ngram_jaccard_oracle(n=2, threshold=t, max_df_frac=None)
+        )
+
+
+def test_sliding_window_width_parity_randomized(spark, duck):
+    """Odd millisecond sizes/slides — including sizes that are NOT a
+    multiple of the slide — against a generic integer-bucket oracle:
+    window starts are the multiples of ``slide`` in ``(ts − size, ts]``,
+    exactly Spark's assigner. All outputs are integers (counts and
+    integer sums), so the compare is bit-exact by construction."""
+    from flink_streaming_2_10_spark.operators.sliding import (
+        sliding_window_agg,
+    )
+
+    rng = random.Random(5353)
+    for trial in range(6):
+        slide = rng.choice([700, 999, 1300, 2048, 3571])
+        size = slide * rng.randint(1, 3) + rng.choice([0, 1, slide // 3])
+        overlap = -(-size // slide)  # ceil
+        rows = [
+            (
+                rng.choice(["a", "b", "c"]),
+                rng.randint(0, 50_000),
+                rng.randint(-100, 100),
+            )
+            for _ in range(rng.randint(30, 150))
+        ]
+        ev = spark.createDataFrame(rows, ["event_type", "ms", "v"]).select(
+            "event_type",
+            F.timestamp_millis(F.col("ms")).alias("ts"),
+            "v",
+        )
+        out = sliding_window_agg(
+            ev,
+            keys=["event_type"],
+            aggs=[
+                F.count(F.lit(1)).alias("cnt"),
+                F.sum("v").alias("v_sum"),
+            ],
+            window_size=f"{size} milliseconds",
+            slide=f"{slide} milliseconds",
+        )
+        values = ", ".join(f"('{e}', {m}, {v})" for e, m, v in rows)
+        oracle = f"""
+            SELECT ws AS window_start, ws + {size} AS window_end,
+                   event_type,
+                   CAST(count(*) AS BIGINT) AS cnt,
+                   CAST(sum(v) AS BIGINT) AS v_sum
+            FROM (
+                SELECT event_type, v, ms,
+                       (ms // {slide} - g.k) * {slide} AS ws
+                FROM (VALUES {values}) AS t(event_type, ms, v),
+                     generate_series(0, {overlap - 1}) AS g(k)
+            )
+            WHERE ws + {size} > ms
+            GROUP BY 1, 2, 3
+        """
+        assert_df_matches_oracle(out, duck, oracle)
+
+
+def test_interval_join_bounds_parity_randomized(spark, duck):
+    """Random inclusive [lower, upper] bounds — negative lowers (the
+    look-back join), zero-width intervals, and widths that don't divide
+    the time range — against the direct range-predicate oracle. The
+    bucketed exchange shape must never change membership."""
+    from flink_streaming_2_10_spark.operators.temporal import interval_join
+
+    rng = random.Random(6464)
+    for trial in range(6):
+        span = rng.choice([500, 3_000, 50_000])
+        lower = rng.randint(-span, span)
+        upper = lower + rng.choice([0, 1, span // 2, span])
+        left = [
+            (i, rng.choice(["u1", "u2", "u3"]), rng.randint(0, 10 * span))
+            for i in range(rng.randint(10, 60))
+        ]
+        right = [
+            (1000 + i, rng.choice(["u1", "u2", "u3"]), rng.randint(0, 10 * span))
+            for i in range(rng.randint(10, 60))
+        ]
+        ldf = spark.createDataFrame(left, ["event_id", "user_id", "t"])
+        rdf = spark.createDataFrame(right, ["event_id", "user_id", "t"])
+        out = interval_join(
+            ldf, rdf,
+            on=["user_id"], left_time="t", right_time="t",
+            lower=lower, upper=upper, right_prefix="r_",
+        ).select(
+            "event_id",
+            "user_id",
+            F.col("r_event_id").alias("right_event_id"),
+            (F.col("r_t") - F.col("t")).alias("delta"),
+        )
+        lv = ", ".join(f"({i}, '{u}', {t})" for i, u, t in left)
+        rv = ", ".join(f"({i}, '{u}', {t})" for i, u, t in right)
+        oracle = f"""
+            SELECT l.event_id, l.user_id,
+                   r.event_id AS right_event_id,
+                   r.t - l.t AS delta
+            FROM (VALUES {lv}) AS l(event_id, user_id, t)
+            JOIN (VALUES {rv}) AS r(event_id, user_id, t)
+              ON l.user_id = r.user_id
+                 AND r.t >= l.t + ({lower}) AND r.t <= l.t + ({upper})
+        """
+        assert_df_matches_oracle(out, duck, oracle)
