@@ -216,3 +216,109 @@ def test_interval_join_bounds_parity_randomized(spark, duck):
                  AND r.t >= l.t + ({lower}) AND r.t <= l.t + ({upper})
         """
         assert_df_matches_oracle(out, duck, oracle)
+
+
+def test_asof_join_tolerance_parity_randomized(spark, duck):
+    """Random tolerances (including exact-boundary deltas), both
+    directions, duplicate (key, time) ties, and the bucketed
+    skew-hardened path — all four against a direct LATERAL-style
+    window oracle. Bucketed and plain must be identical by contract."""
+    from flink_streaming_2_10_spark.operators.temporal import asof_join
+
+    rng = random.Random(7575)
+    for trial in range(6):
+        span = rng.choice([10, 100, 1_000])
+        tol = rng.randint(1, span)
+        direction = rng.choice(["backward", "forward"])
+        # small time range on purpose: duplicate (key, time) pairs
+        left = [
+            (i, rng.choice(["u1", "u2"]), rng.randint(0, span))
+            for i in range(rng.randint(8, 40))
+        ]
+        right = [
+            (100 + i, rng.choice(["u1", "u2"]), rng.randint(0, span))
+            for i in range(rng.randint(8, 40))
+        ]
+        ldf = spark.createDataFrame(left, ["event_id", "user_id", "t"])
+        rdf = spark.createDataFrame(right, ["event_id", "user_id", "t"])
+
+        def run(bucketed: bool):
+            return asof_join(
+                ldf, rdf,
+                on=["user_id"], left_time="t", right_time="t",
+                tolerance=tol, tie_cols=["event_id"],
+                direction=direction, bucketed=bucketed,
+            ).select(
+                "event_id", "user_id", "t",
+                F.col("r_event_id").alias("right_event_id"),
+            )
+
+        if direction == "backward":
+            cond = f"r.t <= l.t AND l.t - r.t <= {tol}"
+            order = "r.t DESC, r.event_id DESC"
+        else:
+            cond = f"r.t >= l.t AND r.t - l.t <= {tol}"
+            order = "r.t ASC, r.event_id ASC"
+        lv = ", ".join(f"({i}, '{u}', {t})" for i, u, t in left)
+        rv = ", ".join(f"({i}, '{u}', {t})" for i, u, t in right)
+        oracle = f"""
+            WITH l AS (SELECT * FROM (VALUES {lv}) t(event_id, user_id, t)),
+            r AS (SELECT * FROM (VALUES {rv}) t(event_id, user_id, t)),
+            cand AS (
+                SELECT l.event_id AS lid, r.event_id AS rid,
+                       row_number() OVER (PARTITION BY l.event_id
+                                          ORDER BY {order}) AS rn
+                FROM l JOIN r ON l.user_id = r.user_id AND {cond}
+            )
+            SELECT l.event_id, l.user_id, l.t,
+                   c.rid AS right_event_id
+            FROM l LEFT JOIN cand c ON c.lid = l.event_id AND c.rn = 1
+        """
+        plain = run(bucketed=False)
+        assert_df_matches_oracle(plain, duck, oracle)
+        # bucketed path: identical rows by contract
+        a = sorted(map(tuple, plain.collect()))
+        b = sorted(map(tuple, run(bucketed=True).collect()))
+        assert a == b
+
+
+def test_sessionize_gap_parity_randomized(spark, duck):
+    """Random inactivity gaps with deltas engineered to land exactly ON
+    the gap (stays in-session — Flink's inclusive intersects) and one
+    past it (new session), against a lag/running-sum oracle."""
+    from flink_streaming_2_10_spark.operators.temporal import sessionize
+
+    rng = random.Random(8686)
+    for trial in range(6):
+        gap = rng.choice([1, 7, 30, 999])
+        rows = []
+        t = 0
+        for i in range(rng.randint(15, 60)):
+            # half the steps land exactly on the gap boundary
+            step = rng.choice([0, 1, gap, gap, gap + 1, 3 * gap])
+            t += step
+            rows.append((i, rng.choice(["u1", "u2"]), t))
+        df = spark.createDataFrame(rows, ["event_id", "user_id", "t"])
+        out = sessionize(
+            df, on=["user_id"], time_col="t", gap=gap,
+            tie_cols=["event_id"],
+        )
+        values = ", ".join(f"({i}, '{u}', {t})" for i, u, t in rows)
+        oracle = f"""
+            WITH v AS (SELECT * FROM (VALUES {values})
+                       AS t(event_id, user_id, t)),
+            d AS (SELECT *,
+                         CASE WHEN lag(t) OVER w IS NULL
+                                   OR t - lag(t) OVER w > {gap}
+                              THEN 1 ELSE 0 END AS is_new
+                  FROM v
+                  WINDOW w AS (PARTITION BY user_id
+                               ORDER BY t, event_id))
+            SELECT event_id, user_id, t,
+                   CAST(sum(is_new) OVER (PARTITION BY user_id
+                                          ORDER BY t, event_id
+                                          ROWS UNBOUNDED PRECEDING)
+                        AS BIGINT) AS session_idx
+            FROM d
+        """
+        assert_df_matches_oracle(out, duck, oracle)
