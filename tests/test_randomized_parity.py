@@ -322,3 +322,65 @@ def test_sessionize_gap_parity_randomized(spark, duck):
             FROM d
         """
         assert_df_matches_oracle(out, duck, oracle)
+
+
+def test_minhash_lsh_bands_rows_parity_randomized(spark):
+    """Random LSH geometries (bands x rows = K) and thresholds drawn
+    from the LSH-surfaced pairs' own attained Jaccard values — the
+    bands/K boundary family the r14 verdict named. The oracle replays
+    the identical affine-permutation signatures, banding, and verify
+    step, so candidate sets AND boundary verification must agree
+    bit-for-bit (md5 base hash on both sides)."""
+    from __spark_entry__ import _minhash_lsh_oracle
+    from flink_streaming_2_10_spark.pipeline.dedup import minhash_dedup_pairs
+
+    rng = random.Random(9797)
+    done = 0
+    for trial in range(8):
+        bands = rng.choice([2, 4, 8])
+        rows = rng.choice([1, 2, 4])
+        # near-dup FAMILIES: a few base sentences, each with 1-2-word
+        # mutations — full bands then agree between family members while
+        # the exact Jaccard stays strictly below 1, giving the (0, 1)
+        # boundary scores the threshold draw needs
+        vocab = [f"w{j}" for j in range(30)]
+        docs, did = [], 0
+        for fam in range(rng.randint(3, 4)):
+            base = [rng.choice(vocab) for _ in range(rng.randint(8, 12))]
+            for variant in range(rng.randint(2, 4)):
+                words = list(base)
+                for _ in range(rng.randint(0, 2)):
+                    words[rng.randrange(len(words))] = rng.choice(vocab)
+                docs.append((did, " ".join(words)))
+                did += 1
+        df = spark.createDataFrame(docs, ["doc_id", "text"])
+
+        surfaced = minhash_dedup_pairs(
+            df, num_hashes=bands * rows, bands=bands, rows=rows,
+            shingle_n=2, threshold=0.0, hasher="md5",
+        ).collect()
+        scores = sorted({r["jaccard"] for r in surfaced if r["jaccard"] < 1.0})
+        if not scores:
+            continue
+        t = max(scores, key=lambda s: (len(repr(s)), s))
+
+        out = minhash_dedup_pairs(
+            df, num_hashes=bands * rows, bands=bands, rows=rows,
+            shingle_n=2, threshold=t, hasher="md5",
+        )
+        con = duckdb.connect()
+        values = ", ".join(f"({i}, '{txt}')" for i, txt in docs)
+        con.sql(
+            f"CREATE VIEW documents AS "
+            f"SELECT * FROM (VALUES {values}) AS t(doc_id, text)"
+        )
+        assert_df_matches_oracle(
+            out,
+            con,
+            _minhash_lsh_oracle(
+                num_hashes=bands * rows, bands=bands, rows=rows,
+                shingle_n=2, threshold=t,
+            ),
+        )
+        done += 1
+    assert done >= 4, f"only {done} trials produced boundary pairs"
