@@ -2641,7 +2641,7 @@ def _ngram_pairs_oracle(
         prune = ""
     else:
         prune = f"""
-        cap AS (SELECT CEIL({max_df_frac!r} * count(*)) AS cap FROM reps),
+        cap AS (SELECT CEIL({duckdb_double_lit(max_df_frac)} * count(*)) AS cap FROM reps),
         freq AS (SELECT h FROM hh0 GROUP BY h
                  HAVING count(*) > (SELECT cap FROM cap)),"""
     hh_src = (
