@@ -384,3 +384,32 @@ def test_minhash_lsh_bands_rows_parity_randomized(spark):
         )
         done += 1
     assert done >= 4, f"only {done} trials produced boundary pairs"
+
+
+def test_domain_mixture_oracle_parity_randomized(spark, duck):
+    """Random token distributions and awkward max_weight caps (sevenths/
+    thirteenths): share and weight are pure-double outputs computed in a
+    fixed operation order — any literal or ordering drift between
+    engines shows directly in the value compare."""
+    from flink_streaming_2_10_spark.pipeline.sampling import (
+        domain_mixture,
+        domain_mixture_oracle,
+    )
+
+    rng = random.Random(1212)
+    for trial in range(8):
+        strata = rng.sample(["aa", "bb", "cc", "dd", "ee", "ff"],
+                            rng.randint(2, 5))
+        rows = [
+            (i, rng.choice(strata), rng.randint(1, 500))
+            for i in range(rng.randint(6, 50))
+        ]
+        max_weight = rng.choice([8.0, 3 / 7, 22 / 13, 5 / 9, 100.0])
+        df = spark.createDataFrame(rows, ["doc_id", "lang", "tok"])
+        out = domain_mixture(df, F.col("tok"), max_weight=max_weight)
+        values = ", ".join(f"({i}, '{s}', {t})" for i, s, t in rows)
+        table = f"(SELECT * FROM (VALUES {values}) AS t(doc_id, lang, tok))"
+        assert_df_matches_oracle(
+            out, duck,
+            domain_mixture_oracle("tok", table=table, max_weight=max_weight),
+        )
