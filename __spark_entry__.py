@@ -2811,7 +2811,8 @@ def _lsh_recall_oracle(sample_fraction: float = 1.0) -> str:
         sample = (
             f"documents AS (SELECT * FROM main.documents "
             f"WHERE CAST({key} AS DOUBLE) "
-            f"< {float(sample_fraction)!r} * 1152921504606846976.0),\n        "
+            f"< {_exact_double_repr(sample_fraction, 'sample_fraction')} "
+            f"* 1152921504606846976.0),\n        "
         )
     return f"""
         WITH {sample}truth AS ({truth}),
@@ -4235,6 +4236,28 @@ def _source_quality_cap_oracle(cap: int = 25) -> str:
         WHERE rank_in_source <= {int(cap)}"""
 
 
+def _exact_double_repr(x: float, what: str) -> str:
+    """``repr(x)`` for interpolation into oracle SQL at sites where the
+    literal is typed DECIMAL: safe ONLY while the repr stays under 16
+    significant digits (above that, DuckDB's DECIMAL->DOUBLE conversion
+    double-rounds one ulp off the strtod parse -- the r14 bug class).
+    Raises instead of rendering a silently-wrong literal; a parameter
+    that trips this should be rendered via ``duckdb_double_lit``
+    (accepting that the changed rendered SQL re-queues the key for
+    driver re-verification -- which is exactly why the shipped
+    short-repr parameterizations keep the bare form)."""
+    r = repr(float(x))
+    digits = (r.replace("-", "").replace(".", "").lstrip("0").rstrip("0")
+              or "0")
+    if "e" in r or "E" in r or len(digits) >= 16:
+        raise ValueError(
+            f"{what}={r}: >=16-significant-digit literal would "
+            f"double-round via DECIMAL typing; render it with "
+            f"duckdb_double_lit instead"
+        )
+    return r
+
+
 def _token_percentiles_oracle(ps: tuple[float, ...] = (0.5, 0.9, 0.99)) -> str:
     """Mirror of textstats.token_percentiles — the same histogram →
     cumulative-rank → ``(1-frac)·lo + frac·hi`` arithmetic (identical
@@ -4242,13 +4265,13 @@ def _token_percentiles_oracle(ps: tuple[float, ...] = (0.5, 0.9, 0.99)) -> str:
     both engines)."""
     probes, finals = [], []
     for i, p in enumerate(ps):
-        h = f"({p!r} * (CAST(n AS DOUBLE) - 1.0))"
+        h = f"({_exact_double_repr(p, 'percentile')} * (CAST(n AS DOUBLE) - 1.0))"
         probes.append(
             f"min(CASE WHEN cum > floor({h}) THEN tokens END) AS lo{i},\n"
             f"               min(CASE WHEN cum > least(floor({h}) + 1, n - 1) "
             f"THEN tokens END) AS hi{i}"
         )
-        hd = f"({p!r} * (CAST(n_docs AS DOUBLE) - 1.0))"
+        hd = f"({_exact_double_repr(p, 'percentile')} * (CAST(n_docs AS DOUBLE) - 1.0))"
         frac = f"({hd} - floor({hd}))"
         finals.append(
             f"(1.0 - {frac}) * CAST(lo{i} AS DOUBLE) "
@@ -4403,7 +4426,7 @@ def _training_shard_oracle(lang: str = "en", min_quality: float = 0.5) -> str:
               FROM b),
         k AS (SELECT * FROM f
               WHERE lang_pred = '{lang}'
-                AND quality >= CAST({min_quality!r} AS DOUBLE))
+                AND quality >= CAST({_exact_double_repr(min_quality, 'min_quality')} AS DOUBLE))
         SELECT min(doc_id) AS doc_id,
                CAST(count(*) AS BIGINT) AS n_dups,
                arg_min(ws_tokens, doc_id) AS ws_tokens,
@@ -4472,8 +4495,8 @@ def _curated_gate_ctes(
               FROM b),
         k AS (SELECT * FROM f
               WHERE lang_pred = '{lang}'
-                AND quality >= CAST({min_quality!r} AS DOUBLE)
-                AND dup_word_frac <= CAST({max_dup_word_frac!r} AS DOUBLE))"""
+                AND quality >= CAST({_exact_double_repr(min_quality, 'min_quality')} AS DOUBLE)
+                AND dup_word_frac <= CAST({_exact_double_repr(max_dup_word_frac, 'max_dup_word_frac')} AS DOUBLE))"""
 
 
 def _decontam_ctes(decontam_n: int, modulo: int) -> str:

@@ -413,3 +413,23 @@ def test_domain_mixture_oracle_parity_randomized(spark, duck):
             out, duck,
             domain_mixture_oracle("tok", table=table, max_weight=max_weight),
         )
+
+
+def test_exact_double_repr_guard():
+    """Entry-local generators that interpolate bare decimal literals
+    (`_token_percentiles_oracle`, the training-shard quality gates,
+    `_lsh_recall_oracle`) go through `_exact_double_repr`: short reprs
+    render unchanged (byte-identical shipped SQL), while a >=16-digit
+    parameter raises loudly instead of double-rounding silently."""
+    import __spark_entry__ as em
+
+    assert em._exact_double_repr(0.5, "p") == "0.5"
+    assert em._exact_double_repr(0.99, "p") == "0.99"
+    assert em._exact_double_repr(8.0, "p") == "8.0"
+    for bad in (1 / 3, 3 / 13, 1e-20):
+        with pytest.raises(ValueError, match="duckdb_double_lit"):
+            em._exact_double_repr(bad, "p")
+    # the guarded generators still render for shipped params
+    assert "0.5" in em._token_percentiles_oracle()
+    with pytest.raises(ValueError):
+        em._token_percentiles_oracle(ps=(1 / 3,))
