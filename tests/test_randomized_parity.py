@@ -433,3 +433,65 @@ def test_exact_double_repr_guard():
     assert "0.5" in em._token_percentiles_oracle()
     with pytest.raises(ValueError):
         em._token_percentiles_oracle(ps=(1 / 3,))
+
+
+def _random_texts(rng: random.Random, n: int, max_words: int = 25):
+    vocab = [f"tok{j}" for j in range(40)]
+    return [
+        (i, " ".join(rng.choice(vocab)
+                     for _ in range(rng.randint(1, max_words))))
+        for i in range(n)
+    ]
+
+
+def test_winnow_w_k_parity_randomized(spark, duck):
+    """Random winnowing geometries (k-shingle size × window w),
+    including w=1 (every shingle selected) and documents shorter than
+    one window (the single-window degenerate case) — window-minimum
+    selection drifts are off-by-one shaped, exactly what random
+    geometry sweeps catch."""
+    from flink_streaming_2_10_spark.pipeline.winnow import (
+        winnow_fingerprints,
+        winnow_fingerprints_oracle,
+    )
+
+    rng = random.Random(2323)
+    for trial in range(6):
+        k = rng.randint(1, 5)
+        w = rng.randint(1, 7)
+        texts = _random_texts(rng, rng.randint(10, 40))
+        df = spark.createDataFrame(texts, ["doc_id", "text"])
+        out = winnow_fingerprints(df, k=k, w=w)
+        values = ", ".join(f"({i}, '{t}')" for i, t in texts)
+        table = f"(SELECT * FROM (VALUES {values}) AS t(doc_id, text))"
+        assert_df_matches_oracle(
+            out, duck, winnow_fingerprints_oracle(k=k, w=w, table=table)
+        )
+
+
+def test_chunking_size_stride_parity_randomized(spark, duck):
+    """Random chunk sizes and strides — stride == size (disjoint),
+    stride > size would skip tokens (excluded by the operator's guard,
+    if any, else exercised), tiny strides (heavy overlap), and last
+    chunks shorter than chunk_size — pure integer arithmetic that must
+    agree to the row."""
+    from flink_streaming_2_10_spark.pipeline.chunking import (
+        chunk_documents,
+        chunk_documents_oracle,
+    )
+
+    rng = random.Random(3434)
+    for trial in range(6):
+        chunk_size = rng.randint(2, 12)
+        stride = rng.randint(1, chunk_size)
+        texts = _random_texts(rng, rng.randint(10, 40), max_words=40)
+        df = spark.createDataFrame(texts, ["doc_id", "text"])
+        out = chunk_documents(df, chunk_size=chunk_size, stride=stride)
+        values = ", ".join(f"({i}, '{t}')" for i, t in texts)
+        table = f"(SELECT * FROM (VALUES {values}) AS t(doc_id, text))"
+        assert_df_matches_oracle(
+            out, duck,
+            chunk_documents_oracle(
+                chunk_size=chunk_size, stride=stride, table=table
+            ),
+        )
