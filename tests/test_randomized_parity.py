@@ -495,3 +495,76 @@ def test_chunking_size_stride_parity_randomized(spark, duck):
                 chunk_size=chunk_size, stride=stride, table=table
             ),
         )
+
+
+def test_packing_budget_parity_randomized(spark, duck):
+    """Random token budgets and shard counts: the running-sum chunk
+    assignment is integer arithmetic whose off-by-one shapes (a doc
+    exactly filling the budget, a doc longer than the budget) only
+    random sweeps reliably hit."""
+    from flink_streaming_2_10_spark.pipeline.packing import (
+        pack_chunks_oracle,
+        pack_concat_chunks,
+    )
+
+    rng = random.Random(4545)
+    for trial in range(6):
+        budget = rng.choice([4, 9, 17, 64])
+        num_shards = rng.choice([1, 2, 5])
+        texts = _random_texts(rng, rng.randint(10, 50), max_words=30)
+        df = spark.createDataFrame(texts, ["doc_id", "text"])
+        out = pack_concat_chunks(df, budget=budget, num_shards=num_shards)
+        values = ", ".join(f"({i}, '{t}')" for i, t in texts)
+        table = f"(SELECT * FROM (VALUES {values}) AS t(doc_id, text))"
+        assert_df_matches_oracle(
+            out, duck,
+            pack_chunks_oracle(
+                budget=budget, num_shards=num_shards, table=table
+            ),
+        )
+
+
+def test_hypertable_tier_widths_parity_randomized(spark, duck):
+    """Random tier chains (each width a random multiple of the previous)
+    over random integer-unit events: every tier must agree with a direct
+    from-raw aggregation at that granularity — the rollup-from-partials
+    optimization must be invisible in the results."""
+    from flink_streaming_2_10_spark.operators.windows import (
+        hypertable_rollup,
+    )
+
+    rng = random.Random(5656)
+    for trial in range(5):
+        base = rng.choice([700, 1000, 3600])
+        widths = [base]
+        for _ in range(rng.randint(1, 2)):
+            widths.append(widths[-1] * rng.randint(2, 5))
+        tiers = [(f"t{j}", w) for j, w in enumerate(widths)]
+        rows = [
+            (
+                rng.choice(["a", "b"]),
+                rng.randint(0, 400_000),
+                rng.randint(-50, 200),
+            )
+            for _ in range(rng.randint(40, 120))
+        ]
+        ev = spark.createDataFrame(rows, ["event_type", "ms", "vc"]).select(
+            "event_type",
+            F.timestamp_millis(F.col("ms")).alias("ts"),
+            "vc",
+        )
+        out = hypertable_rollup(
+            ev, keys=["event_type"], value_c_col="vc", tiers=tiers
+        )
+        values = ", ".join(f"('{e}', {m}, {v})" for e, m, v in rows)
+        per_tier = "\n            UNION ALL ".join(
+            f"""SELECT '{label}' AS granularity,
+                       (ms // {w}) * {w} AS window_start_ms,
+                       event_type,
+                       CAST(count(*) AS BIGINT) AS cnt,
+                       CAST(sum(vc) AS BIGINT) AS value_c_sum
+                FROM (VALUES {values}) AS t(event_type, ms, vc)
+                GROUP BY 1, 2, 3"""
+            for label, w in tiers
+        )
+        assert_df_matches_oracle(out, duck, per_tier)
