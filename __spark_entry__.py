@@ -4957,14 +4957,17 @@ def oracle_sql() -> dict[str, str]:
             FROM d
         """,
         "session_window_agg": """
-            WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
-            m AS (SELECT user_id, ts,
+            WITH e AS (SELECT user_id, event_id,
+                              CAST(ts AS TIMESTAMP) AS ts FROM events),
+            m AS (SELECT user_id, event_id, ts,
                          CASE WHEN lag(ts) OVER w IS NULL
-                                   OR ts - lag(ts) OVER w >= INTERVAL 5 MINUTE
+                                   OR ts - lag(ts) OVER w > INTERVAL 5 MINUTE
                               THEN 1 ELSE 0 END AS ns
-                  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+                  FROM e
+                  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
             s AS (SELECT user_id, ts,
-                         sum(ns) OVER (PARTITION BY user_id ORDER BY ts
+                         sum(ns) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id
                                        ROWS UNBOUNDED PRECEDING) AS sid
                   FROM m)
             SELECT epoch_ms(min(ts)) AS session_start,

@@ -259,11 +259,10 @@ def sessionize(
     Flink's ``EventTimeSessionWindows.withGap`` assigns [t, t+gap) per
     event and ``TimeWindow.intersects`` is INCLUSIVE
     (``start <= other.end && end >= other.start``), so abutting windows
-    merge — reference parity. NOTE this differs from Spark's built-in
-    ``session_window`` (used by operators/windows.py
-    ``session_window_agg``), which starts a new session at a delta of
-    exactly ``gap``; that divergence is documented there, not claimed
-    away here.
+    merge — reference parity. Spark's built-in ``session_window`` (used
+    by operators/windows.py ``session_window_agg``) merges the exact-gap
+    boundary the same way on Spark 4.1.2 (verified by the r15
+    randomized gap sweep — an earlier note here claimed it diverged).
 
     The event-level face of session windows (operators/windows.py
     ``session_window_agg`` aggregates; this LABELS, so downstream can

@@ -80,16 +80,19 @@ def session_window_agg(
 ) -> DataFrame:
     """A9 (stretch, pom-implied): session windows with a fixed inactivity
     gap; window end = last event + gap (Spark ``session_window``
-    semantics). BOUNDARY DIVERGENCE from Flink: Spark's session window
-    is half-open [start, last+gap), so an event arriving at a delta of
-    exactly ``gap`` starts a NEW session; Flink's
-    ``EventTimeSessionWindows.withGap`` merges abutting windows
-    (``TimeWindow.intersects`` is inclusive), keeping it in-session.
-    The event-labeling faces (``operators.temporal.sessionize``,
-    ``streaming.runners.sessionize_stream``) implement the Flink
-    semantics; this aggregation face keeps Spark-native semantics for
-    watermark/merge support, with the exact-gap boundary difference
-    stated here rather than claimed away."""
+    semantics). Exact-gap boundary: an event arriving at a delta of
+    EXACTLY ``gap`` stays in-session — Spark's session merge treats the
+    abutting window inclusively (verified empirically on Spark 4.1.2 and
+    pinned at randomized gaps in tests/test_randomized_parity.py),
+    matching Flink's ``EventTimeSessionWindows.withGap``
+    (``TimeWindow.intersects`` is inclusive) and the event-labeling
+    faces (``operators.temporal.sessionize``,
+    ``streaming.runners.sessionize_stream``), which start a new session
+    only when the delta EXCEEDS the gap. An earlier revision of this
+    docstring claimed Spark was half-open-exclusive at the boundary;
+    the r15 randomized gap sweep disproved that and caught the oracle
+    carrying the same wrong assumption (latent only — real event data
+    never lands an exact-gap delta)."""
     agged = (
         with_event_time(df, ts_col, delay)
         .groupBy(F.session_window(F.col(ts_col), gap), *[F.col(k) for k in keys])

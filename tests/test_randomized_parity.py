@@ -568,3 +568,68 @@ def test_hypertable_tier_widths_parity_randomized(spark, duck):
             for label, w in tiers
         )
         assert_df_matches_oracle(out, duck, per_tier)
+
+
+def test_session_window_gap_parity_randomized(spark, duck):
+    """Random session gaps with deltas engineered exactly ON and one
+    past the gap: Spark's session_window MERGES the exact-gap boundary
+    (delta == gap stays in-session, matching Flink's inclusive
+    intersects) — this sweep is what disproved the docstring's earlier
+    half-open claim and caught the registry oracle's latent `>=` (r15).
+    Oracle: new session only when delta EXCEEDS the gap; session_start
+    = min ts, session_end = max ts + gap, per (key, session)."""
+    from flink_streaming_2_10_spark.operators.windows import (
+        session_window_agg,
+    )
+
+    rng = random.Random(6767)
+    for trial in range(6):
+        gap = rng.choice([3, 10, 47, 500])  # ms
+        rows = []
+        t = 0
+        for i in range(rng.randint(20, 70)):
+            step = rng.choice([0, 1, gap - 1, gap, gap + 1, 4 * gap])
+            t += step
+            rows.append((i, rng.choice(["a", "b"]), t, rng.randint(1, 9)))
+        ev = spark.createDataFrame(
+            rows, ["idx", "event_type", "ms", "v"]
+        ).select(
+            "event_type",
+            F.timestamp_millis(F.col("ms")).alias("ts"),
+            "v",
+        )
+        out = session_window_agg(
+            ev,
+            keys=["event_type"],
+            aggs=[
+                F.count(F.lit(1)).alias("cnt"),
+                F.sum("v").alias("v_sum"),
+            ],
+            gap=f"{gap} milliseconds",
+        )
+        # idx is the deterministic tiebreak for duplicate (key, ms) rows:
+        # without it the lag window and the running-sum window can order
+        # ties differently and split a tied row into the wrong session
+        values = ", ".join(f"({i}, '{e}', {m}, {v})" for i, e, m, v in rows)
+        oracle = f"""
+            WITH v AS (SELECT * FROM (VALUES {values})
+                       AS t(idx, event_type, ms, v)),
+            d AS (SELECT *,
+                         CASE WHEN lag(ms) OVER w IS NULL
+                                   OR ms - lag(ms) OVER w > {gap}
+                              THEN 1 ELSE 0 END AS is_new
+                  FROM v
+                  WINDOW w AS (PARTITION BY event_type ORDER BY ms, idx)),
+            s AS (SELECT *,
+                         sum(is_new) OVER (PARTITION BY event_type
+                                           ORDER BY ms, idx
+                                           ROWS UNBOUNDED PRECEDING) AS sid
+                  FROM d)
+            SELECT min(ms) AS session_start,
+                   max(ms) + {gap} AS session_end,
+                   event_type,
+                   CAST(count(*) AS BIGINT) AS cnt,
+                   CAST(sum(v) AS BIGINT) AS v_sum
+            FROM s GROUP BY event_type, sid
+        """
+        assert_df_matches_oracle(out, duck, oracle)
