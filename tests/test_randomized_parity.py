@@ -633,3 +633,41 @@ def test_session_window_gap_parity_randomized(spark, duck):
             FROM s GROUP BY event_type, sid
         """
         assert_df_matches_oracle(out, duck, oracle)
+
+
+def test_topspeed_trigger_eviction_parity_randomized(spark, duck):
+    """Random DeltaTrigger thresholds, TimeEvictor horizons, and car
+    counts for the A6 replay against the recursive-CTE fire-chain
+    oracle — the most stateful operator in the repo, swept across
+    geometries instead of the single shipped (4, 50 m, 10 s) point.
+    Trigger values are exact-representable shorts (halves/quarters) so
+    the sweep exercises the fire chain and eviction cutoffs, not the
+    DECIMAL literal-parse class (covered elsewhere)."""
+    import __spark_entry__ as em
+    from flink_streaming_2_10_spark.catalog import load_table
+    from flink_streaming_2_10_spark.operators.topspeed import (
+        top_speed_windowing,
+    )
+    from flink_streaming_2_10_spark.sources.generators import (
+        car_events_from_events,
+    )
+    from tests.conftest import SF_SMALL
+
+    rng = random.Random(1919)
+    ev = load_table(spark, SF_SMALL, "events")
+    for trial in range(3):
+        num_cars = rng.choice([2, 3, 5])
+        trigger = rng.choice([12.5, 37.25, 80.0])
+        eviction = rng.choice([3, 10, 30])
+        cars = car_events_from_events(ev, num_cars=num_cars)
+        out = top_speed_windowing(
+            cars, trigger_meters=trigger, eviction_sec=eviction
+        )
+        assert_df_matches_oracle(
+            out, duck,
+            em._topspeed_oracle(
+                num_cars=num_cars,
+                trigger_meters=trigger,
+                eviction_sec=eviction,
+            ),
+        )
