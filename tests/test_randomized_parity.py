@@ -671,3 +671,39 @@ def test_topspeed_trigger_eviction_parity_randomized(spark, duck):
                 eviction_sec=eviction,
             ),
         )
+
+
+def test_bpe_merges_parity_randomized(spark):
+    """Random merge counts over corpora built from a tiny alphabet with
+    repeated patterns, so pair counts TIE constantly — the deterministic
+    argmax tie-break (count DESC, left ASC, right ASC) and the
+    greedy-left application must agree round-for-round; any drift
+    compounds through later rounds and shows as a different merge
+    table."""
+    from __spark_entry__ import _bpe_oracle
+    from flink_streaming_2_10_spark.pipeline.bpe import (
+        train_bpe_merges,
+        word_counts,
+    )
+
+    rng = random.Random(2020)
+    for trial in range(4):
+        n_merges = rng.randint(3, 10)
+        alphabet = "abcd"
+        texts = []
+        for i in range(rng.randint(10, 30)):
+            words = [
+                "".join(rng.choice(alphabet)
+                        for _ in range(rng.randint(1, 6)))
+                for _ in range(rng.randint(2, 8))
+            ]
+            texts.append((i, " ".join(words)))
+        df = spark.createDataFrame(texts, ["doc_id", "text"])
+        out = train_bpe_merges(word_counts(df), n_merges=n_merges)
+        con = duckdb.connect()
+        values = ", ".join(f"({i}, '{t}')" for i, t in texts)
+        con.sql(
+            f"CREATE VIEW documents AS "
+            f"SELECT * FROM (VALUES {values}) AS t(doc_id, text)"
+        )
+        assert_df_matches_oracle(out, con, _bpe_oracle(n_merges=n_merges))
