@@ -3584,7 +3584,7 @@ def _dsir_resample_oracle(
         FROM base b, mx
         WHERE mx.m > 0
           AND CAST(({key} // 256) AS DOUBLE) <
-              b.dsir_score / mx.m * {float(scale)} * {float(1 << 52)}"""
+              b.dsir_score / mx.m * {_exact_double_repr(scale, 'scale')} * {float(1 << 52)}"""
 
 
 def _curated_quality_oracle(
@@ -3612,7 +3612,7 @@ def _curated_quality_oracle(
         JOIN enriched e USING (doc_id), mx
         WHERE mx.m > 0
           AND CAST(({key} // 256) AS DOUBLE) <
-              b.dsir_score / mx.m * {float(scale)} * {float(1 << 52)}"""
+              b.dsir_score / mx.m * {_exact_double_repr(scale, 'scale')} * {float(1 << 52)}"""
 
 
 def _bitext_mutual_oracle(group_a: int = 0, group_b: int = 1) -> str:

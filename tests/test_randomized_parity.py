@@ -707,3 +707,44 @@ def test_bpe_merges_parity_randomized(spark):
             f"SELECT * FROM (VALUES {values}) AS t(doc_id, text)"
         )
         assert_df_matches_oracle(out, con, _bpe_oracle(n_merges=n_merges))
+
+
+def test_importance_resample_scale_parity_randomized(spark, duck):
+    """Random resampling scales — including full-17-digit awkward values
+    rendered via duckdb_double_lit in the test oracle — over random
+    integer scores: the 52-bit acceptance test (u < score/max · scale ·
+    2^52) must select identical rows in both engines; the rhs evaluation
+    order is part of the contract."""
+    from flink_streaming_2_10_spark.pipeline.dsir import importance_resample
+    from flink_streaming_2_10_spark.pipeline.sampling import (
+        duckdb_double_lit,
+    )
+    from flink_streaming_2_10_spark.pipeline.dedup import duckdb_hash60_sql
+
+    rng = random.Random(2121)
+    for trial in range(6):
+        scale = rng.choice([0.5, 1.0, 3 / 7, 5 / 13, 0.9, 2 / 9])
+        rows = [
+            (i, rng.randint(1, 1000)) for i in range(rng.randint(20, 120))
+        ]
+        df = spark.createDataFrame(rows, ["doc_id", "score"]).select(
+            "doc_id", F.col("score").cast("double").alias("dsir_score")
+        )
+        out = importance_resample(
+            df, scale=scale, salt=f"rs{trial}"
+        ).select("doc_id", "dsir_score")
+        values = ", ".join(f"({i}, {s})" for i, s in rows)
+        key = duckdb_hash60_sql(f"'rs{trial}:' || CAST(doc_id AS VARCHAR)")
+        oracle = f"""
+            WITH base AS (SELECT doc_id,
+                                 CAST(score AS DOUBLE) AS dsir_score
+                          FROM (VALUES {values}) AS t(doc_id, score)),
+            mx AS (SELECT max(dsir_score) AS m FROM base)
+            SELECT b.doc_id, b.dsir_score
+            FROM base b, mx
+            WHERE mx.m > 0
+              AND CAST(({key} // 256) AS DOUBLE) <
+                  b.dsir_score / mx.m * {duckdb_double_lit(scale)}
+                  * {float(1 << 52)!r}
+        """
+        assert_df_matches_oracle(out, duck, oracle)
