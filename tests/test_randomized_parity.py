@@ -748,3 +748,83 @@ def test_importance_resample_scale_parity_randomized(spark, duck):
                   * {float(1 << 52)!r}
         """
         assert_df_matches_oracle(out, duck, oracle)
+
+
+def test_cm_sketch_geometry_parity_randomized(spark):
+    """Random CountMin geometries — deliberately NARROW widths (16-64)
+    so cells collide and the min-over-rows estimate genuinely exceeds
+    exact counts — against the identical-hash oracle: estimates must
+    hash-match cell-for-cell, and cm_est >= exact_cnt must hold."""
+    from flink_streaming_2_10_spark.pipeline.cmsketch import (
+        cm_audit_oracle_sql,
+        cm_frequency_audit,
+    )
+
+    rng = random.Random(3030)
+    for trial in range(4):
+        k = rng.randint(5, 15)
+        rows_n = rng.randint(2, 5)
+        width = rng.choice([16, 32, 64])
+        texts = _random_corpus(rng, rng.randint(15, 40))
+        df = spark.createDataFrame(texts, ["doc_id", "text"])
+        out = cm_frequency_audit(
+            df, k=k, rows=rows_n, width=width, hasher="md5"
+        )
+        got = out.collect()
+        assert got and all(r["cm_est"] >= r["exact_cnt"] for r in got)
+        con = duckdb.connect()
+        values = ", ".join(f"({i}, '{t}')" for i, t in texts)
+        con.sql(
+            f"CREATE VIEW documents AS "
+            f"SELECT * FROM (VALUES {values}) AS t(doc_id, text)"
+        )
+        assert_df_matches_oracle(
+            out, con, cm_audit_oracle_sql(k=k, rows=rows_n, width=width)
+        )
+
+
+def test_kmv_k_parity_randomized(spark, duck):
+    """Random KMV sketch sizes: the k affine-permutation minima pool
+    into ONE exact integer sum and ONE double division — the estimate
+    itself (a double) must hash-match, across groups whose cardinality
+    sits both below k (near-exact regime) and far above it."""
+    from flink_streaming_2_10_spark.pipeline.dedup import (
+        duckdb_hash60_sql,
+        minhash_perm_params,
+    )
+    from flink_streaming_2_10_spark.pipeline.sketches import (
+        kmv_distinct_estimate,
+    )
+
+    p = 2**31 - 1
+    rng = random.Random(4040)
+    for trial in range(4):
+        k = rng.choice([4, 8, 16, 32])
+        rows = [
+            (rng.choice(["g1", "g2"]), rng.randint(0, 5000))
+            for _ in range(rng.randint(50, 300))
+        ]
+        df = spark.createDataFrame(rows, ["grp", "val"])
+        out = kmv_distinct_estimate(
+            df, group_cols=["grp"], value_col="val", k=k, hasher="md5"
+        )
+        mins = ",\n".join(
+            f"min(({a} * h + {b}) % {p}) AS m{i}"
+            for i, (a, b) in enumerate(minhash_perm_params(k))
+        )
+        pooled = " + ".join(f"(m{i} + 1)" for i in range(k))
+        scale = float(k) * (p + 1)
+        values = ", ".join(f"('{g}', {v})" for g, v in rows)
+        oracle = f"""
+            WITH h AS (SELECT grp,
+                              {duckdb_hash60_sql("CAST(val AS VARCHAR)")} % {p}
+                                  AS h
+                       FROM (VALUES {values}) AS t(grp, val)),
+            m AS (SELECT grp, {mins} FROM h GROUP BY grp)
+            SELECT grp,
+                   {scale!r} / CAST({pooled} AS DOUBLE) - 1.0
+                       AS est_distinct,
+                   {k} AS k
+            FROM m
+        """
+        assert_df_matches_oracle(out, duck, oracle)
