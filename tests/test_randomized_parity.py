@@ -828,3 +828,33 @@ def test_kmv_k_parity_randomized(spark, duck):
             FROM m
         """
         assert_df_matches_oracle(out, duck, oracle)
+
+
+def test_textrank_rounds_parity_randomized(spark):
+    """Random PageRank round counts, top-k cuts, and edge-count prunes
+    over tie-heavy token graphs: every round is exact int64 arithmetic
+    with per-edge floor division, so ranks must match to the integer
+    after ANY number of rounds — compounding drift shows immediately."""
+    from __spark_entry__ import _textrank_oracle
+    from flink_streaming_2_10_spark.pipeline.textstats import (
+        textrank_keywords,
+    )
+
+    rng = random.Random(5050)
+    for trial in range(4):
+        iters = rng.randint(1, 4)
+        k = rng.randint(5, 25)
+        min_edge = rng.choice([1, 2, 3])
+        texts = _random_corpus(rng, rng.randint(12, 30))
+        df = spark.createDataFrame(texts, ["doc_id", "text"])
+        out = textrank_keywords(df, iters=iters, k=k, min_edge_count=min_edge)
+        con = duckdb.connect()
+        values = ", ".join(f"({i}, '{t}')" for i, t in texts)
+        con.sql(
+            f"CREATE VIEW documents AS "
+            f"SELECT * FROM (VALUES {values}) AS t(doc_id, text)"
+        )
+        assert_df_matches_oracle(
+            out, con,
+            _textrank_oracle(iters=iters, k=k, min_edge_count=min_edge),
+        )
