@@ -858,3 +858,35 @@ def test_textrank_rounds_parity_randomized(spark):
             out, con,
             _textrank_oracle(iters=iters, k=k, min_edge_count=min_edge),
         )
+
+
+def test_heavy_hitters_support_parity_randomized(spark):
+    """Random support denominators and sketch caps (cap >= denom, the MG
+    no-miss guarantee): the Misra-Gries candidate pass is sketch-
+    internal — the FINAL answer (every token above total/denom with
+    exact counts) must equal the direct frequency filter regardless of
+    cap, including caps barely above the denominator where the sketch
+    evicts aggressively."""
+    from __spark_entry__ import _heavy_hitter_oracle
+    from flink_streaming_2_10_spark.pipeline.heavyhitters import (
+        heavy_hitter_tokens,
+    )
+
+    rng = random.Random(6060)
+    for trial in range(4):
+        denom = rng.choice([5, 11, 29, 97])
+        cap = denom + rng.choice([0, 1, 50])
+        texts = _random_corpus(rng, rng.randint(15, 40))
+        df = spark.createDataFrame(texts, ["doc_id", "text"])
+        out = heavy_hitter_tokens(
+            df, support_denom=denom, sketch_cap=cap
+        )
+        con = duckdb.connect()
+        values = ", ".join(f"({i}, '{t}')" for i, t in texts)
+        con.sql(
+            f"CREATE VIEW documents AS "
+            f"SELECT * FROM (VALUES {values}) AS t(doc_id, text)"
+        )
+        assert_df_matches_oracle(
+            out, con, _heavy_hitter_oracle(support_denom=denom)
+        )
