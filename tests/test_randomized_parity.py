@@ -890,3 +890,60 @@ def test_heavy_hitters_support_parity_randomized(spark):
         assert_df_matches_oracle(
             out, con, _heavy_hitter_oracle(support_denom=denom)
         )
+
+
+def test_decontamination_n_minhits_parity_randomized(spark):
+    """Random gram widths, hit thresholds, and benchmark modulos: the
+    contamination audit is a distinct-gram semi-join whose counts must
+    match exactly — including documents shorter than the gram width
+    (total_ngrams 0, never contaminated) and min_hits above any
+    attainable count."""
+    from __spark_entry__ import _decontamination_oracle
+    from flink_streaming_2_10_spark.pipeline.decontamination import (
+        decontaminate,
+    )
+
+    rng = random.Random(7070)
+    for trial in range(4):
+        n = rng.randint(1, 4)
+        min_hits = rng.choice([1, 2, 5])
+        modulo = rng.choice([3, 5, 7])
+        texts = _random_corpus(rng, rng.randint(15, 40))
+        df = spark.createDataFrame(texts, ["doc_id", "text"])
+        benchmark = df.filter(F.col("doc_id") % modulo == 0)
+        out = decontaminate(
+            df, benchmark, n=n, min_hits=min_hits, hasher="md5"
+        )
+        con = duckdb.connect()
+        values = ", ".join(f"({i}, '{t}')" for i, t in texts)
+        con.sql(
+            f"CREATE VIEW documents AS "
+            f"SELECT * FROM (VALUES {values}) AS t(doc_id, text)"
+        )
+        assert_df_matches_oracle(
+            out, con,
+            _decontamination_oracle(n=n, min_hits=min_hits, modulo=modulo),
+        )
+
+
+def test_tfidf_topk_parity_randomized(spark):
+    """Random per-document top-k cuts over tie-heavy vocabularies: the
+    score is one exact-long multiply and ONE double division, and the
+    row_number tie-break (score DESC, token ASC) must cut identically
+    at every k."""
+    from __spark_entry__ import _tfidf_oracle
+    from flink_streaming_2_10_spark.pipeline.tfidf import tfidf_top_terms
+
+    rng = random.Random(8080)
+    for trial in range(4):
+        k = rng.randint(1, 8)
+        texts = _random_corpus(rng, rng.randint(12, 35))
+        df = spark.createDataFrame(texts, ["doc_id", "text"])
+        out = tfidf_top_terms(df, k=k)
+        con = duckdb.connect()
+        values = ", ".join(f"({i}, '{t}')" for i, t in texts)
+        con.sql(
+            f"CREATE VIEW documents AS "
+            f"SELECT * FROM (VALUES {values}) AS t(doc_id, text)"
+        )
+        assert_df_matches_oracle(out, con, _tfidf_oracle(k=k))
