@@ -947,3 +947,77 @@ def test_tfidf_topk_parity_randomized(spark):
             f"SELECT * FROM (VALUES {values}) AS t(doc_id, text)"
         )
         assert_df_matches_oracle(out, con, _tfidf_oracle(k=k))
+
+
+def test_simhash_geometry_parity_randomized(spark):
+    """Random SimHash geometries (bit widths, chunk counts, hamming
+    thresholds with chunks > max_hamming — the pigeonhole guarantee)
+    over near-dup families: fingerprints, the chunk-join candidate
+    surface, the hamming verify, and the identical-fingerprint star
+    re-expansion must all agree."""
+    from __spark_entry__ import _simhash_oracle
+    from flink_streaming_2_10_spark.pipeline.dedup import (
+        simhash_fingerprints,
+        simhash_neardup_pairs,
+    )
+
+    rng = random.Random(9090)
+    for trial in range(4):
+        bits = rng.choice([16, 32, 60])
+        max_hamming = rng.randint(1, 3)
+        chunks = max_hamming + rng.randint(1, 2)
+        shingle_n = rng.randint(1, 3)
+        vocab = [f"w{j}" for j in range(25)]
+        texts, did = [], 0
+        for fam in range(3):
+            base = [rng.choice(vocab) for _ in range(rng.randint(6, 12))]
+            for _ in range(rng.randint(2, 4)):
+                words = list(base)
+                for _ in range(rng.randint(0, 2)):
+                    words[rng.randrange(len(words))] = rng.choice(vocab)
+                texts.append((did, " ".join(words)))
+                did += 1
+        df = spark.createDataFrame(texts, ["doc_id", "text"])
+        fps = simhash_fingerprints(
+            df, bits=bits, hasher="md5", shingle_n=shingle_n
+        )
+        out = simhash_neardup_pairs(
+            fps, max_hamming=max_hamming, chunks=chunks, bits=bits
+        )
+        con = duckdb.connect()
+        values = ", ".join(f"({i}, '{t}')" for i, t in texts)
+        con.sql(
+            f"CREATE VIEW documents AS "
+            f"SELECT * FROM (VALUES {values}) AS t(doc_id, text)"
+        )
+        assert_df_matches_oracle(
+            out, con,
+            _simhash_oracle(
+                bits=bits, max_hamming=max_hamming,
+                chunks=chunks, shingle_n=shingle_n,
+            ),
+        )
+
+
+def test_kmeans_k_rounds_parity_randomized(spark, duck):
+    """Random cluster counts and Lloyd round counts over the real
+    embeddings table: quantization, exact-integer distances, the
+    (distance, cluster-id) argmin tie-break, and the floor-division
+    centroid update must agree round-for-round — assignment drift in
+    any round changes every later round."""
+    from __spark_entry__ import _kmeans_oracle
+    from flink_streaming_2_10_spark.catalog import load_table
+    from flink_streaming_2_10_spark.pipeline.clustering import (
+        kmeans_fixed_point,
+    )
+    from tests.conftest import SF_SMALL
+
+    rng = random.Random(1010)
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    for trial in range(3):
+        k = rng.choice([2, 3, 6])
+        rounds = rng.randint(1, 3)
+        out = kmeans_fixed_point(emb, k=k, rounds=rounds)
+        assert_df_matches_oracle(
+            out, duck, _kmeans_oracle(k=k, rounds=rounds)
+        )
