@@ -1021,3 +1021,64 @@ def test_kmeans_k_rounds_parity_randomized(spark, duck):
         assert_df_matches_oracle(
             out, duck, _kmeans_oracle(k=k, rounds=rounds)
         )
+
+
+def test_segment_strip_min_count_parity_randomized(spark):
+    """Random census thresholds over tie-heavy token corpora: the
+    keep-first strip (globally smallest (doc_id, pos) survives, every
+    other occurrence of a >= min_count segment drops) must agree on
+    rewritten text exactly — keeper selection is where engines could
+    drift on ordering."""
+    from __spark_entry__ import _segment_dedup_oracle
+    from flink_streaming_2_10_spark.pipeline.segdedup import (
+        strip_repeated_segments,
+    )
+
+    rng = random.Random(1112)
+    for trial in range(4):
+        min_count = rng.randint(2, 6)
+        texts = _random_corpus(rng, rng.randint(15, 40))
+        df = spark.createDataFrame(texts, ["doc_id", "text"])
+        out = strip_repeated_segments(
+            df,
+            delimiter="[ \\t\\n\\x0B\\f\\r]+",
+            joiner=" ",
+            min_count=min_count,
+            keep="first",
+            hasher="md5",
+        )
+        con = duckdb.connect()
+        values = ", ".join(f"({i}, '{t}')" for i, t in texts)
+        con.sql(
+            f"CREATE VIEW documents AS "
+            f"SELECT * FROM (VALUES {values}) AS t(doc_id, text)"
+        )
+        assert_df_matches_oracle(
+            out, con, _segment_dedup_oracle(min_count=min_count)
+        )
+
+
+def test_collocations_min_count_k_parity_randomized(spark):
+    """Random noise-prune thresholds and top-k cuts: the PMI lift is a
+    fixed-order chain of exact-long divisions (deliberately no log),
+    so lift values and the (lift DESC, w1, w2) cut must hash-match at
+    every (min_count, k)."""
+    from __spark_entry__ import _collocations_oracle
+    from flink_streaming_2_10_spark.pipeline.textstats import collocations
+
+    rng = random.Random(1314)
+    for trial in range(4):
+        min_count = rng.randint(1, 4)
+        k = rng.randint(3, 20)
+        texts = _random_corpus(rng, rng.randint(15, 40))
+        df = spark.createDataFrame(texts, ["doc_id", "text"])
+        out = collocations(df, min_count=min_count, k=k)
+        con = duckdb.connect()
+        values = ", ".join(f"({i}, '{t}')" for i, t in texts)
+        con.sql(
+            f"CREATE VIEW documents AS "
+            f"SELECT * FROM (VALUES {values}) AS t(doc_id, text)"
+        )
+        assert_df_matches_oracle(
+            out, con, _collocations_oracle(min_count=min_count, k=k)
+        )
