@@ -157,14 +157,21 @@ def _auto_compact_index_table(
     ``_g2`` has its first compaction written to ``..._g2_g1``, never to
     the colliding sibling ``..._g3``. Tables compacted by a pre-r15
     build (lineage recorded, no generation property) fall back to the
-    old suffix parse — their suffix was written by this module."""
+    old suffix parse — but only when the parsed chain is corroborated
+    by the recorded lineage (the previous generation's path appears in
+    PREV_PATHS_PROP); a MANUAL ``compact_bucketed_table`` call to a
+    user path that merely ends in ``_gN`` records lineage too, and
+    trusting its suffix would misderive the base and jump the counter
+    to N+1 — such tables restart as a fresh base at generation 1."""
     import re
 
     from flink_streaming_2_10_spark.pipeline.writer import (
         BASE_PATH_PROP,
         GENERATION_PROP,
         PREV_PATHS_PROP,
+        _decode_prev_paths,
         _norm_location,
+        _sql_str_lit,
         _table_location,
         _table_properties,
         compact_bucketed_table,
@@ -180,16 +187,38 @@ def _auto_compact_index_table(
     if base and gen_raw is not None:
         nxt = int(gen_raw) + 1
     elif props.get(PREV_PATHS_PROP):
-        # legacy (pre-r15) compacted table: its _g suffix is ours
+        # Legacy (pre-r15) AUTO-compacted table: lineage recorded but no
+        # generation counter — its _g suffix was written by this module,
+        # so the suffix parse recovers base and counter. Guard: lineage
+        # can also exist after a MANUAL compact_bucketed_table call to
+        # an arbitrary user path that merely ENDS in _gN; trusting that
+        # suffix would misderive base and jump the counter to N+1. The
+        # suffix is ours only if the generation chain is actually in the
+        # recorded lineage: the previous generation's path (base for
+        # N=1, base_g{N-1} otherwise) must appear in PREV_PATHS_PROP.
+        recorded = {
+            _norm_location(p)
+            for p in _decode_prev_paths(props.get(PREV_PATHS_PROP, ""))
+        }
         m = re.search(r"_g(\d+)$", old)
-        nxt = int(m.group(1)) + 1 if m else 1
-        base = re.sub(r"_g\d+$", "", old)
+        if m:
+            n = int(m.group(1))
+            cand_base = old[: m.start()]
+            prev_gen = cand_base if n == 1 else f"{cand_base}_g{n - 1}"
+            if _norm_location(prev_gen) in recorded:
+                nxt, base = n + 1, cand_base
+            else:
+                # manual compaction to a coincidental _gN path: treat
+                # the current location as a fresh base
+                nxt, base = 1, old
+        else:
+            nxt, base = 1, old
     else:
         # never compacted: the current location IS the base, verbatim
         nxt, base = 1, old
     new = f"{base}_g{nxt}"
     compact_bucketed_table(spark, table, old, new, bucket_col, num_buckets)
-    esc = base.replace("'", "''")
+    esc = _sql_str_lit(base)
     spark.sql(
         f"ALTER TABLE {table} SET TBLPROPERTIES "
         f"('{GENERATION_PROP}' = '{nxt}', '{BASE_PATH_PROP}' = '{esc}')"

@@ -176,6 +176,20 @@ def _encode_prev_paths(paths: list[str]) -> str:
     return json.dumps(paths)
 
 
+def _sql_str_lit(value: str) -> str:
+    """Escape ``value`` for interpolation into a single-quoted Spark SQL
+    string literal. Spark SQL processes BACKSLASH escapes inside string
+    literals by default (``spark.sql.parser.escapedStringLiterals`` is
+    false → C-style escapes), so doubling single quotes alone is NOT
+    enough: a path containing ``\\`` or a JSON-encoded ``\\"`` reaches
+    the property store corrupted (the backslash is consumed as an
+    escape prefix), silently breaking the lossless-lineage round trip.
+    Backslashes must be doubled FIRST, then single quotes — the reverse
+    order would double the backslashes that quote-doubling introduces
+    (it introduces none, but the ordering invariant is the point)."""
+    return value.replace("\\", "\\\\").replace("'", "''")
+
+
 def _norm_location(p: str) -> str:
     """Normalize a table location / path for equality: strip a file:
     scheme and trailing slashes (Spark reports catalog locations as
@@ -296,9 +310,11 @@ def compact_bucketed_table(
         bucket_col=bucket_col, num_buckets=num_buckets,
         sort_col=sort_col, mode="overwrite",
     )
-    # JSON array, single quotes doubled for the SQL string literal —
-    # lossless for paths containing commas or quotes.
-    lineage = _encode_prev_paths(prev).replace("'", "''")
+    # JSON array escaped for the SQL string literal (backslashes AND
+    # single quotes — Spark SQL C-style escape processing would
+    # otherwise corrupt JSON's \" sequences) — lossless for paths
+    # containing commas, quotes, or backslashes.
+    lineage = _sql_str_lit(_encode_prev_paths(prev))
     spark.sql(
         f"ALTER TABLE {table} SET TBLPROPERTIES "
         f"('{PREV_PATHS_PROP}' = '{lineage}')"

@@ -965,6 +965,90 @@ def test_auto_compaction_generation_tracked_in_properties(spark, tmp_path):
         spark.sql("DROP TABLE IF EXISTS bt_gprop")
 
 
+def test_manual_compaction_gN_path_not_mistaken_for_legacy(spark, tmp_path):
+    """A MANUAL compact_bucketed_table call records lineage but no
+    generation counter — if the user-chosen new path merely ends in
+    ``_gN``, the legacy-fallback suffix parse must NOT claim it (that
+    would misderive the base and jump the counter to N+1). The gate:
+    the suffix is ours only when the previous generation's path is in
+    the recorded lineage; otherwise the table restarts as a fresh base
+    at generation 1. Regression for the r15 ADVICE finding
+    (neardup_index.py legacy fallback)."""
+    from flink_streaming_2_10_spark.pipeline.neardup_index import (
+        _auto_compact_index_table,
+    )
+    from flink_streaming_2_10_spark.pipeline.writer import (
+        BASE_PATH_PROP,
+        GENERATION_PROP,
+        _norm_location,
+        _table_location,
+        _table_properties,
+        compact_bucketed_table,
+        write_bucketed_table,
+    )
+
+    p0 = str(tmp_path / "plain_root")
+    manual = str(tmp_path / "archive_g7")  # user path, coincidental _gN
+    df = spark.createDataFrame([(i, i) for i in range(12)], ["doc_id", "v"])
+    try:
+        write_bucketed_table(df, "bt_manual", p0, "doc_id", 2)
+        # manual compaction: lineage = [p0], no GENERATION_PROP
+        compact_bucketed_table(spark, "bt_manual", p0, manual, "doc_id", 2)
+        props = _table_properties(spark, "bt_manual")
+        assert GENERATION_PROP not in props
+        _auto_compact_index_table(spark, "bt_manual", "doc_id", 2)
+        loc = _norm_location(_table_location(spark, "bt_manual"))
+        # fresh base at generation 1 — NOT .../archive_g8
+        assert loc == f"{manual}_g1", loc
+        props = _table_properties(spark, "bt_manual")
+        assert props[GENERATION_PROP] == "1"
+        assert props[BASE_PATH_PROP] == manual
+        assert spark.table("bt_manual").count() == 12
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bt_manual")
+
+
+def test_legacy_auto_compacted_suffix_still_recovered(spark, tmp_path):
+    """The pre-r15 legacy fallback still works WHEN the suffix really is
+    ours: a table whose lineage contains the previous generation's path
+    (here base → base_g1, lineage [base]) has its next auto-compaction
+    continue the chain at base_g2 with the counter landing on 2 — the
+    corroboration gate must not break genuine legacy tables."""
+    from flink_streaming_2_10_spark.pipeline.neardup_index import (
+        _auto_compact_index_table,
+    )
+    from flink_streaming_2_10_spark.pipeline.writer import (
+        BASE_PATH_PROP,
+        GENERATION_PROP,
+        _norm_location,
+        _table_location,
+        _table_properties,
+        compact_bucketed_table,
+        write_bucketed_table,
+    )
+
+    base = str(tmp_path / "legacy_root")
+    df = spark.createDataFrame([(i, i) for i in range(12)], ["doc_id", "v"])
+    try:
+        write_bucketed_table(df, "bt_legacy", base, "doc_id", 2)
+        # replicate a pre-r15 auto-compaction: old → base_g1, lineage
+        # records [base], no generation property
+        compact_bucketed_table(
+            spark, "bt_legacy", base, f"{base}_g1", "doc_id", 2
+        )
+        props = _table_properties(spark, "bt_legacy")
+        assert GENERATION_PROP not in props
+        _auto_compact_index_table(spark, "bt_legacy", "doc_id", 2)
+        loc = _norm_location(_table_location(spark, "bt_legacy"))
+        assert loc == f"{base}_g2", loc  # chain continues, no restart
+        props = _table_properties(spark, "bt_legacy")
+        assert props[GENERATION_PROP] == "2"
+        assert props[BASE_PATH_PROP] == base
+        assert spark.table("bt_legacy").count() == 12
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bt_legacy")
+
+
 def test_media_ingest_auto_compaction_preserves_flags(spark, tmp_path):
     """compact_every=1 on the media ingest face: the pass after the
     generation swap still probes (re-encode of a pass-2 survivor

@@ -280,6 +280,95 @@ def test_lineage_round_trips_commas_and_quotes(spark, tmp_path):
         spark.sql("DROP TABLE IF EXISTS bt_comma")
 
 
+def test_lineage_round_trips_quotes_and_backslashes_via_sql(
+    spark, tmp_path
+):
+    """Quote/backslash lineage must survive the ACTUAL Spark SQL
+    TBLPROPERTIES write, not just the JSON encoder: Spark SQL processes
+    C-style backslash escapes inside string literals, so a path with a
+    double quote (JSON-encoded as ``\\"``) or a literal backslash was
+    corrupted by the old single-quote-only escaping — json.loads then
+    failed and _decode_prev_paths degraded to a garbage comma-split,
+    warning spuriously on the next append. Regression for the r15
+    ADVICE finding (writer.py lineage literal escaping)."""
+    import warnings
+
+    from flink_streaming_2_10_spark.pipeline.writer import (
+        PREV_PATHS_PROP,
+        _decode_prev_paths,
+        _table_properties,
+        compact_bucketed_table,
+        write_bucketed_table,
+    )
+
+    # Hostile-but-Hadoop-legal names: a DOUBLE QUOTE is the trigger —
+    # JSON encodes it as \" so the old single-quote-only escaping let
+    # Spark SQL consume the backslash and corrupt the stored JSON. (A
+    # literal backslash in the path itself is rejected by Hadoop's Path
+    # long before lineage matters, so that case is covered at the
+    # property-value level in test_sql_str_lit_spark_roundtrip.)
+    p0 = str(tmp_path / 'gen"zero')
+    p1 = str(tmp_path / "gen'one\"x")
+    p2 = str(tmp_path / "g2")
+    df = spark.createDataFrame([(i, i) for i in range(10)], ["doc_id", "v"])
+    try:
+        write_bucketed_table(df, "bt_esc", p0, "doc_id", 2)
+        compact_bucketed_table(spark, "bt_esc", p0, p1, "doc_id", 2)
+        compact_bucketed_table(spark, "bt_esc", p1, p2, "doc_id", 2)
+        recorded = _decode_prev_paths(
+            _table_properties(spark, "bt_esc")[PREV_PATHS_PROP]
+        )
+        assert recorded == [p0, p1]
+        # appends through either prior generation stay silent — the
+        # spurious-warning symptom of the corrupted-JSON bug
+        for prior in (p0, p1):
+            with warnings.catch_warnings():
+                warnings.simplefilter("error")
+                write_bucketed_table(
+                    df, "bt_esc", prior, "doc_id", 2, mode="append"
+                )
+        assert spark.table("bt_esc").count() == 30
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bt_esc")
+
+
+def test_sql_str_lit_spark_roundtrip(spark, tmp_path):
+    """_sql_str_lit survives the ACTUAL Spark SQL parser for every
+    escape-relevant character class: backslash, double quote, single
+    quote, and their JSON encodings. The old ``.replace("'", "''")``
+    demonstrably corrupted the backslash cases (Spark SQL C-style
+    escapes unescape them); a value-level round trip through SET
+    TBLPROPERTIES is the direct proof, independent of what Hadoop's
+    Path layer happens to accept as a filename."""
+    import json
+
+    from flink_streaming_2_10_spark.pipeline.writer import (
+        _decode_prev_paths,
+        _encode_prev_paths,
+        _sql_str_lit,
+        _table_properties,
+        write_bucketed_table,
+    )
+
+    hostile = ["/a/back\\slash", '/b/say "hi"', "/c/it's", "/d/mix\\'\""]
+    payload = _encode_prev_paths(hostile)
+    df = spark.createDataFrame([(1, 1)], ["doc_id", "v"])
+    try:
+        write_bucketed_table(
+            df, "bt_lit", str(tmp_path / "lit"), "doc_id", 2
+        )
+        spark.sql(
+            "ALTER TABLE bt_lit SET TBLPROPERTIES "
+            f"('roundtrip.probe' = '{_sql_str_lit(payload)}')"
+        )
+        stored = _table_properties(spark, "bt_lit")["roundtrip.probe"]
+        assert stored == payload  # byte-exact through the SQL parser
+        assert json.loads(stored) == hostile
+        assert _decode_prev_paths(stored) == hostile
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bt_lit")
+
+
 def test_decode_prev_paths_json_and_legacy():
     """JSON lineage round-trips commas and quotes exactly; the pre-r15
     comma-joined form still parses best-effort; junk degrades to the

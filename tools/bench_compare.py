@@ -59,6 +59,31 @@ DRIFT_BAND = (0.67, 1.5)
 #: from the regression gate — measured same-code jitter envelopes.
 NOISY_BANDS = {"async_ordered_identity": (0.8, 1.7)}
 
+#: Queries whose wall time is dominated by DRIVER-LOOP overhead — many
+#: tiny driver-submitted jobs with Python between them (a collect per
+#: merge/BFS/Lloyd/convergence round), so per-job scheduling + collect
+#: latency, not data-plane throughput, sets their time. The r15 round
+#: showed this class swings up to 5.5× raw under host contention while
+#: jvm/arrow/shuffle probes move far less; bench.py's calib_basket
+#: gained a matching 'driverloop' probe (fixed 10-round 1-row argmax
+#: collect loop) so this class adjusts by ITS regime like the others.
+#: Membership is by implementation shape (grep: collect() inside a
+#: round loop): bpe.py:175, clustering.py:130, graph.py:145,
+#: components.py:212, centroids.py:61/71, pca.py:166 driver power
+#: iteration, dsir.py:204-207 broadcast collects.
+DRIVERLOOP_QUERIES = {
+    "bpe_merges",
+    "pca_top_component",
+    "semantic_kmeans",
+    "semantic_clusters",
+    "nearest_centroid",
+    "graph_shortest_hops",
+    "dedup_components",
+    "curated_corpus_neardup",
+    "multimodal_neardup",
+    "dsir_resample",
+}
+
 
 def load(path: str) -> dict:
     with open(path) as fh:
@@ -201,12 +226,27 @@ def main() -> None:
     bo, bn = old.get("calib_basket"), new.get("calib_basket")
     basket_drift: dict[str, float] = {}
     if isinstance(bo, dict) and isinstance(bn, dict):
-        for comp in ("jvm", "arrow", "shuffle"):
+        for comp in ("jvm", "arrow", "shuffle", "driverloop"):
             if bo.get(comp) and bn.get(comp):
                 r = bn[comp] / bo[comp]
-                if DRIFT_BAND[0] <= r <= DRIFT_BAND[1]:
+                # The driverloop probe measures per-job fixed overhead,
+                # which legitimately swings wider than codegen
+                # throughput under contention (observed up to 5.5× on
+                # the workload side in r15) — give it a wider credible
+                # band so a genuinely-contended sample still adjusts
+                # instead of falling back to the jvm scalar.
+                lo, hi = (0.5, 3.0) if comp == "driverloop" else DRIFT_BAND
+                if lo <= r <= hi:
                     basket_drift[comp] = r
     regimes = load_regimes() if basket_drift else {}
+    # Driver-loop membership overrides the plan-shape classification:
+    # a kmeans round IS one scan + one agg (jvm by plan shape), but its
+    # wall time is N driver round-trips (r15 verdict item 1). Only
+    # effective when both sides carry the 'driverloop' basket probe —
+    # old artifacts without it fall back to the plan-shape regime.
+    if "driverloop" in basket_drift:
+        for q in DRIVERLOOP_QUERIES:
+            regimes[q] = "driverloop"
 
     rows = []
     for name in sorted(set(oq) | set(nq), key=lambda q: -nq.get(q, 0.0)):
