@@ -149,3 +149,44 @@ def test_regime_classifier_thresholds():
     # shuffle-heavy classification: curated_corpus_quality carries 8
     # exchanges in the audit and no Arrow stage
     assert regimes.get("curated_corpus_quality") == "shuffle"
+
+
+def test_driverloop_regime_overrides_plan_shape(tmp_path):
+    """r16: driver-loop queries (bpe_merges etc.) adjust by the
+    'driverloop' basket component when BOTH sides carry it — overriding
+    the plan-shape classification (a kmeans round is jvm by plan) — and
+    the wider credible band (0.5..3.0) accepts contention swings the
+    jvm band would reject."""
+    # driverloop x2.0 (outside the jvm band 0.67..1.5, inside 0.5..3.0);
+    # jvm flat
+    basket_old = {"jvm": 0.10, "arrow": 0.5, "shuffle": 1.0, "driverloop": 1.0}
+    basket_new = {"jvm": 0.10, "arrow": 0.5, "shuffle": 1.0, "driverloop": 2.0}
+    old = _doc(
+        {"bpe_merges": 1.0, "tpch_q6_forecast_revenue": 1.0},
+        calib=0.2, basket=basket_old,
+    )
+    new = _doc(
+        {"bpe_merges": 2.0, "tpch_q6_forecast_revenue": 1.0},
+        calib=0.2, basket=basket_new,
+    )
+    r = _run(old, new, tmp_path)
+    # bpe raw x2.0 / driverloop drift x2.0 -> adjusted 1.00: no gate
+    assert r.returncode == 0, r.stdout
+    lines = {
+        l.split()[0]: l.split()
+        for l in r.stdout.splitlines() if l and l[0].isalpha()
+    }
+    assert lines["bpe_merges"][-1] == "1.00"
+    assert lines["tpch_q6_forecast_revenue"][-1] == "1.00"
+
+
+def test_driverloop_regime_absent_on_old_side_falls_back(tmp_path):
+    """Pre-r16 artifacts carry no 'driverloop' probe: the override must
+    NOT engage (bpe falls back to its plan-shape regime / scalar), so
+    a genuine x2 move still gates."""
+    basket_old = {"jvm": 0.10, "arrow": 0.5, "shuffle": 1.0}
+    basket_new = {"jvm": 0.10, "arrow": 0.5, "shuffle": 1.0, "driverloop": 2.0}
+    old = _doc({"bpe_merges": 1.0}, calib=0.2, basket=basket_old)
+    new = _doc({"bpe_merges": 2.0}, calib=0.2, basket=basket_new)
+    r = _run(old, new, tmp_path)
+    assert r.returncode == 2, r.stdout

@@ -1082,3 +1082,381 @@ def test_collocations_min_count_k_parity_randomized(spark):
         assert_df_matches_oracle(
             out, con, _collocations_oracle(min_count=min_count, k=k)
         )
+
+
+# ---------------------------------------------------------------------------
+# r16 families (r15 verdict item 3): TPC-H date cutoffs / q19 brackets,
+# redaction & blocklist adversarial draws, quantization scales.
+# ---------------------------------------------------------------------------
+
+
+def test_tpch_date_cutoff_parity_randomized(spark, duck):
+    """Caller dates flow into PUSHED filters (q1 cutoff, q6 window, q4
+    quarter): randomized cutoffs must keep Spark's timestamp-cast
+    literal and the oracle's TIMESTAMP literal selecting the identical
+    row subset, with the exact integer-unit arithmetic unchanged. A
+    divergence here means a filter-boundary or literal-typing drift
+    that the fixed registry constants can't see."""
+    from flink_streaming_2_10_spark.catalog import load_table
+    from flink_streaming_2_10_spark.operators.relational import (
+        forecast_revenue,
+        pricing_summary,
+        priority_order_check,
+    )
+    from tests.conftest import SF_SMALL
+
+    li = load_table(spark, SF_SMALL, "lineitem")
+    orders = load_table(spark, SF_SMALL, "orders")
+    rng = random.Random(1616)
+    for trial in range(4):
+        y = rng.randint(1993, 1998)
+        m = rng.randint(1, 12)
+        d = rng.randint(1, 28)
+        cutoff = f"{y:04d}-{m:02d}-{d:02d}"
+        assert_df_matches_oracle(
+            pricing_summary(li, cutoff=cutoff),
+            duck,
+            f"""
+            WITH pre AS (
+              SELECT l_returnflag, l_linestatus, l_quantity,
+                     CAST(round(l_extendedprice*100) AS BIGINT) AS price_c,
+                     CAST(round(l_discount*100) AS BIGINT) AS disc_pc,
+                     CAST(round(l_tax*100) AS BIGINT) AS tax_pc
+              FROM lineitem
+              WHERE l_shipdate <= TIMESTAMP '{cutoff} 00:00:00'),
+            agg AS (
+              SELECT l_returnflag, l_linestatus,
+                     sum(l_quantity) AS sum_qty,
+                     CAST(sum(price_c) AS BIGINT) AS price_c_sum,
+                     CAST(sum(price_c*(100-disc_pc)) AS BIGINT) AS disc_u_sum,
+                     CAST(sum(price_c*(100-disc_pc)*(100+tax_pc)) AS BIGINT)
+                       AS charge_u_sum,
+                     CAST(sum(disc_pc) AS BIGINT) AS disc_pc_sum,
+                     CAST(count(*) AS BIGINT) AS count_order
+              FROM pre GROUP BY l_returnflag, l_linestatus)
+            SELECT l_returnflag, l_linestatus, sum_qty,
+                   CAST(price_c_sum AS DOUBLE)/100.0 AS sum_base_price,
+                   CAST(disc_u_sum AS DOUBLE)/10000.0 AS sum_disc_price,
+                   CAST(charge_u_sum AS DOUBLE)/1000000.0 AS sum_charge,
+                   sum_qty/CAST(count_order AS DOUBLE) AS avg_qty,
+                   (CAST(price_c_sum AS DOUBLE)/100.0)
+                     /CAST(count_order AS DOUBLE) AS avg_price,
+                   (CAST(disc_pc_sum AS DOUBLE)/100.0)
+                     /CAST(count_order AS DOUBLE) AS avg_disc,
+                   count_order
+            FROM agg
+            """,
+        )
+
+        # q6: window start, length in months, discount band, qty cap
+        fy = rng.randint(1992, 1997)
+        fm = rng.randint(1, 12)
+        months = rng.randint(6, 18)
+        ty, tm = fy + (fm - 1 + months) // 12, (fm - 1 + months) % 12 + 1
+        date_from, date_to = f"{fy:04d}-{fm:02d}-01", f"{ty:04d}-{tm:02d}-01"
+        lo = rng.randint(0, 8)
+        hi = lo + rng.randint(0, 2)
+        qty_max = rng.randint(10, 49)
+        assert_df_matches_oracle(
+            forecast_revenue(
+                li, date_from, date_to,
+                disc_lo_pc=lo, disc_hi_pc=hi, qty_max=qty_max,
+            ),
+            duck,
+            f"""
+            WITH pre AS (
+              SELECT CAST(round(l_extendedprice*100) AS BIGINT) AS price_c,
+                     CAST(round(l_discount*100) AS BIGINT) AS disc_pc
+              FROM lineitem
+              WHERE l_shipdate >= TIMESTAMP '{date_from} 00:00:00'
+                AND l_shipdate < TIMESTAMP '{date_to} 00:00:00'
+                AND l_quantity < {qty_max}.0)
+            SELECT CAST(sum(price_c * disc_pc) AS DOUBLE) / 10000.0 AS revenue
+            FROM pre
+            WHERE disc_pc BETWEEN {lo} AND {hi}
+            """,
+        )
+
+        # q4: random quarter
+        qy = rng.randint(1993, 1997)
+        qm = rng.choice([1, 4, 7, 10])
+        em_ = qm + 3
+        ey, em_ = (qy + 1, 1) if em_ > 12 else (qy, em_)
+        start, end = f"{qy:04d}-{qm:02d}-01", f"{ey:04d}-{em_:02d}-01"
+        assert_df_matches_oracle(
+            priority_order_check(orders, li, start=start, end=end),
+            duck,
+            f"""
+            SELECT o_orderpriority,
+                   CAST(count(*) AS BIGINT) AS order_count
+            FROM orders o
+            WHERE o.o_orderdate >= TIMESTAMP '{start} 00:00:00'
+              AND o.o_orderdate < TIMESTAMP '{end} 00:00:00'
+              AND EXISTS (SELECT 1 FROM lineitem l
+                          WHERE l.l_orderkey = o.o_orderkey
+                            AND l.l_shipdate > o.o_orderdate)
+            GROUP BY o_orderpriority
+            """,
+        )
+
+
+def test_tpch_q19_brackets_parity_randomized(spark, duck):
+    """Random disjunctive bracket sets (brands drawn from the table's
+    own domain, random size/qty ranges, 2-4 terms): the per-side
+    pushdown ENVELOPES (union of ranges) are recomputed per draw, so
+    any envelope-vs-exact-disjunction drift — a row admitted by the
+    envelope but wrongly kept/dropped by the exact OR — breaks the
+    one-row revenue equality."""
+    from flink_streaming_2_10_spark.catalog import load_table
+    from flink_streaming_2_10_spark.operators.relational import (
+        bracket_revenue,
+    )
+    from tests.conftest import SF_SMALL
+
+    li = load_table(spark, SF_SMALL, "lineitem")
+    part = load_table(spark, SF_SMALL, "part")
+    brands = [
+        r[0] for r in duck.sql(
+            "SELECT DISTINCT p_brand FROM part ORDER BY 1"
+        ).fetchall()
+    ]
+    rng = random.Random(1919)
+    for trial in range(5):
+        n_br = rng.randint(2, 4)
+        brackets = []
+        for _ in range(n_br):
+            s_lo = rng.randint(1, 30)
+            q_lo = rng.randint(1, 30)
+            brackets.append((
+                rng.choice(brands),
+                s_lo, s_lo + rng.randint(0, 20),
+                q_lo, q_lo + rng.randint(3, 15),
+            ))
+        disj = " OR ".join(
+            f"(p.p_brand = '{b}' AND p.p_size BETWEEN {slo} AND {shi}"
+            f" AND l.l_quantity BETWEEN {qlo} AND {qhi})"
+            for b, slo, shi, qlo, qhi in brackets
+        )
+        assert_df_matches_oracle(
+            bracket_revenue(li, part, brackets=brackets),
+            duck,
+            f"""
+            SELECT CAST(CAST(sum(
+                       CAST(round(l.l_extendedprice*100) AS BIGINT)
+                       * (100 - CAST(round(l.l_discount*100) AS BIGINT))
+                   ) AS BIGINT) AS DOUBLE)/10000.0 AS revenue
+            FROM lineitem l
+            JOIN part p ON l.l_partkey = p.p_partkey
+            WHERE {disj}
+            """,
+        )
+
+
+_PII_FRAGMENTS = [
+    # emails — valid, near-valid, and boundary-hostile
+    "alice.smith+tag@example.co.uk",
+    "x@y.zz",
+    "u%v_w-9@sub.domain.io",
+    "not@an@email",          # double @: only the tail parses
+    "trailing.dot@host.com.",  # dot after TLD: boundary behavior
+    "a@b.c",                   # 1-char TLD: must NOT match {2,}
+    "user..double@dots.net",   # consecutive dots in local part
+    # ipv4 — valid, overlong, adjacent
+    "10.0.0.1",
+    "999.999.999.999",         # syntactic match, invalid IP: matches
+    "1.2.3.4.5",               # 5 octets: where does the span stop?
+    "0.0.0.0",
+    "v1.2.3.4w",               # \b: digit-letter edge blocks the match
+    # phones — each separator class, optional +/parens
+    "555-867-5309",
+    "+1 234 567 8901",         # leading +1: the 234.. tail can match
+    "(800) 555-1212",
+    "123.456.7890",
+    "12-345-6789",             # 2-3-4: must NOT match 3-3-4
+    # noise
+    "plain words here",
+    "punctuation, and; stuff!",
+    "loneat@",
+    "@lonely",
+    "dots...everywhere...",
+]
+
+
+def test_redaction_adversarial_text_parity_randomized(spark):
+    """The Java∩RE2 subset CLAIM under adversarial inputs: the three PII
+    patterns are fixed, so the randomization is over TEXT — random
+    concatenations of boundary-hostile fragments (double @, 5-octet
+    IPs, digit-letter \\b edges, 2-3-4 phones, adjacent spans) where
+    greedy-span and word-boundary semantics could plausibly diverge
+    between Java regex and RE2. Counts AND the fully-scrubbed text must
+    match exactly."""
+    from flink_streaming_2_10_spark.pipeline.redaction import (
+        redact_pii,
+        redact_pii_oracle,
+    )
+
+    rng = random.Random(2626)
+    for trial in range(6):
+        docs = []
+        for i in range(rng.randint(10, 25)):
+            n_frag = rng.randint(1, 6)
+            sep = rng.choice([" ", "  ", " x ", ","])
+            docs.append((i, sep.join(
+                rng.choice(_PII_FRAGMENTS) for _ in range(n_frag)
+            )))
+        df = spark.createDataFrame(docs, ["doc_id", "text"])
+        out = redact_pii(df)
+        con = duckdb.connect()
+        values = ", ".join(
+            "({}, '{}')".format(i, t.replace("'", "''")) for i, t in docs
+        )
+        table = f"(SELECT * FROM (VALUES {values}) AS t(doc_id, text))"
+        assert_df_matches_oracle(out, con, redact_pii_oracle(table=table))
+
+
+def test_blocklist_terms_permille_parity_randomized(spark):
+    """Adversarial blocklist draws: term sets with PREFIX-of-each-other
+    pairs in both alternation orders (Java backtracks, RE2 simulates —
+    \\b-anchored alternation must still agree), plus the permille
+    verdict exercised AT exact integer equality (threshold derived from
+    a doc's own attained hits·1000/words ratio when divisible)."""
+    from flink_streaming_2_10_spark.pipeline.blocklist import (
+        blocklist_oracle_sql,
+        blocklist_stats,
+    )
+
+    pool = [
+        "big", "bigger", "biggest", "do", "dog", "door", "cat", "cats",
+        "a1", "a1_x", "under_score", "under",
+    ]
+    rng = random.Random(2727)
+    for trial in range(6):
+        terms = tuple(rng.sample(pool, rng.randint(2, 6)))
+        docs = []
+        for i in range(rng.randint(8, 20)):
+            words = [rng.choice(pool) for _ in range(rng.randint(0, 12))]
+            # case variation: blocklist matches on lower(text)
+            words = [
+                w.upper() if rng.random() < 0.3 else w for w in words
+            ]
+            sep = rng.choice([" ", ", ", "-", " . "])
+            docs.append((i, sep.join(words), rng.choice(["web", "book"])))
+        df = spark.createDataFrame(docs, ["doc_id", "text", "source"])
+
+        # derive a boundary permille from the attained ratios when one
+        # divides exactly (equality must KEEP on both engines)
+        probe = blocklist_stats(df, terms, max_permille=0).collect()
+        exact = [
+            r for r in probe
+            if r["n_words"] > 0 and (r["blocklist_hits"] * 1000) % r["n_words"] == 0
+            and r["blocklist_hits"] > 0
+        ]
+        if exact:
+            r = rng.choice(exact)
+            permille = r["blocklist_hits"] * 1000 // r["n_words"]
+        else:
+            permille = rng.randint(0, 400)
+
+        out = blocklist_stats(df, terms, max_permille=permille)
+        con = duckdb.connect()
+        values = ", ".join(
+            "({}, '{}', '{}')".format(i, t.replace("'", "''"), s)
+            for i, t, s in docs
+        )
+        con.sql(
+            f"CREATE VIEW documents AS SELECT * FROM (VALUES {values})"
+            f" AS t(doc_id, text, source)"
+        )
+        assert_df_matches_oracle(
+            out, con, blocklist_oracle_sql(terms, max_permille=permille)
+        )
+
+
+def _dyadic_vectors(
+    rng: random.Random, n: int, d: int
+) -> list[list[float]]:
+    """Random vectors with exactly-representable dyadic components
+    (k/64, k ∈ [-128, 128]) so float literals round-trip bit-exactly
+    through createDataFrame, DuckDB VALUES, and quantization in either
+    float width."""
+    return [
+        [rng.randint(-128, 128) / 64.0 for _ in range(d)] for _ in range(n)
+    ]
+
+
+def test_pca_scale_parity_randomized(spark, duck):
+    """Quantization SCALE sweeps (powers of two 2^3..2^9) with random
+    dim and iteration counts: covariance numerators and the truncating
+    power-iteration renormalization must replay bit-for-bit at every
+    scale — the scale flows into floor(x*scale) on BOTH engines and
+    into every downstream integer product."""
+    from flink_streaming_2_10_spark.pipeline.pca import (
+        covariance_oracle_sql,
+        embedding_covariance,
+        pca_top_component,
+        top_component_oracle_sql,
+    )
+
+    rng = random.Random(3434)
+    for trial in range(4):
+        scale = 2 ** rng.randint(3, 9)
+        d = rng.randint(3, 6)
+        iters = rng.randint(1, 3)
+        vecs = _dyadic_vectors(rng, rng.randint(8, 24), d)
+        df = spark.createDataFrame([(v,) for v in vecs], ["embedding"])
+        con = duckdb.connect()
+        values = ", ".join(
+            "([" + ", ".join(repr(x) for x in v) + "])" for v in vecs
+        )
+        table = f"(SELECT * FROM (VALUES {values}) AS t(embedding))"
+        assert_df_matches_oracle(
+            embedding_covariance(df, scale=scale),
+            con,
+            covariance_oracle_sql(scale=scale, d=d, table=table),
+        )
+        assert_df_matches_oracle(
+            pca_top_component(df, scale=scale, iters=iters),
+            con,
+            top_component_oracle_sql(
+                scale=scale, d=d, iters=iters, table=table
+            ),
+        )
+
+
+def test_quantized_topk_inline_parity_randomized(spark):
+    """int8 quantization geometry under random data/query/k draws: the
+    half-up x·127/max rounding (association order is part of the
+    contract), exact-BIGINT dot folds, and the (qcosine DESC, id) cut
+    must agree on vectors drawn adversarially (zero vectors included —
+    the scale-0 branch)."""
+    from __spark_entry__ import _quantized_topk_oracle
+    from flink_streaming_2_10_spark.pipeline.similarity import (
+        quantized_cosine_topk,
+    )
+
+    rng = random.Random(3535)
+    for trial in range(4):
+        d = rng.randint(3, 8)
+        n = rng.randint(10, 30)
+        vecs = _dyadic_vectors(rng, n, d)
+        if trial % 2 == 0:
+            vecs[rng.randrange(n)] = [0.0] * d  # all-zero branch
+        rows = [(i, v, rng.choice(["a", "b", "c"])) for i, v in enumerate(vecs)]
+        df = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+        query_id = rng.randrange(n)
+        k = rng.randint(3, n)
+        out = quantized_cosine_topk(df, query_id=query_id, k=k)
+        con = duckdb.connect()
+        values = ", ".join(
+            "({}, [{}], '{}')".format(
+                i, ", ".join(repr(x) for x in v), lab
+            )
+            for i, v, lab in rows
+        )
+        con.sql(
+            f"CREATE VIEW embeddings AS SELECT * FROM (VALUES {values})"
+            f" AS t(vec_id, embedding, label)"
+        )
+        assert_df_matches_oracle(
+            out, con, _quantized_topk_oracle(query_id=query_id, k=k, dim=d)
+        )

@@ -260,11 +260,28 @@ def main() -> None:
         band = NOISY_BANDS.get(name)
         return band is not None and n is not None and band[0] <= n <= band[1]
 
+    # Raw corroboration (r16): an adjusted-ratio flag whose RAW ratio is
+    # flat is a PROBE artifact, not a regression — r16 saw the arrow
+    # probe swing ×0.69 on an idle host, inflating four flat-raw queries
+    # past the adjusted gate (multimodal_neardup_incremental raw ×1.02 →
+    # adj ×1.48). The divisor is band-limited, so the worst real
+    # regression this can excuse is raw ≤1.15 × drift 1.5 ≈ adj 1.7 —
+    # acceptable against the recurring false exit-2s. Unconfirmed flags
+    # still PRINT below, they just don't gate.
+    RAW_CORROBORATION = 1.15
     worst = [
         (name, adj if adj is not None else raw)
         for name, _, n, raw, adj in rows
         if (adj if adj is not None else raw) is not None
         and (adj if adj is not None else raw) > REGRESSION_THRESHOLD
+        and (raw is None or raw > RAW_CORROBORATION)
+        and not in_noisy_band(name, n)
+    ]
+    probe_inflated = [
+        (name, adj, raw)
+        for name, _, n, raw, adj in rows
+        if adj is not None and adj > REGRESSION_THRESHOLD
+        and raw is not None and raw <= RAW_CORROBORATION
         and not in_noisy_band(name, n)
     ]
 
@@ -303,6 +320,12 @@ def main() -> None:
                   + ", ".join(f"{n} (x{r:.2f})" for n, r in worst))
         else:
             print(f"\nNo query exceeds x{REGRESSION_THRESHOLD} adjusted.")
+        if probe_inflated:
+            print("\n**probe-inflated, unconfirmed (adjusted > "
+                  f"x{REGRESSION_THRESHOLD} but raw <= x{RAW_CORROBORATION}"
+                  "; not gated):** "
+                  + ", ".join(f"{n} (adj x{a:.2f}, raw x{r:.2f})"
+                              for n, a, r in probe_inflated))
     else:
         print(head)
         print(f"{'query':34s} {'old':>8s} {'new':>8s} {'raw':>6s} {'adj':>6s}")
@@ -313,6 +336,10 @@ def main() -> None:
         if worst:
             print(f"regressions > x{REGRESSION_THRESHOLD}: "
                   + ", ".join(f"{n} (x{r:.2f})" for n, r in worst))
+        if probe_inflated:
+            print("probe-inflated, unconfirmed (not gated): "
+                  + ", ".join(f"{n} (adj x{a:.2f}, raw x{r:.2f})"
+                              for n, a, r in probe_inflated))
     sys.exit(2 if worst else 0)
 
 
