@@ -1460,3 +1460,173 @@ def test_quantized_topk_inline_parity_randomized(spark):
         assert_df_matches_oracle(
             out, con, _quantized_topk_oracle(query_id=query_id, k=k, dim=d)
         )
+
+
+def test_top_ngrams_n_k_parity_randomized(spark):
+    """Random gram widths and top-k cuts over a tie-heavy small-vocab
+    corpus: document frequency ties are plentiful, so the
+    (doc_freq DESC, ngram ASC) total order is exercised exactly AT the
+    cut for every (n, k) draw."""
+    from __spark_entry__ import _top_ngrams_oracle
+    from flink_streaming_2_10_spark.pipeline.textstats import top_ngrams
+
+    rng = random.Random(4646)
+    for trial in range(5):
+        n = rng.randint(1, 3)
+        k = rng.randint(3, 25)
+        texts = _random_corpus(rng, rng.randint(12, 30))
+        df = spark.createDataFrame(texts, ["doc_id", "text"])
+        out = top_ngrams(df, n=n, k=k)
+        con = duckdb.connect()
+        values = ", ".join(f"({i}, '{t}')" for i, t in texts)
+        con.sql(
+            f"CREATE VIEW documents AS "
+            f"SELECT * FROM (VALUES {values}) AS t(doc_id, text)"
+        )
+        assert_df_matches_oracle(out, con, _top_ngrams_oracle(n=n, k=k))
+
+
+def test_rolling_zscore_geometry_parity_randomized(spark, duck):
+    """Random window lengths, min_n floors, and z thresholds over
+    tie-heavy timestamps: the squared integer inequality
+    (v·n − S)² > z²·(n·SS − S²) and the (t, id) frame ordering must
+    replay bit-for-bit at every geometry — the registry pins only
+    (100, 30, 3)."""
+    from flink_streaming_2_10_spark.operators.behavior import (
+        rolling_zscore_flags,
+    )
+
+    rng = random.Random(4747)
+    for trial in range(5):
+        window = rng.randint(3, 12)
+        min_n = rng.randint(1, min(6, window))
+        z = rng.randint(1, 4)
+        rows = []
+        for i in range(rng.randint(25, 60)):
+            rows.append((
+                i,
+                rng.choice(["a", "b", "c"]),
+                # coarse timestamps force (t_us, event_id) tie-breaks
+                rng.randint(0, 8) * 1_000_000,
+                rng.randint(0, 4000) / 100.0,
+            ))
+        df = spark.createDataFrame(
+            rows, ["event_id", "event_type", "t_us", "value"]
+        )
+        out = rolling_zscore_flags(
+            df, key_col="event_type", time_col="t_us",
+            window=window, min_n=min_n, z_thresh=z,
+        )
+        con = duckdb.connect()
+        values = ", ".join(
+            f"({i}, '{k}', {t}, {v!r})" for i, k, t, v in rows
+        )
+        assert_df_matches_oracle(
+            out,
+            con,
+            f"""
+            WITH e AS (SELECT * FROM (VALUES {values})
+                       AS t(event_id, event_type, t_us, value)),
+            s AS (SELECT event_id, event_type, t_us, value,
+                         CAST(round(value*100) AS BIGINT) AS v
+                  FROM e),
+            w AS (SELECT event_id, event_type, t_us, value, v,
+                         count(v) OVER win AS n,
+                         COALESCE(sum(v) OVER win, 0) AS s,
+                         COALESCE(sum(v*v) OVER win, 0) AS ss
+                  FROM s
+                  WINDOW win AS (PARTITION BY event_type
+                                 ORDER BY t_us ASC, event_id ASC
+                                 ROWS BETWEEN {window} PRECEDING
+                                          AND 1 PRECEDING))
+            SELECT event_id, event_type, CAST(t_us AS BIGINT) AS t_us,
+                   value, CAST(n AS INT) AS window_n,
+                   (n >= {min_n} AND
+                    (v*n - s)*(v*n - s) > {z * z}*(n*ss - s*s))
+                       AS is_anomaly
+            FROM w
+            """,
+        )
+
+
+def test_salted_topk_salt_invariance_randomized(spark, duck):
+    """The salted two-phase aggregation's core claim — the result is
+    SALT-INVARIANT — under random salt counts and k cuts on a skewed
+    key distribution: every (salts, k) draw must equal the plain
+    single-phase aggregate (count ties broken by key ascending)."""
+    from flink_streaming_2_10_spark.functions.money import to_units
+    from flink_streaming_2_10_spark.pipeline.skew import salted_topk_counts
+
+    rng = random.Random(4848)
+    for trial in range(4):
+        salts = rng.choice([2, 3, 8, 17, 64])
+        rows = []
+        # skew: user 0 owns ~half the events
+        for i in range(rng.randint(60, 150)):
+            u = 0 if rng.random() < 0.5 else rng.randint(1, 12)
+            rows.append((i, u, rng.randint(0, 2000) / 100.0))
+        k = rng.randint(1, 13)
+        df = spark.createDataFrame(rows, ["event_id", "user_id", "value"])
+        out = salted_topk_counts(
+            df, key="user_id", salt_from="event_id",
+            value_units=to_units("value"), k=k, salts=salts,
+        )
+        con = duckdb.connect()
+        values = ", ".join(f"({i}, {u}, {v!r})" for i, u, v in rows)
+        assert_df_matches_oracle(
+            out,
+            con,
+            f"""
+            WITH e AS (SELECT * FROM (VALUES {values})
+                       AS t(event_id, user_id, value))
+            SELECT user_id,
+                   CAST(count(*) AS BIGINT) AS cnt,
+                   CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT)
+                       AS value_u_sum
+            FROM e GROUP BY 1
+            ORDER BY cnt DESC, user_id LIMIT {k}
+            """,
+        )
+
+
+def test_source_quality_cap_bucket_invariance_randomized(spark):
+    """The two-pass bucketed top-k's pruning-identity claim under random
+    (cap, prefilter_buckets) geometry: any row in a source's global
+    top-cap is necessarily in its bucket's top-cap, so the two-pass
+    result must equal the single-window result EXACTLY for every draw.
+    Spark-vs-Spark invariance (the quality heuristic itself is
+    oracle-checked by the registry's source_quality_cap key); a hot
+    source concentrates rows so bucket pruning actually engages."""
+    import pandas as pd
+
+    from flink_streaming_2_10_spark.pipeline.sampling import (
+        source_quality_cap,
+    )
+
+    rng = random.Random(4949)
+    words = ["alpha", "beta", "gamma", "delta", "big", "slow"]
+    for trial in range(4):
+        cap = rng.randint(1, 6)
+        buckets = rng.choice([2, 3, 5, 8])
+        rows = []
+        for i in range(rng.randint(40, 90)):
+            src = "hot.example" if rng.random() < 0.6 else (
+                f"s{rng.randint(1, 5)}.example"
+            )
+            text = " ".join(
+                rng.choice(words) for _ in range(rng.randint(3, 40))
+            )
+            rows.append((i, src, text))
+        df = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+        single = source_quality_cap(df, cap=cap, prefilter_buckets=None)
+        two_pass = source_quality_cap(df, cap=cap, prefilter_buckets=buckets)
+
+        def norm(d):
+            p = d.toPandas()
+            return p[sorted(p.columns)].sort_values(
+                sorted(p.columns), kind="mergesort"
+            ).reset_index(drop=True)
+
+        pd.testing.assert_frame_equal(
+            norm(single), norm(two_pass), check_dtype=False, check_exact=True
+        )
