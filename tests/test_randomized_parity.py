@@ -1630,3 +1630,209 @@ def test_source_quality_cap_bucket_invariance_randomized(spark):
         pd.testing.assert_frame_equal(
             norm(single), norm(two_pass), check_dtype=False, check_exact=True
         )
+
+
+def test_keyword_search_terms_k_parity_randomized(spark):
+    """Random query term sets (1-4 lowercase tokens, drawn from the
+    corpus's own vocab so df>0 paths and absent-term zero paths both
+    occur) and random k cuts: the fixed left-associated score chain
+    0.0 + c0 + c1 + ... of exact-long divisions must produce
+    bit-identical doubles and an identical (score DESC, doc_id) cut."""
+    from __spark_entry__ import _keyword_search_oracle
+    from flink_streaming_2_10_spark.pipeline.search import keyword_search
+
+    rng = random.Random(5151)
+    vocab = [f"w{j}" for j in range(12)] + ["zzabsent"]
+    for trial in range(5):
+        n_terms = rng.randint(1, 4)
+        terms = tuple(rng.sample(vocab, n_terms))
+        k = rng.randint(2, 15)
+        texts = _random_corpus(rng, rng.randint(12, 30))
+        df = spark.createDataFrame(texts, ["doc_id", "text"])
+        out = keyword_search(df, terms=terms, k=k)
+        con = duckdb.connect()
+        values = ", ".join(f"({i}, '{t}')" for i, t in texts)
+        con.sql(
+            f"CREATE VIEW documents AS "
+            f"SELECT * FROM (VALUES {values}) AS t(doc_id, text)"
+        )
+        assert_df_matches_oracle(
+            out, con, _keyword_search_oracle(terms=terms, k=k)
+        )
+
+
+def test_funnel_tolerance_chain_parity_randomized(spark, duck):
+    """Chained forward as-of joins under RANDOM per-stage tolerances:
+    the registry pins both stages at 1 h; here each stage draws its own
+    window (including tolerances small enough that stage-1 NULLs must
+    propagate through stage 2 without matching anything), timestamps
+    drawn with collisions so the (t, event_id) tie-break bites."""
+    from flink_streaming_2_10_spark.operators.temporal import asof_join
+
+    rng = random.Random(5252)
+    for trial in range(4):
+        tol1 = rng.choice([1, 3, 7, 20])
+        tol2 = rng.choice([1, 2, 10, 50])
+        rows = []
+        for i in range(rng.randint(30, 80)):
+            rows.append((
+                i,
+                rng.randint(1, 6),
+                rng.choice(["view", "click", "purchase"]),
+                rng.randint(0, 40),
+            ))
+        ev = spark.createDataFrame(
+            rows, ["event_id", "user_id", "event_type", "t"]
+        )
+        views = ev.filter(F.col("event_type") == "view").select(
+            F.col("event_id").alias("view_id"), "user_id", "t"
+        )
+        clicks = ev.filter(F.col("event_type") == "click").select(
+            "event_id", "user_id", "t"
+        )
+        purchases = ev.filter(F.col("event_type") == "purchase").select(
+            "event_id", "user_id", "t"
+        )
+        step1 = asof_join(
+            views, clicks, on=["user_id"], left_time="t", right_time="t",
+            tolerance=tol1, tie_cols=["event_id"], right_prefix="c_",
+            direction="forward",
+        )
+        out = asof_join(
+            step1, purchases, on=["user_id"], left_time="c_t",
+            right_time="t", tolerance=tol2, tie_cols=["event_id"],
+            right_prefix="p_", direction="forward",
+        ).select(
+            "view_id",
+            "user_id",
+            F.col("c_event_id").alias("click_id"),
+            F.col("p_event_id").alias("purchase_id"),
+            (F.col("c_t") - F.col("t")).alias("click_gap"),
+            (F.col("p_t") - F.col("c_t")).alias("purchase_gap"),
+        )
+        values = ", ".join(
+            f"({i}, {u}, '{ty}', {t})" for i, u, ty, t in rows
+        )
+        assert_df_matches_oracle(
+            out,
+            duck,
+            f"""
+            WITH e AS (SELECT * FROM (VALUES {values})
+                       AS t(event_id, user_id, event_type, t)),
+            v AS (SELECT event_id AS view_id, user_id, t FROM e
+                  WHERE event_type = 'view'),
+            c AS (SELECT event_id, user_id, t FROM e
+                  WHERE event_type = 'click'),
+            p AS (SELECT event_id, user_id, t FROM e
+                  WHERE event_type = 'purchase'),
+            s1 AS (
+              SELECT v.view_id, v.user_id, v.t,
+                     mc.event_id AS click_id, mc.t AS ct
+              FROM v LEFT JOIN LATERAL (
+                SELECT c.event_id, c.t FROM c
+                WHERE c.user_id = v.user_id
+                  AND c.t >= v.t AND c.t <= v.t + {tol1}
+                ORDER BY c.t ASC, c.event_id ASC LIMIT 1) mc ON true)
+            SELECT s1.view_id, s1.user_id, s1.click_id,
+                   mp.event_id AS purchase_id,
+                   s1.ct - s1.t AS click_gap,
+                   mp.t - s1.ct AS purchase_gap
+            FROM s1 LEFT JOIN LATERAL (
+              SELECT p.event_id, p.t FROM p
+              WHERE s1.ct IS NOT NULL AND p.user_id = s1.user_id
+                AND p.t >= s1.ct AND p.t <= s1.ct + {tol2}
+              ORDER BY p.t ASC, p.event_id ASC LIMIT 1) mp ON true
+            """,
+        )
+
+
+def test_pricing_cube_cutoff_parity_randomized(spark, duck):
+    """CUBE grouping-sets under random ship-date cutoffs: the subtotal
+    and grand-total rows must re-aggregate the identical cutoff-filtered
+    row subset in both engines (the registry pins one cutoff; the date
+    flows into a pushed filter feeding every grouping set)."""
+    from flink_streaming_2_10_spark.catalog import load_table
+    from flink_streaming_2_10_spark.operators.relational import pricing_cube
+    from tests.conftest import SF_SMALL
+
+    li = load_table(spark, SF_SMALL, "lineitem")
+    rng = random.Random(5353)
+    for trial in range(4):
+        y, m, d = rng.randint(1993, 1998), rng.randint(1, 12), rng.randint(1, 28)
+        cutoff = f"{y:04d}-{m:02d}-{d:02d}"
+        assert_df_matches_oracle(
+            pricing_cube(li, cutoff=cutoff),
+            duck,
+            f"""
+            WITH pre AS (
+              SELECT l_returnflag, l_linestatus, l_quantity,
+                     CAST(round(l_extendedprice*100) AS BIGINT)
+                       * (100 - CAST(round(l_discount*100) AS BIGINT))
+                       AS disc_price_u
+              FROM lineitem
+              WHERE l_shipdate <= TIMESTAMP '{cutoff} 00:00:00')
+            SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
+                   coalesce(l_linestatus, 'ALL') AS l_linestatus,
+                   CAST(count(*) AS BIGINT) AS cnt,
+                   sum(l_quantity) AS sum_qty,
+                   CAST(CAST(sum(disc_price_u) AS BIGINT) AS DOUBLE)/10000.0
+                     AS revenue
+            FROM pre
+            GROUP BY CUBE (l_returnflag, l_linestatus)
+            """,
+        )
+
+
+def test_event_type_pivot_declared_types_parity_randomized(spark, duck):
+    """Random DECLARED type lists (subsets of the actual types plus a
+    never-occurring bogus type): per-type conditional counts, the
+    n_other reconciliation bucket, and n_total must agree for every
+    list — including all-zero columns for the bogus type and actual
+    types demoted to n_other."""
+    from flink_streaming_2_10_spark.operators.behavior import (
+        event_type_pivot,
+    )
+
+    rng = random.Random(5454)
+    actual = ["view", "click", "purchase", "error", "signup"]
+    for trial in range(4):
+        declared = tuple(
+            rng.sample(actual, rng.randint(1, 4)) + ["bogus"]
+        )
+        rows = []
+        for i in range(rng.randint(40, 100)):
+            day = rng.randint(0, 3)
+            rows.append((
+                i,
+                rng.choice(actual),
+                day * 86_400_000 + rng.randint(0, 86_399_999),
+            ))
+        ev = spark.createDataFrame(
+            rows, ["event_id", "event_type", "ms"]
+        ).select(
+            "event_type", F.timestamp_millis(F.col("ms")).alias("ts")
+        )
+        out = event_type_pivot(ev, types=declared)
+        per_type = ",\n                   ".join(
+            f"CAST(sum(CASE WHEN event_type = '{ty}' THEN 1 ELSE 0 END)"
+            f" AS BIGINT) AS n_{ty}"
+            for ty in declared
+        )
+        in_list = ", ".join(f"'{ty}'" for ty in declared)
+        values = ", ".join(f"({i}, '{ty}', {ms})" for i, ty, ms in rows)
+        assert_df_matches_oracle(
+            out,
+            duck,
+            f"""
+            WITH e AS (SELECT * FROM (VALUES {values})
+                       AS t(event_id, event_type, ms))
+            SELECT strftime(make_timestamp(CAST(ms AS BIGINT) * 1000),
+                            '%Y-%m-%d') AS day,
+                   {per_type},
+                   CAST(sum(CASE WHEN event_type IN ({in_list})
+                            THEN 0 ELSE 1 END) AS BIGINT) AS n_other,
+                   CAST(count(*) AS BIGINT) AS n_total
+            FROM e
+            GROUP BY day
+            """,
+        )
