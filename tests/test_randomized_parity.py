@@ -1836,3 +1836,120 @@ def test_event_type_pivot_declared_types_parity_randomized(spark, duck):
             GROUP BY day
             """,
         )
+
+
+def test_text_novelty_gram_width_parity_randomized(spark):
+    """Random n-gram widths through the novelty pipeline: doc-distinct
+    gram hashing (md5 60-bit), document-frequency counting, and the
+    exact-long novel_frac division must replay at every width — the
+    registry pins only n=3."""
+    from __spark_entry__ import _text_novelty_oracle
+    from flink_streaming_2_10_spark.pipeline.textstats import (
+        novelty_scores,
+    )
+
+    rng = random.Random(5656)
+    for trial in range(4):
+        n = rng.randint(1, 4)
+        texts = _random_corpus(rng, rng.randint(10, 25))
+        df = spark.createDataFrame(texts, ["doc_id", "text"])
+        out = novelty_scores(df, n=n, hasher="md5")
+        con = duckdb.connect()
+        values = ", ".join(f"({i}, '{t}')" for i, t in texts)
+        con.sql(
+            f"CREATE VIEW documents AS "
+            f"SELECT * FROM (VALUES {values}) AS t(doc_id, text)"
+        )
+        assert_df_matches_oracle(out, con, _text_novelty_oracle(n=n))
+
+
+def test_hard_negatives_k_parity_randomized(spark):
+    """Random k cuts and dims through hard-negative mining: integer
+    class prototypes (floor-mean), exact integer distances, and the
+    per-class (dist2, vec_id) rank cut must agree at every (k, dim) —
+    label skew drawn so some classes have < k imposters (short-rank
+    classes exercised)."""
+    from flink_streaming_2_10_spark.pipeline.centroids import (
+        hard_negatives,
+        hard_negatives_oracle_sql,
+    )
+
+    rng = random.Random(5757)
+    for trial in range(4):
+        d = rng.randint(3, 6)
+        k = rng.randint(1, 6)
+        n = rng.randint(8, 24)
+        rows = [
+            (i, _dyadic_vectors(rng, 1, d)[0], rng.choice([0, 1, 2]))
+            for i in range(n)
+        ]
+        df = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+        out = hard_negatives(df, k=k)
+        con = duckdb.connect()
+        values = ", ".join(
+            "({}, [{}], {})".format(
+                i, ", ".join(repr(x) for x in v), lab
+            )
+            for i, v, lab in rows
+        )
+        con.sql(
+            f"CREATE VIEW embeddings AS SELECT * FROM (VALUES {values})"
+            f" AS t(vec_id, embedding, label)"
+        )
+        assert_df_matches_oracle(
+            out, con, hard_negatives_oracle_sql(k=k, dim=d)
+        )
+
+
+def test_retention_cohorts_week_boundary_parity_randomized(spark, duck):
+    """ISO-Monday week truncation AT the boundary: event timestamps
+    drawn within ±90 s of Monday-midnight week edges (plus uniform
+    noise), so a one-engine off-by-one in date_trunc('week') or the
+    div-7 offset moves users across cohorts and fails the exact
+    compare."""
+    from flink_streaming_2_10_spark.operators.behavior import (
+        retention_cohorts,
+    )
+
+    rng = random.Random(5858)
+    # 1970-01-05 was a Monday: week edges at 4*86400 + k*604800 (s)
+    week0 = 4 * 86_400
+    for trial in range(4):
+        rows = []
+        for i in range(rng.randint(30, 80)):
+            u = rng.randint(1, 10)
+            wk = rng.randint(0, 5)
+            if rng.random() < 0.5:
+                # hug a week boundary
+                off = rng.randint(-90, 90)
+            else:
+                off = rng.randint(0, 604_799)
+            ms = max(0, (week0 + wk * 604_800 + off)) * 1000
+            rows.append((i, u, ms))
+        ev = spark.createDataFrame(
+            rows, ["event_id", "user_id", "ms"]
+        ).select(
+            "user_id", F.timestamp_millis(F.col("ms")).alias("ts")
+        )
+        out = retention_cohorts(ev)
+        values = ", ".join(f"({i}, {u}, {ms})" for i, u, ms in rows)
+        assert_df_matches_oracle(
+            out,
+            duck,
+            f"""
+            WITH e AS (SELECT * FROM (VALUES {values})
+                       AS t(event_id, user_id, ms)),
+            uw AS (SELECT DISTINCT user_id AS u,
+                          CAST(date_trunc('week',
+                               make_timestamp(CAST(ms AS BIGINT) * 1000))
+                               AS DATE) AS wk
+                   FROM e),
+            c AS (SELECT u, min(wk) AS cw FROM uw GROUP BY u)
+            SELECT strftime(c.cw, '%Y-%m-%d') AS cohort_week,
+                   CAST(date_diff('day', c.cw, uw.wk) // 7 AS INT)
+                       AS week_offset,
+                   CAST(count(*) AS BIGINT) AS n_active
+            FROM uw JOIN c ON uw.u = c.u
+            GROUP BY cohort_week, week_offset
+            """,
+        )
