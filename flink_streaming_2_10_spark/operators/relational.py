@@ -156,16 +156,30 @@ def revenue_by_region(
 def pricing_cube(lineitem: DataFrame, cutoff: str = "1998-09-02") -> DataFrame:
     """Multi-dimensional pricing summary: the Q1 aggregate at EVERY
     grouping level of (returnflag, linestatus) — per-cell, per-flag,
-    per-status, and grand total — in one pass via ``cube``.
+    per-status, and grand total.
 
-    Catalyst expands the cube into a single Expand + hash aggregate: one
-    scan, one exchange on the (low-cardinality) grouping key with
-    map-side partials, rows multiplied only by the 4 grouping sets. The
-    OLAP summary-board shape — subtotals come free with the same money
-    discipline as ``pricing_summary`` (exact integer units, one terminal
-    division). Rolled-up dimensions surface as 'ALL' (the source columns
-    are non-null, so the label is unambiguous).
+    Two-level plan (r16): ONE corpus pass pre-aggregates to the finest
+    grouping (a plain hash agg — no Expand multiplying scan rows by the
+    4 grouping sets, which direct ``cube`` over the raw rows pays), then
+    the cube re-aggregates the PERSISTED finest table (≤ |flags|·|status|
+    rows). Exact re-aggregation: counts and cent-units are longs;
+    ``l_quantity`` is integer-valued, so double partial sums stay exact
+    and order-free. Same money discipline as ``pricing_summary``; rolled
+    dimensions surface as 'ALL' (source columns are non-null, so the
+    label is unambiguous).
+
+    ANSI empty-slice semantics (r16, found by the fresh-seed fuzz
+    campaign): standard SQL's ``GROUP BY CUBE`` emits the ``()``
+    grand-total row even over an EMPTY input (count 0, NULL sums —
+    DuckDB/Postgres agree); Spark's grouping-set expansion aggregates by
+    (keys, grouping-id) and returns ZERO rows. The union below restores
+    the standard row: a global re-aggregate of the tiny finest table
+    (one row always), kept only when its count is 0 — i.e. exactly when
+    the cube lost it. Both branches read the persisted finest table, so
+    the corpus is still scanned once.
     """
+    from flink_streaming_2_10_spark.pipeline.caching import tracked_persist
+
     li = lineitem.filter(F.col("l_shipdate") <= F.lit(cutoff).cast("timestamp"))
     pre = li.select(
         "l_returnflag",
@@ -176,12 +190,36 @@ def pricing_cube(lineitem: DataFrame, cutoff: str = "1998-09-02") -> DataFrame:
             * (F.lit(100) - to_units("l_discount"))
         ).alias("disc_price_u"),
     )
-    agg = pre.cube("l_returnflag", "l_linestatus").agg(
-        F.count(F.lit(1)).alias("cnt"),
-        F.sum("l_quantity").alias("sum_qty"),
-        F.sum("disc_price_u").alias("disc_u_sum"),
+    fine = tracked_persist(
+        pre.groupBy("l_returnflag", "l_linestatus").agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum("l_quantity").alias("sum_qty"),
+            F.sum("disc_price_u").alias("disc_u_sum"),
+        )
+    )
+    agg = fine.cube("l_returnflag", "l_linestatus").agg(
+        F.sum("cnt").alias("cnt"),
+        F.sum("sum_qty").alias("sum_qty"),
+        F.sum("disc_u_sum").alias("disc_u_sum"),
+    )
+    empty_total = (
+        fine.agg(
+            F.coalesce(F.sum("cnt"), F.lit(0).cast("long")).alias("cnt"),
+            F.sum("sum_qty").alias("sum_qty"),
+            F.sum("disc_u_sum").alias("disc_u_sum"),
+        )
+        .where(F.col("cnt") == 0)
+        .select(
+            F.lit(None).cast("string").alias("l_returnflag"),
+            F.lit(None).cast("string").alias("l_linestatus"),
+            "cnt",
+            "sum_qty",
+            "disc_u_sum",
+        )
     )
     return agg.select(
+        "l_returnflag", "l_linestatus", "cnt", "sum_qty", "disc_u_sum"
+    ).unionByName(empty_total).select(
         F.coalesce("l_returnflag", F.lit("ALL")).alias("l_returnflag"),
         F.coalesce("l_linestatus", F.lit("ALL")).alias("l_linestatus"),
         "cnt",

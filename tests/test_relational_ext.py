@@ -254,3 +254,43 @@ def test_q11_share_gate_is_strict_and_exact(spark):
         ).collect()
     }
     assert got == {1: 99.0}
+
+
+def test_pricing_cube_empty_slice_emits_ansi_grand_total(spark):
+    """ANSI GROUP BY CUBE emits the () grand-total row even over an
+    EMPTY input (count 0, NULL sums — DuckDB/Postgres semantics);
+    Spark's grouping-set expansion returns zero rows. pricing_cube
+    restores the standard row via the tiny-table fallback union — found
+    live by the r16 fresh-seed fuzz campaign (6/6 seeds failed on the
+    pre-fix operator whenever the drawn cutoff emptied the slice)."""
+    from pyspark.sql import Row, functions as F
+
+    from flink_streaming_2_10_spark.operators.relational import pricing_cube
+
+    li = spark.createDataFrame(
+        [],
+        "l_shipdate timestamp, l_returnflag string, l_linestatus string, "
+        "l_quantity double, l_extendedprice double, l_discount double",
+    )
+    got = pricing_cube(li, cutoff="1998-09-02").collect()
+    assert got == [
+        Row(
+            l_returnflag="ALL",
+            l_linestatus="ALL",
+            cnt=0,
+            sum_qty=None,
+            revenue=None,
+        )
+    ]
+    # and a NONempty slice still has no duplicate grand-total row
+    li2 = spark.createDataFrame(
+        [("1995-01-01", "N", "O", 2.0, 10.0, 0.05)],
+        ["l_shipdate", "l_returnflag", "l_linestatus", "l_quantity",
+         "l_extendedprice", "l_discount"],
+    ).withColumn("l_shipdate", F.col("l_shipdate").cast("timestamp"))
+    rows = pricing_cube(li2).collect()
+    assert len(rows) == 4  # cell, two subtotals, one grand total
+    assert sum(
+        1 for r in rows
+        if r.l_returnflag == "ALL" and r.l_linestatus == "ALL"
+    ) == 1

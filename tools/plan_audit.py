@@ -115,10 +115,21 @@ def main() -> None:
     _cm.DRIVER_SOLVE_MAX_EDGES = 0
 
     ClassicDF.localCheckpoint = capturing_lc
+    from flink_streaming_2_10_spark.pipeline.caching import release_cached
+
     rows = []
     try:
-        for name, fn in entrymod.queries().items():
+        # SORTED name order (not the staleness-rotated queries() order):
+        # artifact row order must be stable across rounds or every regen
+        # diffs the whole table (bench.py's artifact-key rule). And
+        # release operator-internal persists BETWEEN queries: an earlier
+        # query's materialized cache turns a later query's subtree into
+        # an InMemoryTableScan, silently changing its audited exchange
+        # count with the rotation (r16 found dedup_lsh_recall reading
+        # 20 vs 27 shuffles purely by audit order).
+        for name, fn in sorted(entrymod.queries().items()):
             captured.clear()
+            release_cached()
             try:
                 info = audit(_plan(fn(spark, sf_dir)))
             except Exception as exc:  # noqa: BLE001
