@@ -1953,3 +1953,150 @@ def test_retention_cohorts_week_boundary_parity_randomized(spark, duck):
             GROUP BY cohort_week, week_offset
             """,
         )
+
+
+def test_stratified_sample_rates_parity_randomized(spark):
+    """Random per-stratum rate maps over awkward non-dyadic fractions
+    (sevenths/ninths/thirteenths — the DECIMAL-literal hazard class),
+    random default rates and salts: the hash-threshold keep decision
+    `cast(key as double) < rate * 2^60` must select the identical row
+    set in both engines for every draw."""
+    from flink_streaming_2_10_spark.pipeline.sampling import (
+        stratified_sample,
+        stratified_sample_oracle,
+    )
+
+    rng = random.Random(6161)
+    langs = ["en", "de", "fr", "es", "ja"]
+    for trial in range(5):
+        rates = {
+            lang: rng.randint(1, 12) / rng.choice([7, 9, 11, 13])
+            for lang in rng.sample(langs, rng.randint(1, 4))
+        }
+        rates = {k: min(v, 1.0) for k, v in rates.items()}
+        default = rng.choice([0.0, 1 / 7, 3 / 13])
+        salt = f"fuzz{trial}"
+        docs = [
+            (i, rng.choice(langs)) for i in rng.sample(range(100_000), 300)
+        ]
+        df = spark.createDataFrame(docs, ["doc_id", "lang"])
+        out = stratified_sample(df, rates, default_rate=default, salt=salt)
+        con = duckdb.connect()
+        values = ", ".join(f"({i}, '{l}')" for i, l in docs)
+        con.sql(
+            f"CREATE VIEW documents AS SELECT * FROM (VALUES {values})"
+            f" AS t(doc_id, lang)"
+        )
+        assert_df_matches_oracle(
+            out,
+            con,
+            stratified_sample_oracle(rates, default_rate=default, salt=salt),
+        )
+
+
+def test_token_percentiles_ps_parity_randomized(spark):
+    """Random percentile vectors — including boundary ps (0 ranks, the
+    p·(n−1) exact-integer case) and awkward fractions whose literal
+    repr stresses the double-typing path — through the histogram →
+    cumulative-rank → (1−frac)·lo + frac·hi interpolation: every
+    arithmetic step must be bit-identical to the oracle's replay."""
+    from __spark_entry__ import _token_percentiles_oracle
+    from flink_streaming_2_10_spark.pipeline.textstats import (
+        token_percentiles,
+    )
+
+    rng = random.Random(6262)
+    # Short-repr ps only: _exact_double_repr REFUSES >=16-sig-digit
+    # literals by design (DECIMAL typing double-rounds them; registry
+    # parameterizations deliberately keep the bare short form), so the
+    # draw pool stays inside the generator's contract while still
+    # hitting exact-integer ranks (0.25 on n=5: h = 1.0) and two-decimal
+    # interpolation fractions.
+    candidates = [
+        0.25, 0.5, 0.75, 0.07, 0.13, 0.33, 0.625, 0.9, 0.99, 0.01,
+    ]
+    for trial in range(5):
+        ps = []
+        for p in rng.sample(candidates, rng.randint(1, 4)):
+            if all(round(p * 100) != round(q * 100) for q in ps):
+                ps.append(p)
+        ps = tuple(sorted(ps))
+        docs = []
+        for i in range(rng.randint(15, 40)):
+            words = " ".join(
+                f"w{rng.randint(0, 9)}" for _ in range(rng.randint(1, 30))
+            )
+            docs.append((i, words, rng.choice(["en", "de", "fr"])))
+        df = spark.createDataFrame(docs, ["doc_id", "text", "lang"])
+        out = token_percentiles(df, ps=ps)
+        con = duckdb.connect()
+        values = ", ".join(f"({i}, '{t}', '{l}')" for i, t, l in docs)
+        con.sql(
+            f"CREATE VIEW documents AS SELECT * FROM (VALUES {values})"
+            f" AS t(doc_id, text, lang)"
+        )
+        assert_df_matches_oracle(
+            out, con, _token_percentiles_oracle(ps=ps)
+        )
+
+
+def test_centroid_outliers_radius_parity_randomized(spark):
+    """Random gate radii through the exact cross-multiplied inequality
+    Σ(n·qᵢ−sᵢ)² > n²·round(r·SCALE)²: the threshold integer is derived
+    from the drawn radius exactly as the operator derives it, so the
+    is_outlier verdict must flip at identical vectors in both engines
+    for every radius."""
+    from flink_streaming_2_10_spark.pipeline.clustering import (
+        centroid_outliers,
+    )
+
+    rng = random.Random(6363)
+    for trial in range(4):
+        d = rng.randint(3, 6)
+        radius = rng.choice([0.123, 0.5, 7 / 13, 0.75, 1.0, 1.25])
+        rows = [
+            (i, rng.choice([0, 1, 2]), _dyadic_vectors(rng, 1, d)[0])
+            for i in range(rng.randint(10, 30))
+        ]
+        df = spark.createDataFrame(rows, ["vec_id", "label", "embedding"])
+        out = centroid_outliers(df, radius=radius)
+        t = round(float(radius) * 10_000)  # the operator's own derivation
+        con = duckdb.connect()
+        values = ", ".join(
+            "({}, {}, [{}])".format(i, lab, ", ".join(repr(x) for x in v))
+            for i, lab, v in rows
+        )
+        con.sql(
+            f"CREATE VIEW embeddings AS SELECT * FROM (VALUES {values})"
+            f" AS t(vec_id, label, embedding)"
+        )
+        assert_df_matches_oracle(
+            out,
+            con,
+            f"""
+            WITH q AS (SELECT vec_id, label,
+                              list_transform(embedding, x ->
+                                  CAST(floor(CAST(x AS DOUBLE) * 10000.0
+                                             + 0.5) AS BIGINT)) AS q
+                       FROM embeddings),
+            e AS (SELECT vec_id, label, s.d AS d, s.v AS v
+                  FROM (SELECT vec_id, label,
+                               unnest(list_transform(
+                                   range(1, len(q) + 1),
+                                   i -> {{'d': i, 'v': q[i]}})) AS s
+                        FROM q)),
+            st AS (SELECT label, d, CAST(sum(v) AS BIGINT) AS s,
+                          CAST(count(*) AS BIGINT) AS n
+                   FROM e GROUP BY 1, 2),
+            dn AS (SELECT e.vec_id, e.label,
+                          CAST(sum((st.n * e.v - st.s)
+                                   * (st.n * e.v - st.s)) AS BIGINT)
+                            AS dist2_num,
+                          max(st.n) AS n
+                   FROM e JOIN st ON e.label = st.label AND e.d = st.d
+                   GROUP BY 1, 2)
+            SELECT vec_id, label, CAST(n AS BIGINT) AS n, dist2_num,
+                   dist2_num > n * n * {t * t} AS is_outlier
+            FROM dn
+            """,
+        )
