@@ -190,3 +190,48 @@ def test_driverloop_regime_absent_on_old_side_falls_back(tmp_path):
     new = _doc({"bpe_merges": 2.0}, calib=0.2, basket=basket_new)
     r = _run(old, new, tmp_path)
     assert r.returncode == 2, r.stdout
+
+
+def test_driverloop_query_names_exist_in_registry():
+    """DRIVERLOOP_QUERIES is a hard-coded name set (r17 ADVICE): a
+    renamed or deleted registry query would silently fall back to its
+    plan-shape regime, where the narrow jvm band reproduces the r15
+    false-positive class. Fail loudly on any drift between the set and
+    the live registry."""
+    import __spark_entry__ as entrymod
+
+    m = _mod()
+    registry = set(entrymod.queries())
+    missing = m.DRIVERLOOP_QUERIES - registry
+    assert not missing, (
+        f"DRIVERLOOP_QUERIES names not in the registry (renamed/removed?): "
+        f"{sorted(missing)}"
+    )
+
+
+def test_driverloop_excused_above_cross_regime_ceiling_calls_out(tmp_path):
+    """A driverloop-regime row excused by raw corroboration (raw <=1.15)
+    can still carry an adjusted ratio up to x2.3 when the driverloop
+    divisor sits at its 0.5 band floor — above the x1.72 ceiling any
+    other regime can reach while excused. It must NOT gate (recovery
+    rounds legitimately produce this shape for partial-share driver-loop
+    queries) but MUST print the dedicated call-out so the residual risk
+    is sized correctly (r17 ADVICE)."""
+    # driverloop probe halves (host per-job latency recovered);
+    # bpe_merges raw x1.10 -> adjusted 2.20 > 1.72 ceiling
+    basket_old = {"jvm": 0.10, "arrow": 0.5, "shuffle": 1.0, "driverloop": 2.0}
+    basket_new = {"jvm": 0.10, "arrow": 0.5, "shuffle": 1.0, "driverloop": 1.0}
+    old = _doc({"bpe_merges": 1.0, "tpch_q6_forecast_revenue": 1.0},
+               calib=0.2, basket=basket_old)
+    new = _doc({"bpe_merges": 1.1, "tpch_q6_forecast_revenue": 1.0},
+               calib=0.2, basket=basket_new)
+    r = _run(old, new, tmp_path)
+    assert r.returncode == 0, r.stdout
+    assert "DRIVERLOOP-EXCUSED ABOVE CROSS-REGIME CEILING" in r.stdout
+    assert "bpe_merges" in r.stdout.split("CROSS-REGIME CEILING")[1]
+    # with the driverloop probe flat, the same raw x1.10 adjusts to
+    # x1.10 — no excused-above-ceiling row, no call-out
+    new2 = _doc({"bpe_merges": 1.1, "tpch_q6_forecast_revenue": 1.0},
+                calib=0.2, basket=basket_old)
+    r2 = _run(old, new2, tmp_path)
+    assert "CROSS-REGIME CEILING" not in r2.stdout

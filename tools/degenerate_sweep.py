@@ -1,0 +1,175 @@
+"""Degenerate-input divergence sweep: every registry query vs its DuckDB
+oracle over EMPTY and SINGLE-ROW table variants (r16 verdict task 1).
+
+The r16 fresh-seed fuzz campaign proved the class is real: Spark's
+``GROUP BY CUBE`` returns zero rows over an empty input where ANSI/DuckDB
+emit the ``()`` grand-total row (fixed in operators/relational.py). One bug
+found by luck-of-the-seed means every aggregate/grouping-set/pivot/window
+shape deserves a systematic pass with inputs that are (a) completely empty
+and (b) a single row per table — the two slices where ANSI global-aggregate
+semantics, empty-over-empty divisions, and NULL-propagating extrema diverge
+most often between engines.
+
+Variants are materialized by slicing the driver's own sf0.001 parquet with
+pyarrow (``version="2.6"`` so TIMESTAMP(NANOS) columns round-trip exactly —
+both engines then read byte-identical files, same as the driver's gate).
+
+Usage::
+
+    python tools/degenerate_sweep.py [--only name1,name2] [--variant empty|onerow]
+
+Exit 0 = no divergence; exit 2 = at least one divergence/error (report on
+stdout either way; a JSON summary is written to DEGEN_SWEEP.json).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import tempfile
+import traceback
+
+import duckdb
+import pandas as pd
+import pyarrow.parquet as pq
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_BASE = os.environ.get("DEGEN_SF_BASE", "/root/testdata/sf0.001")
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings".split()
+)
+
+
+def build_variant(base: str, out_dir: str, rows: int) -> None:
+    os.makedirs(out_dir, exist_ok=True)
+    for name in TABLES:
+        t = pq.read_table(f"{base}/{name}.parquet")
+        pq.write_table(t.slice(0, rows), f"{out_dir}/{name}.parquet", version="2.6")
+
+
+def norm(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    if len(df):
+        df = df.sort_values(list(df.columns), kind="mergesort")
+    return df.reset_index(drop=True)
+
+
+def compare(a: pd.DataFrame, b: pd.DataFrame) -> str | None:
+    """Return a divergence description, or None if equal (driver semantics:
+    order-insensitive, name-matched columns, exact values)."""
+    if sorted(a.columns) != sorted(b.columns):
+        return f"schema: spark={sorted(a.columns)} oracle={sorted(b.columns)}"
+    if len(a) != len(b):
+        return f"rows: spark={len(a)} oracle={len(b)}"
+    try:
+        pd.testing.assert_frame_equal(
+            norm(a), norm(b), check_dtype=False, check_exact=True
+        )
+    except AssertionError as e:
+        return f"values: {str(e).splitlines()[-1][:300]}"
+    return None
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--only", default=None, help="comma-separated query names")
+    ap.add_argument("--variant", default=None, choices=["empty", "onerow"])
+    ap.add_argument("--out", default="DEGEN_SWEEP.json")
+    args = ap.parse_args()
+
+    import __spark_entry__ as entrymod
+    from flink_streaming_2_10_spark.session import get_spark
+
+    queries = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    if args.only:
+        keep = set(args.only.split(","))
+        queries = {k: v for k, v in queries.items() if k in keep}
+
+    variants = ["empty", "onerow"] if args.variant is None else [args.variant]
+    root = tempfile.mkdtemp(prefix="degen_")
+    dirs = {}
+    for v in variants:
+        d = os.path.join(root, v)
+        build_variant(SF_BASE, d, 0 if v == "empty" else 1)
+        dirs[v] = d
+
+    spark = get_spark("degenerate-sweep", cpus=8, shuffle_partitions=8)
+    results: dict[str, dict[str, dict]] = {}
+    n_div = n_err = n_ok = n_rowsonly = 0
+
+    for v in variants:
+        con = duckdb.connect()
+        for name in TABLES:
+            con.sql(
+                f"CREATE VIEW {name} AS SELECT * FROM '{dirs[v]}/{name}.parquet'"
+            )
+        for qname, fn in queries.items():
+            rec: dict = {}
+            try:
+                a = fn(spark, dirs[v]).toPandas()
+                rec["spark_rows"] = len(a)
+            except Exception as e:
+                rec["err"] = f"spark: {type(e).__name__}: {str(e)[:300]}"
+                results.setdefault(qname, {})[v] = rec
+                n_err += 1
+                print(f"ERR  {v:6s} {qname}: {rec['err']}", flush=True)
+                continue
+            sql = oracles.get(qname)
+            if sql is None:
+                rec["status"] = "rows-only (no oracle)"
+                n_rowsonly += 1
+            else:
+                try:
+                    b = con.sql(sql).df()
+                except Exception as e:
+                    rec["err"] = f"oracle: {type(e).__name__}: {str(e)[:300]}"
+                    results.setdefault(qname, {})[v] = rec
+                    n_err += 1
+                    print(f"ERR  {v:6s} {qname}: {rec['err']}", flush=True)
+                    continue
+                rec["oracle_rows"] = len(b)
+                diff = compare(a, b)
+                if diff:
+                    rec["divergence"] = diff
+                    n_div += 1
+                    print(f"DIVG {v:6s} {qname}: {diff}", flush=True)
+                else:
+                    rec["status"] = "match"
+                    n_ok += 1
+            results.setdefault(qname, {})[v] = rec
+            print(
+                f"ok   {v:6s} {qname}: {rec.get('status','?')} "
+                f"({rec.get('spark_rows')} rows)",
+                flush=True,
+            )
+        con.close()
+
+    summary = {
+        "variants": variants,
+        "queries": len(queries),
+        "match": n_ok,
+        "rows_only": n_rowsonly,
+        "divergences": n_div,
+        "errors": n_err,
+        "results": results,
+    }
+    with open(args.out, "w") as f:
+        json.dump(summary, f, indent=1, sort_keys=True)
+    print(
+        f"\nSWEEP: {len(queries)} queries x {len(variants)} variants — "
+        f"{n_ok} match, {n_rowsonly} rows-only, {n_div} DIVERGENCES, {n_err} ERRORS"
+    )
+    return 2 if (n_div or n_err) else 0
+
+
+if __name__ == "__main__":
+    try:
+        sys.exit(main())
+    except Exception:
+        traceback.print_exc()
+        sys.exit(3)
