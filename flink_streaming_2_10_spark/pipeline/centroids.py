@@ -54,13 +54,18 @@ def label_centroids(
     One scan, one C-group aggregation; components are
     ``sum // count`` in Python integers (exact at any magnitude — see
     ``kmeans_fixed_point`` for why not a double quotient).
+
+    An EMPTY corpus yields ``[]`` — no classes, no centroids — so both
+    consumers below return zero rows, exactly as their DuckDB oracles
+    do (the r17 degenerate-input sweep found the previous
+    ``ValueError`` raise diverging from the oracle's empty result).
     """
     pts = df.select(
         F.col(label_col).alias("label"), quantize_fixed(df, vec_col).alias("q")
     )
     head = pts.select(F.size("q").alias("d")).limit(1).collect()
     if not head:
-        raise ValueError("empty input")
+        return []
     dim = head[0]["d"]
     agg = pts.groupBy("label").agg(
         F.count(F.lit(1)).alias("n"),
@@ -106,6 +111,14 @@ def nearest_centroid_confusion(
     ``sum_dist2`` is an exact integer sum of exact integer distances.
     """
     cents = label_centroids(df, id_col, vec_col, label_col)
+    if not cents:
+        # Empty corpus: zero rows, contract schema (oracle parity).
+        return df.select(
+            F.col(label_col).cast("int").alias("label"),
+            F.lit(None).cast("int").alias("assigned"),
+            F.lit(None).cast("long").alias("n_vecs"),
+            F.lit(None).cast("long").alias("sum_dist2"),
+        )
     pts = df.select(
         F.col(label_col).cast("int").alias("label"),
         quantize_fixed(df, vec_col).alias("q"),
@@ -150,6 +163,15 @@ def hard_negatives(
     since vec_id is unique.
     """
     cents = label_centroids(df, id_col, vec_col, label_col)
+    if not cents:
+        # Empty corpus: zero rows, contract schema (oracle parity).
+        return df.select(
+            F.lit(None).cast("int").alias("centroid_label"),
+            F.col(id_col).alias("vec_id"),
+            F.col(label_col).cast("int").alias("label"),
+            F.lit(None).cast("long").alias("dist2"),
+            F.lit(None).cast("int").alias("rnk"),
+        )
     pts = df.select(
         F.col(id_col).alias("vec_id"),
         F.col(label_col).cast("int").alias("label"),

@@ -101,11 +101,21 @@ def kmeans_fixed_point(
             F.col(id_col).alias("vec_id"), quantize_fixed(df, vec_col).alias("q")
         )
     )
-    # Deterministic init: the k lowest-id vectors.
+    # Deterministic init: the k lowest-id vectors. A corpus with fewer
+    # than k vectors initializes min(k, n) centroids — exactly the
+    # oracle's `WHERE row_number - 1 < k` init CTE — and an EMPTY
+    # corpus yields zero rows (the r17 degenerate-input sweep found the
+    # previous `k exceeds corpus size` raise diverging from the
+    # oracle's well-defined result on both slices).
     init = pts.orderBy("vec_id").limit(k).collect()
-    if len(init) < k:
-        raise ValueError(f"k={k} exceeds corpus size {len(init)}")
+    if not init:
+        return pts.select(
+            "vec_id",
+            F.lit(None).cast("int").alias("cluster"),
+            F.lit(None).cast("long").alias("dist2"),
+        )
     centroids = [list(r["q"]) for r in init]
+    k = len(centroids)
     dim = len(centroids[0])
     for _ in range(rounds):
         assigned = pts.select(

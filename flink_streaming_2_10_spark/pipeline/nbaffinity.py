@@ -108,6 +108,18 @@ def classify_with_model(
     buckets = F.expr(
         f"transform(__grams, g -> {_bucket_sql('g', B, hasher)})"
     )
+    if not model["classes"]:
+        # A model trained on an EMPTY corpus has no classes: every
+        # prediction is NULL (over an empty apply set this is zero
+        # rows, matching the oracle — r17 degenerate-input sweep; the
+        # previous code built `element_at(array(), 1)`, a VOID-typed
+        # struct whose field extraction fails analysis).
+        return _with_grams(df, id_col, text_col, n).select(
+            "doc_id",
+            F.expr("size(__grams)").cast("long").alias("n_grams"),
+            F.lit(None).cast("string").alias("predicted"),
+            F.lit(None).cast("double").alias("score"),
+        )
 
     def lit_arr(xs: list) -> str:
         return "array(" + ", ".join(f"{int(x)}L" for x in xs) + ")"

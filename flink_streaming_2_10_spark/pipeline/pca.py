@@ -143,7 +143,16 @@ def top_component(cov_rows, d: int, iters: int = 6) -> list[int]:
     arbitrary-precision Python ints: ``v₀ = 1ᵈ``; each round ``w = M·v``
     then ``v' = sign(w)·(|w|·2^20 trunc-div max|w|)``. Fixed ``iters``
     (no convergence test) keeps the computation replayable as unrolled
-    SQL. Returns the final integer loading vector (∞-norm 2^20)."""
+    SQL. Returns the final integer loading vector (∞-norm 2^20).
+
+    Degenerate matrix (``max|w| = 0`` at some round — e.g. n ≤ 1 rows,
+    so every covariance numerator is 0): returns ``[None] * d``. This
+    mirrors the unrolled SQL oracle exactly — integer division by a
+    zero max is NULL in both Spark SQL (``div``) and DuckDB, and once
+    one round is all-NULL every later round stays NULL — where the
+    previous early-``break`` returned the PRE-renormalization vector
+    and diverged from the oracle (found by the r17 degenerate-input
+    sweep on a single-row corpus)."""
     M = [[0] * d for _ in range(d)]
     for i, j, v in cov_rows:
         M[i - 1][j - 1] = v
@@ -153,17 +162,21 @@ def top_component(cov_rows, d: int, iters: int = 6) -> list[int]:
         w = [sum(M[r][c] * v[c] for c in range(d)) for r in range(d)]
         mx = max(abs(x) for x in w)
         if mx == 0:
-            break
+            return [None] * d
         v = [_trunc_div(x * _NORM, mx) for x in w]
     return v
 
 
 def _collect_top_component(
     emb: DataFrame, scale: int, iters: int, vec_col: str
-) -> list[int]:
+) -> list[int] | None:
     """Run the moment pass once and the power iteration driver-side —
-    the shared head of every apply face."""
+    the shared head of every apply face. ``None`` on an EMPTY corpus
+    (no covariance rows at all — the oracle's CTE chain then yields
+    zero rows, distinct from the all-NULL degenerate-matrix case)."""
     cov = embedding_covariance(emb, scale, vec_col).collect()
+    if not cov:
+        return None
     d = max(r["j"] for r in cov)
     return top_component(
         [(r["i"], r["j"], r["cov_num"]) for r in cov], d, iters
@@ -176,11 +189,17 @@ def pca_top_component(
 ) -> DataFrame:
     """Top principal component of the quantized embeddings as ``(i,
     loading)`` rows — corpus touched once (the moment pass), iteration
-    on d² driver ints, result re-parallelized for composition."""
+    on d² driver ints, result re-parallelized for composition.
+
+    Degenerate inputs match the oracle's CTE chain exactly (r17 sweep):
+    an EMPTY corpus yields ZERO rows (no covariance rows to iterate);
+    a rank-zero covariance matrix (e.g. a single row) yields ``d`` rows
+    with NULL loadings (division by a zero max is NULL in SQL)."""
     v = _collect_top_component(emb, scale, iters, vec_col)
     spark = emb.sparkSession
     return spark.createDataFrame(
-        [(i + 1, int(x)) for i, x in enumerate(v)], "i int, loading long"
+        [(i + 1, None if x is None else int(x)) for i, x in enumerate(v or [])],
+        "i int, loading long",
     )
 
 
@@ -205,7 +224,17 @@ def embedding_direction_scores(
     (|q| ≤ scale·max|x|, |loading| ≤ 2²⁰, d terms), so the oracle
     replays them bit-for-bit."""
     v = _collect_top_component(emb, scale, iters, vec_col)
-    vlit = F.array(*[F.lit(int(x)).cast("long") for x in v])
+    if v is None:
+        # Empty corpus: the oracle's scored CTE has nothing to join the
+        # (empty) loading vector against — zero rows, same schema.
+        return emb.select(
+            F.col(id_col), F.lit(None).cast("long").alias("dir_score")
+        )
+    # None components (rank-zero covariance) become NULL literals: the
+    # dot product is then NULL for every vector, as in the oracle.
+    vlit = F.array(
+        *[F.lit(None if x is None else int(x)).cast("long") for x in v]
+    )
     q = F.transform(
         F.col(vec_col),
         lambda x: F.floor(x.cast("double") * F.lit(scale)).cast("long"),

@@ -111,9 +111,25 @@ def test_validates_parameters(spark):
     df = spark.createDataFrame([(0, [0.1])], ["vec_id", "embedding"])
     with pytest.raises(ValueError, match="k and rounds"):
         kmeans_fixed_point(df, k=0)
-    with pytest.raises(ValueError, match="exceeds corpus size"):
-        kmeans_fixed_point(df, k=5)
     release_cached()
+
+
+def test_k_beyond_corpus_size_matches_oracle_init(spark):
+    """r17 degenerate-input sweep: k > n used to raise, but the oracle's
+    init CTE (`row_number - 1 < k`) is well-defined — min(k, n)
+    centroids. A 1-row corpus with k=5 assigns the row to cluster 0 at
+    distance 0; an empty corpus yields zero rows with the contract
+    schema."""
+    df = spark.createDataFrame([(7, [0.1, 0.9])], ["vec_id", "embedding"])
+    out = kmeans_fixed_point(df, k=5, rounds=2).collect()
+    release_cached()
+    assert [(r["vec_id"], r["cluster"], r["dist2"]) for r in out] == [(7, 0, 0)]
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    out2 = kmeans_fixed_point(empty, k=4, rounds=2)
+    release_cached()
+    assert out2.columns == ["vec_id", "cluster", "dist2"]
+    assert out2.count() == 0
 
 
 class TestCentroidOutliers:

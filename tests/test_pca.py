@@ -86,8 +86,11 @@ def test_power_iteration_deterministic_and_zero_safe():
     a = top_component(rows, d=2, iters=6)
     b = top_component(rows, d=2, iters=6)
     assert a == b
-    # all-zero matrix: stays at the v0 seed, no div-by-zero
-    assert top_component([(1, 1, 0)], d=2, iters=6) == [1, 1]
+    # all-zero matrix: NULL loadings — the oracle's unrolled SQL
+    # divides by a zero max, which is NULL in both Spark SQL and
+    # DuckDB (r17 degenerate sweep; the old [1, 1] v0-seed answer
+    # diverged from the oracle on a single-row corpus)
+    assert top_component([(1, 1, 0)], d=2, iters=6) == [None, None]
 
 
 def test_moment_pass_single_tiny_exchange(spark):
