@@ -2,7 +2,10 @@
 the r16 fuzz campaign proved real (Spark `GROUP BY CUBE` returns zero
 rows over an empty input where ANSI/DuckDB emit the () grand-total row).
 
-The full 134-query x 2-variant sweep is `tools/degenerate_sweep.py`
+The full 134-query x 3-variant sweep is `tools/degenerate_sweep.py`
+(variants: all tables EMPTY, all tables SINGLE-ROW, and EMPTYFACT —
+facts empty with dimensions populated, the join-against-empty /
+emptied-slice shape)
 (run + recorded in COVERAGE.md each round); this suite pins a durable
 subset: the six operators the r17 sweep actually caught diverging
 (driver-side collects raising where the oracle returns well-defined
@@ -70,9 +73,11 @@ def degen_dirs(tmp_path_factory):
     sweep = _sweep_mod()
     root = tmp_path_factory.mktemp("degen")
     dirs = {}
-    for variant, rows in (("empty", 0), ("onerow", 1)):
+    for variant, rows in (("empty", 0), ("onerow", 1), ("emptyfact", 0)):
         d = str(root / variant)
-        sweep.build_variant(sweep.SF_BASE, d, rows)
+        sweep.build_variant(
+            sweep.SF_BASE, d, rows, facts_only=(variant == "emptyfact")
+        )
         dirs[variant] = d
     return dirs
 
@@ -94,7 +99,7 @@ def ducks(degen_dirs):
 
 
 @pytest.mark.parametrize("name", [n for n in PINNED if n in QUERIES])
-@pytest.mark.parametrize("variant", ["empty", "onerow"])
+@pytest.mark.parametrize("variant", ["empty", "onerow", "emptyfact"])
 def test_degenerate_matches_oracle(spark, degen_dirs, ducks, name, variant):
     sweep = _sweep_mod()
     a = QUERIES[name](spark, degen_dirs[variant]).toPandas()

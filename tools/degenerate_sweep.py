@@ -42,13 +42,19 @@ TABLES = (
     "region nation customer supplier part orders lineitem events "
     "documents embeddings".split()
 )
+#: Fact tables for the "emptyfact" variant: facts empty, dimensions
+#: populated — the join-against-empty / emptied-slice shape (scalar
+#: subqueries over live dims vs empty facts, HAVING over empty groups,
+#: all-NULL left-join aggregates) that all-tables-empty can mask.
+FACTS = {"orders", "lineitem", "events", "documents", "embeddings"}
 
 
-def build_variant(base: str, out_dir: str, rows: int) -> None:
+def build_variant(base: str, out_dir: str, rows: int, facts_only: bool = False) -> None:
     os.makedirs(out_dir, exist_ok=True)
     for name in TABLES:
         t = pq.read_table(f"{base}/{name}.parquet")
-        pq.write_table(t.slice(0, rows), f"{out_dir}/{name}.parquet", version="2.6")
+        n = rows if (not facts_only or name in FACTS) else len(t)
+        pq.write_table(t.slice(0, n), f"{out_dir}/{name}.parquet", version="2.6")
 
 
 def norm(df: pd.DataFrame) -> pd.DataFrame:
@@ -77,7 +83,9 @@ def compare(a: pd.DataFrame, b: pd.DataFrame) -> str | None:
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--only", default=None, help="comma-separated query names")
-    ap.add_argument("--variant", default=None, choices=["empty", "onerow"])
+    ap.add_argument(
+        "--variant", default=None, choices=["empty", "onerow", "emptyfact"]
+    )
     ap.add_argument("--out", default="DEGEN_SWEEP.json")
     args = ap.parse_args()
 
@@ -90,12 +98,18 @@ def main() -> int:
         keep = set(args.only.split(","))
         queries = {k: v for k, v in queries.items() if k in keep}
 
-    variants = ["empty", "onerow"] if args.variant is None else [args.variant]
+    variants = (
+        ["empty", "onerow", "emptyfact"]
+        if args.variant is None
+        else [args.variant]
+    )
     root = tempfile.mkdtemp(prefix="degen_")
     dirs = {}
     for v in variants:
         d = os.path.join(root, v)
-        build_variant(SF_BASE, d, 0 if v == "empty" else 1)
+        build_variant(
+            SF_BASE, d, 0 if v != "onerow" else 1, facts_only=(v == "emptyfact")
+        )
         dirs[v] = d
 
     spark = get_spark("degenerate-sweep", cpus=8, shuffle_partitions=8)
