@@ -105,3 +105,19 @@ def test_confusion_plan_has_no_join(emb):
     )
     assert "Join" not in plan, plan
     assert plan.count("Exchange") <= 2, plan
+
+
+def test_hard_negatives_plan_uses_window_group_limit(emb):
+    """The 100 TB claim in the docstring — WindowGroupLimit caps each
+    partition at k rows per class BEFORE the rank window's exchange —
+    must actually appear in the physical plan: a refactor that breaks
+    the row_number()-then-filter pattern Spark's optimizer recognizes
+    would silently ship the full C×corpus candidate set into the
+    shuffle (r17 pin)."""
+    plan = (
+        hard_negatives(emb, k=5)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "WindowGroupLimit" in plan, plan
