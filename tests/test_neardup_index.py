@@ -1097,3 +1097,47 @@ def test_media_ingest_auto_compaction_preserves_flags(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS mdx_ac_buckets")
         spark.sql("DROP TABLE IF EXISTS mdx_ac_phash")
+
+
+def test_empty_micro_batch_is_harmless(spark, tmp_path):
+    """Quiet-stream robustness (r17): a ZERO-row micro-batch through
+    `neardup_ingest_batch` must neither raise nor corrupt the index —
+    both as the FIRST batch ever (creates an empty but probeable index)
+    and between real batches (no-op append, counts unchanged)."""
+    from flink_streaming_2_10_spark.pipeline.neardup_index import (
+        neardup_ingest_batch,
+    )
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    flagged = str(tmp_path / "flagged")
+
+    # First-ever batch empty: creates an empty index that later real
+    # batches append to and probe against without error.
+    cb = neardup_ingest_batch(
+        spark, str(tmp_path / "idx"), "ndx_empty_t", flagged,
+        threshold=0.5, num_buckets=4,
+    )
+    cb(empty, 0)
+    assert spark.table("ndx_empty_t_buckets").count() == 0
+
+    docs = _pass1_docs(spark)
+    cb(docs, 1)
+    n_buckets = spark.table("ndx_empty_t_buckets").count()
+    n_sigs = spark.table("ndx_empty_t_sigs").count()
+    assert n_sigs == docs.count()
+
+    # Empty batch between real ones: flags nothing, appends nothing.
+    cb(empty, 2)
+    assert spark.table("ndx_empty_t_buckets").count() == n_buckets
+    assert spark.table("ndx_empty_t_sigs").count() == n_sigs
+
+    # And a real batch afterwards still probes correctly: a near-dup of
+    # an indexed doc is flagged, not appended.
+    base = docs.where("doc_id = 3").collect()[0]["text"]
+    arrivals = spark.createDataFrame(
+        [(300, base.replace("long form", "short form"))], ["doc_id", "text"]
+    )
+    cb(arrivals, 3)
+    flags = spark.read.parquet(flagged)
+    assert flags.where("doc_id = 300").count() >= 1
+    assert spark.table("ndx_empty_t_sigs").where("doc_id = 300").count() == 0

@@ -2342,3 +2342,44 @@ def test_neardup_index_geometry_parity_randomized(spark, tmp_path):
             ),
         )
         con.close()
+
+
+def test_interval_join_bounds_parity_randomized(spark):
+    """Interval widths are caller parameters flowing straight into the
+    join predicate and the bucket arithmetic: random (lower, upper)
+    including NEGATIVE bounds, lower == upper (width clamps to 1), and
+    NEGATIVE event times (the floor-div vs trunc-div bucket class the
+    module docstring warns about), compared pair-for-pair against a
+    brute-force Python oracle."""
+    from flink_streaming_2_10_spark.operators.temporal import interval_join
+
+    rng = _rng(474747)
+    for trial in range(6):
+        lower = rng.randint(-20, 10)
+        upper = lower if rng.random() < 0.2 else rng.randint(lower, lower + 25)
+        keys = [f"k{j}" for j in range(rng.randint(1, 3))]
+        tmin, tmax = (-40, 40) if rng.random() < 0.5 else (0, 60)
+        left_rows = [
+            (rng.choice(keys), rng.randint(tmin, tmax), i)
+            for i in range(rng.randint(10, 40))
+        ]
+        right_rows = [
+            (rng.choice(keys), rng.randint(tmin, tmax), 100 + j)
+            for j in range(rng.randint(10, 40))
+        ]
+        expect = sorted(
+            (lk, lt, lid, rk, rt, rid)
+            for lk, lt, lid in left_rows
+            for rk, rt, rid in right_rows
+            if lk == rk and lt + lower <= rt <= lt + upper
+        )
+        left = spark.createDataFrame(left_rows, "k string, t long, lid long")
+        right = spark.createDataFrame(right_rows, "k string, t long, rid long")
+        got = sorted(
+            (r["k"], r["t"], r["lid"], r["r_k"], r["r_t"], r["r_rid"])
+            for r in interval_join(
+                left, right, on=["k"], left_time="t", right_time="t",
+                lower=lower, upper=upper,
+            ).collect()
+        )
+        assert got == expect, f"trial {trial} bounds [{lower}, {upper}]"
