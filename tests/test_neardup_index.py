@@ -1141,3 +1141,30 @@ def test_empty_micro_batch_is_harmless(spark, tmp_path):
     flags = spark.read.parquet(flagged)
     assert flags.where("doc_id = 300").count() >= 1
     assert spark.table("ndx_empty_t_sigs").where("doc_id = 300").count() == 0
+
+
+def test_media_empty_micro_batch_is_harmless(spark, tmp_path):
+    """Media face of the quiet-stream pin: a zero-row batch through
+    `media_ingest_batch` neither raises nor corrupts the phash index,
+    first-ever and mid-stream (r17)."""
+    from flink_streaming_2_10_spark.pipeline.neardup_index import (
+        media_ingest_batch,
+    )
+
+    empty = spark.createDataFrame([], "media_id long, payload binary")
+    flagged = str(tmp_path / "mflagged")
+    cb = media_ingest_batch(
+        spark, str(tmp_path / "midx"), "ndx_empty_m", flagged, num_buckets=4
+    )
+    cb(empty, 0)
+    assert spark.table("ndx_empty_m_buckets").count() == 0
+
+    media = _media_rows(spark)
+    cb(media, 1)
+    n_buckets = spark.table("ndx_empty_m_buckets").count()
+    n_ph = spark.table("ndx_empty_m_phash").count()
+    assert n_ph == media.count()
+
+    cb(empty, 2)
+    assert spark.table("ndx_empty_m_buckets").count() == n_buckets
+    assert spark.table("ndx_empty_m_phash").count() == n_ph
