@@ -2344,13 +2344,14 @@ def test_neardup_index_geometry_parity_randomized(spark, tmp_path):
         con.close()
 
 
-def test_interval_join_bounds_parity_randomized(spark):
-    """Interval widths are caller parameters flowing straight into the
-    join predicate and the bucket arithmetic: random (lower, upper)
-    including NEGATIVE bounds, lower == upper (width clamps to 1), and
+def test_interval_join_negative_times_bruteforce_randomized(spark):
+    """Companion to test_interval_join_bounds_parity_randomized (the
+    DuckDB-oracle family above): same caller-parameter surface but with
     NEGATIVE event times (the floor-div vs trunc-div bucket class the
-    module docstring warns about), compared pair-for-pair against a
-    brute-force Python oracle."""
+    module docstring warns about) and a brute-force PYTHON pair oracle
+    instead of SQL — an independent second opinion on the predicate.
+    r17 NOTE: this function briefly shadowed the original family by
+    accident of name; the rename restores both."""
     from flink_streaming_2_10_spark.operators.temporal import interval_join
 
     rng = _rng(474747)
