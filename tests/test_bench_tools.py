@@ -209,6 +209,88 @@ def test_driverloop_query_names_exist_in_registry():
     )
 
 
+def test_median_mover_with_flat_min_not_gated_calls_out(tmp_path):
+    """r18 (verdict task 3): the r17 q19 shape — a 3-sample median
+    inflated x2 by iteration spread while min-vs-min is flat. With both
+    sides carrying mins the display is min-of-n (raw x1.0, no flag), and
+    the median movement must surface as the dedicated median-jitter
+    call-out without gating."""
+    old = {"value": 1.0, "queries": {"q": 1.0}, "queries_min": {"q": 0.5},
+           "calib": 0.2}
+    new = {"value": 2.0, "queries": {"q": 2.0}, "queries_min": {"q": 0.5},
+           "calib": 0.2}
+    r = _run(old, new, tmp_path)
+    assert r.returncode == 0, r.stdout
+    assert "median-jitter, min-corroborated flat" in r.stdout
+    assert "q (median x2.00, min x1.00)" in r.stdout
+
+
+def test_min_mover_with_flat_median_excused(tmp_path):
+    """r18: the mirror shape (token_percentiles in the r16→r17 driver
+    artifacts — min x1.22 off one lucky old-side min, median x0.99
+    flat). Flagged on the displayed min series but excused by the flat
+    median: cross-series call-out, exit 0."""
+    old = {"value": 1.0, "queries": {"q": 1.0}, "queries_min": {"q": 0.5},
+           "calib": 0.2}
+    new = {"value": 1.0, "queries": {"q": 1.0}, "queries_min": {"q": 0.75},
+           "calib": 0.2}
+    r = _run(old, new, tmp_path)
+    assert r.returncode == 0, r.stdout
+    assert "cross-series-excused" in r.stdout
+
+
+def test_regression_on_both_series_still_gates(tmp_path):
+    """Cross-series corroboration must NOT excuse a real regression: a
+    code change moves min AND median together, and that shape gates."""
+    old = {"value": 1.0, "queries": {"q": 1.0}, "queries_min": {"q": 0.5},
+           "calib": 0.2}
+    new = {"value": 2.0, "queries": {"q": 2.0}, "queries_min": {"q": 1.0},
+           "calib": 0.2}
+    r = _run(old, new, tmp_path)
+    assert r.returncode == 2, r.stdout
+
+
+def test_min_recovery_worktree_fallback_for_uncommitted_wrapper():
+    """r18: the judge compares driver artifacts BEFORE the round's
+    commit exists, so git recovery finds no commit for the new wrapper —
+    recovery must fall back to the working-tree BENCH.json under the
+    same same-run totals check (the r17 false exit-2's root cause)."""
+    m = _mod()
+    with open(os.path.join(ROOT, "BENCH.json")) as fh:
+        live = json.load(fh)
+    if "queries_min" not in live:
+        pytest.skip("working-tree BENCH.json lacks queries_min")
+    # A wrapper name with no git history: falls through to the worktree.
+    rec = m.recover_min_from_git(
+        os.path.join(ROOT, "BENCH_r9999.json"), {"value": live["value"]}
+    )
+    assert rec is not None and "queries_min" in rec
+    # Totals mismatch still refuses (different run must not be mixed).
+    assert m.recover_min_from_git(
+        os.path.join(ROOT, "BENCH_r9999.json"), {"value": live["value"] + 5}
+    ) is None
+
+
+def test_r16_r17_driver_artifacts_exit_zero_with_q19_callout():
+    """The r17 verdict's literal done-criterion: `bench_compare
+    BENCH_r16.json BENCH_r17.json` exits 0 and calls out
+    tpch_q19_bracket_revenue as median-jitter (median x2.25, min x1.00
+    on an untouched module)."""
+    if not os.path.isdir(os.path.join(ROOT, ".git")):
+        pytest.skip("no git checkout")
+    r = subprocess.run(
+        [sys.executable, os.path.join(ROOT, "tools", "bench_compare.py"),
+         os.path.join(ROOT, "BENCH_r16.json"),
+         os.path.join(ROOT, "BENCH_r17.json")],
+        capture_output=True, text=True, cwd=ROOT,
+    )
+    if "recovered from the git-tracked" not in r.stderr:
+        pytest.skip("git history unavailable (shallow clone)")
+    assert r.returncode == 0, r.stdout
+    assert "median-jitter" in r.stdout
+    assert "tpch_q19_bracket_revenue" in r.stdout.split("median-jitter")[1]
+
+
 def test_driverloop_excused_above_cross_regime_ceiling_calls_out(tmp_path):
     """A driverloop-regime row excused by raw corroboration (raw <=1.15)
     can still carry an adjusted ratio up to x2.3 when the driverloop

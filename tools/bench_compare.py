@@ -39,6 +39,21 @@ bench run also wrote the git-tracked BENCH.json in the SAME commit —
 when the old side lacks ``queries_min``, this tool recovers it from
 ``git show <commit-of-BENCH_r{N}>:BENCH.json`` (verified to be the same
 run by matching totals) so min-vs-min engages on driver artifacts.
+When the wrapper is NOT YET COMMITTED (the judge runs the compare
+before the round's artifact commit — exactly the r17 false exit-2),
+recovery falls back to the WORKING-TREE BENCH.json under the same
+same-run totals check.
+
+Min corroboration (r17 verdict task 3): a 3-sample median is inflated
+by any slow iteration (r17's iteration totals spread 1.9×), so when
+min data exists for a query, a mover must ALSO read > x1.15 min-vs-min
+(raw) to gate. Movers excused this way print a dedicated
+"median-jitter" call-out — the judge's q19 adjudication (median x2.28,
+min-vs-min x1.00 on an untouched module) mechanized. Additionally,
+whenever the displayed series is min-of-n, queries whose MEDIAN raw
+ratio exceeds the threshold while their min ratio stays ≤ x1.15 get
+the same informational call-out, so the median movement is visible
+without gating.
 
 Known-noisy suppression: ``async_ordered_identity`` inside its measured
 0.8–1.7 s GIL-contention band (BENCH_COMPARE.md r8 adjudication) is
@@ -99,28 +114,40 @@ def load(path: str) -> dict:
 def recover_min_from_git(wrapper_path: str, parsed: dict) -> dict | None:
     """For a driver BENCH_r{N}.json (no ``queries_min``): read the
     git-tracked BENCH.json from the commit that introduced the wrapper —
-    the driver's bench run wrote both in the same commit. Returns the
-    full BENCH.json dict only if it is verifiably the SAME run (totals
-    match to the cent); None on any git/shape mismatch."""
+    the driver's bench run wrote both in the same commit. An UNCOMMITTED
+    wrapper (no git history yet — the judge's pre-commit compare, the
+    r18 fix) falls back to the working-tree BENCH.json under the same
+    same-run check. Returns the full BENCH.json dict only if it is
+    verifiably the SAME run (totals match to the cent); None on any
+    git/shape mismatch."""
     import os
     import subprocess
 
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     name = os.path.basename(wrapper_path)
+    doc = None
     try:
         commit = subprocess.run(
             ["git", "log", "--format=%H", "-n", "1", "--", name],
             cwd=root, capture_output=True, text=True, check=True,
         ).stdout.strip()
-        if not commit:
-            return None
-        blob = subprocess.run(
-            ["git", "show", f"{commit}:BENCH.json"],
-            cwd=root, capture_output=True, text=True, check=True,
-        ).stdout
-        doc = json.loads(blob)
+        if commit:
+            blob = subprocess.run(
+                ["git", "show", f"{commit}:BENCH.json"],
+                cwd=root, capture_output=True, text=True, check=True,
+            ).stdout
+            doc = json.loads(blob)
     except (subprocess.CalledProcessError, json.JSONDecodeError, OSError):
-        return None
+        doc = None
+    if doc is None:
+        # Wrapper absent from git history (or git unavailable): the run
+        # that wrote it also wrote the repo-root BENCH.json — try the
+        # working tree, gated by the identical same-run totals check.
+        try:
+            with open(os.path.join(root, "BENCH.json")) as fh:
+                doc = json.load(fh)
+        except (OSError, json.JSONDecodeError):
+            return None
     if "queries_min" not in doc:
         return None
     if abs(doc.get("value", -1) - parsed.get("value", -2)) > 0.01:
@@ -209,6 +236,24 @@ def main() -> None:
     old = with_recovered_min(old, args[0], "old")
     new = with_recovered_min(new, args[1], "new")
     oq, nq, series = pick_series(old, new)
+    # Raw min- and median-ratio maps for corroboration (r18, verdict
+    # task 3): a 3-sample median inflates under intra-run spread (r17's
+    # iteration totals ranged 1.9×), so min data — native or recovered —
+    # corroborates or excuses any flagged mover below.
+    min_ratio: dict[str, float] = {}
+    if "queries_min" in old and "queries_min" in new:
+        mo, mn = old["queries_min"], new["queries_min"]
+        min_ratio = {
+            q: mn[q] / mo[q]
+            for q in set(mo) & set(mn)
+            if mo[q] > 0 and mn[q] > 0
+        }
+    qo_med, qn_med = old.get("queries", {}), new.get("queries", {})
+    med_ratio = {
+        q: qn_med[q] / qo_med[q]
+        for q in set(qo_med) & set(qn_med)
+        if qo_med[q] > 0 and qn_med[q] > 0
+    }
     co, cn = old.get("calib"), new.get("calib")
     raw_drift = (cn / co) if co and cn else None
     # Outside the band the probe pair is an artifact, not host drift:
@@ -277,14 +322,52 @@ def main() -> None:
     # PRINT below, they just don't gate.
     RAW_CORROBORATION = 1.15
     CROSS_REGIME_CEILING = round(RAW_CORROBORATION / DRIFT_BAND[0], 2)  # 1.72
+    # Cross-series corroboration (r18, verdict task 3): a real code
+    # regression shifts the WHOLE timing distribution, so a flagged
+    # mover must read > x1.15 on EVERY available raw series (min AND
+    # median) to gate. One series moving while the other is flat is
+    # sampling noise: the r17 q19 shape (median x2.28, min x1.00 —
+    # iteration spread inflating a 3-sample median) and its mirror
+    # (token_percentiles min x1.22, median x0.99 — one lucky old-side
+    # min). Excused movers print in the call-outs below, never gate.
+    def series_corroborated(name: str) -> bool:
+        for other in (min_ratio, med_ratio):
+            if name in other and other[name] <= RAW_CORROBORATION:
+                return False
+        return True
+
     worst = [
         (name, adj if adj is not None else raw)
         for name, _, n, raw, adj in rows
         if (adj if adj is not None else raw) is not None
         and (adj if adj is not None else raw) > REGRESSION_THRESHOLD
         and (raw is None or raw > RAW_CORROBORATION)
+        and series_corroborated(name)
         and not in_noisy_band(name, n)
     ]
+    # Movers flagged on the DISPLAYED series but excused by the other
+    # series reading flat — informational, never gated.
+    cross_excused = [
+        (name, raw, min_ratio.get(name), med_ratio.get(name))
+        for name, _, n, raw, adj in rows
+        if (adj if adj is not None else raw) is not None
+        and (adj if adj is not None else raw) > REGRESSION_THRESHOLD
+        and raw is not None and raw > RAW_CORROBORATION
+        and not series_corroborated(name)
+        and not in_noisy_band(name, n)
+    ]
+    excused_names = {name for name, *_ in cross_excused}
+    # Median movers with a flat min that never flagged the displayed
+    # series at all (min-of-n display hides them): same call-out class.
+    median_jitter = sorted(
+        (name, med_ratio[name], min_ratio[name])
+        for name in med_ratio
+        if name in min_ratio
+        and name not in excused_names
+        and med_ratio[name] > REGRESSION_THRESHOLD
+        and min_ratio[name] <= RAW_CORROBORATION
+        and not in_noisy_band(name, nq.get(name))
+    )
     probe_inflated = [
         (name, adj, raw)
         for name, _, n, raw, adj in rows
@@ -351,6 +434,17 @@ def main() -> None:
                   f"x{CROSS_REGIME_CEILING} — adjudicate manually:** "
                   + ", ".join(f"{n} (adj x{a:.2f}, raw x{r:.2f})"
                               for n, a, r in driverloop_excused_high))
+        if cross_excused:
+            print("\n**cross-series-excused, other series flat (not "
+                  "gated):** "
+                  + ", ".join(
+                      f"{n} (raw x{r:.2f}, min x{mn:.2f}, median x{md:.2f})"
+                      for n, r, mn, md in cross_excused))
+        if median_jitter:
+            print("\n**median-jitter, min-corroborated flat (not "
+                  "gated):** "
+                  + ", ".join(f"{n} (median x{md_r:.2f}, min x{mn_r:.2f})"
+                              for n, md_r, mn_r in median_jitter))
     else:
         print(head)
         print(f"{'query':34s} {'old':>8s} {'new':>8s} {'raw':>6s} {'adj':>6s}")
@@ -370,6 +464,15 @@ def main() -> None:
                   f"x{CROSS_REGIME_CEILING} — adjudicate manually: "
                   + ", ".join(f"{n} (adj x{a:.2f}, raw x{r:.2f})"
                               for n, a, r in driverloop_excused_high))
+        if cross_excused:
+            print("cross-series-excused, other series flat (not gated): "
+                  + ", ".join(
+                      f"{n} (raw x{r:.2f}, min x{mn:.2f}, median x{md:.2f})"
+                      for n, r, mn, md in cross_excused))
+        if median_jitter:
+            print("median-jitter, min-corroborated flat (not gated): "
+                  + ", ".join(f"{n} (median x{md_r:.2f}, min x{mn_r:.2f})"
+                              for n, md_r, mn_r in median_jitter))
     sys.exit(2 if worst else 0)
 
 
