@@ -2,10 +2,11 @@
 the r16 fuzz campaign proved real (Spark `GROUP BY CUBE` returns zero
 rows over an empty input where ANSI/DuckDB emit the () grand-total row).
 
-The full 134-query x 3-variant sweep is `tools/degenerate_sweep.py`
-(variants: all tables EMPTY, all tables SINGLE-ROW, and EMPTYFACT —
-facts empty with dimensions populated, the join-against-empty /
-emptied-slice shape)
+The full 134-query x 4-variant sweep is `tools/degenerate_sweep.py`
+(variants: all tables EMPTY, all tables SINGLE-ROW, EMPTYFACT — facts
+empty with dimensions populated, the join-against-empty / emptied-slice
+shape — and HOTKEY, one value rewritten to own ~95% of each skew
+column's rows, added r18 per the r17 verdict)
 (run + recorded in COVERAGE.md each round); this suite pins a durable
 subset: the six operators the r17 sweep actually caught diverging
 (driver-side collects raising where the oracle returns well-defined
@@ -20,7 +21,6 @@ import importlib.util
 import os
 
 import duckdb
-import pandas as pd
 import pytest
 
 import __spark_entry__ as entrymod
@@ -79,6 +79,9 @@ def degen_dirs(tmp_path_factory):
             sweep.SF_BASE, d, rows, facts_only=(variant == "emptyfact")
         )
         dirs[variant] = d
+    d = str(root / "hotkey")
+    sweep.build_hotkey_variant(sweep.SF_BASE, d)
+    dirs["hotkey"] = d
     return dirs
 
 
@@ -99,7 +102,7 @@ def ducks(degen_dirs):
 
 
 @pytest.mark.parametrize("name", [n for n in PINNED if n in QUERIES])
-@pytest.mark.parametrize("variant", ["empty", "onerow", "emptyfact"])
+@pytest.mark.parametrize("variant", ["empty", "onerow", "emptyfact", "hotkey"])
 def test_degenerate_matches_oracle(spark, degen_dirs, ducks, name, variant):
     sweep = _sweep_mod()
     a = QUERIES[name](spark, degen_dirs[variant]).toPandas()
@@ -112,6 +115,44 @@ def test_pinned_names_still_exist():
     """A rename must update the pin list, not silently skip it."""
     missing = [n for n in PINNED if n not in QUERIES]
     assert not missing, missing
+
+
+def test_partial_runs_never_default_to_canonical_path():
+    """r17 verdict task 4: a --only / --variant spot-run clobbered the
+    canonical 402-entry DEGEN_SWEEP.json (restored from git). Partial
+    runs must default to the side path; only an unrestricted run may
+    write the canonical record; explicit --out always wins."""
+    sweep = _sweep_mod()
+    assert sweep.resolve_out(None, None, None) == ("DEGEN_SWEEP.json", False)
+    assert sweep.resolve_out("q1,q2", None, None) == (
+        "DEGEN_SWEEP.partial.json", True)
+    assert sweep.resolve_out(None, "hotkey", None) == (
+        "DEGEN_SWEEP.partial.json", True)
+    assert sweep.resolve_out("q1", "empty", "X.json") == ("X.json", True)
+
+
+def test_hotkey_variant_shape():
+    """The hotkey builder must keep every row, keep the schema
+    byte-identical, and give the hot value ~HOT_FRACTION of each skew
+    column — the invariants the skew sweep's meaning rests on."""
+    import collections
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    sweep = _sweep_mod()
+    d = tempfile.mkdtemp(prefix="hotkey_test_")
+    sweep.build_hotkey_variant(sweep.SF_BASE, d)
+    for name in sweep.TABLES:
+        base = pq.read_table(f"{sweep.SF_BASE}/{name}.parquet")
+        hot = pq.read_table(f"{d}/{name}.parquet")
+        assert hot.schema == base.schema, name
+        assert len(hot) == len(base), name
+        col = sweep.HOT_COLS.get(name)
+        if col and len(hot):
+            values = hot.column(col).to_pylist()
+            _, n_top = collections.Counter(values).most_common(1)[0]
+            assert n_top >= int(len(values) * sweep.HOT_FRACTION), name
 
 
 def test_empty_schema_equals_onerow_schema(spark, degen_dirs):

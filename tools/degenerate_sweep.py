@@ -1,5 +1,6 @@
 """Degenerate-input divergence sweep: every registry query vs its DuckDB
-oracle over EMPTY and SINGLE-ROW table variants (r16 verdict task 1).
+oracle over EMPTY, SINGLE-ROW, EMPTY-FACT, and HOT-KEY table variants
+(r16 verdict task 1; hotkey added per r17 verdict task 5).
 
 The r16 fresh-seed fuzz campaign proved the class is real: Spark's
 ``GROUP BY CUBE`` returns zero rows over an empty input where ANSI/DuckDB
@@ -14,12 +15,26 @@ Variants are materialized by slicing the driver's own sf0.001 parquet with
 pyarrow (``version="2.6"`` so TIMESTAMP(NANOS) columns round-trip exactly —
 both engines then read byte-identical files, same as the driver's gate).
 
+The ``hotkey`` variant keeps every row but rewrites ONE column per table
+so a single value owns ~95% of the rows (events.user_id, documents.lang,
+orders.o_custkey, …) — the extreme-skew shape that exercises hot-bucket
+caps, per-key window sorts (sessionize/asof), and salting paths that
+uniform fuzz draws almost never produce. Values are rewritten, not
+sliced, which is fine for parity: BOTH engines read the same rewritten
+parquet, so any divergence is an engine-semantics difference, exactly
+what the sweep hunts.
+
 Usage::
 
-    python tools/degenerate_sweep.py [--only name1,name2] [--variant empty|onerow]
+    python tools/degenerate_sweep.py [--only name1,name2] \
+        [--variant empty|onerow|emptyfact|hotkey]
 
-Exit 0 = no divergence; exit 2 = at least one divergence/error (report on
-stdout either way; a JSON summary is written to DEGEN_SWEEP.json).
+Exit 0 = no divergence; exit 2 = at least one divergence/error (report
+on stdout either way). A FULL run (no --only/--variant) writes the
+canonical DEGEN_SWEEP.json; PARTIAL runs write DEGEN_SWEEP.partial.json
+so a spot-run can never clobber the canonical record (r17 verdict
+task 4 — the judge's 4-query spot-run did exactly that). ``--out``
+overrides either default explicitly.
 """
 
 from __future__ import annotations
@@ -48,6 +63,22 @@ TABLES = (
 #: all-NULL left-join aggregates) that all-tables-empty can mask.
 FACTS = {"orders", "lineitem", "events", "documents", "embeddings"}
 
+#: hotkey variant: per-table column rewritten so its FIRST value owns
+#: ~95% of rows. Grouping/join keys with real fan-out are chosen (the
+#: null/default/bot-id shape at 100 TB); tiny dims are left alone.
+HOT_COLS = {
+    "events": "user_id",
+    "documents": "lang",
+    "orders": "o_custkey",
+    "lineitem": "l_suppkey",
+    "customer": "c_nationkey",
+    "part": "p_brand",
+    "supplier": "s_nationkey",
+    "embeddings": "label",
+    "nation": "n_regionkey",
+}
+HOT_FRACTION = 0.95
+
 
 def build_variant(base: str, out_dir: str, rows: int, facts_only: bool = False) -> None:
     os.makedirs(out_dir, exist_ok=True)
@@ -55,6 +86,26 @@ def build_variant(base: str, out_dir: str, rows: int, facts_only: bool = False) 
         t = pq.read_table(f"{base}/{name}.parquet")
         n = rows if (not facts_only or name in FACTS) else len(t)
         pq.write_table(t.slice(0, n), f"{out_dir}/{name}.parquet", version="2.6")
+
+
+def build_hotkey_variant(base: str, out_dir: str) -> None:
+    """All rows kept; HOT_COLS[table] rewritten so its first value owns
+    the first ``HOT_FRACTION`` of rows (pure-arrow, so TIMESTAMP(NANOS)
+    and every other type round-trip byte-identically for both engines)."""
+    import pyarrow as pa
+
+    os.makedirs(out_dir, exist_ok=True)
+    for name in TABLES:
+        t = pq.read_table(f"{base}/{name}.parquet")
+        col = HOT_COLS.get(name)
+        if col and len(t):
+            k = int(len(t) * HOT_FRACTION)
+            arr = t.column(col).combine_chunks()
+            hot = pa.chunked_array(
+                [pa.repeat(arr[0], k), arr.slice(k)]
+            ).cast(t.schema.field(col).type)
+            t = t.set_column(t.schema.get_field_index(col), t.schema.field(col), hot)
+        pq.write_table(t, f"{out_dir}/{name}.parquet", version="2.6")
 
 
 def norm(df: pd.DataFrame) -> pd.DataFrame:
@@ -80,14 +131,33 @@ def compare(a: pd.DataFrame, b: pd.DataFrame) -> str | None:
     return None
 
 
+def resolve_out(only: str | None, variant: str | None, out: str | None) -> tuple[str, bool]:
+    """(summary path, is_partial). Partial runs (--only/--variant) must
+    NEVER default to the canonical DEGEN_SWEEP.json — a spot-run would
+    clobber the full 536-entry record (r17 verdict task 4)."""
+    partial = bool(only or variant)
+    return (
+        out or ("DEGEN_SWEEP.partial.json" if partial else "DEGEN_SWEEP.json"),
+        partial,
+    )
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--only", default=None, help="comma-separated query names")
     ap.add_argument(
-        "--variant", default=None, choices=["empty", "onerow", "emptyfact"]
+        "--variant",
+        default=None,
+        choices=["empty", "onerow", "emptyfact", "hotkey"],
     )
-    ap.add_argument("--out", default="DEGEN_SWEEP.json")
+    ap.add_argument(
+        "--out",
+        default=None,
+        help="summary path; defaults to DEGEN_SWEEP.json for a full run "
+        "and DEGEN_SWEEP.partial.json when --only/--variant restricts it",
+    )
     args = ap.parse_args()
+    out_path, partial = resolve_out(args.only, args.variant, args.out)
 
     import __spark_entry__ as entrymod
     from flink_streaming_2_10_spark.session import get_spark
@@ -99,7 +169,7 @@ def main() -> int:
         queries = {k: v for k, v in queries.items() if k in keep}
 
     variants = (
-        ["empty", "onerow", "emptyfact"]
+        ["empty", "onerow", "emptyfact", "hotkey"]
         if args.variant is None
         else [args.variant]
     )
@@ -107,9 +177,13 @@ def main() -> int:
     dirs = {}
     for v in variants:
         d = os.path.join(root, v)
-        build_variant(
-            SF_BASE, d, 0 if v != "onerow" else 1, facts_only=(v == "emptyfact")
-        )
+        if v == "hotkey":
+            build_hotkey_variant(SF_BASE, d)
+        else:
+            build_variant(
+                SF_BASE, d, 0 if v != "onerow" else 1,
+                facts_only=(v == "emptyfact"),
+            )
         dirs[v] = d
 
     spark = get_spark("degenerate-sweep", cpus=8, shuffle_partitions=8)
@@ -147,7 +221,16 @@ def main() -> int:
                     print(f"ERR  {v:6s} {qname}: {rec['err']}", flush=True)
                     continue
                 rec["oracle_rows"] = len(b)
-                diff = compare(a, b)
+                try:
+                    diff = compare(a, b)
+                except Exception as e:
+                    # A comparison crash (unsortable object column etc.)
+                    # is a per-query error, not a sweep abort (ADVICE r17).
+                    rec["err"] = f"compare: {type(e).__name__}: {str(e)[:300]}"
+                    results.setdefault(qname, {})[v] = rec
+                    n_err += 1
+                    print(f"ERR  {v:6s} {qname}: {rec['err']}", flush=True)
+                    continue
                 if diff:
                     rec["divergence"] = diff
                     n_div += 1
@@ -165,6 +248,7 @@ def main() -> int:
 
     summary = {
         "variants": variants,
+        "partial": partial,
         "queries": len(queries),
         "match": n_ok,
         "rows_only": n_rowsonly,
@@ -172,11 +256,12 @@ def main() -> int:
         "errors": n_err,
         "results": results,
     }
-    with open(args.out, "w") as f:
+    with open(out_path, "w") as f:
         json.dump(summary, f, indent=1, sort_keys=True)
     print(
         f"\nSWEEP: {len(queries)} queries x {len(variants)} variants — "
         f"{n_ok} match, {n_rowsonly} rows-only, {n_div} DIVERGENCES, {n_err} ERRORS"
+        f" -> {out_path}"
     )
     return 2 if (n_div or n_err) else 0
 
