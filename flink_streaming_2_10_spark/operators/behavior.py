@@ -105,8 +105,11 @@ def rolling_zscore_flags(
     Scale shape: one exchange on the key + one ordered window pass;
     running sums over a rows-frame are O(1) per row. Keys are
     low-cardinality event types, so per-key ordering parallelism is
-    bounded by key count — the same documented caveat as
-    ``sessionize`` (a degenerate hot key serializes in one task).
+    bounded by key count — the same documented caveat as plain
+    ``sessionize`` (a degenerate hot key serializes in one task;
+    sessionize grew a two-phase ``bucket_width`` escape hatch in r18,
+    but a rolling z-score needs the full running prefix, so here the
+    caveat stands).
     ``z_thresh`` must be an integer (it enters the inequality squared).
     """
     if window < 1:

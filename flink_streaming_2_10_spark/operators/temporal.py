@@ -251,6 +251,7 @@ def sessionize(
     time_col: str,
     gap: int,
     tie_cols: list[str] | None = None,
+    bucket_width: int | None = None,
 ) -> DataFrame:
     """Inactivity-gap sessionization: assign every event a per-key
     ``session_idx`` (1-based), where a new session starts only when the
@@ -271,18 +272,114 @@ def sessionize(
     previous time, and a running sum of new-session flags — the
     standard distributed sessionization, one exchange + one window.
     ``tie_cols`` totally order simultaneous events so labels are
-    deterministic. Same skew caveat as ``asof_join``: a degenerate hot
-    key serializes in one task (sessionization is inherently sequential
-    per key — there is no tolerance bound to bucket by, since one long
-    session may span the whole timeline).
+    deterministic.
+
+    ``bucket_width`` (two-phase, the skew escape hatch — SCALE_r17
+    measured a ×2.8 single-straggler penalty on the plain path at a 95%
+    hot key, the null/bot-user-id shape at 100 TB): when set, the
+    per-key prefix runs in TWO result-invariant phases instead of one
+    single-partition sort per key. Phase 1 sessionizes LOCALLY inside
+    each (key, ``floor(time/bucket_width)``) partition — the hot key
+    spreads over ``time_span/bucket_width`` tasks. Phase 2 stitches
+    buckets per key over ONE tiny summary row per non-empty bucket
+    (first/last event time, local session count): bucket ``b``'s first
+    local session merges into the previous non-empty bucket's last
+    session iff ``first_t(b) - last_t(prev) <= gap`` — the exact
+    new-session test on real event times, so the result is
+    bit-identical to the plain path for ANY width (gap boundaries ON
+    the bucket edge included; only ties can't straddle buckets, and
+    equal times always share a bucket). Global index = running sum of
+    (local sessions − merge flag) over earlier buckets, plus the local
+    index, minus this bucket's merge flag. Cost: the phase-2 summary
+    shuffle (rows = non-empty buckets, not events) and a broadcast-size
+    join back on (key, bucket). Pick a width giving ≥ O(cores) buckets
+    over the hottest key's time span — same guidance as
+    ``asof_join(bucketed=True)``, which this mirrors (SCALE_r18
+    measures the straggler flattened).
     """
     tie_cols = tie_cols or []
     order = [F.col(time_col).asc()] + [F.col(c).asc() for c in tie_cols]
-    w = Window.partitionBy(*[F.col(c) for c in on]).orderBy(*order)
-    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    prev = F.lag(F.col(time_col).cast("long")).over(w)
-    is_new = F.when(
-        prev.isNull() | (F.col(time_col).cast("long") - prev > F.lit(gap)),
+    t = F.col(time_col).cast("long")
+    if bucket_width is None:
+        w = Window.partitionBy(*[F.col(c) for c in on]).orderBy(*order)
+        wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        prev = F.lag(t).over(w)
+        is_new = F.when(
+            prev.isNull() | (t - prev > F.lit(gap)), F.lit(1)
+        ).otherwise(F.lit(0))
+        return df.withColumn("session_idx", F.sum(is_new).over(wrun))
+    width = int(bucket_width)
+    if width <= 0:
+        raise ValueError(f"sessionize: bucket_width must be > 0, got {width}")
+    bucket = _floor_div(f"`{time_col}`", width)
+    key_cols = [F.col(c) for c in on]
+    # Phase 1 (events pass, the ONE full-width shuffle): local
+    # sessionization inside each (key, bucket). The first row of a
+    # bucket always opens local session 1; whether it really starts a
+    # new GLOBAL session is phase 2's call.
+    w1 = Window.partitionBy(*key_cols, F.col("__bucket")).orderBy(*order)
+    w1run = w1.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    prev1 = F.lag(t).over(w1)
+    is_new1 = F.when(
+        prev1.isNull() | (t - prev1 > F.lit(gap)), F.lit(1)
+    ).otherwise(F.lit(0))
+    local = df.withColumn("__bucket", bucket).withColumn(
+        "__lj", F.sum(is_new1).over(w1run)
+    )
+    # Phase 2 summaries are derived from a NARROW (key, bucket, t)
+    # projection, NOT from `local`: a self-join on `local` would make
+    # Spark recompute the full-width phase-1 pipeline on both join
+    # branches (measured ~2× on the r18 probe). Session boundaries
+    # depend only on times — tie order never moves a gap — so the
+    # narrow branch's session count per bucket provably equals
+    # max(__lj), while shuffling only three columns.
+    narrow = df.select(*key_cols, t.alias("__t"), bucket.alias("__bucket"))
+    wn = Window.partitionBy(*key_cols, F.col("__bucket")).orderBy(
+        F.col("__t").asc()
+    )
+    prevn = F.lag(F.col("__t")).over(wn)
+    is_newn = F.when(
+        prevn.isNull() | (F.col("__t") - prevn > F.lit(gap)), F.lit(1)
+    ).otherwise(F.lit(0))
+    summ = (
+        narrow.withColumn("__new", is_newn)
+        .groupBy(*key_cols, F.col("__bucket"))
+        .agg(
+            F.min("__t").alias("__first_t"),
+            F.max("__t").alias("__last_t"),
+            F.sum("__new").alias("__nsess"),
+        )
+    )
+    # Per-KEY stitch over summaries only (rows = non-empty buckets, not
+    # events: tiny even for the hottest key). Bucket b's first local
+    # session merges into the previous non-empty bucket's last session
+    # iff the real inter-event delta is within gap.
+    w2 = Window.partitionBy(*key_cols).orderBy(F.col("__bucket").asc())
+    w2run = w2.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    prev_last = F.lag(F.col("__last_t")).over(w2)
+    merge = F.when(
+        prev_last.isNotNull()
+        & (F.col("__first_t") - prev_last <= F.lit(gap)),
         F.lit(1),
     ).otherwise(F.lit(0))
-    return df.withColumn("session_idx", F.sum(is_new).over(wrun))
+    summ = summ.withColumn("__merge", merge).withColumn(
+        "__adj", F.col("__nsess") - F.col("__merge")
+    )
+    summ = summ.withColumn(
+        "__prefix", F.sum("__adj").over(w2run) - F.col("__adj")
+    ).select(
+        *[F.col(c).alias(f"__s_{c}") for c in on],
+        F.col("__bucket").alias("__s_bucket"),
+        "__merge",
+        "__prefix",
+    )
+    # Null-safe equi join back (list-form `on=` uses null-UNSAFE
+    # equality and would drop null-keyed rows the plain path labels).
+    cond = F.col("__bucket").eqNullSafe(F.col("__s_bucket"))
+    for c in on:
+        cond = cond & F.col(c).eqNullSafe(F.col(f"__s_{c}"))
+    out = local.join(summ, cond).withColumn(
+        "session_idx",
+        (F.col("__prefix") + F.col("__lj") - F.col("__merge")).cast("long"),
+    )
+    return out.select(*[F.col(c) for c in df.columns], F.col("session_idx"))

@@ -2384,3 +2384,108 @@ def test_interval_join_negative_times_bruteforce_randomized(spark):
             ).collect()
         )
         assert got == expect, f"trial {trial} bounds [{lower}, {upper}]"
+
+
+def test_sessionize_bucketed_parity_randomized(spark):
+    """r17 verdict task 1: the two-phase ``bucket_width`` sessionize
+    (the skew escape hatch for the SCALE_r17 ×2.8 hot-key straggler)
+    claims bit-identical labels to the plain path for ANY width. The
+    hazard is a gap boundary landing exactly ON a bucket edge — bucket
+    b's first event exactly ``gap`` after the previous bucket's last
+    event must merge (inclusive, Flink TimeWindow.intersects parity),
+    and exactly ``gap + 1`` after must not. Draws put ~70% of rows on a
+    hot key and snap times to multiples of gap and width so edge hits
+    are common; widths include 1, primes, gap itself, and gap±1. Both
+    paths are ALSO checked against a pure-Python per-key sequential
+    sweep, so a matching-but-wrong pair cannot slip through."""
+    from flink_streaming_2_10_spark.operators.temporal import sessionize
+
+    rng = _rng(181818)
+
+    def sequential(rows, gap):
+        by_key: dict[str, list] = {}
+        for k, t, rid in rows:
+            by_key.setdefault(k, []).append((t, rid))
+        want = {}
+        for k, evs in by_key.items():
+            evs.sort()
+            idx, prev = 0, None
+            for t, rid in evs:
+                if prev is None or t - prev > gap:
+                    idx += 1
+                prev = t
+                want[rid] = (k, t, idx)
+        return want
+
+    for trial in range(6):
+        gap = rng.choice([1, 2, 3, 5, 9, 17])
+        width = rng.choice([1, 2, 3, gap, gap + 1, max(gap - 1, 1), 7, 13, 4 * gap])
+        keys = ["hot"] + [f"k{j}" for j in range(rng.randint(1, 3))]
+        rows = []
+        for rid in range(rng.randint(10, 90)):
+            k = "hot" if rng.random() < 0.7 else rng.choice(keys[1:])
+            # Snap to the gap/width grid so deltas == gap and bucket-edge
+            # times (t % width == 0) occur constantly; negatives included
+            # (floor-div bucketing on negative times is its own hazard).
+            t = rng.randint(-3, 12) * rng.choice([1, gap, width]) + rng.choice(
+                [0, 0, 0, gap, width]
+            )
+            rows.append((k, t, rid))
+        want = sequential(rows, gap)
+        df = spark.createDataFrame(rows, "k string, t long, rid long")
+        plain = {
+            r["rid"]: (r["k"], r["t"], r["session_idx"])
+            for r in sessionize(
+                df, on=["k"], time_col="t", gap=gap, tie_cols=["rid"]
+            ).collect()
+        }
+        bucketed = {
+            r["rid"]: (r["k"], r["t"], r["session_idx"])
+            for r in sessionize(
+                df, on=["k"], time_col="t", gap=gap, tie_cols=["rid"],
+                bucket_width=width,
+            ).collect()
+        }
+        assert plain == want, f"trial {trial} gap={gap}: plain vs sequential"
+        assert bucketed == want, (
+            f"trial {trial} gap={gap} width={width}: bucketed vs sequential"
+        )
+
+
+def test_sessionize_bucketed_exact_edge_cases(spark):
+    """Deterministic pins for the exact shapes the randomized family
+    relies on luck to draw together: (a) an exact-gap delta straddling
+    a bucket edge merges; (b) gap+1 across the edge splits; (c) a
+    session chain spanning 3+ buckets (middle bucket contributes zero
+    new sessions) renumbers correctly; (d) an EMPTY intervening bucket
+    with the real delta still within gap merges across it; (e) ties on
+    the same timestamp stay in one session regardless of tie order."""
+    from flink_streaming_2_10_spark.operators.temporal import sessionize
+
+    def run(rows, gap, width):
+        df = spark.createDataFrame(rows, "k string, t long, rid long")
+        return {
+            r["rid"]: r["session_idx"]
+            for r in sessionize(
+                df, on=["k"], time_col="t", gap=gap, tie_cols=["rid"],
+                bucket_width=width,
+            ).collect()
+        }
+
+    # (a) width 10, gap 5: t=8 (bucket 0) -> t=13 (bucket 1), delta == gap
+    assert run([("a", 8, 0), ("a", 13, 1)], 5, 10) == {0: 1, 1: 1}
+    # (b) delta == gap + 1 across the same edge splits
+    assert run([("a", 8, 0), ("a", 14, 1)], 5, 10) == {0: 1, 1: 2}
+    # (c) chain across 3 buckets: 9 -> 12 -> 21 -> 30 (all deltas <= 9,
+    # buckets 0/1/2/3 with width 10) is ONE session; then 45 splits
+    assert run(
+        [("a", 9, 0), ("a", 12, 1), ("a", 21, 2), ("a", 30, 3), ("a", 45, 4)],
+        9, 10,
+    ) == {0: 1, 1: 1, 2: 1, 3: 1, 4: 2}
+    # (d) empty intervening bucket: width 3, gap 5, t=2 (b0) and t=7 (b2,
+    # bucket 1 empty) — delta 5 <= gap merges across the hole
+    assert run([("a", 2, 0), ("a", 7, 1)], 5, 3) == {0: 1, 1: 1}
+    # (e) simultaneous events share the session; a later far event splits
+    assert run(
+        [("a", 4, 2), ("a", 4, 0), ("a", 4, 1), ("a", 100, 3)], 2, 5
+    ) == {0: 1, 1: 1, 2: 1, 3: 2}
