@@ -115,6 +115,16 @@ def kmeans_fixed_point(
             F.lit(None).cast("long").alias("dist2"),
         )
     centroids = [list(r["q"]) for r in init]
+    if len(init) < k:
+        # Oracle-parity clamp (see the init comment above), but a
+        # caller asking for k=100 clusters over a 10-row corpus should
+        # hear about it rather than silently get 10 (r17 ADVICE).
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "kmeans_fixed_point: corpus has only %d vectors; clamping "
+            "k from %d to %d", len(init), k, len(init)
+        )
     k = len(centroids)
     dim = len(centroids[0])
     for _ in range(rounds):

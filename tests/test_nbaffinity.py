@@ -97,6 +97,32 @@ def test_gramless_doc_predicts_first_label(spark, model):
         assert r["score"] == 0.0
 
 
+def test_empty_model_on_nonempty_corpus_predicts_null(spark):
+    """r17 ADVICE: the class-less early return was only ever exercised
+    with an EMPTY apply set (train and apply share inputs in the
+    registry query). Pin the other half of the documented contract — a
+    model trained on zero docs applied to a NON-empty corpus must emit
+    one row per doc with real n_grams and NULL predicted/score, not
+    raise and not drop rows (the path is registry-unreachable today,
+    so this test is its only guard)."""
+    no_train = spark.createDataFrame(
+        [], "doc_id long, text string, lang string"
+    )
+    m = affinity_model(no_train, n=1, num_buckets=64)
+    assert m["classes"] == []
+    docs = spark.createDataFrame(
+        [(1, "hello world"), (2, "")], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in classify_with_model(docs, m).collect()
+    }
+    assert set(got) == {1, 2}
+    assert got[1]["n_grams"] > 0 and got[2]["n_grams"] == 0
+    for r in got.values():
+        assert r["predicted"] is None and r["score"] is None
+
+
 def test_prior_dominance_without_signal(spark):
     # Identical word distribution, unbalanced classes: the larger class
     # wins every prediction — the documented Bayesian fallback (and why
