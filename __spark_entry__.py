@@ -1198,6 +1198,37 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sessionize_skew_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-EVENT-TYPE burst sessionization (1-hour gap) through the
+    r18 two-phase path (operators/temporal.sessionize with
+    ``bucket_width`` = 1 day): event_type is a 5-value key, so every
+    key is a hot key — the plain path would sort each type's full
+    30-day stream in ONE task, while the two-phase plan spreads each
+    over ~30 daily buckets and stitches them with a per-type
+    boundary-merge over 30 summary rows (SCALE_r18.md measured 5× on
+    this shape at 8M rows). Result-invariant: the oracle is plain
+    ANSI sessionization, which is the point — the driver green proves
+    the two-phase rewrite exact on real data, not just under pytest."""
+    gap = 3_600_000_000  # 1 h in µs
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", F.unix_micros("ts").alias("t")
+    )
+    lab = sessionize(
+        ev,
+        on=["event_type"],
+        time_col="t",
+        gap=gap,
+        tie_cols=["event_id"],
+        bucket_width=86_400_000_000,  # 1 day in µs
+    )
+    return lab.groupBy("event_type", "session_idx").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("t").alias("session_start_us"),
+        F.max("t").alias("session_end_us"),
+        (F.max("t") - F.min("t")).alias("duration_us"),
+    )
+
+
 def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weekly cohort retention over the events log: ONE corpus-scale
     exchange (groupBy(user) + collect_set(week), duplicates collapsed
@@ -2473,6 +2504,7 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join_attribution": q_asof_join,
         "funnel_view_click_purchase": q_funnel,
         "sessionize_events": q_sessionize,
+        "sessionize_skew_twophase": q_sessionize_skew_twophase,
         "retention_cohorts": q_retention_cohorts,
         "rolling_zscore_anomalies": q_rolling_zscore_anomalies,
         "event_type_pivot": q_event_type_pivot,
@@ -5046,6 +5078,32 @@ def oracle_sql() -> dict[str, str]:
                    CAST(max(t) AS BIGINT) AS session_end_us,
                    CAST(max(t) - min(t) AS BIGINT) AS duration_us
             FROM lab GROUP BY user_id, session_idx
+        """,
+        # Plain ANSI sessionization: the engine side runs the r18
+        # TWO-PHASE plan (bucket_width = 1 day), which is
+        # result-invariant — the oracle deliberately knows nothing
+        # about buckets.
+        "sessionize_skew_twophase": """
+            WITH e AS (SELECT event_id, event_type,
+                              epoch_us(CAST(ts AS TIMESTAMP)) AS t
+                       FROM events),
+            lg AS (SELECT *, lag(t) OVER (PARTITION BY event_type
+                                          ORDER BY t, event_id) AS prev
+                   FROM e),
+            fl AS (SELECT *, CASE WHEN prev IS NULL OR t - prev > 3600000000
+                                  THEN 1 ELSE 0 END AS is_new
+                   FROM lg),
+            lab AS (SELECT *, CAST(sum(is_new) OVER (
+                              PARTITION BY event_type ORDER BY t, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                         AS BIGINT) AS session_idx
+                    FROM fl)
+            SELECT event_type, session_idx,
+                   count(*) AS n_events,
+                   CAST(min(t) AS BIGINT) AS session_start_us,
+                   CAST(max(t) AS BIGINT) AS session_end_us,
+                   CAST(max(t) - min(t) AS BIGINT) AS duration_us
+            FROM lab GROUP BY event_type, session_idx
         """,
         # Mirror of operators/behavior.retention_cohorts: ISO-Monday week
         # truncation to DATE, offset = datediff // 7 (exact multiple of 7).
