@@ -24,10 +24,17 @@ sliced, which is fine for parity: BOTH engines read the same rewritten
 parquet, so any divergence is an engine-semantics difference, exactly
 what the sweep hunts.
 
+The ``nullkey`` variant nulls the first half of the SAME per-table
+columns instead — NULL is the ultimate hot key, and the classic
+engine-divergence surface: Spark orders NULLS FIRST on ASC where DuckDB
+defaults NULLS LAST (any top-k cut over a nulled column), null-unsafe
+equi-joins silently drop labeled rows, and grouping treats NULL as one
+key on both engines.
+
 Usage::
 
     python tools/degenerate_sweep.py [--only name1,name2] \
-        [--variant empty|onerow|emptyfact|hotkey]
+        [--variant empty|onerow|emptyfact|hotkey|nullkey]
 
 Exit 0 = no divergence; exit 2 = at least one divergence/error (report
 on stdout either way). A FULL run (no --only/--variant) writes the
@@ -88,10 +95,21 @@ def build_variant(base: str, out_dir: str, rows: int, facts_only: bool = False) 
         pq.write_table(t.slice(0, n), f"{out_dir}/{name}.parquet", version="2.6")
 
 
-def build_hotkey_variant(base: str, out_dir: str) -> None:
-    """All rows kept; HOT_COLS[table] rewritten so its first value owns
-    the first ``HOT_FRACTION`` of rows (pure-arrow, so TIMESTAMP(NANOS)
-    and every other type round-trip byte-identically for both engines)."""
+#: nullkey variant: fraction of each HOT_COLS column nulled (the
+#: missing-attribution shape — engines classically diverge on null
+#: grouping/ordering/join semantics; Spark sorts NULLS FIRST asc where
+#: DuckDB defaults NULLS LAST, inner equi-joins drop nulls on both, and
+#: any null-unsafe join-back drops labeled rows).
+NULL_FRACTION = 0.5
+
+
+def build_hotkey_variant(base: str, out_dir: str, null_keys: bool = False) -> None:
+    """All rows kept; HOT_COLS[table] rewritten (pure-arrow, so
+    TIMESTAMP(NANOS) and every other type round-trip byte-identically
+    for both engines). Default: the column's first value owns the first
+    ``HOT_FRACTION`` of rows (hot-key skew). ``null_keys=True``: the
+    first ``NULL_FRACTION`` of rows get NULL instead (the nullkey
+    variant — NULL is itself the ultimate hot key)."""
     import pyarrow as pa
 
     os.makedirs(out_dir, exist_ok=True)
@@ -99,12 +117,18 @@ def build_hotkey_variant(base: str, out_dir: str) -> None:
         t = pq.read_table(f"{base}/{name}.parquet")
         col = HOT_COLS.get(name)
         if col and len(t):
-            k = int(len(t) * HOT_FRACTION)
+            typ = t.schema.field(col).type
             arr = t.column(col).combine_chunks()
-            hot = pa.chunked_array(
-                [pa.repeat(arr[0], k), arr.slice(k)]
-            ).cast(t.schema.field(col).type)
-            t = t.set_column(t.schema.get_field_index(col), t.schema.field(col), hot)
+            if null_keys:
+                k = int(len(t) * NULL_FRACTION)
+                head = pa.nulls(k, typ)
+            else:
+                k = int(len(t) * HOT_FRACTION)
+                head = pa.repeat(arr[0], k)
+            new = pa.chunked_array([head, arr.slice(k)]).cast(typ)
+            t = t.set_column(
+                t.schema.get_field_index(col), t.schema.field(col), new
+            )
         pq.write_table(t, f"{out_dir}/{name}.parquet", version="2.6")
 
 
@@ -148,7 +172,7 @@ def main() -> int:
     ap.add_argument(
         "--variant",
         default=None,
-        choices=["empty", "onerow", "emptyfact", "hotkey"],
+        choices=["empty", "onerow", "emptyfact", "hotkey", "nullkey"],
     )
     ap.add_argument(
         "--out",
@@ -169,7 +193,7 @@ def main() -> int:
         queries = {k: v for k, v in queries.items() if k in keep}
 
     variants = (
-        ["empty", "onerow", "emptyfact", "hotkey"]
+        ["empty", "onerow", "emptyfact", "hotkey", "nullkey"]
         if args.variant is None
         else [args.variant]
     )
@@ -177,8 +201,8 @@ def main() -> int:
     dirs = {}
     for v in variants:
         d = os.path.join(root, v)
-        if v == "hotkey":
-            build_hotkey_variant(SF_BASE, d)
+        if v in ("hotkey", "nullkey"):
+            build_hotkey_variant(SF_BASE, d, null_keys=(v == "nullkey"))
         else:
             build_variant(
                 SF_BASE, d, 0 if v != "onerow" else 1,
