@@ -48,9 +48,16 @@ def retention_cohorts(
     truncation is ISO-Monday ``date_trunc('week')`` — identical in
     DuckDB — and the offset is ``datediff div 7`` on week-truncated
     dates (always an exact multiple of 7).
+
+    NULL users are excluded up front: a cohort needs an identity, and
+    the canonical SQL form (user-week set JOINed to its first-week
+    aggregate on user equality) drops them anyway — the one-exchange
+    groupBy here would otherwise invent a NULL-user cohort the oracle
+    can never contain (r18 nullkey sweep). The filter is scan-pushed.
     """
     per_user = (
-        events.select(
+        events.filter(F.col(user_col).isNotNull())
+        .select(
             F.col(user_col).alias("__u"),
             F.to_date(F.date_trunc("week", F.col(time_col))).alias("__wk"),
         )

@@ -139,7 +139,18 @@ def asof_join(
     l_struct = F.struct(*[F.col(c) for c in left.columns]).alias("__l")
     l_type = StructType(left.schema.fields)
 
-    tagged_r = right.select(
+    # JOIN null semantics, not GROUP BY semantics: a NULL join key never
+    # matches (pandas merge_asof and SQL equi-join agree; the r18
+    # nullkey sweep caught the window's null PARTITION matching
+    # null-key clicks to null-key views, which both the oracle's
+    # lateral join and attribution sense reject). Dropping null-keyed
+    # RIGHT rows is sufficient and scan-pushed: the null partition then
+    # holds no candidates, so null-keyed LEFT rows keep their place in
+    # the output with NULL right columns — exactly a left join.
+    r_nonnull = right
+    for c in on:
+        r_nonnull = r_nonnull.filter(F.col(c).isNotNull())
+    tagged_r = r_nonnull.select(
         *[F.col(c) for c in on],
         F.col(right_time).cast("long").alias("__t"),
         F.lit(0).alias("__side"),

@@ -71,9 +71,15 @@ def label_centroids(
         F.count(F.lit(1)).alias("n"),
         *[F.sum(F.element_at("q", i + 1)).alias(f"s{i}") for i in range(dim)],
     )
+    # NULL is a class like any other (GROUP BY keeps it — both engines);
+    # it sorts LAST, mirroring DuckDB's ASC NULLS LAST (r18 nullkey
+    # sweep: the bare key crashed on None < int).
     return [
         (r["label"], [r[f"s{i}"] // r["n"] for i in range(dim)])
-        for r in sorted(agg.collect(), key=lambda r: r["label"])
+        for r in sorted(
+            agg.collect(),
+            key=lambda r: (r["label"] is None, r["label"] or 0),
+        )
     ]
 
 
@@ -81,13 +87,20 @@ def _assign_labeled(
     q_col: str, centroids: list[tuple[int, list[int]]]
 ) -> Column:
     """Struct argmin over labeled centroid literals: exact
-    (distance, label) total order — ties break on the smallest label."""
+    (distance, label) total order — ties break on the smallest label,
+    with a NULL label losing every tie (``__null`` ordering field —
+    DuckDB's ORDER BY d, lab ASC puts NULLS LAST, and Spark's struct
+    comparison would put the NULL field FIRST; r18 nullkey sweep)."""
     return F.array_min(
         F.array(
             *[
                 F.struct(
                     _dist2(q_col, c).alias("d"),
-                    F.lit(int(lab)).alias("lab"),
+                    F.lit(1 if lab is None else 0).alias("__null"),
+                    F.lit(0 if lab is None else int(lab)).alias("__key"),
+                    F.lit(None if lab is None else int(lab))
+                    .cast("int")
+                    .alias("lab"),
                 )
                 for lab, c in centroids
             ]
@@ -163,7 +176,10 @@ def hard_negatives(
     since vec_id is unique.
     """
     cents = label_centroids(df, id_col, vec_col, label_col)
-    if not cents:
+    # All-NULL labels reduce to the empty case too: the only centroid
+    # is the NULL class, which the three-valued filter below can never
+    # match — and a zero-branch literal array would be VOID-typed.
+    if not any(lab is not None for lab, _ in cents):
         # Empty corpus: zero rows, contract schema (oracle parity).
         return df.select(
             F.lit(None).cast("int").alias("centroid_label"),
@@ -171,12 +187,17 @@ def hard_negatives(
             F.col(label_col).cast("int").alias("label"),
             F.lit(None).cast("long").alias("dist2"),
             F.lit(None).cast("int").alias("rnk"),
-        )
+        ).filter(F.lit(False))
     pts = df.select(
         F.col(id_col).alias("vec_id"),
         F.col(label_col).cast("int").alias("label"),
         quantize_fixed(df, vec_col).alias("q"),
     )
+    # A NULL-label centroid is skipped outright: the oracle's
+    # `WHERE p.label <> c.lab` is three-valued, so NULL <> anything is
+    # never TRUE — the NULL class can mine no negatives (and NULL-label
+    # POINTS are dropped by the same filter below, where
+    # centroid_label != NULL evaluates to NULL). r18 nullkey sweep.
     cand = F.filter(
         F.array(
             *[
@@ -185,6 +206,7 @@ def hard_negatives(
                     _dist2("q", c).alias("dist2"),
                 )
                 for lab, c in cents
+                if lab is not None
             ]
         ),
         lambda s: s["centroid_label"] != F.col("label"),

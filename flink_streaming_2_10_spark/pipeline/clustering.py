@@ -187,7 +187,13 @@ def centroid_outliers(
     driver state and inlined as literals), then the gate is a second
     scan-local pass — vectors never shuffle.
     """
-    q = df.select(
+    # NULL-label vectors are excluded up front: the oracle's per-label
+    # stats re-attach through an INNER join on label, and NULL = NULL
+    # never matches — the rows simply vanish from its output. Mirroring
+    # with a filter (pushed to the scan) also keeps NULL out of the
+    # CASE branches and the n-lookup map, whose keys may not be null
+    # (r18 nullkey sweep: the unfiltered path crashed sorting None).
+    q = df.filter(F.col(label_col).isNotNull()).select(
         F.col(id_col).alias("vec_id"),
         F.col(label_col).alias("label"),
         quantize_fixed(df, vec_col).alias("__q"),

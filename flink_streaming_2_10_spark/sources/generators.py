@@ -64,8 +64,20 @@ def rate_stream(spark: SparkSession, rows_per_second: int = 100) -> DataFrame:
 
 
 def _name_of(col) -> F.Column:
-    """Map an integer column onto the 6-name domain (S8 generator shape)."""
-    return F.element_at(F.array(*[F.lit(n) for n in NAMES]), (col % 6 + 1).cast("int"))
+    """Map an integer column onto the 6-name domain (S8 generator shape).
+
+    The index is explicitly null-guarded: Spark 4.1.2's runtime
+    ``ElementAt`` over a literal array returns the LAST element for a
+    NULL index (while the constant-folded literal-index path correctly
+    returns NULL — the asymmetry is an upstream bug the r18 nullkey
+    sweep caught: NULL user_ids all mapped to 'grace' and inflated the
+    window join 155 rows vs the oracle's 20). ANSI SQL and DuckDB both
+    yield NULL for a NULL index."""
+    idx = (col % 6 + 1).cast("int")
+    return F.when(
+        idx.isNotNull(),
+        F.element_at(F.array(*[F.lit(n) for n in NAMES]), idx),
+    )
 
 
 def grade_stream(spark: SparkSession, rows_per_second: int = 3) -> DataFrame:
@@ -133,7 +145,11 @@ def car_events_from_events(events: DataFrame, num_cars: int = 4) -> DataFrame:
     pipelines must partition on a key whose cardinality scales with the
     data (session id, device id, …) — never a single-digit domain.
     """
-    base = events.select(
+    # A NULL user maps to no car: the delta-trigger oracle's recursive
+    # fire chain partitions on carId with plain equality, where NULL
+    # never matches — and a "car" aggregating every unattributed event
+    # is fixture noise, not a vehicle (r18 nullkey sweep). Scan-pushed.
+    base = events.filter(F.col("user_id").isNotNull()).select(
         F.pmod(F.col("user_id"), F.lit(num_cars)).cast("int").alias("carId"),
         F.col("value").cast("int").alias("speed"),
         F.unix_millis(F.col("ts")).alias("time"),
