@@ -2,11 +2,13 @@
 the r16 fuzz campaign proved real (Spark `GROUP BY CUBE` returns zero
 rows over an empty input where ANSI/DuckDB emit the () grand-total row).
 
-The full 134-query x 4-variant sweep is `tools/degenerate_sweep.py`
+The full registry x 5-variant sweep is `tools/degenerate_sweep.py`
 (variants: all tables EMPTY, all tables SINGLE-ROW, EMPTYFACT — facts
 empty with dimensions populated, the join-against-empty / emptied-slice
-shape — and HOTKEY, one value rewritten to own ~95% of each skew
-column's rows, added r18 per the r17 verdict)
+shape — HOTKEY, one value rewritten to own ~95% of each skew column's
+rows, added r18 per the r17 verdict — and NULLKEY, half of each skew
+column nulled, added r18: it caught 8 real divergences on its first
+run)
 (run + recorded in COVERAGE.md each round); this suite pins a durable
 subset: the six operators the r17 sweep actually caught diverging
 (driver-side collects raising where the oracle returns well-defined
@@ -65,6 +67,15 @@ PINNED = [
     "tpch_q11_important_stock",
     "tpch_q18_large_orders",
     "embedding_covariance",
+    # caught by the r18 NULLKEY sweep, fixed r18 (NULL-key join/group
+    # semantics + the Spark element_at null-index runtime bug);
+    # retention_cohorts / nearest_centroid / hard_negatives from that
+    # catch list are already pinned above
+    "window_join_grades_salaries",
+    "asof_join_attribution",
+    "funnel_view_click_purchase",
+    "topspeed_delta_trigger",
+    "embedding_outliers",
 ]
 
 
@@ -82,6 +93,9 @@ def degen_dirs(tmp_path_factory):
     d = str(root / "hotkey")
     sweep.build_hotkey_variant(sweep.SF_BASE, d)
     dirs["hotkey"] = d
+    d = str(root / "nullkey")
+    sweep.build_hotkey_variant(sweep.SF_BASE, d, null_keys=True)
+    dirs["nullkey"] = d
     return dirs
 
 
@@ -102,7 +116,9 @@ def ducks(degen_dirs):
 
 
 @pytest.mark.parametrize("name", [n for n in PINNED if n in QUERIES])
-@pytest.mark.parametrize("variant", ["empty", "onerow", "emptyfact", "hotkey"])
+@pytest.mark.parametrize(
+    "variant", ["empty", "onerow", "emptyfact", "hotkey", "nullkey"]
+)
 def test_degenerate_matches_oracle(spark, degen_dirs, ducks, name, variant):
     sweep = _sweep_mod()
     a = QUERIES[name](spark, degen_dirs[variant]).toPandas()
@@ -153,6 +169,27 @@ def test_hotkey_variant_shape():
             values = hot.column(col).to_pylist()
             _, n_top = collections.Counter(values).most_common(1)[0]
             assert n_top >= int(len(values) * sweep.HOT_FRACTION), name
+
+
+def test_nullkey_variant_shape():
+    """The nullkey builder must keep every row, keep the schema
+    byte-identical, and null ~NULL_FRACTION of each skew column."""
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    sweep = _sweep_mod()
+    d = tempfile.mkdtemp(prefix="nullkey_test_")
+    sweep.build_hotkey_variant(sweep.SF_BASE, d, null_keys=True)
+    for name in sweep.TABLES:
+        base = pq.read_table(f"{sweep.SF_BASE}/{name}.parquet")
+        nk = pq.read_table(f"{d}/{name}.parquet")
+        assert nk.schema == base.schema, name
+        assert len(nk) == len(base), name
+        col = sweep.HOT_COLS.get(name)
+        if col and len(nk):
+            nulls = nk.column(col).null_count
+            assert nulls >= int(len(nk) * sweep.NULL_FRACTION), name
 
 
 def test_empty_schema_equals_onerow_schema(spark, degen_dirs):
