@@ -151,6 +151,12 @@ def iterate(
             if stats is not None:
                 stats["resumed_from"] = last
     if state is None:
+        # Initial state stays EAGER (one job): step functions that
+        # self-join the state (pointer jumping) reference it on PARALLEL
+        # plan branches, and a lazy first materialization lets both
+        # branches race to compute the uncached RDD — measured ~8%
+        # slower on dedup_components than materializing it once up
+        # front. Per-ROUND truncation is lazy (see _advance).
         state = truncate_lineage(initial, checkpoint, eager=True)
     # With stop_when the baseline metric is pointless for fresh runs (no
     # equality test will ever use it) — but a RESUMED durable state may
@@ -168,9 +174,15 @@ def iterate(
 
     def _advance(new_state: DataFrame, round_no: int) -> DataFrame:
         if resume_dir is None:
-            # Lazy in local mode: the metric materializes checkpoint +
-            # probe in one job. Reliable mode is eager in truncate_lineage.
-            return truncate_lineage(new_state, checkpoint, eager=metric is None)
+            # Lazy in local mode: with a metric, the metric job
+            # materializes checkpoint + probe in one job; with
+            # metric=None (fixed rounds) nothing needs per-round
+            # materialization at all — the plan is truncated at
+            # checkpoint CALL time either way, and the caller's final
+            # action computes the whole round chain in one job instead
+            # of one eager checkpoint job per round. Reliable mode is
+            # eager in truncate_lineage.
+            return truncate_lineage(new_state, checkpoint, eager=False)
         path = _round_dir(resume_dir, round_no)
         new_state.write.mode("overwrite").parquet(path)
         for stale in range(round_no):

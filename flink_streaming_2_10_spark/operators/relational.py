@@ -1333,9 +1333,17 @@ def important_stock_value(
             F.sum(to_units("l_extendedprice")).alias("value_units")
         )
     )
-    total = F.sum("value_units").over(Window.partitionBy())
+    # National total as a 1-row aggregate broadcast back (the totals-row
+    # pattern every other share query here uses), NOT a single-partition
+    # window: the window form moves the ENTIRE per-part table into one
+    # task (partkey cardinality scales with the corpus — a straggler at
+    # 100 TB), while the agg's final combine moves only per-partition
+    # partials. The per-part aggregation subtree appears on both
+    # branches, but they share one Exchange at runtime (ReusedExchange),
+    # so the fact is still scanned once.
+    total = per_part.agg(F.sum("value_units").alias("__total"))
     return (
-        per_part.withColumn("__total", total)
+        per_part.crossJoin(F.broadcast(total))
         .filter(
             F.col("value_units") * F.lit(int(fraction_den))
             > F.col("__total") * F.lit(int(fraction_num))

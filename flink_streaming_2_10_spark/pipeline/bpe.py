@@ -160,7 +160,12 @@ def train_bpe_merges(
     if n_merges < 0:
         raise ValueError(f"n_merges must be >= 0, got {n_merges}")
     spark: SparkSession = wc.sparkSession
-    state = _char_symbols(wc).localCheckpoint(eager=True)
+    # Lazy checkpoints: each round's 1-row argmax collect is the
+    # materializing action for the round's state (the iterate() trick —
+    # operators/iterate.py), so a round costs ONE job instead of two
+    # (eager checkpoint + argmax). The plan is truncated at checkpoint
+    # call time either way; only the job count changes.
+    state = _char_symbols(wc).localCheckpoint(eager=False)
     merges: list[Row] = []
     w = Window.partitionBy("word").orderBy("pos")
     for rank in range(1, n_merges + 1):
@@ -184,7 +189,7 @@ def train_bpe_merges(
                 pair_count=c,
             )
         )
-        state = _apply_merge(state, left, right).localCheckpoint(eager=True)
+        state = _apply_merge(state, left, right).localCheckpoint(eager=False)
     if stats is not None:
         stats["rounds"] = len(merges)
     return spark.createDataFrame(merges, schema=MERGE_SCHEMA)

@@ -163,16 +163,24 @@ def connected_components(
     )
     # Symmetrize once; distinct() collapses multi-edges from overlapping
     # dedup detectors so every round's join fans out at most degree-fold.
+    # Lazy truncation: the strategy probe below (or, on the distributed
+    # path, the loop's first materializing action) computes-and-caches
+    # the checkpointed blocks — the eager form cost one extra job that
+    # scanned the same pair pipeline.
     edges = truncate_lineage(
         e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .distinct(),
         checkpoint,
+        eager=False,
     )
     if resume_dir is None and driver_solve_max_edges > 0:
-        # One cheap count on the checkpointed 16-byte rows decides the
-        # strategy (the loop would scan them every round anyway).
-        if edges.limit(driver_solve_max_edges + 1).count() <= driver_solve_max_edges:
-            pdf = edges.toPandas()
+        # ONE bounded Arrow collect decides the strategy AND, when the
+        # graph is small, already holds the edge set the union-find
+        # needs — the former count-then-toPandas pair paid the pair
+        # pipeline twice (two jobs). At most cap+1 rows (16 bytes each)
+        # land on the driver either way.
+        pdf = edges.limit(driver_solve_max_edges + 1).toPandas()
+        if len(pdf) <= driver_solve_max_edges:
             labels = _driver_union_find(
                 pdf["src"].to_numpy().tolist(), pdf["dst"].to_numpy().tolist()
             )

@@ -81,36 +81,46 @@ def shortest_path_hops(
         F.col(a_col).cast("long").alias("src"),
         F.col(b_col).cast("long").alias("dst"),
     )
+    # Lazy truncation: the strategy probe (or the loop's first
+    # materializing action) computes-and-caches the checkpointed blocks,
+    # instead of a dedicated eager-checkpoint job (same change as
+    # components.connected_components).
     edges = truncate_lineage(
         e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .distinct(),
         checkpoint,
+        eager=False,
     )
     seed_nodes = seeds.select(F.col(sc).cast("long").alias("node")).distinct()
 
     if resume_dir is None and driver_solve_max_edges > 0:
         # BOTH collects below must be bounded before taking the driver
         # path: a tiny pair graph combined with a corpus-scale seed set
-        # would otherwise pull every seed id onto the driver.
+        # would otherwise pull every seed id onto the driver. Each probe
+        # is ONE bounded Arrow collect that doubles as the data fetch
+        # when the driver path engages (formerly a count followed by a
+        # full re-collect — two jobs per side).
         cap = driver_solve_max_edges
-        if (
-            edges.limit(cap + 1).count() <= cap
-            and seed_nodes.limit(cap + 1).count() <= cap
-        ):
+        pdf = edges.limit(cap + 1).toPandas()
+        seeds_head = (
+            seed_nodes.limit(cap + 1).toPandas()
+            if len(pdf) <= cap
+            else None
+        )
+        if seeds_head is not None and len(seeds_head) <= cap:
             from collections import deque
 
             from flink_streaming_2_10_spark.pipeline.components import (
                 _small_result_df,
             )
 
-            pdf = edges.toPandas()
             adj: dict[int, list[int]] = {}
             for s, d in zip(
                 pdf["src"].to_numpy().tolist(), pdf["dst"].to_numpy().tolist()
             ):
                 adj.setdefault(s, []).append(d)
             hops = {
-                int(r["node"]): 0 for r in seed_nodes.collect()
+                int(n): 0 for n in seeds_head["node"].to_numpy().tolist()
             }
             queue = deque(hops)
             while queue:
@@ -240,10 +250,19 @@ def pagerank_fixed(
         raise ValueError("need 0 < damping_num < damping_den")
     from flink_streaming_2_10_spark.pipeline.caching import tracked_persist
 
-    e = edges.select(
-        F.col(src_col).alias("src"),
-        F.col(dst_col).alias("dst"),
-        F.col(weight_col).cast("long").alias("w"),
+    # Persist the edge list itself, not just its derivatives: `ew` and
+    # `nodes` below are persisted but materialize in SEPARATE jobs, so
+    # without this cache the caller's edge pipeline (for textrank: the
+    # full corpus scan → bigram explode → count aggregation) executes
+    # once per derivative — 2× the corpus pass. The pruned edge table is
+    # vocabulary-edge-sized (tiny next to the corpus), so caching it is
+    # the guide-§5 trade: reused, expensive to recompute, cheap to hold.
+    e = tracked_persist(
+        edges.select(
+            F.col(src_col).alias("src"),
+            F.col(dst_col).alias("dst"),
+            F.col(weight_col).cast("long").alias("w"),
+        )
     )
     wdeg = e.groupBy("src").agg(F.sum("w").alias("wd"))
     ew = tracked_persist(e.join(wdeg, "src"))

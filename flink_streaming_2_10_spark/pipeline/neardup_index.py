@@ -120,6 +120,31 @@ def build_neardup_index(
     sigs, banded = _banded_with_key(
         docs, id_col, text_col, num_hashes, bands, rows, shingle_n, hasher
     )
+    # Both bucketed writes below consume `sigs` (banded derives from it):
+    # without a persist the full corpus-scan → shingle → num_hashes-
+    # permutation signature pipeline executes TWICE — once per write
+    # action. Persist the compact (doc_id, sig) rows across the two
+    # writes (guide §5: reused AND expensive to recompute); the first
+    # write materializes the cache, the second reads it, and the blocks
+    # are dropped before returning — nothing escapes the build.
+    sigs = sigs.persist()
+    try:
+        _write_index_tables(
+            sigs, banded, path, prefix, num_buckets, max_bucket_size, mode
+        )
+    finally:
+        sigs.unpersist()
+
+
+def _write_index_tables(
+    sigs: DataFrame,
+    banded: DataFrame,
+    path: str,
+    prefix: str,
+    num_buckets: int,
+    max_bucket_size: int | None,
+    mode: str,
+) -> None:
     if max_bucket_size is not None:
         # Deterministic build-time whole-bucket drop: rides the write's
         # own shuffle (window over bb). Scope: THIS batch only — the
@@ -572,14 +597,23 @@ def build_media_phash_index(
             .filter(F.col("__bs") <= max_bucket_size)
             .drop("__bs")
         )
-    write_bucketed_table(
-        chunked, f"{prefix}_buckets", f"{path}/buckets",
-        bucket_col="cb", num_buckets=num_buckets, mode=mode,
-    )
-    write_bucketed_table(
-        fps, f"{prefix}_phash", f"{path}/phash",
-        bucket_col="media_id", num_buckets=num_buckets, mode=mode,
-    )
+    # Same double-materialization hazard as build_neardup_index: both
+    # writes consume `fps`, and recomputing it repeats the payload-
+    # hashing pass (the expensive stage — payload bytes re-read and
+    # re-fingerprinted). Persist the tiny (media_id, phash) rows for the
+    # duration of the two writes, then drop the blocks.
+    fps = fps.persist()
+    try:
+        write_bucketed_table(
+            chunked, f"{prefix}_buckets", f"{path}/buckets",
+            bucket_col="cb", num_buckets=num_buckets, mode=mode,
+        )
+        write_bucketed_table(
+            fps, f"{prefix}_phash", f"{path}/phash",
+            bucket_col="media_id", num_buckets=num_buckets, mode=mode,
+        )
+    finally:
+        fps.unpersist()
 
 
 def media_against_index(
