@@ -281,8 +281,16 @@ def importance_resample(
     ``sampling.priority_sample`` (unweighted fixed-size): here the
     SCORE is the rate.
     """
+    from flink_streaming_2_10_spark.pipeline.caching import tracked_persist
     from flink_streaming_2_10_spark.pipeline.sampling import _sample_key
 
+    # `scored` feeds BOTH the 1-row max aggregate and the acceptance
+    # filter below; its scoring pipeline is scan-local (no exchange for
+    # runtime reuse to dedupe), so without a persist the full gram
+    # explode → hash → ratio fold runs twice over the corpus. The scored
+    # rows are narrow (id + two numbers) — the guide-§5 trade favors
+    # caching them across the two consumers.
+    scored = tracked_persist(scored)
     mx = scored.agg(F.max(F.col(score_col)).alias("__mx"))
     # Integer shift, NOT division: key/256 as a double would round the
     # 60-bit key before truncation.
