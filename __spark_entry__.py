@@ -1863,6 +1863,13 @@ def q_revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Force-flag value ``tools/update_fingerprints.py --mark-changed``
+#: records for a key (guaranteed to differ from every sha256 hexdigest).
+#: Kept literally in sync with the tool's ``CHANGED_SENTINEL``; the tool
+#: asserts the two match at import time.
+_CHANGED_SENTINEL = "<changed-since-last-driver-verification>"
+
+
 def _staleness_rotated(base: dict, evidence_dir: str | None = None) -> dict:
     """Reorder the query registry CHANGE-AWARE, then stalest-first.
 
@@ -1881,10 +1888,21 @@ def _staleness_rotated(base: dict, evidence_dir: str | None = None) -> dict:
        ``QUERY_FINGERPRINTS.json``, which ``tools/update_fingerprints.
        py`` refreshes only for keys inside the driver window, so a
        deferred-and-edited key stays flagged until a driver run
-       actually re-verifies the new code;
+       actually re-verifies the new code. WITHIN this tier,
+       force-flagged keys (``tools/update_fingerprints.py
+       --mark-changed``, recorded as :data:`_CHANGED_SENTINEL`) sort
+       FIRST: the sentinel is an explicit attestation that the key's
+       OWN implementing source was edited, which outranks keys whose
+       fingerprint merely drifted — possibly through a shared module
+       every query imports (the r18 catalog-memo ripple flagged all
+       135 keys at once, and the staleness fallback then deferred
+       exactly the handful of genuinely operator-edited queries for
+       ~2 rounds — the r18 verdict's What's-wrong 2);
     2. **staleness** — which round each key last appeared in
        (``CORRECTNESS_r*.json``), never-recorded keys first (they carry
-       last_seen = -1, so within tier 0 they precede every changed key);
+       last_seen = -1, so within tier 0 they precede every changed key;
+       sentinel-flagged keys carry last_seen = -0.5 — after the
+       never-verified, ahead of every ripple-flagged key);
     3. canonical (registry) order as the tie-break.
 
     Any read failure degrades to the canonical order; a missing
@@ -1920,6 +1938,13 @@ def _staleness_rotated(base: dict, evidence_dir: str | None = None) -> dict:
                 # spot). Conservative: re-verify.
                 changed = 0
             else:
+                if rec == _CHANGED_SENTINEL:
+                    # Explicitly attested operator edit (--mark-changed):
+                    # front of the changed tier, ahead of ripple-flagged
+                    # keys whose own source may be untouched — but still
+                    # behind never-verified keys (zero evidence outranks
+                    # attested drift, the r9 ordering).
+                    return (0, -0.5, canon[k])
                 cur = _query_fingerprint(k)
                 if cur is not None and cur != rec:
                     changed = 0
@@ -2271,6 +2296,7 @@ def q_dedup_lsh_recall(
     truth side's fractional max_df stop-gram cap) then resolve against
     the sample, which is the standard estimator trade."""
     from flink_streaming_2_10_spark.pipeline.dedup import (
+        collapsed_posting_state,
         minhash_dedup_pairs,
         ngram_jaccard_pairs,
     )
@@ -2285,12 +2311,20 @@ def q_dedup_lsh_recall(
         docs = docs.filter(
             key < F.lit(float(sample_fraction)) * F.lit(_TWO_POW_60)
         )
-    truth = ngram_jaccard_pairs(docs, n=3, threshold=0.7).select(
-        "doc_a", "doc_b", F.lit(1).alias("__t")
+    # Both sides consume the identical corpus → exact-class collapse →
+    # 3-gram md5 postings prefix; built ONCE here (guide §5 / §1.2) the
+    # truth and sketch pipelines share one cached class table and one
+    # cached posting table instead of computing and caching two of each.
+    # Expression-identical to the unshared form — results unchanged.
+    state = collapsed_posting_state(
+        docs, shingle_n=3, hasher="md5"
     )
+    truth = ngram_jaccard_pairs(
+        docs, n=3, threshold=0.7, shared_state=state
+    ).select("doc_a", "doc_b", F.lit(1).alias("__t"))
     lsh = minhash_dedup_pairs(
         docs, num_hashes=32, bands=8, rows=4, shingle_n=3,
-        threshold=0.7, hasher="md5",
+        threshold=0.7, hasher="md5", shared_state=state,
     ).select("doc_a", "doc_b", F.lit(1).alias("__l"))
     joined = truth.join(lsh, ["doc_a", "doc_b"], "full_outer")
     return joined.agg(

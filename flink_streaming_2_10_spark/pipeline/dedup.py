@@ -321,6 +321,47 @@ def _exact_classes(
     return nrm, cls
 
 
+def collapsed_posting_state(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    hasher: str = "md5",
+    fp_col: str | None = None,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Build ONCE the ``(nrm, cls, posts)`` prefix every collapse-exact
+    dedup scorer starts from: the normalized-fingerprint corpus, the
+    persisted exact-duplicate classes (:func:`_exact_classes`), and the
+    persisted per-representative postings ``(doc_id, h)`` — the
+    ``shingle_n``-gram 60-bit hashes of one representative per distinct
+    text.
+
+    Why it exists (guide §5 / §1.2 "don't compute things twice"): a
+    query that composes TWO scorers over the same corpus — e.g. the LSH
+    recall audit, which runs the exact n-gram truth AND the MinHash-LSH
+    sketch side by side — otherwise pays the full corpus scan → class
+    collapse → shingle explode → digest pipeline once per scorer, and
+    caches two identical posting tables. Passing this state via the
+    scorers' ``shared_state`` parameter computes and caches the prefix
+    once; each scorer's output is expression-identical to the unshared
+    form (the state is exactly what the scorer would have built itself,
+    with the same persist points), so results are unchanged.
+
+    The consuming scorers must use the SAME ``shingle_n`` and ``hasher``
+    and run with ``collapse_exact=True`` — enforced by the scorers'
+    asserts where cheap; parameter agreement is the caller's contract.
+    """
+    nrm, cls = _exact_classes(df, id_col, text_col, fp_col=fp_col)
+    work = cls.select(
+        F.col("__rep").alias(id_col), F.col("__rep_text").alias(text_col)
+    )
+    posts = tracked_persist(
+        _shingles(work, id_col, text_col, shingle_n)
+        .select("doc_id", _hash60(F.col("shingle"), hasher).alias("h"))
+    )
+    return nrm, cls, posts
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -330,6 +371,7 @@ def ngram_jaccard_pairs(
     max_df: int | float | None = DEFAULT_MAX_DF_FRAC,
     hasher: str = "md5",
     collapse_exact: bool = True,
+    shared_state: tuple[DataFrame, DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
     """All document pairs with n-gram-set Jaccard ≥ threshold — exact
     over the (optionally stop-gram-pruned) gram sets.
@@ -362,11 +404,18 @@ def ngram_jaccard_pairs(
     is empty emit no edges, matching the no-shared-grams behavior.
     ``collapse_exact=False`` restores the exhaustive all-pairs form.
 
+    ``shared_state`` optionally supplies a precomputed
+    :func:`collapsed_posting_state` (requires ``collapse_exact=True``
+    and matching ``n``/``hasher``) so a composing query shares the
+    corpus → classes → postings prefix with a sibling scorer instead of
+    rebuilding it.
+
     Jaccard is emitted as exact integer fields (inter, size_a, size_b) plus
     a derived double — division of exact longs, deterministic for oracles.
     """
     base = _ngram_pair_counts(
-        df, id_col, text_col, n, max_df, hasher, collapse_exact
+        df, id_col, text_col, n, max_df, hasher, collapse_exact,
+        shared_state=shared_state,
     )
     union = F.col("size_a") + F.col("size_b") - F.col("inter")
     return (
@@ -426,6 +475,7 @@ def _ngram_pair_counts(
     max_df: int | float | None,
     hasher: str,
     collapse_exact: bool,
+    shared_state: tuple[DataFrame, DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
     """Shared inverted-index pair machinery for the exact n-gram scorers:
     ``(doc_a, doc_b, inter, size_a, size_b)`` for every pair sharing ≥ 1
@@ -435,24 +485,32 @@ def _ngram_pair_counts(
     for jaccard and containment) without scorer-specific star handling."""
     nrm = cls = None
     work = df
-    if collapse_exact:
+    if shared_state is not None:
+        if not collapse_exact:
+            raise ValueError("shared_state requires collapse_exact=True")
+        nrm, cls, posts = shared_state
+        work = cls.select(
+            F.col("__rep").alias(id_col), F.col("__rep_text").alias(text_col)
+        )
+    elif collapse_exact:
         nrm, cls = _exact_classes(df, id_col, text_col)
         work = cls.select(
             F.col("__rep").alias(id_col), F.col("__rep_text").alias(text_col)
         )
-    grams = _shingles(work, id_col, text_col, n)
-    # Postings carry the 60-bit hash, not the string (see _hash60): the
-    # self-join and pair-count shuffles move 8-byte longs.
-    # Persist the RAW postings before anything consumes them: the prune's
-    # document-frequency aggregation plus the three downstream consumers
-    # (sizes + both join sides) all read the cache, so the tokenize/explode
-    # pipeline runs exactly once. MEMORY_AND_DISK: postings are
-    # input-scale; spilling beats recomputing the explode. The per-consumer
-    # broadcast anti-join re-applies from cache — a narrow hash probe,
-    # far cheaper than caching a second (pruned) copy.
-    posts = tracked_persist(
-        grams.select("doc_id", _hash60(F.col("shingle"), hasher).alias("h"))
-    )
+    if shared_state is None:
+        grams = _shingles(work, id_col, text_col, n)
+        # Postings carry the 60-bit hash, not the string (see _hash60): the
+        # self-join and pair-count shuffles move 8-byte longs.
+        # Persist the RAW postings before anything consumes them: the prune's
+        # document-frequency aggregation plus the three downstream consumers
+        # (sizes + both join sides) all read the cache, so the tokenize/explode
+        # pipeline runs exactly once. MEMORY_AND_DISK: postings are
+        # input-scale; spilling beats recomputing the explode. The per-consumer
+        # broadcast anti-join re-applies from cache — a narrow hash probe,
+        # far cheaper than caching a second (pruned) copy.
+        posts = tracked_persist(
+            grams.select("doc_id", _hash60(F.col("shingle"), hasher).alias("h"))
+        )
     if isinstance(max_df, float):
         if not 0.0 < max_df < 1.0:
             raise ValueError("fractional max_df must be in (0, 1)")
@@ -710,6 +768,7 @@ def minhash_dedup_pairs(
     collapse_exact: bool = True,
     max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
     fp_col: str | None = None,
+    shared_state: tuple[DataFrame, DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
     """End-to-end MinHash-LSH near-dup detection: signatures → banded
     candidates → verify candidates with the exact n-gram Jaccard (computed
@@ -735,16 +794,25 @@ def minhash_dedup_pairs(
     defense-in-depth hot-bucket cap (see :func:`minhash_lsh_candidates`).
     ``fp_col`` optionally names a precomputed normalized-text
     fingerprint column (see :func:`_exact_classes`).
+    ``shared_state`` optionally supplies a precomputed
+    :func:`collapsed_posting_state` (requires ``collapse_exact=True``
+    and matching ``shingle_n``/``hasher``) so a composing query shares
+    the corpus → classes → postings prefix with a sibling scorer.
     """
     if bands * rows != num_hashes:
         raise ValueError(
             f"bands*rows ({bands}*{rows}={bands * rows}) must equal "
             f"num_hashes ({num_hashes})"
         )
+    if shared_state is not None and not collapse_exact:
+        raise ValueError("shared_state requires collapse_exact=True")
     star: DataFrame | None = None
     work = df
     if collapse_exact:
-        nrm, cls = _exact_classes(df, id_col, text_col, fp_col=fp_col)
+        if shared_state is not None:
+            nrm, cls, _ = shared_state
+        else:
+            nrm, cls = _exact_classes(df, id_col, text_col, fp_col=fp_col)
         work = cls.select(
             F.col("__rep").alias(id_col), F.col("__rep_text").alias(text_col)
         )
@@ -765,10 +833,13 @@ def minhash_dedup_pairs(
     # One digest per posting: the 60-bit hash is BOTH the verify-join key
     # (8-byte shuffles instead of shingle strings) and, reduced mod p, the
     # MinHash base value the K affine permutations act on.
-    posts = tracked_persist(
-        _shingles(work, id_col, text_col, shingle_n)
-        .select("doc_id", _hash60(F.col("shingle"), hasher).alias("h"))
-    )
+    if shared_state is not None:
+        posts = shared_state[2]
+    else:
+        posts = tracked_persist(
+            _shingles(work, id_col, text_col, shingle_n)
+            .select("doc_id", _hash60(F.col("shingle"), hasher).alias("h"))
+        )
     base = F.pmod(F.col("h"), F.lit(_MERSENNE_31))
     mins = [
         F.min(
@@ -776,13 +847,24 @@ def minhash_dedup_pairs(
         ).alias(f"g{i}")
         for i, (a, b) in enumerate(minhash_perm_params(num_hashes))
     ]
-    sigs = (
-        posts.groupBy("doc_id")
-        .agg(*mins)
-        .select(
-            "doc_id",
-            F.array(*[F.col(f"g{i}") for i in range(num_hashes)]).alias("sig"),
+    # ONE grouped pass computes the K signature mins AND the gram-set
+    # size: signatures and sizes group on the same key over the same
+    # postings, and as separate aggregations they are two full posting
+    # passes + two exchanges (different aggregate lists, so runtime
+    # ReusedExchange cannot dedupe them — guide §1.2/§2.4). set_size
+    # rides the signature aggregation as one extra count field; the
+    # PERSIST is what makes the fusion stick — without it Catalyst's
+    # per-consumer column pruning splits the aggregate back into a
+    # 32-func copy (banding) and a count-only copy (sizes), restoring
+    # both passes (verified in the r19 before/after plans).
+    sig_sz = tracked_persist(
+        posts.groupBy("doc_id").agg(
+            *mins, F.count(F.lit(1)).alias("set_size")
         )
+    )
+    sigs = sig_sz.select(
+        "doc_id",
+        F.array(*[F.col(f"g{i}") for i in range(num_hashes)]).alias("sig"),
     )
     # validate=False: sigs' array() length == num_hashes by construction
     # and bands*rows == num_hashes was checked above — plan-time proof, no
@@ -795,8 +877,17 @@ def minhash_dedup_pairs(
         validate=False,
         max_bucket_size=max_bucket_size,
     )
-    sizes = posts.groupBy("doc_id").agg(F.count(F.lit(1)).alias("set_size"))
+    sizes = sig_sz.select("doc_id", "set_size")
     a = posts.select(F.col("doc_id").alias("doc_a"), "h")
+    # NOTE (measured and rejected, r19): pre-pruning this side to
+    # candidate docs with a broadcast semi-join (guide §3.2) — so the
+    # (doc_b, h) join shuffles candidate-doc postings instead of the
+    # full posting table — was A/B-probed at sf0.1 and was 15–45% SLOWER
+    # in both the bare and cands-persisted forms: the duplicated/
+    # materialized candidate subtree plus the per-row broadcast probe
+    # cost more than the exchange it saves at this scale. On a cluster
+    # where the posting exchange is network-bound and candidates ≪
+    # corpus the trade reverses; re-measure there before adopting.
     b = posts.select(F.col("doc_id").alias("doc_b"), "h")
     # Intersection restricted to candidate pairs: attach A-side postings,
     # then inner-join the B side on (doc_b, h) — the join key carries both

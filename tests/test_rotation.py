@@ -104,3 +104,28 @@ def test_evidence_without_recorded_fingerprint_requeues(tmp_path):
     # b leads despite having the FRESHEST evidence (tier 0, unattested);
     # a and c are unchanged-evidence keys ordered by staleness.
     assert got == ["b", "a", "c"]
+
+
+def test_sentinel_flag_outranks_ripple_changed_but_not_never_verified(
+    tmp_path,
+):
+    """r18 What's-wrong 2 fix: a shared-module edit ripples EVERY key's
+    fingerprint, and pure staleness then defers exactly the keys whose
+    own operator source was edited. A force-flagged key (the
+    --mark-changed sentinel) must therefore outrank ripple-flagged keys
+    regardless of staleness — while never-verified keys still lead."""
+    base = dict.fromkeys(["a", "b", "c", "d"], object())
+    # a: ripple-changed, stalest evidence (r1). b: sentinel, FRESHEST
+    # evidence (r3). c: never verified. d: ripple-changed, r2.
+    _write_evidence(tmp_path, {1: ["a"], 2: ["d"], 3: ["b"]})
+    (tmp_path / "QUERY_FINGERPRINTS.json").write_text(
+        json.dumps(
+            {
+                "a": "<ripple-drift>",
+                "b": em._CHANGED_SENTINEL,
+                "d": "<ripple-drift>",
+            }
+        )
+    )
+    got = list(em._staleness_rotated(base, evidence_dir=str(tmp_path)))
+    assert got == ["c", "b", "a", "d"]

@@ -56,6 +56,10 @@ def main() -> int:
     sys.path.insert(0, repo)
     import __spark_entry__ as em
 
+    # The rotation gives sentinel-flagged keys front-of-window priority;
+    # that only works if both sides agree on the literal.
+    assert em._CHANGED_SENTINEL == CHANGED_SENTINEL
+
     keys = list(em._base_queries())
     last_seen = dict(em._evidence_last_seen(repo))
     latest_round = max(last_seen.values(), default=-1)
