@@ -907,7 +907,9 @@ def q_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return dsir_importance_scores(
         docs,
-        docs.filter(F.col("lang") == "en"),
+        # one-pass fused count tables: target = the lang slice of df
+        None,
+        target_pred=F.col("lang") == "en",
         n=2,
         num_buckets=4096,
         hasher="md5",
@@ -949,7 +951,9 @@ def q_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     scored = dsir_importance_scores(
         docs,
-        docs.filter(F.col("lang") == "en"),
+        # one-pass fused count tables: target = the lang slice of df
+        None,
+        target_pred=F.col("lang") == "en",
         n=2,
         num_buckets=4096,
         hasher="md5",

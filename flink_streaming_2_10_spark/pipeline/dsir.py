@@ -39,7 +39,7 @@ bit-for-bit; xxhash64 is the cheaper production default.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, functions as F
 
 from flink_streaming_2_10_spark.pipeline.dedup import _words_sql
 
@@ -184,6 +184,69 @@ def _bucket_count_map(
     )
 
 
+def _bucket_count_maps_fused(
+    df: DataFrame,
+    text_col: str,
+    target_pred: Column,
+    n: int,
+    num_buckets: int,
+    hasher: str,
+) -> DataFrame:
+    """ONE-row DataFrame ``(__rmap, __tmap)`` — the raw AND target
+    bucket-count arrays from a SINGLE gram pass (guide §1.2: don't scan
+    twice what one conditional aggregation can count once).
+
+    Equivalent to ``_bucket_count_map(df, ...)`` +
+    ``_bucket_count_map(df.filter(target_pred), ...)`` when the target
+    corpus is a predicate-selected subset of ``df`` — which is every
+    registry caller (target = the ``lang == 'en'`` slice). The raw
+    count is ``count(1)`` per bucket; the target count is
+    ``count(CASE WHEN pred THEN 1 END)`` over the SAME exploded rows —
+    rows whose predicate is NULL are skipped by ``count``, matching
+    ``filter``'s NULL-drops semantics exactly, so both arrays are
+    integer-identical to the two-pass form (pinned in test_dsir)."""
+    base = df.select(
+        target_pred.alias("__is_t"),
+        F.expr(_words_sql(text_col)).alias("__ws"),
+    )
+    grams = base.select(
+        "__is_t", F.explode(F.expr(_grams_from_ws_sql("__ws", n))).alias("__g")
+    )
+    counts = (
+        grams.select(
+            F.expr(_bucket_sql("__g", num_buckets, hasher)).alias("b"),
+            "__is_t",
+        )
+        .groupBy("b")
+        .agg(
+            F.count(F.lit(1)).alias("c"),
+            F.count(F.when(F.col("__is_t"), 1)).alias("ct"),
+        )
+    )
+
+    def dense(m: str) -> str:
+        return (
+            f"transform(sequence(0, {int(num_buckets) - 1}), "
+            f"i -> coalesce(element_at({m}, i), 0L))"
+        )
+
+    return (
+        counts.groupBy()
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct(F.col("b"), F.col("c")))
+            ).alias("__m"),
+            F.map_from_entries(
+                F.collect_list(F.struct(F.col("b"), F.col("ct")))
+            ).alias("__mt"),
+        )
+        .select(
+            F.expr(dense("__m")).alias("__rmap"),
+            F.expr(dense("__mt")).alias("__tmap"),
+        )
+    )
+
+
 def dsir_model(
     df: DataFrame,
     target: DataFrame,
@@ -315,12 +378,13 @@ def importance_resample(
 
 def dsir_importance_scores(
     df: DataFrame,
-    target: DataFrame,
+    target: DataFrame | None,
     id_col: str = "doc_id",
     text_col: str = "text",
     n: int = 2,
     num_buckets: int = 4096,
     hasher: str = "xxhash64",
+    target_pred: Column | None = None,
 ) -> DataFrame:
     """``(doc_id, n_grams, dsir_score)`` for every document of ``df``:
     the mean add-one-smoothed target/raw bucket-count ratio over the
@@ -328,13 +392,37 @@ def dsir_importance_scores(
     the target-domain document set (usually a filtered subset of
     ``df``, or a separate clean corpus — only its ``text_col`` is
     read). Documents with no grams score 0.0.
+
+    ``target_pred`` is the one-pass fast path for the
+    subset-of-``df`` case: pass the predicate COLUMN that selects the
+    target slice (e.g. ``F.col("lang") == "en"``) instead of a
+    ``target`` frame, and both count tables are built by ONE gram pass
+    over ``df`` with a conditional count
+    (:func:`_bucket_count_maps_fused`) — identical integer counts,
+    one fewer corpus-scale explode+digest pass and one broadcast
+    instead of two. Mutually exclusive with ``target``.
     """
-    raw_map = _bucket_count_map(
-        df, text_col, n, num_buckets, hasher, "__rmap"
-    )
-    tgt_map = _bucket_count_map(
-        target, text_col, n, num_buckets, hasher, "__tmap"
-    )
+    if (target is None) == (target_pred is None):
+        raise ValueError("pass exactly one of target / target_pred")
+    if target_pred is not None:
+        maps = [
+            F.broadcast(
+                _bucket_count_maps_fused(
+                    df, text_col, target_pred, n, num_buckets, hasher
+                )
+            )
+        ]
+    else:
+        maps = [
+            F.broadcast(
+                _bucket_count_map(df, text_col, n, num_buckets, hasher, "__rmap")
+            ),
+            F.broadcast(
+                _bucket_count_map(
+                    target, text_col, n, num_buckets, hasher, "__tmap"
+                )
+            ),
+        ]
     # Buckets are hashed ONCE per gram into an int array; the fold then
     # costs two map lookups + one division per element (hashing inside
     # the fold would digest every gram twice).
@@ -346,11 +434,13 @@ def dsir_importance_scores(
         "cast(element_at(__tmap, b + 1) + 1L as double) / "
         "cast(element_at(__rmap, b + 1) + 1L as double))"
     )
+    scored = _with_grams(df, id_col, text_col, n).select(
+        "doc_id", buckets.alias("__buckets")
+    )
+    for m in maps:
+        scored = scored.crossJoin(m)
     return (
-        _with_grams(df, id_col, text_col, n)
-        .select("doc_id", buckets.alias("__buckets"))
-        .crossJoin(F.broadcast(raw_map))
-        .crossJoin(F.broadcast(tgt_map))
+        scored
         .select(
             "doc_id",
             F.size("__buckets").cast("long").alias("n_grams"),

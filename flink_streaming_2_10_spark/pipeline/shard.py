@@ -408,7 +408,10 @@ def curate_corpus_quality(
     )
     scored = dsir_importance_scores(
         enriched,
-        enriched.filter(F.col("lang") == target_lang),
+        # one-pass fused count tables: target = the lang slice of the
+        # survivors (dsir._bucket_count_maps_fused)
+        None,
+        target_pred=F.col("lang") == target_lang,
         id_col="doc_id",
         text_col="text",
         n=2,

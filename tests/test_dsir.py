@@ -268,3 +268,40 @@ class TestImportanceResample:
         a = {r["doc_id"] for r in importance_resample(scored, scale=0.5, salt="x").collect()}
         b = {r["doc_id"] for r in importance_resample(scored, scale=0.5, salt="y").collect()}
         assert a != b
+
+
+def test_fused_target_pred_bit_equal_to_two_pass(docs):
+    """r19 one-pass count tables: passing target_pred (the predicate
+    that selects the target slice) must score BIT-IDENTICALLY to the
+    two-pass form with target = docs.filter(pred) — the fused path is
+    one conditional aggregation over the same exploded grams, so the
+    integer count tables (and hence every double) are equal, including
+    the NULL-predicate-drops-row semantics of filter()."""
+    from pyspark.sql import functions as F
+
+    two_pass = {
+        r["doc_id"]: (r["n_grams"], r["dsir_score"])
+        for r in dsir_importance_scores(
+            docs, docs.filter("lang = 'en'"), n=2, num_buckets=512,
+            hasher="md5",
+        ).collect()
+    }
+    fused = {
+        r["doc_id"]: (r["n_grams"], r["dsir_score"])
+        for r in dsir_importance_scores(
+            docs, None, target_pred=F.col("lang") == "en", n=2,
+            num_buckets=512, hasher="md5",
+        ).collect()
+    }
+    assert fused == two_pass
+
+
+def test_target_and_target_pred_are_mutually_exclusive(docs):
+    from pyspark.sql import functions as F
+
+    with pytest.raises(ValueError):
+        dsir_importance_scores(docs, None)
+    with pytest.raises(ValueError):
+        dsir_importance_scores(
+            docs, docs, target_pred=F.col("lang") == "en"
+        )
