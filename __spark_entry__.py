@@ -2036,18 +2036,61 @@ def _module_file_hash(mod_name: str) -> str:
 
 
 @functools.lru_cache(maxsize=None)
-def _query_fingerprint(key: str) -> str | None:
-    """Source fingerprint of everything implementing query ``key``: the
-    transitive closure of package modules it references (module files
-    hashed whole — module granularity errs toward re-verifying more,
-    never less) plus the entry-local sources (its own q_* wrapper and
-    any entry helpers it calls). Returns None if the key is unknown or
-    any source is unavailable."""
-    import hashlib
-    import importlib
-    import inspect
-    import types
+def _module_pkg_imports(mod_name: str) -> tuple[str, ...]:
+    """Package modules that ``mod_name``'s SOURCE imports — top-level
+    AND function-body statements alike (``ast.walk``), resolving
+    ``from pkg.mod import name`` submodule forms. Source-level on
+    purpose (r19 determinism fix): the former runtime ``vars(module)``
+    walk both MISSED function-body imports (``shard.py`` reaches
+    pipeline.dedup/components only inside defs, so
+    curated_corpus_neardup's fingerprint silently excluded the modules
+    its pair pipeline executes) and was IMPORT-ORDER-DEPENDENT (a
+    package module's ``vars()`` accumulates submodule bindings as a
+    side effect of any import anywhere in the process, so the same key
+    fingerprinted differently in different processes). The repo uses
+    absolute imports only."""
+    import ast
+    import importlib.util
 
+    try:
+        spec = importlib.util.find_spec(mod_name)
+        with open(spec.origin) as fh:
+            tree = ast.parse(fh.read())
+    except Exception:
+        return ()
+    found: set[str] = set()
+    for node in ast.walk(tree):
+        if isinstance(node, ast.Import):
+            for alias in node.names:
+                if alias.name.startswith(_PKG_NAME):
+                    found.add(alias.name)
+        elif isinstance(node, ast.ImportFrom):
+            if (
+                node.level == 0
+                and node.module
+                and node.module.startswith(_PKG_NAME)
+            ):
+                found.add(node.module)
+                # `from pkg.mod import name`: name may itself be a
+                # submodule (package __init__ re-exports) — keep it
+                # only if it resolves to one.
+                for alias in node.names:
+                    cand = f"{node.module}.{alias.name}"
+                    try:
+                        if importlib.util.find_spec(cand) is not None:
+                            found.add(cand)
+                    except (ImportError, ModuleNotFoundError, ValueError):
+                        pass
+    return tuple(sorted(found))
+
+
+@functools.lru_cache(maxsize=None)
+def _closure_modules(key: str) -> tuple[str, ...] | None:
+    """Transitive package-module closure of query ``key``'s
+    implementation: the entry-side code-object walk seeds the set
+    (``_impl_closure``), then each module's SOURCE imports
+    (:func:`_module_pkg_imports` — deterministic, covers function-body
+    imports) expand it to a fixpoint."""
     fn = _base_queries().get(key)
     if fn is None:
         return None
@@ -2055,28 +2098,39 @@ def _query_fingerprint(key: str) -> str | None:
     mods: set[str] = set()
     local_fns: list = []
     _impl_closure(fn, seen, mods, local_fns)
-    # Transitive closure over package modules: a module's globals name
-    # the other package modules/functions it uses.
     frontier = list(mods)
     while frontier:
         m = frontier.pop()
-        try:
-            module = importlib.import_module(m)
-        except Exception:
-            continue
-        for obj in vars(module).values():
-            mn = None
-            if isinstance(obj, types.ModuleType):
-                mn = obj.__name__
-            elif callable(obj):
-                mn = getattr(obj, "__module__", None)
-            if (
-                isinstance(mn, str)
-                and mn.startswith(_PKG_NAME)
-                and mn not in mods
-            ):
-                mods.add(mn)
-                frontier.append(mn)
+        for nm in _module_pkg_imports(m):
+            if nm not in mods:
+                mods.add(nm)
+                frontier.append(nm)
+    return tuple(sorted(mods))
+
+
+@functools.lru_cache(maxsize=None)
+def _query_fingerprint(key: str) -> str | None:
+    """Source fingerprint of everything implementing query ``key``: the
+    transitive closure of package modules it references (module files
+    hashed whole — module granularity errs toward re-verifying more,
+    never less; see :func:`_closure_modules` for what "references"
+    covers) plus the entry-local sources (its own q_* wrapper and
+    any entry helpers it calls). Returns None if the key is unknown or
+    any source is unavailable."""
+    import hashlib
+    import inspect
+
+    fn = _base_queries().get(key)
+    if fn is None:
+        return None
+    closure = _closure_modules(key)
+    if closure is None:
+        return None
+    mods = set(closure)
+    seen: set = set()
+    local_mods: set[str] = set()
+    local_fns: list = []
+    _impl_closure(fn, seen, local_mods, local_fns)
     h = hashlib.sha256()
     for m in sorted(mods):
         h.update(m.encode())

@@ -129,3 +129,31 @@ def test_sentinel_flag_outranks_ripple_changed_but_not_never_verified(
     )
     got = list(em._staleness_rotated(base, evidence_dir=str(tmp_path)))
     assert got == ["c", "b", "a", "d"]
+
+
+def test_closure_includes_function_body_imports_and_is_deterministic():
+    """r19 blind-spot fix: shard.py reaches pipeline.dedup/components
+    only through imports INSIDE function bodies, which the former
+    vars(module) walk could not see — curated_corpus_neardup's
+    fingerprint excluded the modules its pair pipeline executes, so a
+    dedup edit never re-queued it. The closure walk is now source-level
+    (ast over import statements), which also makes it independent of
+    process import state (a package module's vars() accumulates
+    submodule bindings as imports happen, so the old walk's closure —
+    and hence the fingerprint — varied between processes)."""
+    c = em._closure_modules("curated_corpus_neardup")
+    assert any(m.endswith("pipeline.dedup") for m in c)
+    assert any(m.endswith("pipeline.components") for m in c)
+    # Determinism: a fresh interpreter computes the identical value.
+    code = (
+        "import sys; sys.path.insert(0, %r); import __spark_entry__ as em; "
+        "print(em._query_fingerprint('curated_corpus_neardup'))"
+        % em.__file__.rsplit("/", 1)[0]
+    )
+    res = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True
+    )
+    assert res.returncode == 0, res.stderr
+    assert res.stdout.strip() == em._query_fingerprint(
+        "curated_corpus_neardup"
+    )

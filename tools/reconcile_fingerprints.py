@@ -371,24 +371,12 @@ def main() -> int:
                 (key, f"entry-local def changed {sorted(entry_hit)[:4]}")
             )
             continue
-        # replicate the transitive module closure _query_fingerprint uses
-        frontier = sorted(mods)
-        closure: set[str] = set()
-        while frontier:
-            m = frontier.pop()
-            if m in closure:
-                continue
-            closure.add(m)
-            sub_mod = importlib.import_module(m)
-            for val in vars(sub_mod).values():
-                name = getattr(val, "__module__", None) or getattr(
-                    val, "__name__", None
-                )
-                if isinstance(name, str) and name.startswith(
-                    entry._PKG_NAME
-                ) and name not in closure:
-                    frontier.append(name)
-        modules = sorted(closure)
+        # the transitive module closure _query_fingerprint uses —
+        # delegate to the entry's own walk (r19: includes function-body
+        # imports via co_names, which the old vars()-only replica missed
+        # — shard.py reaches pipeline.dedup/components only that way, so
+        # this tool cleared curated_corpus_neardup after a dedup edit)
+        modules = list(entry._closure_modules(key) or sorted(mods))
         used = _used_names(entry, key, modules, extra_seed=oracle_names)
         ok = True
         why = ""
